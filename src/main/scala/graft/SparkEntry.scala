@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.PriceAlerts
+import graft.operators.{PriceAlerts, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,74 @@ object SparkEntry {
           round(col("value"), 2).as("value"))
         .orderBy("user_id", "event_id", "event_type", "value")
     }),
+    // ── Relational breadth (SURVEY.md §2.11 "not present" list) ────────
+    // Multi-aggregate (sum/avg/count) grouped summary.
+    "q05_pricing_summary" -> ((s, dir) => {
+      Relational.pricingSummary(Tables.lineitem(s, dir))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sum_qty"), 2).as("sum_qty"),
+          round(col("sum_base_price"), 2).as("sum_base_price"),
+          round(col("sum_disc_price"), 2).as("sum_disc_price"),
+          round(col("avg_qty"), 4).as("avg_qty"),
+          round(col("avg_price"), 4).as("avg_price"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Top-k: ORDER BY + LIMIT → TakeOrderedAndProject (bounded heaps).
+    "q06_topk_orders" -> ((s, dir) => {
+      Relational.topOrders(Tables.orders(s, dir), 100)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    // Set operations: UNION (distinct) + EXCEPT.
+    "q07_set_ops" -> ((s, dir) => {
+      Relational.customerSetOps(Tables.customer(s, dir), Tables.orders(s, dir))
+        .orderBy("custkey")
+    }),
+
+    // Exact distinct aggregation.
+    "q08_distinct_users" -> ((s, dir) => {
+      Relational.distinctUsersPerType(Tables.events(s, dir))
+        .orderBy("event_type")
+    }),
+
+    // Semi + anti joins (EXISTS / NOT EXISTS) + UNION ALL.
+    "q09_semi_anti" -> ((s, dir) => {
+      Relational.customersByOrderExistence(Tables.customer(s, dir), Tables.orders(s, dir))
+        .orderBy("c_custkey", "tag")
+    }),
+
+    // ROLLUP grouping sets.
+    "q10_rollup" -> ((s, dir) => {
+      Relational.quantityRollup(Tables.lineitem(s, dir))
+        .select(col("returnflag"), col("linestatus"),
+          round(col("sum_qty"), 2).as("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // Analytic window functions: row_number, lag, running sum.
+    "q11_order_analytics" -> ((s, dir) => {
+      Relational.orderHistoryAnalytics(Tables.orders(s, dir))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+          round(col("prev_price"), 2).as("prev_price"),
+          round(col("running_total"), 2).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Star-schema multi-join with broadcast dims.
+    "q12_revenue_per_region" -> ((s, dir) => {
+      Relational.revenuePerRegion(Tables.region(s, dir), Tables.nation(s, dir),
+          Tables.customer(s, dir), Tables.orders(s, dir))
+        .select(col("r_name"), round(col("revenue"), 2).as("revenue"), col("n_orders"))
+        .orderBy("r_name")
+    }),
+
+    // Generator/explode (UDTF-shaped): token frequency top-100.
+    "q13_token_frequency" -> ((s, dir) => {
+      Relational.tokenFrequency(Tables.documents(s, dir), 100)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,5 +188,83 @@ object SparkEntry {
         |      FROM events)
         |WHERE rn = 1
         |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q05_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(SUM(l_quantity), 2) AS sum_qty,
+        |       round(SUM(l_extendedprice), 2) AS sum_base_price,
+        |       round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       round(AVG(l_quantity), 4) AS avg_qty,
+        |       round(AVG(l_extendedprice), 4) AS avg_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q06_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |ORDER BY orders.o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "q07_set_ops" ->
+      """(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0)
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0.0
+        |ORDER BY 1""".stripMargin,
+
+    "q08_distinct_users" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q09_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       round(SUM(l_quantity), 2) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q11_order_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER w AS rn,
+        |       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |       round(SUM(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                       AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q12_revenue_per_region" ->
+      """SELECT r_name, round(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q13_token_frequency" ->
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY 1
+        |ORDER BY 2 DESC, 1 ASC
+        |LIMIT 100""".stripMargin,
   )
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator breadth beyond the reference's own surface
+  * (SURVEY.md §2.11 lists these as absent from the reference; a complete
+  * engine needs them). Everything here is a Catalyst built-in — sorts,
+  * limits, set ops, semi/anti joins, rollup, analytic windows, explode —
+  * so plans stay inside WholeStageCodegen and scale by partitioning:
+  * top-k is TakeOrderedAndProject (per-partition bounded heap + driver
+  * merge of k rows, never a global sort); rollup is a single shuffle with
+  * partial aggregation; semi/anti broadcast when the right side is small.
+  */
+object Relational {
+
+  /** Multi-aggregate pricing summary (TPC-H Q1 shape): sum/avg/count per
+    * (returnflag, linestatus). One shuffle, map-side partials.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Top-k by value with a unique tiebreak — plans as
+    * TakeOrderedAndProjectExec (bounded per-partition heaps, no global
+    * sort/shuffle: the 100 TB-safe form of ORDER BY+LIMIT).
+    */
+  def topOrders(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Set operations: (building-segment customers UNION big-spender
+    * customers) EXCEPT low-balance customers. UNION dedups via hash agg;
+    * EXCEPT is a left-anti under the hood.
+    */
+  def customerSetOps(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val building = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val bigSpenders = orders.filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("custkey"))
+    val lowBalance = customer.filter(col("c_acctbal") < 0.0)
+      .select(col("c_custkey").as("custkey"))
+    building.union(bigSpenders).distinct().except(lowBalance)
+  }
+
+  /** Distinct aggregation: exact distinct users + event counts per type. */
+  def distinctUsersPerType(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Semi + anti join in one result: customers tagged by whether they
+    * have any order (left_semi = EXISTS, left_anti = NOT EXISTS).
+    */
+  def customersByOrderExistence(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val orderKeys = orders.select(col("o_custkey"))
+    val has = customer.join(orderKeys, customer("c_custkey") === orderKeys("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("tag"))
+    val hasNot = customer.join(orderKeys, customer("c_custkey") === orderKeys("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("tag"))
+    has.unionAll(hasNot)
+  }
+
+  /** ROLLUP over (returnflag, linestatus); rollup-generated NULLs are
+    * folded to 'ALL' so the output has no nulls (null-ordering parity
+    * across engines, SURVEY.md §7.5).
+    */
+  def quantityRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+
+  /** Analytic window functions: row_number, lag, running sum per customer
+    * over their order history (explicit ROWS frame for cross-engine
+    * determinism).
+    */
+  def orderHistoryAnalytics(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("running_total",
+        sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        col("prev_price"), col("running_total"))
+  }
+
+  /** Star-schema join: revenue per region across
+    * region⋈nation⋈customer⋈orders. The three dims are broadcast; the
+    * only shuffle is the final aggregation — at 100 TB the fact table
+    * never moves for the joins.
+    */
+  def revenuePerRegion(region: DataFrame, nation: DataFrame,
+                       customer: DataFrame, orders: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(region("r_name"))
+      .agg(sum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** Generator/explode: global token frequency over documents — the
+    * UDTF-shaped operator class (flatMap one row to many).
+    */
+  def tokenFrequency(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+}
