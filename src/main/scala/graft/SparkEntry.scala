@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{PriceAlerts, Relational}
+import graft.operators.{Dedup, Multimodal, PriceAlerts, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -124,7 +124,7 @@ object SparkEntry {
     // Analytic window functions: row_number, lag, running sum.
     "q11_order_analytics" -> ((s, dir) => {
       Relational.orderHistoryAnalytics(Tables.orders(s, dir))
-        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"),
           round(col("prev_price"), 2).as("prev_price"),
           round(col("running_total"), 2).as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
@@ -141,6 +141,101 @@ object SparkEntry {
     // Generator/explode (UDTF-shaped): token frequency top-100.
     "q13_token_frequency" -> ((s, dir) => {
       Relational.tokenFrequency(Tables.documents(s, dir), 100)
+    }),
+
+    // ── Training-data pipeline (north star) ────────────────────────────
+    // Exact dedup: survivor + copy count per distinct text.
+    "q14_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
+    // Fingerprint dedup over md5(normalized text).
+    "q15_dedup_fingerprint" -> ((s, dir) => {
+      Dedup.byFingerprint(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
+    // Exact word-set jaccard near-dup pairs (blocked by source).
+    "q16_dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join).
+    // Internal seeded hashes → no SQL oracle; rows-only check.
+    "q17_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(s, Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash near-dup pairs (hamming ≤ 3 via 16-bit chunk buckets).
+    "q18_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(s, Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding-cosine near-dup pairs (label-blocked exact).
+    "q19_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingCosinePairs(s, Tables.embeddings(s, dir), 0.3)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    "q20_sim_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(s, emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN top-k (the scale path; recall vs q20 is tested
+    // in SimilaritySpec). Seeded hyperplanes → rows-only check.
+    "q21_sim_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annTopK(s, emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Text quality metrics (length/punct/stopword/token counts + score).
+    "q22_text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityMetrics(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens_ws"),
+          col("n_tokens_bpe"), col("n_punct"), col("n_alpha"),
+          round(col("quality"), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic (stopword n-gram scores + argmax).
+    "q23_text_langid" -> ((s, dir) => {
+      TextAnalysis.languageId(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          round(col("score_en"), 4).as("score_en"),
+          round(col("score_de"), 4).as("score_de"),
+          round(col("score_fr"), 4).as("score_fr"),
+          round(col("score_es"), 4).as("score_es"),
+          col("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal plumbing: binary payloads → batched (stub) decode →
+    // per-kind feature stats. Stubbed codec → rows-only check.
+    "q24_media_features" -> ((s, dir) => {
+      Multimodal.featureStats(s, Tables.documents(s, dir)).orderBy("kind")
+    }),
+
+    // Document fingerprints (md5, oracle-backed; the rolling-hash twin
+    // is covered by TextAnalysisSpec).
+    "q25_text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy("doc_id")
     }),
   )
 
@@ -266,5 +361,105 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY 2 DESC, 1 ASC
         |LIMIT 100""".stripMargin,
+
+    "q14_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY 1""".stripMargin,
+
+    "q15_dedup_fingerprint" ->
+      """SELECT min(doc_id) AS doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 2
+        |ORDER BY 1""".stripMargin,
+
+    "q16_dedup_ngram_jaccard" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+        |                                list_distinct(string_split(b.text, ' '))))::DOUBLE
+        |             / len(list_distinct(list_concat(string_split(a.text, ' '),
+        |                                             string_split(b.text, ' ')))), 4) AS jaccard
+        |FROM documents a JOIN documents b
+        |  ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(list_distinct(string_split(a.text, ' ')),
+        |                         list_distinct(string_split(b.text, ' '))))::DOUBLE
+        |      / len(list_distinct(list_concat(string_split(a.text, ' '),
+        |                                      string_split(b.text, ' ')))) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q19_dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q20_sim_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+        |FROM (SELECT query_id, neighbor_id, cos,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |      FROM scored)
+        |WHERE rank <= 10
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q22_text_quality" ->
+      """SELECT doc_id,
+        |       length(text) AS n_chars,
+        |       len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS n_tokens_ws,
+        |       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpe,
+        |       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+        |       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+        |       round(0.4 * (len(list_filter(string_split(lower(text), ' '),
+        |                         x -> x IN ('the','a','of','and','in','to','is','it','that','for')))::DOUBLE
+        |                    / greatest(len(list_filter(string_split(lower(text), ' '),
+        |                         x -> length(x) > 0))::DOUBLE, 1.0))
+        |           + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        |                    / greatest(length(text)::DOUBLE, 1.0))
+        |           + 0.3 * (least(len(list_filter(string_split(lower(text), ' '),
+        |                         x -> length(x) > 0))::DOUBLE, 100.0) / 100.0), 4) AS quality
+        |FROM documents
+        |ORDER BY 1""".stripMargin,
+
+    "q23_text_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> x IN ('the','a','of','and','in','to','is','it','that','for')))::DOUBLE / greatest(len(t)::DOUBLE, 1.0) AS s_en,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','den','mit')))::DOUBLE / greatest(len(t)::DOUBLE, 1.0) AS s_de,
+        |    len(list_filter(t, x -> x IN ('le','les','et','est','une','des','que','pour','dans','pas')))::DOUBLE / greatest(len(t)::DOUBLE, 1.0) AS s_fr,
+        |    len(list_filter(t, x -> x IN ('el','los','y','es','un','una','por','con','no','se')))::DOUBLE / greatest(len(t)::DOUBLE, 1.0) AS s_es
+        |  FROM toks)
+        |SELECT doc_id,
+        |       round(s_en, 4) AS score_en, round(s_de, 4) AS score_de,
+        |       round(s_fr, 4) AS score_fr, round(s_es, 4) AS score_es,
+        |       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |            ELSE 'es' END AS lang_pred
+        |FROM scores
+        |ORDER BY 1""".stripMargin,
+
+    "q25_text_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents
+        |ORDER BY 1""".stripMargin,
   )
 }

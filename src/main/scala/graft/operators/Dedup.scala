@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
+
+/** Deduplication family for the training-data pipeline: exact,
+  * fingerprint, n-gram jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): every variant reduces the pairwise O(n²)
+  * problem to a shuffle on a bounded key — full text (exact), md5
+  * (fingerprint), LSH band bucket (minhash), 16-bit chunk (simhash) —
+  * followed by a within-bucket self-join. Bucket population is bounded
+  * (`maxBucketSize`) so a degenerate bucket (all-identical spam) cannot
+  * quadratically explode an executor; dropped buckets are the standard
+  * trade (those docs are trivially all-duplicates and are caught by the
+  * exact/fingerprint pass anyway).
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min doc_id) per distinct text.
+    * Plain hash aggregation — one shuffle on the text bytes.
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  /** Fingerprint dedup: survivor per md5(normalized text) — catches
+    * case/whitespace-only variants that exact dedup misses. At scale the
+    * 16-byte digest shuffles instead of the full text.
+    */
+  def byFingerprint(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("fp", TextFunctions.fingerprintMd5(col("text")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+
+  /** Exact word-set jaccard near-dup pairs within a blocking key (here:
+    * `source`) — the oracle-checkable exact baseline the approximate
+    * variants are judged against.
+    */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
+    val withSets = documents.select(col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val a = withSets.as("a")
+    val b = withSets.as("b")
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        HashFunctions.jaccard(col("a.toks"), col("b.toks")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash + LSH candidate pairs: shingle → k-minhash → band →
+    * bucket self-join → estimate filter. Only docs sharing an LSH bucket
+    * are ever paired, so the shuffle key is the bucket, not the pair.
+    */
+  def minhashLshPairs(spark: SparkSession, documents: DataFrame,
+                      shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+                      estimateThreshold: Double = 0.5,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    GraftFunctions.register(spark)
+    val rowsPerBand = k / bands
+    val sigs = documents
+      .select(col("doc_id"),
+        HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), shingleSize)
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        HashFunctions.minhashSignature(col("shingles"), k).as("sig"))
+
+    val buckets = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(HashFunctions.bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+      .select(col("doc_id"), col("sig"),
+        col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+
+    // Bound degenerate buckets before the self-join (skew guard).
+    val bounded = buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+
+    val l = bounded.as("l")
+    val r = bounded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        HashFunctions.minhashJaccardEstimate(col("l.sig"), col("r.sig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estimateThreshold)
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash per doc, bucketed by each of
+    * its four 16-bit chunks; pairs sharing a chunk are checked for
+    * hamming distance ≤ maxHamming (pigeonhole-complete for ≤ 3).
+    */
+  def simhashPairs(spark: SparkSession, documents: DataFrame,
+                   maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.register(spark)
+    val hashed = documents.select(col("doc_id"),
+      GraftFunctions.simhash64(TextFunctions.wsTokens(col("text"))).as("sh"))
+    val buckets = hashed.select(col("doc_id"), col("sh"),
+      explode(HashFunctions.simhashBands(col("sh"))).as("bh"))
+      .select(col("doc_id"), col("sh"), col("bh.band").as("band"),
+        col("bh.bucket").as("bucket"))
+    val l = buckets.as("l")
+    val r = buckets.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        HashFunctions.hamming64(col("l.sh"), col("r.sh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by `label` (the ANN-free
+    * exact variant; at scale the blocking key would be an LSH/IVF cell —
+    * see Similarity.annTopK).
+    */
+  def embeddingCosinePairs(spark: SparkSession, embeddings: DataFrame,
+                           threshold: Double): DataFrame = {
+    GraftFunctions.register(spark)
+    val a = embeddings.as("a")
+    val b = embeddings.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}
