@@ -56,26 +56,42 @@ object Similarity {
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN top-k: bucket the corpus once, probe each query's bucket plus
-    * its `probes` single-bit-flip neighbor buckets, exact-rerank within
-    * the candidates. Returns the same shape as bruteForceTopK.
+  /** ANN top-k via multi-table random-hyperplane LSH: `tables`
+    * independent plane sets, each mapping a vector to a `planes`-bit
+    * bucket; a query compares only against vectors sharing a bucket in
+    * ANY table (plus `probes` single-bit-flip neighbor buckets per
+    * table), exact-reranked. Recall grows as 1-(1-p^planes)^tables —
+    * tune tables for recall, planes for candidate-set size. Returns the
+    * same shape as bruteForceTopK.
     */
   def annTopK(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
-              k: Int, planes: Int = 12, dim: Int = 64, probes: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              k: Int, planes: Int = 6, tables: Int = 8, probes: Int = 3,
+              dim: Int = 64, seed: Long = 42L): DataFrame = {
     GraftFunctions.register(spark)
-    val hp = hyperplanes(planes, dim, seed)
-    val corpus = embeddings.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"), lshBucket(col("embedding"), hp).as("bucket"))
-    val qBase = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"), lshBucket(col("embedding"), hp).as("qbucket"))
-    // multi-probe: own bucket + first `probes` single-bit flips
-    val probeOffsets = array((lit(0L) +: (0 until probes)
-      .map(i => lit(1L << i))): _*)
-    val q = qBase.select(col("query_id"), col("qv"),
-        explode(transform(probeOffsets,
-          flip => col("qbucket").bitwiseXOR(flip))).as("bucket"))
-    q.join(corpus, Seq("bucket"))
+    val planeSets = (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
+    // corpus exploded to one (table, bucket) entry per hash table
+    val bucketEntries = array(planeSets.zipWithIndex.map { case (hp, t) =>
+      struct(lit(t).as("tbl"), lshBucket(col("embedding"), hp).as("bucket"))
+    }: _*)
+    val corpus = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        explode(bucketEntries).as("e"))
+      .select(col("neighbor_id"), col("cv"),
+        col("e.tbl").as("tbl"), col("e.bucket").as("bucket"))
+    // queries: per table, own bucket + single-bit-flip probe buckets
+    val qEntries = array(planeSets.zipWithIndex.flatMap { case (hp, t) =>
+      val b = lshBucket(col("embedding"), hp)
+      (0 to probes).map { p =>
+        val probed = if (p == 0) b else b.bitwiseXOR(lit(1L << (p - 1)))
+        struct(lit(t).as("tbl"), probed.as("bucket"))
+      }
+    }: _*)
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(qEntries).as("e"))
+      .select(col("query_id"), col("qv"),
+        col("e.tbl").as("tbl"), col("e.bucket").as("bucket"))
+    q.join(corpus, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cos(col("qv"), col("cv")).as("cos"))
       .distinct()

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps min doc_id and counts copies") {
+    val out = Dedup.exact(docs(
+      (1L, "a b c", "s"), (2L, "a b c", "s"), (3L, "x y", "s")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("fingerprint dedup catches case/whitespace variants") {
+    val out = Dedup.byFingerprint(docs(
+      (1L, "Hello  World", "s"), (2L, "hello world", "s"), (3L, "bye", "s")))
+      .collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+  }
+
+  test("minhash estimate tracks exact shingle jaccard (within 0.15)") {
+    GraftFunctions.register(spark)
+    // build doc pairs with known overlap structure from real fixture text
+    val d = Tables.documents(spark, sf001).limit(40)
+    val withSets = d.select(col("doc_id"),
+      HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), 128))
+    val a = withSets.as("a"); val b = withSets.as("b")
+    val cmp = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(
+        HashFunctions.jaccard(col("a.sh"), col("b.sh")).as("exact"),
+        HashFunctions.minhashJaccardEstimate(col("a.sig"), col("b.sig")).as("est"))
+      .collect()
+    assert(cmp.nonEmpty)
+    val maxErr = cmp.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
+    assert(maxErr < 0.15, s"minhash estimate error too high: $maxErr")
+  }
+
+  test("minhash LSH finds identical and near-identical docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val out = Dedup.minhashLshPairs(spark, docs(
+      (1L, base, "s"), (2L, base, "s"), (3L, near, "s"),
+      (4L, "completely different content with no overlap at all whatsoever ok", "s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)), "identical docs must be candidates")
+    assert(out.contains((1L, 3L)) && out.contains((2L, 3L)),
+      "near-identical docs must be candidates")
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("simhash: identical docs distance 0; near-dup much closer than unrelated") {
+    // long doc + tiny relative edit — the regime simhash is designed for
+    // (Manku et al.'s hamming<=3 assumes web-page-sized docs)
+    val sentence = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square "
+    val base = sentence * 10
+    val near = (sentence * 9) + sentence.replace("rain", "snow")
+    val unrelated = "entirely distinct vocabulary about spacecraft telemetry and orbital mechanics analysis systems " * 10
+    val out = Dedup.simhashPairs(spark, docs(
+      (1L, base, "s"), (2L, base, "s"), (3L, near, "s"), (4L, unrelated, "s")),
+      maxHamming = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 2L)) == 0, "identical docs must have distance 0")
+    val dNear = out((1L, 3L))
+    assert(dNear <= 12, s"near-dup distance unexpectedly high: $dNear")
+    // unrelated doc: either no shared chunk (not a candidate) or far away
+    out.get((1L, 4L)).foreach(d => assert(d > dNear))
+  }
+
+  test("embedding cosine pairs: identical vectors cos=1, orthogonal excluded") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingCosinePairs(spark, emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("skew guard: oversized LSH buckets are dropped, join still completes") {
+    // 60 identical docs -> every band bucket has 60 members > maxBucketSize=10
+    val many = (1L to 60L).map(i => (i, "same text repeated for everyone here ok", "s"))
+    val out = Dedup.minhashLshPairs(spark, docs(many: _*), maxBucketSize = 10)
+    assert(out.collect().isEmpty, "all buckets over the cap must be dropped")
+    val kept = Dedup.minhashLshPairs(spark, docs(many: _*), maxBucketSize = 100)
+    assert(kept.count() == 60L * 59 / 2)
+  }
+}

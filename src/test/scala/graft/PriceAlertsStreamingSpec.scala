@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{PriceAlertsStream, ProcessorAlerts}
+
+/** Streaming twins of the golden scenarios: W3 (update-mode eager
+  * emission) and W4 (append-mode emit-once-on-close), plus the
+  * flatMapGroupsWithState processor escape hatch and the streaming
+  * latest-per-key compaction.
+  */
+class PriceAlertsStreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  case class P(id: Long, quantity: Long, productid: Long, ts: Timestamp)
+  case class Prod(id: Long, name: String, price: Double, ts: Timestamp)
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  private val t0230 = Timestamp.valueOf("2024-01-01 00:02:30")
+  private val w0200 = Timestamp.valueOf("2024-01-01 00:02:00")
+
+  private def products(price: Double): DataFrame =
+    Seq((1L, "prod", "desc", price)).toDF("id", "name", "description", "price")
+
+  private def runQuery(df: DataFrame, mode: String, name: String)
+      (drive: StreamingQuery => Unit): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try drive(q) finally q.stop()
+    spark.table(name)
+  }
+
+  test("W3 DSL update mode: alert emitted eagerly, without window close") {
+    val in = MemoryStream[P]
+    val alerts = PriceAlertsStream.dslAlertsUpdate(in.toDF(), products(300.0))
+    val out = runQuery(alerts, "update", "w3_out") { q =>
+      in.addData((1L to 6L).map(i => P(i, 2L, 1L, t0230)))
+      q.processAllAvailable() // no later event ever arrives: window never closes
+    }
+    val rows = out.collect()
+    assert(rows.nonEmpty, "update mode must emit without the window closing")
+    val last = rows.last
+    assert(last.getAs[String]("product_id") == "1")
+    assert(last.getAs[Timestamp]("window_start") == w0200)
+    assert(last.getAs[Double]("total_sum_per_minute") == 3600.0)
+  }
+
+  test("W3 continuous refinement: a second batch re-emits the updated sum") {
+    val in = MemoryStream[P]
+    val alerts = PriceAlertsStream.dslAlertsUpdate(in.toDF(), products(300.0))
+    val out = runQuery(alerts, "update", "w3b_out") { q =>
+      in.addData((1L to 6L).map(i => P(i, 2L, 1L, t0230)))
+      q.processAllAvailable()
+      in.addData(P(7L, 1L, 1L, t0230))
+      q.processAllAvailable()
+    }
+    val totals = out.collect().map(_.getAs[Double]("total_sum_per_minute")).toSeq
+    assert(totals.contains(3600.0) && totals.contains(3900.0))
+  }
+
+  test("W4 append mode: nothing until watermark passes, exactly one emission after") {
+    val in = MemoryStream[P]
+    val alerts = PriceAlertsStream.processorAlertsAppend(
+      in.toDF(), products(300.0), threshold = 10.0)
+    val out = runQuery(alerts, "append", "w4_out") { q =>
+      in.addData((1L to 6L).map(i => P(i, 2L, 1L, t0230)))
+      q.processAllAvailable()
+      assert(spark.table("w4_out").isEmpty,
+        "append mode must not emit while the window is open")
+      // advance event time 2 min past the window => watermark closes it
+      in.addData(P(100L, 1L, 1L, Timestamp.valueOf("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+    }
+    val rows = out.collect().filter(_.getAs[Timestamp]("window_start") == w0200)
+    assert(rows.length == 1, "exactly one emission per closed window")
+    assert(rows.head.getAs[Double]("total_sum_per_minute") == 3600.0)
+  }
+
+  test("processor escape hatch (flatMapGroupsWithState): golden 3600 + state cleanup") {
+    val in = MemoryStream[P]
+    val joined = graft.operators.PriceAlerts.purchasesWithProducts(
+      in.toDF(), products(300.0))
+    val alerts = ProcessorAlerts.alerts(spark, joined, threshold = 10.0)
+    val out = runQuery(alerts.toDF(), "append", "fmgws_out") { q =>
+      in.addData((1L to 6L).map(i => P(i, 2L, 1L, t0230)))
+      q.processAllAvailable()
+      in.addData(P(100L, 1L, 1L, Timestamp.valueOf("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // third batch: nothing new for window 02:00 => no duplicate emission
+      in.addData(P(101L, 1L, 1L, Timestamp.valueOf("2024-01-01 00:06:00")))
+      q.processAllAvailable()
+    }
+    val rows = out.collect().filter(_.getAs[Timestamp]("window_start") == w0200)
+    assert(rows.length == 1, "window 02:00 must be emitted exactly once")
+    assert(rows.head.getAs[Double]("total_sum_per_minute") == 3600.0)
+    assert(rows.head.getAs[String]("product_id") == "1")
+  }
+
+  test("A3 streaming latest-per-key: last write per product wins") {
+    val in = MemoryStream[Prod]
+    val compacted = PriceAlertsStream.latestPerKeyUpdate(in.toDF(), "id", "ts")
+    val out = runQuery(compacted, "complete", "a3_out") { q =>
+      in.addData(
+        Prod(1L, "v1", 100.0, Timestamp.valueOf("2024-01-01 00:00:01")),
+        Prod(1L, "v2", 200.0, Timestamp.valueOf("2024-01-01 00:00:02")),
+        Prod(2L, "x1", 50.0, Timestamp.valueOf("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+    }
+    val byId = out.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[String]("name"), r.getAs[Double]("price"))).toMap
+    assert(byId(1L) == ("v2", 200.0))
+    assert(byId(2L) == ("x1", 50.0))
+  }
+
+  test("streaming fingerprint dedup: duplicate text dropped within watermark") {
+    val in = MemoryStream[Doc]
+    val deduped = graft.streaming.StreamingDedup.byFingerprint(
+      in.toDF(), "ts", "10 minutes")
+    val out = runQuery(deduped, "append", "dedup_out") { q =>
+      in.addData(
+        Doc(1L, "Hello  World", Timestamp.valueOf("2024-01-01 00:00:01")),
+        Doc(2L, "hello world", Timestamp.valueOf("2024-01-01 00:00:02")),
+        Doc(3L, "different", Timestamp.valueOf("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+    }
+    // doc 1 and 2 normalize to the same fingerprint -> one survives
+    assert(out.collect().map(_.getAs[Long]("doc_id")).toSet.size == 2)
+  }
+}

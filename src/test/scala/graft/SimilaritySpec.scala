@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim expression matches hand-computed value") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val got = df.select(GraftFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0)
+    val expected = (4.0 + 10.0 + 18.0) /
+      (math.sqrt(1 + 4 + 9) * math.sqrt(16 + 25 + 36))
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("cosine_sim: zero vector yields 0.0, not NaN") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(GraftFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0) == 0.0)
+  }
+
+  test("brute-force top-k: ranks are dense, self excluded, scores descending") {
+    val emb = Tables.embeddings(spark, sf001)
+    val out = Similarity.bruteForceTopK(spark, emb, emb.filter(col("vec_id") < 3), 5)
+      .collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      assert(!sorted.exists(_.getAs[Long]("neighbor_id") == q), "self excluded")
+      val scores = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(scores == scores.sorted.reverse, "scores must be descending")
+    }
+  }
+
+  test("ANN recall vs brute force >= 50% on fixture embeddings") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(spark, emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.annTopK(spark, emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall too low: $recall")
+  }
+
+  test("ANN is deterministic across runs (seeded hyperplanes)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 3)
+    val r1 = Similarity.annTopK(spark, emb, q, 5).collect().toSeq
+    val r2 = Similarity.annTopK(spark, emb, q, 5).collect().toSeq
+    assert(r1.map(_.toString).sorted == r2.map(_.toString).sorted)
+  }
+}

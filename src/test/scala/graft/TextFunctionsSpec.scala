@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextFunctions}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = one("Hello, world! This is fine.")
+    val r = df.select(
+      TextFunctions.tokenCountWs(col("text")).as("ws"),
+      TextFunctions.tokenCountBpe(col("text")).as("bpe")).head
+    assert(r.getAs[Int]("ws") == 5)
+    // tokens: Hello , world ! This is fine . -> 8
+    assert(r.getAs[Int]("bpe") == 8)
+  }
+
+  test("punct and alpha counts") {
+    val r = one("a,b;c!?").select(
+      TextFunctions.punctCount(col("text")).as("p"),
+      TextFunctions.alphaCount(col("text")).as("a")).head
+    assert(r.getAs[Int]("p") == 4)
+    assert(r.getAs[Int]("a") == 3)
+  }
+
+  test("quality score: stopword-rich English text scores higher than noise") {
+    val good = "the cat is in the hat and it is a good day for the dog"
+    val noise = "@@## $$%% ^^&& ** (( )) ;;;; ~~~ ||| 123 456"
+    val df = Seq(good, noise).toDF("text")
+    val scores = df.select(col("text"), TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores(good) > scores(noise))
+    assert(scores(good) > 0.4 && scores(noise) < 0.2)
+  }
+
+  test("language ID picks the stopword-matching language") {
+    val samples = Map(
+      "the cat is in the hat and it is here" -> "en",
+      "der hund ist nicht in das haus und die katze" -> "de",
+      "le chat est dans les maisons pour une souris" -> "fr",
+      "el gato es un animal y los perros no se van" -> "es",
+      "zzz qqq www" -> "und")
+    val df = samples.keys.toSeq.toDF("text")
+    val got = df.select(col("text"), TextFunctions.langPredict(col("text")).as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    samples.foreach { case (text, lang) => assert(got(text) == lang, s"for: $text") }
+  }
+
+  test("rolling-hash fingerprint: deterministic, normalization-invariant") {
+    GraftFunctions.register(spark)
+    val df = Seq("Hello  World", "hello world", "other").toDF("text")
+    val fps = df.select(TextFunctions.fingerprintRolling(col("text")))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1), "normalized variants share a fingerprint")
+    assert(fps(0) != fps(2))
+  }
+
+  test("polyhash64 matches a reference implementation") {
+    GraftFunctions.register(spark)
+    val s = "abc"
+    val expected = s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1315423911L + (b & 0xff))
+    val got = Seq(Tuple1(s)).toDF("t")
+      .select(GraftFunctions.polyhash64(col("t"))).head.getLong(0)
+    assert(got == expected)
+  }
+
+  test("simhash64: stable under whole-stage codegen and interpreted eval") {
+    GraftFunctions.register(spark)
+    val df = Seq(Tuple1(Seq("a", "b", "c"))).toDF("toks")
+    val a = df.select(GraftFunctions.simhash64(col("toks"))).head.getLong(0)
+    // force interpreted path via filter-pushdown-free eval
+    val b = spark.sql("SELECT simhash64(array('a','b','c'))").head.getLong(0)
+    assert(a == b)
+  }
+}
