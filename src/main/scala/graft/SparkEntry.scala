@@ -42,9 +42,11 @@ object SparkEntry {
     // (wall-clock punctuator never scans the still-open minute,
     // PurchaseQuantityAlertTrasformer.java:63).
     "q02_price_alerts_processor" -> ((s, dir) => {
+      val purchases = Tables.purchases(s, dir)
       val revenue = PriceAlerts.windowedRevenue(
-        PriceAlerts.purchasesWithProducts(Tables.purchases(s, dir), Tables.products(s, dir)))
-      PriceAlerts.alerts(PriceAlerts.closedWindowsOnly(revenue), PriceAlerts.ProcessorThreshold)
+        PriceAlerts.purchasesWithProducts(purchases, Tables.products(s, dir)))
+      PriceAlerts.alerts(PriceAlerts.closedWindowsOnly(revenue, purchases),
+        PriceAlerts.ProcessorThreshold)
         .select(col("product_id"), tsStr(col("window_start")).as("window_start"),
           round(col("total_sum_per_minute"), 2).as("total_sum_per_minute"))
         .orderBy("product_id", "window_start")

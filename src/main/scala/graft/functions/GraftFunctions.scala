@@ -10,11 +10,23 @@ import org.apache.spark.sql.functions._
   * `hash64_seeded`, `cosine_sim`).
   */
 object GraftFunctions {
-  private val builders: Map[String, Seq[Expression] => Expression] = Map(
+  private[functions] val builders: Map[String, Seq[Expression] => Expression] = Map(
     "polyhash64"    -> (es => PolyHash64(es.head)),
     "simhash64"     -> (es => SimHash64(es.head)),
     "hash64_seeded" -> (es => Hash64Seeded(es(0), es(1))),
-    "cosine_sim"    -> (es => CosineSim(es(0), es(1))))
+    "cosine_sim"    -> (es => CosineSim(es(0), es(1))),
+    "minhash_sig"   -> (es => MinHashSig(es(0), foldInt(es(1)))),
+    "band_hash"     -> (es => BandHash(es(0), foldInt(es(1)), foldInt(es(2)))),
+    "minhash_est"   -> (es => MinHashEst(es(0), es(1))),
+    "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))))
+
+  /** Extract a constant int argument (the k/bands params are literals). */
+  private def foldInt(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected a constant int argument, got: $other")
+  }
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>
@@ -26,4 +38,11 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def hash64Seeded(seed: Column, s: Column): Column = call_function("hash64_seeded", seed, s)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def minhashSig(shingles: Column, k: Int): Column =
+    call_function("minhash_sig", shingles, lit(k))
+  def bandHash(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    call_function("band_hash", sig, lit(bands), lit(rowsPerBand))
+  def minhashEst(a: Column, b: Column): Column = call_function("minhash_est", a, b)
+  def jaccardSorted(a: Column, b: Column): Column =
+    call_function("jaccard_sorted", a, b)
 }

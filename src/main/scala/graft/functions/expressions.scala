@@ -82,6 +82,88 @@ object HashImpl {
     out
   }
 
+  /** Full k-component minhash signature in one pass: for each shingle,
+    * one base hash + k cheap seed-mixes (splitmix64 finalizer per seed),
+    * tracking k minima — O(|shingles|·k) with no allocation beyond the
+    * output array. Replaces a nested transform/array_min HOF tree that
+    * was ~50× slower (array allocation per seed per row).
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val base = fnv1a64(shingles.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          // mix seed j into the base hash (splitmix64 avalanche)
+          var h = base ^ (j * 0x9e3779b97f4a7c15L)
+          h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+          h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+          h ^= (h >>> 31)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** LSH band bucket keys from a minhash signature: hash each
+    * rowsPerBand-slice of longs directly (no string round-trip).
+    */
+  def bandHash(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ (b * 0x9e3779b97f4a7c15L)
+      var r = 0
+      while (r < rowsPerBand) {
+        var v = sig.getLong(b * rowsPerBand + r)
+        var byteIdx = 0
+        while (byteIdx < 8) {
+          h ^= (v & 0xffL); h *= 0x100000001b3L
+          v >>>= 8; byteIdx += 1
+        }
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Fraction of equal components between two equal-length signatures. */
+  def minhashEstimate(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0; var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  /** Exact jaccard of two SORTED-DISTINCT string arrays via linear
+    * merge — no per-pair hash sets.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** Cosine similarity between two float/double arrays, accumulated in
     * double (element order = array order, matching the DuckDB oracle's
     * CAST(... AS DOUBLE[]) computation). Returns NaN-free 0.0 on
@@ -129,6 +211,54 @@ case class Hash64Seeded(left: Expression, right: Expression) extends BinaryExpre
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.fnv1a64Seeded($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Hash64Seeded =
+    copy(l, r)
+}
+
+/** `minhash_sig(array<string>, k)` — k-component minhash signature. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.minhashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.minhashSig($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** `band_hash(array<long>, bands, rowsPerBand)` — LSH band bucket keys. */
+case class BandHash(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.bandHash(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpl.bandHash($c, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(c: Expression): BandHash =
+    copy(child = c)
+}
+
+/** `minhash_est(array<long>, array<long>)` — signature-overlap estimate. */
+case class MinHashEst(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.minhashEstimate(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.minhashEstimate($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashEst =
+    copy(l, r)
+}
+
+/** `jaccard_sorted(array<string>, array<string>)` — exact jaccard of
+  * sorted-distinct arrays (linear merge).
+  */
+case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
     copy(l, r)
 }
 

@@ -44,13 +44,16 @@ object Dedup {
     * variants are judged against.
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
+    GraftFunctions.register(documents.sparkSession)
+    // sort+dedup ONCE per doc; the pairwise join then runs a linear
+    // merge per pair (custom expression), not hash-set building
     val withSets = documents.select(col("doc_id"), col("source"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
     val a = withSets.as("a")
     val b = withSets.as("b")
     a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        HashFunctions.jaccard(col("a.toks"), col("b.toks")).as("jaccard"))
+        HashFunctions.jaccardPresorted(col("a.toks"), col("b.toks")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -74,9 +77,8 @@ object Dedup {
 
     val buckets = sigs
       .select(col("doc_id"), col("sig"),
-        explode(HashFunctions.bandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
-      .select(col("doc_id"), col("sig"),
-        col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+        posexplode(HashFunctions.bandHashes(col("sig"), bands, rowsPerBand)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
 
     // Bound degenerate buckets before the self-join (skew guard).
     val bounded = buckets

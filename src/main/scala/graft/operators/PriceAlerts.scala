@@ -89,11 +89,18 @@ object PriceAlerts {
     * wall-clock punctuator scans strictly below the current minute floor
     * (PurchaseQuantityAlertTrasformer.java:56-90). Batch analogue: drop
     * the window containing the max event time (still "open").
+    *
+    * The bound comes from a scan of `purchases` pruned to the ts column
+    * (broadcast 1-row aggregate), NOT from re-aggregating `revenue` —
+    * re-using the revenue subtree would evaluate the join+agg twice.
+    * Equivalent because every purchase contributes to revenue (inner
+    * join with FK integrity, J2).
     */
-  def closedWindowsOnly(revenue: DataFrame, windowSize: String = "1 minute"): DataFrame = {
-    val maxWindow = revenue.agg(max(col("window_start")).as("open_window_start"))
-    revenue.join(broadcast(maxWindow),
-      revenue("window_start") < maxWindow("open_window_start"), "inner")
+  def closedWindowsOnly(revenue: DataFrame, purchases: DataFrame): DataFrame = {
+    val bound = purchases.agg(
+      date_trunc("minute", max(col("ts"))).as("open_window_start"))
+    revenue.join(broadcast(bound),
+      revenue("window_start") < bound("open_window_start"), "inner")
       .select(revenue("product_id"), revenue("window_start"),
         revenue("total_sum_per_minute"))
   }

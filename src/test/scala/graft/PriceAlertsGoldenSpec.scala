@@ -73,7 +73,7 @@ class PriceAlertsGoldenSpec extends SparkSpec {
       .toDF("id", "quantity", "productid", "ts")
     val rev = PriceAlerts.windowedRevenue(
       PriceAlerts.purchasesWithProducts(p, products(300.0)))
-    val closed = PriceAlerts.closedWindowsOnly(rev).collect()
+    val closed = PriceAlerts.closedWindowsOnly(rev, p).collect()
     assert(closed.length == 1)
     assert(closed.head.getAs[Timestamp]("window_start") ==
       Timestamp.valueOf("2024-01-01 00:02:00"))
