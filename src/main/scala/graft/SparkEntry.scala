@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Dedup, Multimodal, PriceAlerts, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, PriceAlerts, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -239,6 +239,56 @@ object SparkEntry {
           graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy("doc_id")
     }),
+
+    // ── Temporal / windowing extensions ────────────────────────────────
+    // AS-OF join: each click matched to the user's latest prior
+    // purchase (union+window single-shuffle form; DuckDB ASOF oracle).
+    "q26_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.asof(clicks, purchases,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTs = "ts", rightTs = "ts", rightTie = "event_id")
+        .select(col("event_id"), col("user_id"),
+          tsStr(col("ts")).as("click_ts"),
+          tsStr(col("asof_ts")).as("purchase_ts"),
+          round(col("asof_value"), 2).as("purchase_value"))
+        .orderBy("event_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+    }),
+
+    // Sliding (hopping) window: 5-minute windows sliding by 1 minute.
+    "q27_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+        .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("n"))
+        .select(tsStr(col("window.start")).as("window_start"), col("event_type"),
+          col("total"), col("n"))
+        .orderBy("window_start", "event_type", "total", "n")
+    }),
+
+    // Session windows: 30-minute-gap sessions per user
+    // (gaps-and-islands oracle in DuckDB).
+    "q28_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+        .select(col("user_id"), tsStr(col("session_window.start")).as("session_start"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "session_start", "n_events", "total")
+    }),
+
+    // IVF ANN top-k (centroid cells + nProbe; recall vs q20 tested in
+    // SimilaritySpec). Deterministic but engine-internal → rows-only.
+    "q29_sim_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -463,5 +513,47 @@ object SparkEntry {
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents
         |ORDER BY 1""".stripMargin,
+
+    "q26_asof_join" ->
+      """SELECT c.event_id,
+        |       c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       round(p.value, 2) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q27_sliding_window" ->
+      """SELECT strftime(date_trunc('minute', ts) - (k * INTERVAL 1 MINUTE),
+        |                '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type,
+        |       round(SUM(value), 2) AS total,
+        |       COUNT(*) AS n
+        |FROM events, (SELECT unnest(range(5)) AS k)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q28_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       COUNT(*) AS n_events,
+        |       round(SUM(value), 2) AS total
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
   )
 }

@@ -56,6 +56,48 @@ object Similarity {
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN top-k: partition the corpus into cells
+    * around deterministic centroids (the first `cells` vectors by id —
+    * a seedless stand-in for k-means centroids; at scale you'd train
+    * centroids once and persist them), probe each query's `nProbe`
+    * nearest cells, exact-rerank candidates. The corpus assignment is a
+    * one-off linear pass reusable across queries; query cost scales
+    * with probed-cell population, not corpus size.
+    */
+  def ivfTopK(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
+              k: Int, cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val centroids = embeddings.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    // corpus assignment: nearest centroid per vector (rank-1 window →
+    // WindowGroupLimit bounded heaps, no full sort)
+    def nearestCells(df: DataFrame, idCol: String, vecCol: String, n: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cdist").desc, col("cell_id").asc)
+      df.crossJoin(broadcast(centroids))
+        .select(col(idCol), col(vecCol), col("cell_id"),
+          cos(col(vecCol), col("centroid")).as("cdist"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("cdist", "crank")
+    }
+    val corpus = nearestCells(
+      embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      "neighbor_id", "cv", 1)
+    val q = nearestCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "query_id", "qv", nProbe)
+    q.join(corpus, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cos(col("qv"), col("cv")).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** ANN top-k via multi-table random-hyperplane LSH: `tables`
     * independent plane sets, each mapping a vector to a `planes`-bit
     * bucket; a query compares only against vectors sharing a bucket in

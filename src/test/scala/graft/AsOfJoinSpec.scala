@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    // key, ts, quote_id, px
+    (1L, ts("2024-01-01 00:00:00"), 10L, 100.0),
+    (1L, ts("2024-01-01 00:01:00"), 11L, 101.0),
+    (1L, ts("2024-01-01 00:05:00"), 12L, 105.0),
+    (2L, ts("2024-01-01 00:02:00"), 20L, 200.0))
+    .toDF("user_id", "ts", "event_id", "value")
+
+  private def trades(rows: (Long, String)*) =
+    rows.zipWithIndex.map { case ((k, t), i) => (100L + i, k, ts(t)) }
+      .toDF("event_id", "user_id", "ts")
+
+  private def run(left: org.apache.spark.sql.DataFrame, inner: Boolean = true) =
+    AsOfJoin.asof(left, quotes, "user_id", "user_id", "ts", "ts", "event_id",
+      inner = inner)
+
+  test("picks the latest right row at or before left ts") {
+    val out = run(trades((1L, "2024-01-01 00:03:00"))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("asof_value") == 101.0)
+  }
+
+  test("equal timestamps are inclusive (right row at same ts matches)") {
+    val out = run(trades((1L, "2024-01-01 00:01:00"))).collect()
+    assert(out.head.getAs[Double]("asof_value") == 101.0)
+  }
+
+  test("no earlier right row: inner drops, outer keeps with nulls") {
+    val l = trades((1L, "2023-12-31 23:59:00"))
+    assert(run(l).collect().isEmpty)
+    val outer = run(l, inner = false).collect()
+    assert(outer.length == 1)
+    assert(outer.head.isNullAt(outer.head.fieldIndex("asof_value")))
+  }
+
+  test("keys do not leak across partitions") {
+    val out = run(trades((2L, "2024-01-01 00:10:00"))).collect()
+    assert(out.head.getAs[Double]("asof_value") == 200.0)
+  }
+
+  test("left rows between right versions each get their own match") {
+    val out = run(trades(
+      (1L, "2024-01-01 00:00:30"),
+      (1L, "2024-01-01 00:04:00"),
+      (1L, "2024-01-01 00:06:00"))).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("asof_value")).toMap
+    assert(out == Map(100L -> 100.0, 101L -> 101.0, 102L -> 105.0))
+  }
+}

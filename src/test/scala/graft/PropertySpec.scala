@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.{GraftFunctions, HashFunctions}
+import graft.operators.PriceAlerts
+
+/** Property-based invariants (scalacheck generators): algebraic laws
+  * the operators must satisfy on arbitrary inputs, not just the golden
+  * fixtures.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Draw n samples from a generator (scalacheck without the
+    * scalatest bridge, which isn't in the offline cache).
+    */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private val purchaseGen = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.choose(1L, 1000L)
+      qty <- Gen.choose(1L, 50L)
+      pid <- Gen.choose(1L, 5L)
+      minuteOffset <- Gen.choose(0L, 10L)
+      secs <- Gen.choose(0L, 59L)
+    } yield (id, qty, pid, new Timestamp(1704067200000L + minuteOffset * 60000L + secs * 1000L)))
+  } yield rows
+
+  private val productsDf = (1L to 5L)
+    .map(i => (i, s"p$i", "d", i * 10.0)).toDF("id", "name", "description", "price")
+
+  test("windowed revenue totals == ungrouped total (sum partitioning law)") {
+    for (rows <- samples(purchaseGen, 5)) {
+      val p = rows.toDF("id", "quantity", "productid", "ts")
+      val joined = PriceAlerts.purchasesWithProducts(p, productsDf)
+      val windowed = PriceAlerts.windowedRevenue(joined)
+        .agg(sum("total_sum_per_minute")).head.getDouble(0)
+      val direct = joined
+        .agg(sum(col("purchase_quantity") * col("product_price"))).head.getDouble(0)
+      assert(math.abs(windowed - direct) < 1e-6)
+    }
+  }
+
+  test("alerts are exactly the windows above threshold (filter law)") {
+    for ((rows, thr) <- samples(purchaseGen, 5).zip(
+        samples(Gen.choose(0.0, 5000.0), 5))) {
+      val p = rows.toDF("id", "quantity", "productid", "ts")
+      val rev = PriceAlerts.windowedRevenue(
+        PriceAlerts.purchasesWithProducts(p, productsDf))
+      val nAlerts = PriceAlerts.alerts(rev, thr).count()
+      val expected = rev.filter(col("total_sum_per_minute") > thr).count()
+      assert(nAlerts == expected)
+    }
+  }
+
+  private val tokenArrayGen = Gen.nonEmptyListOf(
+    Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")).map(_.toArray)
+
+  test("jaccard is symmetric, bounded, and 1 on self (for nonempty sets)") {
+    GraftFunctions.register(spark)
+    for ((a, b) <- samples(tokenArrayGen, 10).zip(samples(tokenArrayGen, 10))) {
+      val df = Seq((a, b)).toDF("a", "b")
+      val row = df.select(
+        HashFunctions.jaccard(col("a"), col("b")),
+        HashFunctions.jaccard(col("b"), col("a")),
+        HashFunctions.jaccard(col("a"), col("a"))).head
+      val (ab, ba, aa) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      assert(ab == ba, "symmetry")
+      assert(ab >= 0.0 && ab <= 1.0, "bounds")
+      assert(aa == 1.0, "identity")
+    }
+  }
+
+  test("minhash estimate of a signature with itself is 1") {
+    GraftFunctions.register(spark)
+    for (a <- samples(tokenArrayGen, 10)) {
+      val df = Seq(Tuple1(a)).toDF("t")
+        .withColumn("sig", HashFunctions.minhashSignature(col("t"), 32))
+      val est = df.select(
+        HashFunctions.minhashJaccardEstimate(col("sig"), col("sig"))).head.getDouble(0)
+      assert(est == 1.0)
+    }
+  }
+
+  test("cosine_sim is scale-invariant and bounded") {
+    GraftFunctions.register(spark)
+    val vecGen = Gen.listOfN(8, Gen.choose(-10.0, 10.0).map(_.toFloat)).map(_.toArray)
+      .suchThat(_.exists(_ != 0f))
+    for (((a, b), s) <- samples(vecGen, 10).zip(samples(vecGen, 10))
+           .zip(samples(Gen.choose(0.1f, 100.0f), 10))) {
+      val scaled = a.map(_ * s)
+      val df = Seq((a, b, scaled)).toDF("a", "b", "as")
+      val r = df.select(
+        GraftFunctions.cosineSim(col("a"), col("b")).as("c1"),
+        GraftFunctions.cosineSim(col("as"), col("b")).as("c2")).head
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-5, "scale invariance")
+      assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9, "bounds")
+    }
+  }
+}

@@ -51,6 +51,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall too low: $recall")
   }
 
+  test("IVF recall vs brute force >= 40% on fixture embeddings") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(spark, emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(spark, emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
   test("ANN is deterministic across runs (seeded hyperplanes)") {
     val emb = Tables.embeddings(spark, sf001)
     val q = emb.filter(col("vec_id") < 3)
