@@ -289,6 +289,32 @@ object SparkEntry {
           col("neighbor_id"), round(col("cos"), 4).as("cos"))
         .orderBy("query_id", "rank")
     }),
+
+    // Deterministic content-hash train/val split: the reproducible-split
+    // primitive of a training-data pipeline (split follows the CONTENT,
+    // not row order or RNG — stable under reshuffling and re-ingestion).
+    "q30_train_val_split" -> ((s, dir) => {
+      val firstHex = substring(md5(col("text")), 1, 1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(firstHex.isin("0", "1", "2", "3"), "val")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id", "split")
+    }),
+
+    // Composed corpus filter: fingerprint-dedup survivors that also pass
+    // the quality floor — the end-to-end "clean the corpus" pipeline.
+    "q31_corpus_filter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val survivors = Dedup.byFingerprint(docs).select(col("doc_id"))
+      val quality = TextAnalysis.qualityMetrics(docs)
+        .filter(col("quality") >= 0.3)
+        .select(col("doc_id"), col("n_tokens_ws"), col("quality"))
+      survivors.join(quality, "doc_id")
+        .select(col("doc_id"), col("n_tokens_ws"),
+          round(col("quality"), 4).as("quality"))
+        .orderBy("doc_id", "n_tokens_ws", "quality")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -555,5 +581,34 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, sid
         |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q30_train_val_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3')
+        |            THEN 'val' ELSE 'train' END AS split
+        |FROM documents
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q31_corpus_filter" ->
+      """WITH survivors AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+        |quality AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS n_tokens_ws,
+        |         0.4 * (len(list_filter(string_split(lower(text), ' '),
+        |                  x -> x IN ('the','a','of','and','in','to','is','it','that','for')))::DOUBLE
+        |               / greatest(len(list_filter(string_split(lower(text), ' '),
+        |                  x -> length(x) > 0))::DOUBLE, 1.0))
+        |         + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        |                  / greatest(length(text)::DOUBLE, 1.0))
+        |         + 0.3 * (least(len(list_filter(string_split(lower(text), ' '),
+        |                  x -> length(x) > 0))::DOUBLE, 100.0) / 100.0) AS q
+        |  FROM documents)
+        |SELECT s.doc_id, q.n_tokens_ws, round(q.q, 4) AS quality
+        |FROM survivors s JOIN quality q ON s.doc_id = q.doc_id
+        |WHERE q.q >= 0.3
+        |ORDER BY 1, 2, 3""".stripMargin,
   )
 }

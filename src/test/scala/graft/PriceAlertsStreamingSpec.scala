@@ -116,6 +116,25 @@ class PriceAlertsStreamingSpec extends SparkSpec {
     assert(byId(2L) == ("x1", 50.0))
   }
 
+  test("stream-stream interval join: correlates events within the window, not outside") {
+    val clicks = MemoryStream[Doc]    // (doc_id=user, text=label, ts)
+    val buys = MemoryStream[Doc]
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      clicks.toDF(), buys.toDF(), key = "doc_id", tsCol = "ts",
+      watermarkDelay = "1 minute", within = "10 MINUTES")
+    val out = runQuery(joined, "append", "ssj_out") { q =>
+      clicks.addData(Doc(1L, "click", Timestamp.valueOf("2024-01-01 00:20:00")))
+      buys.addData(
+        Doc(1L, "buy-recent", Timestamp.valueOf("2024-01-01 00:15:00")),
+        Doc(1L, "buy-stale", Timestamp.valueOf("2024-01-01 00:05:00")),
+        Doc(2L, "buy-other-user", Timestamp.valueOf("2024-01-01 00:18:00")))
+      q.processAllAvailable()
+    }
+    val labels = out.collect().map(_.getAs[String]("r_text")).toSet
+    assert(labels == Set("buy-recent"),
+      "only the same-user purchase within 10 minutes must match")
+  }
+
   test("streaming fingerprint dedup: duplicate text dropped within watermark") {
     val in = MemoryStream[Doc]
     val deduped = graft.streaming.StreamingDedup.byFingerprint(
