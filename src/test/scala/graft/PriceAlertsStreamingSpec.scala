@@ -100,6 +100,58 @@ class PriceAlertsStreamingSpec extends SparkSpec {
     assert(rows.head.getAs[String]("product_id") == "1")
   }
 
+  test("transformWithState processor: golden 3600, emit-once via timers") {
+    // transformWithState requires a multi-column-family store → RocksDB
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try testTws() finally spark.conf.unset(key)
+  }
+
+  private def testTws(): Unit = {
+    val in = MemoryStream[P]
+    val joined = graft.operators.PriceAlerts.purchasesWithProducts(
+      in.toDF(), products(300.0))
+    val alerts = graft.streaming.TwsAlerts.alerts(spark, joined, threshold = 10.0)
+    val out = runQuery(alerts.toDF(), "append", "tws_out") { q =>
+      in.addData((1L to 6L).map(i => P(i, 2L, 1L, t0230)))
+      q.processAllAvailable()
+      in.addData(P(100L, 1L, 1L, Timestamp.valueOf("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      in.addData(P(101L, 1L, 1L, Timestamp.valueOf("2024-01-01 00:07:00")))
+      q.processAllAvailable()
+    }
+    val rows = out.collect().filter(_.getAs[Timestamp]("window_start") == w0200)
+    assert(rows.length == 1, "window 02:00 must be emitted exactly once")
+    assert(rows.head.getAs[Double]("total_sum_per_minute") == 3600.0)
+  }
+
+  test("W4 append mode runs on the RocksDB state store provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[P]
+      val alerts = PriceAlertsStream.processorAlertsAppend(
+        in.toDF(), products(300.0), threshold = 10.0)
+      val out = runQuery(alerts, "append", "rocks_out") { q =>
+        in.addData((1L to 6L).map(i => P(i, 2L, 1L, t0230)))
+        q.processAllAvailable()
+        in.addData(P(100L, 1L, 1L, Timestamp.valueOf("2024-01-01 00:05:00")))
+        q.processAllAvailable()
+      }
+      val rows = out.collect().filter(_.getAs[Timestamp]("window_start") == w0200)
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Double]("total_sum_per_minute") == 3600.0)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("A3 streaming latest-per-key: last write per product wins") {
     val in = MemoryStream[Prod]
     val compacted = PriceAlertsStream.latestPerKeyUpdate(in.toDF(), "id", "ts")

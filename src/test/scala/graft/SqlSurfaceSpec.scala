@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** The SQL front-end surface: temp views + spark.sql, including the
+  * custom expressions by SQL name (as a cluster user would get them via
+  * spark.sql.extensions=graft.functions.GraftExtensions).
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("flagship pipeline expressed in pure SQL matches the DataFrame API") {
+    Tables.purchases(spark, sf001).createOrReplaceTempView("purchases_v")
+    Tables.products(spark, sf001).createOrReplaceTempView("products_v")
+    val sql = spark.sql(
+      """SELECT CAST(productid AS STRING) AS product_id,
+        |       window(ts, '1 minute').start AS window_start,
+        |       SUM(quantity * price) AS total_sum_per_minute
+        |FROM purchases_v JOIN products_v ON productid = products_v.id
+        |GROUP BY 1, window(ts, '1 minute')
+        |HAVING SUM(quantity * price) > 3000.0""".stripMargin)
+    val api = graft.operators.PriceAlerts.dslPipeline(
+      Tables.purchases(spark, sf001), Tables.products(spark, sf001))
+    assert(sql.count() == api.count())
+    val sqlTotal = sql.agg(org.apache.spark.sql.functions.sum("total_sum_per_minute")).head.getDouble(0)
+    val apiTotal = api.agg(org.apache.spark.sql.functions.sum("total_sum_per_minute")).head.getDouble(0)
+    // different plans sum in different orders — compare to relative tolerance
+    assert(math.abs(sqlTotal - apiTotal) / math.abs(apiTotal) < 1e-9)
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT polyhash64('abc') AS ph,
+        |       simhash64(array('a','b')) AS sh,
+        |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
+        |       minhash_est(minhash_sig(array('x','y','z'), 16),
+        |                   minhash_sig(array('x','y','z'), 16)) AS est""".stripMargin).head
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getLong(0) != 0L)
+  }
+}
