@@ -302,6 +302,23 @@ object SparkEntry {
         .orderBy("doc_id", "split")
     }),
 
+    // Pivot: per-user event-value matrix (fixed pivot column list).
+    "q32_pivot" -> ((s, dir) => {
+      val p = Relational.pivotEventValues(Tables.events(s, dir))
+      p.select(col("user_id") +:
+        Seq("click", "error", "purchase", "signup", "view")
+          .map(c => round(col(c), 2).as(c)): _*)
+        .orderBy("user_id")
+    }),
+
+    // Exact interpolated percentiles per group.
+    "q33_percentiles" -> ((s, dir) => {
+      Relational.valuePercentiles(Tables.events(s, dir))
+        .select(col("event_type"), round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"))
+        .orderBy("event_type")
+    }),
+
     // Composed corpus filter: fingerprint-dedup survivors that also pass
     // the quality floor — the end-to-end "clean the corpus" pipeline.
     "q31_corpus_filter" -> ((s, dir) => {
@@ -581,6 +598,25 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, sid
         |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q32_pivot" ->
+      """SELECT user_id,
+        |       round(SUM(value) FILTER (event_type = 'click'), 2) AS click,
+        |       round(SUM(value) FILTER (event_type = 'error'), 2) AS error,
+        |       round(SUM(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+        |       round(SUM(value) FILTER (event_type = 'signup'), 2) AS signup,
+        |       round(SUM(value) FILTER (event_type = 'view'), 2) AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q33_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q30_train_val_split" ->
       """SELECT doc_id,

@@ -115,6 +115,25 @@ object Relational {
       .agg(sum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** Pivot: event values spread to one column per event type (dynamic
+    * column generation from data — pinned to the known type list so the
+    * schema is stable and no pre-scan pass is needed at 100 TB).
+    */
+  def pivotEventValues(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .sum("value")
+
+  /** Exact interpolated percentiles (median/p90) per group. At scale
+    * the exact form needs a per-group sort; approx_percentile is the
+    * sketch-based alternative when error tolerance allows.
+    */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+
   /** Generator/explode: global token frequency over documents — the
     * UDTF-shaped operator class (flatMap one row to many).
     */
