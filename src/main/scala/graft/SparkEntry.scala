@@ -22,6 +22,17 @@ object SparkEntry {
   private def tsStr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Binary-arithmetic rounding (floor(x*10^n + 0.5)/10^n) — identical
+    * on Spark and DuckDB because both evaluate it on the raw double.
+    * Spark's round() goes through the decimal string representation
+    * (BigDecimal HALF_UP) and disagrees with C-style engines on exact
+    * .5 boundaries of the binary value.
+    */
+  private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + lit(0.5)) / 100
+  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 10000 + lit(0.5)) / 10000
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_price_alerts_dsl")(spark, "/root/testdata/sf0.001")
@@ -34,7 +45,7 @@ object SparkEntry {
     "q01_price_alerts_dsl" -> ((s, dir) => {
       PriceAlerts.dslPipeline(Tables.purchases(s, dir), Tables.products(s, dir))
         .select(col("product_id"), tsStr(col("window_start")).as("window_start"),
-          round(col("total_sum_per_minute"), 2).as("total_sum_per_minute"))
+          r2(col("total_sum_per_minute")).as("total_sum_per_minute"))
         .orderBy("product_id", "window_start")
     }),
 
@@ -48,7 +59,7 @@ object SparkEntry {
       PriceAlerts.alerts(PriceAlerts.closedWindowsOnly(revenue, purchases),
         PriceAlerts.ProcessorThreshold)
         .select(col("product_id"), tsStr(col("window_start")).as("window_start"),
-          round(col("total_sum_per_minute"), 2).as("total_sum_per_minute"))
+          r2(col("total_sum_per_minute")).as("total_sum_per_minute"))
         .orderBy("product_id", "window_start")
     }),
 
@@ -57,7 +68,7 @@ object SparkEntry {
     "q03_join_project" -> ((s, dir) => {
       PriceAlerts.purchasesWithProducts(Tables.purchases(s, dir), Tables.products(s, dir))
         .select(col("purchase_id"), col("purchase_quantity"), col("product_id"),
-          col("product_name"), round(col("product_price"), 2).as("product_price"))
+          col("product_name"), r2(col("product_price")).as("product_price"))
         .orderBy("purchase_id", "product_id", "purchase_quantity", "product_name",
           "product_price")
     }),
@@ -73,7 +84,7 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          round(col("value"), 2).as("value"))
+          r2(col("value")).as("value"))
         .orderBy("user_id", "event_id", "event_type", "value")
     }),
     // ── Relational breadth (SURVEY.md §2.11 "not present" list) ────────
@@ -81,11 +92,11 @@ object SparkEntry {
     "q05_pricing_summary" -> ((s, dir) => {
       Relational.pricingSummary(Tables.lineitem(s, dir))
         .select(col("l_returnflag"), col("l_linestatus"),
-          round(col("sum_qty"), 2).as("sum_qty"),
-          round(col("sum_base_price"), 2).as("sum_base_price"),
-          round(col("sum_disc_price"), 2).as("sum_disc_price"),
-          round(col("avg_qty"), 4).as("avg_qty"),
-          round(col("avg_price"), 4).as("avg_price"),
+          r2(col("sum_qty")).as("sum_qty"),
+          r2(col("sum_base_price")).as("sum_base_price"),
+          r2(col("sum_disc_price")).as("sum_disc_price"),
+          r4(col("avg_qty")).as("avg_qty"),
+          r4(col("avg_price")).as("avg_price"),
           col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -94,7 +105,7 @@ object SparkEntry {
     "q06_topk_orders" -> ((s, dir) => {
       Relational.topOrders(Tables.orders(s, dir), 100)
         .select(col("o_orderkey"), col("o_custkey"),
-          round(col("o_totalprice"), 2).as("o_totalprice"))
+          r2(col("o_totalprice")).as("o_totalprice"))
     }),
 
     // Set operations: UNION (distinct) + EXCEPT.
@@ -119,7 +130,7 @@ object SparkEntry {
     "q10_rollup" -> ((s, dir) => {
       Relational.quantityRollup(Tables.lineitem(s, dir))
         .select(col("returnflag"), col("linestatus"),
-          round(col("sum_qty"), 2).as("sum_qty"), col("n"))
+          r2(col("sum_qty")).as("sum_qty"), col("n"))
         .orderBy("returnflag", "linestatus")
     }),
 
@@ -127,8 +138,8 @@ object SparkEntry {
     "q11_order_analytics" -> ((s, dir) => {
       Relational.orderHistoryAnalytics(Tables.orders(s, dir))
         .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"),
-          round(col("prev_price"), 2).as("prev_price"),
-          round(col("running_total"), 2).as("running_total"))
+          r2(col("prev_price")).as("prev_price"),
+          r2(col("running_total")).as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -136,7 +147,7 @@ object SparkEntry {
     "q12_revenue_per_region" -> ((s, dir) => {
       Relational.revenuePerRegion(Tables.region(s, dir), Tables.nation(s, dir),
           Tables.customer(s, dir), Tables.orders(s, dir))
-        .select(col("r_name"), round(col("revenue"), 2).as("revenue"), col("n_orders"))
+        .select(col("r_name"), r2(col("revenue")).as("revenue"), col("n_orders"))
         .orderBy("r_name")
     }),
 
@@ -159,7 +170,7 @@ object SparkEntry {
     // Exact word-set jaccard near-dup pairs (blocked by source).
     "q16_dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -167,7 +178,7 @@ object SparkEntry {
     // Internal seeded hashes → no SQL oracle; rows-only check.
     "q17_dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(s, Tables.documents(s, dir))
-        .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .select(col("doc_a"), col("doc_b"), r4(col("est_jaccard")).as("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -181,7 +192,7 @@ object SparkEntry {
     // Embedding-cosine near-dup pairs (label-blocked exact).
     "q19_dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingCosinePairs(s, Tables.embeddings(s, dir), 0.3)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+        .select(col("vec_a"), col("vec_b"), r4(col("cos")).as("cos"))
         .orderBy("vec_a", "vec_b")
     }),
 
@@ -190,7 +201,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(s, emb, emb.filter(col("vec_id") < 5), 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("neighbor_id"), round(col("cos"), 4).as("cos"))
+          col("neighbor_id"), r4(col("cos")).as("cos"))
         .orderBy("query_id", "rank")
     }),
 
@@ -200,7 +211,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.annTopK(s, emb, emb.filter(col("vec_id") < 5), 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("neighbor_id"), round(col("cos"), 4).as("cos"))
+          col("neighbor_id"), r4(col("cos")).as("cos"))
         .orderBy("query_id", "rank")
     }),
 
@@ -209,7 +220,7 @@ object SparkEntry {
       TextAnalysis.qualityMetrics(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_chars"), col("n_tokens_ws"),
           col("n_tokens_bpe"), col("n_punct"), col("n_alpha"),
-          round(col("quality"), 4).as("quality"))
+          r4(col("quality")).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -217,10 +228,10 @@ object SparkEntry {
     "q23_text_langid" -> ((s, dir) => {
       TextAnalysis.languageId(Tables.documents(s, dir))
         .select(col("doc_id"),
-          round(col("score_en"), 4).as("score_en"),
-          round(col("score_de"), 4).as("score_de"),
-          round(col("score_fr"), 4).as("score_fr"),
-          round(col("score_es"), 4).as("score_es"),
+          r4(col("score_en")).as("score_en"),
+          r4(col("score_de")).as("score_de"),
+          r4(col("score_fr")).as("score_fr"),
+          r4(col("score_es")).as("score_es"),
           col("lang_pred"))
         .orderBy("doc_id")
     }),
@@ -255,7 +266,7 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           tsStr(col("ts")).as("click_ts"),
           tsStr(col("asof_ts")).as("purchase_ts"),
-          round(col("asof_value"), 2).as("purchase_value"))
+          r2(col("asof_value")).as("purchase_value"))
         .orderBy("event_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
     }),
 
@@ -263,7 +274,7 @@ object SparkEntry {
     "q27_sliding_window" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
-        .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("n"))
+        .agg(r2(sum(col("value"))).as("total"), count(lit(1)).as("n"))
         .select(tsStr(col("window.start")).as("window_start"), col("event_type"),
           col("total"), col("n"))
         .orderBy("window_start", "event_type", "total", "n")
@@ -274,7 +285,7 @@ object SparkEntry {
     "q28_session_window" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("total"))
         .select(col("user_id"), tsStr(col("session_window.start")).as("session_start"),
           col("n_events"), col("total"))
         .orderBy("user_id", "session_start", "n_events", "total")
@@ -286,7 +297,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("neighbor_id"), round(col("cos"), 4).as("cos"))
+          col("neighbor_id"), r4(col("cos")).as("cos"))
         .orderBy("query_id", "rank")
     }),
 
@@ -307,15 +318,15 @@ object SparkEntry {
       val p = Relational.pivotEventValues(Tables.events(s, dir))
       p.select(col("user_id") +:
         Seq("click", "error", "purchase", "signup", "view")
-          .map(c => round(col(c), 2).as(c)): _*)
+          .map(c => r2(col(c)).as(c)): _*)
         .orderBy("user_id")
     }),
 
     // Exact interpolated percentiles per group.
     "q33_percentiles" -> ((s, dir) => {
       Relational.valuePercentiles(Tables.events(s, dir))
-        .select(col("event_type"), round(col("p50"), 4).as("p50"),
-          round(col("p90"), 4).as("p90"))
+        .select(col("event_type"), r4(col("p50")).as("p50"),
+          r4(col("p90")).as("p90"))
         .orderBy("event_type")
     }),
 
@@ -329,7 +340,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens_ws"), col("quality"))
       survivors.join(quality, "doc_id")
         .select(col("doc_id"), col("n_tokens_ws"),
-          round(col("quality"), 4).as("quality"))
+          r4(col("quality")).as("quality"))
         .orderBy("doc_id", "n_tokens_ws", "quality")
     }),
   )
@@ -341,7 +352,7 @@ object SparkEntry {
     "q01_price_alerts_dsl" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS product_id,
         |       strftime(date_trunc('minute', l_shipdate), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |       round(SUM(l_quantity * p_retailprice), 2) AS total_sum_per_minute
+        |       floor((SUM(l_quantity * p_retailprice)) * 100 + 0.5) / 100 AS total_sum_per_minute
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1, 2
         |HAVING SUM(l_quantity * p_retailprice) > 3000.0
@@ -356,7 +367,7 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT product_id,
         |       strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
-        |       round(total, 2) AS total_sum_per_minute
+        |       floor((total) * 100 + 0.5) / 100 AS total_sum_per_minute
         |FROM revenue
         |WHERE total > 10.0 AND w < (SELECT max(w) FROM revenue)
         |ORDER BY 1, 2""".stripMargin,
@@ -366,12 +377,12 @@ object SparkEntry {
         |       l_quantity AS purchase_quantity,
         |       l_partkey AS product_id,
         |       p_name AS product_name,
-        |       round(p_retailprice, 2) AS product_price
+        |       floor((p_retailprice) * 100 + 0.5) / 100 AS product_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |ORDER BY 1, 3, 2, 4, 5""".stripMargin,
 
     "q04_dim_latest_per_key" ->
-      """SELECT user_id, event_id, event_type, round(value, 2) AS value
+      """SELECT user_id, event_id, event_type, floor((value) * 100 + 0.5) / 100 AS value
         |FROM (SELECT user_id, event_id, event_type, value,
         |             row_number() OVER (PARTITION BY user_id
         |                                ORDER BY ts DESC, event_id DESC) AS rn
@@ -381,18 +392,18 @@ object SparkEntry {
 
     "q05_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(SUM(l_quantity), 2) AS sum_qty,
-        |       round(SUM(l_extendedprice), 2) AS sum_base_price,
-        |       round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |       round(AVG(l_quantity), 4) AS avg_qty,
-        |       round(AVG(l_extendedprice), 4) AS avg_price,
+        |       floor((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+        |       floor((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+        |       floor((SUM(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+        |       floor((AVG(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+        |       floor((AVG(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
     "q06_topk_orders" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100 + 0.5) / 100 AS o_totalprice
         |FROM orders
         |ORDER BY orders.o_totalprice DESC, o_orderkey ASC
         |LIMIT 100""".stripMargin,
@@ -424,7 +435,7 @@ object SparkEntry {
     "q10_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
-        |       round(SUM(l_quantity), 2) AS sum_qty,
+        |       floor((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
         |       COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -433,15 +444,15 @@ object SparkEntry {
     "q11_order_analytics" ->
       """SELECT o_custkey, o_orderkey,
         |       row_number() OVER w AS rn,
-        |       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
-        |       round(SUM(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
-        |                                       AND CURRENT ROW), 2) AS running_total
+        |       floor((lag(o_totalprice, 1) OVER w) * 100 + 0.5) / 100 AS prev_price,
+        |       floor((SUM(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                       AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY 1, 2""".stripMargin,
 
     "q12_revenue_per_region" ->
-      """SELECT r_name, round(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+      """SELECT r_name, floor((SUM(o_totalprice)) * 100 + 0.5) / 100 AS revenue, COUNT(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -473,10 +484,10 @@ object SparkEntry {
 
     "q16_dedup_ngram_jaccard" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       round(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+        |       floor((len(list_intersect(list_distinct(string_split(a.text, ' ')),
         |                                list_distinct(string_split(b.text, ' '))))::DOUBLE
         |             / len(list_distinct(list_concat(string_split(a.text, ' '),
-        |                                             string_split(b.text, ' ')))), 4) AS jaccard
+        |                                             string_split(b.text, ' '))))) * 10000 + 0.5) / 10000 AS jaccard
         |FROM documents a JOIN documents b
         |  ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(list_distinct(string_split(a.text, ' ')),
@@ -487,8 +498,8 @@ object SparkEntry {
 
     "q19_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |       floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -502,7 +513,7 @@ object SparkEntry {
         |                                CAST(c.embedding AS DOUBLE[])) AS cos
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 5)
-        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+        |SELECT query_id, rank, neighbor_id, floor((cos) * 10000 + 0.5) / 10000 AS cos
         |FROM (SELECT query_id, neighbor_id, cos,
         |             row_number() OVER (PARTITION BY query_id
         |                                ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -517,14 +528,14 @@ object SparkEntry {
         |       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpe,
         |       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
         |       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
-        |       round(0.4 * (len(list_filter(string_split(lower(text), ' '),
+        |       floor((0.4 * (len(list_filter(string_split(lower(text), ' '),
         |                         x -> x IN ('the','a','of','and','in','to','is','it','that','for')))::DOUBLE
         |                    / greatest(len(list_filter(string_split(lower(text), ' '),
         |                         x -> length(x) > 0))::DOUBLE, 1.0))
         |           + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
         |                    / greatest(length(text)::DOUBLE, 1.0))
         |           + 0.3 * (least(len(list_filter(string_split(lower(text), ' '),
-        |                         x -> length(x) > 0))::DOUBLE, 100.0) / 100.0), 4) AS quality
+        |                         x -> length(x) > 0))::DOUBLE, 100.0) / 100.0)) * 10000 + 0.5) / 10000 AS quality
         |FROM documents
         |ORDER BY 1""".stripMargin,
 
@@ -541,8 +552,8 @@ object SparkEntry {
         |    len(list_filter(t, x -> x IN ('el','los','y','es','un','una','por','con','no','se')))::DOUBLE / greatest(len(t)::DOUBLE, 1.0) AS s_es
         |  FROM toks)
         |SELECT doc_id,
-        |       round(s_en, 4) AS score_en, round(s_de, 4) AS score_de,
-        |       round(s_fr, 4) AS score_fr, round(s_es, 4) AS score_es,
+        |       floor((s_en) * 10000 + 0.5) / 10000 AS score_en, floor((s_de) * 10000 + 0.5) / 10000 AS score_de,
+        |       floor((s_fr) * 10000 + 0.5) / 10000 AS score_fr, floor((s_es) * 10000 + 0.5) / 10000 AS score_es,
         |       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
         |            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
         |            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
@@ -562,7 +573,7 @@ object SparkEntry {
         |       c.user_id,
         |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
         |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-        |       round(p.value, 2) AS purchase_value
+        |       floor((p.value) * 100 + 0.5) / 100 AS purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON p.user_id = c.user_id AND p.ts <= c.ts
@@ -572,7 +583,7 @@ object SparkEntry {
       """SELECT strftime(date_trunc('minute', ts) - (k * INTERVAL 1 MINUTE),
         |                '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type,
-        |       round(SUM(value), 2) AS total,
+        |       floor((SUM(value)) * 100 + 0.5) / 100 AS total,
         |       COUNT(*) AS n
         |FROM events, (SELECT unnest(range(5)) AS k)
         |GROUP BY 1, 2
@@ -594,26 +605,26 @@ object SparkEntry {
         |SELECT user_id,
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       COUNT(*) AS n_events,
-        |       round(SUM(value), 2) AS total
+        |       floor((SUM(value)) * 100 + 0.5) / 100 AS total
         |FROM sessions
         |GROUP BY user_id, sid
         |ORDER BY 1, 2, 3, 4""".stripMargin,
 
     "q32_pivot" ->
       """SELECT user_id,
-        |       round(SUM(value) FILTER (event_type = 'click'), 2) AS click,
-        |       round(SUM(value) FILTER (event_type = 'error'), 2) AS error,
-        |       round(SUM(value) FILTER (event_type = 'purchase'), 2) AS purchase,
-        |       round(SUM(value) FILTER (event_type = 'signup'), 2) AS signup,
-        |       round(SUM(value) FILTER (event_type = 'view'), 2) AS view
+        |       floor((SUM(value) FILTER (event_type = 'click')) * 100 + 0.5) / 100 AS click,
+        |       floor((SUM(value) FILTER (event_type = 'error')) * 100 + 0.5) / 100 AS error,
+        |       floor((SUM(value) FILTER (event_type = 'purchase')) * 100 + 0.5) / 100 AS purchase,
+        |       floor((SUM(value) FILTER (event_type = 'signup')) * 100 + 0.5) / 100 AS signup,
+        |       floor((SUM(value) FILTER (event_type = 'view')) * 100 + 0.5) / 100 AS view
         |FROM events
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
     "q33_percentiles" ->
       """SELECT event_type,
-        |       round(quantile_cont(value, 0.5), 4) AS p50,
-        |       round(quantile_cont(value, 0.9), 4) AS p90
+        |       floor((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+        |       floor((quantile_cont(value, 0.9)) * 10000 + 0.5) / 10000 AS p90
         |FROM events
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
@@ -642,7 +653,7 @@ object SparkEntry {
         |         + 0.3 * (least(len(list_filter(string_split(lower(text), ' '),
         |                  x -> length(x) > 0))::DOUBLE, 100.0) / 100.0) AS q
         |  FROM documents)
-        |SELECT s.doc_id, q.n_tokens_ws, round(q.q, 4) AS quality
+        |SELECT s.doc_id, q.n_tokens_ws, floor((q.q) * 10000 + 0.5) / 10000 AS quality
         |FROM survivors s JOIN quality q ON s.doc_id = q.doc_id
         |WHERE q.q >= 0.3
         |ORDER BY 1, 2, 3""".stripMargin,
