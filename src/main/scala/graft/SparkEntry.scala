@@ -330,6 +330,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // CUBE grouping sets (all four grouping combinations).
+    "q34_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          r2(col("sq")).as("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // Correlated-subquery shape: orders above their customer's average
+    // (decorrelated to a window aggregate — no per-row subquery at scale).
+    "q35_above_avg_orders" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, dir)
+        .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          r2(col("o_totalprice")).as("o_totalprice"))
+        .orderBy("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
     // Composed corpus filter: fingerprint-dedup survivors that also pass
     // the quality floor — the end-to-end "clean the corpus" pipeline.
     "q31_corpus_filter" -> ((s, dir) => {
@@ -628,6 +653,23 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q34_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       floor(SUM(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q35_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |       floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(i.o_totalprice)
+        |                      FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q30_train_val_split" ->
       """SELECT doc_id,
