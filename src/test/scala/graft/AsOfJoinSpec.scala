@@ -49,6 +49,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head.getAs[Double]("asof_value") == 200.0)
   }
 
+  test("physical AsOfJoinExec agrees with the union+window composition") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.sources.Tables.events(spark, sf001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val comp = AsOfJoin.asof(clicks, purch,
+        "user_id", "user_id", "ts", "ts", "event_id")
+      .select(col("event_id"), col("user_id"), col("asof_ts"), col("asof_value"))
+      .collect().map(_.toString).sorted
+    val phys = graft.plans.AsOfJoinPhysical.asof(clicks, purch,
+        "user_id", "user_id", "ts", "ts")
+      .select(col("event_id"), col("user_id"), col("asof_ts"), col("asof_value"))
+      .collect().map(_.toString).sorted
+    assert(phys.nonEmpty)
+    assert(comp.toSeq == phys.toSeq)
+  }
+
+  test("physical exec plan shape: co-partitioned exchanges + in-partition sorts, no window") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.sources.Tables.events(spark, sf001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val plan = graft.plans.AsOfJoinPhysical.asof(clicks, purch,
+      "user_id", "user_id", "ts", "ts").queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin")) // nodeName renders without the Exec suffix
+    assert(!plan.contains("Window"), "merge exec must not need a window operator")
+  }
+
   test("left rows between right versions each get their own match") {
     val out = run(trades(
       (1L, "2024-01-01 00:00:30"),
