@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Approximate-aggregate tier (HLL distinct, t-digest percentiles) and
+  * non-parquet source formats — Spark built-ins the engine exposes for
+  * the cases where exactness can be traded for a single pass at scale.
+  */
+class ApproxAndSourcesSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact on fixture events") {
+    val ev = Tables.events(spark, sf001)
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx")).head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("approx_percentile brackets the exact percentile") {
+    val ev = Tables.events(spark, sf001)
+    val r = ev.agg(
+      expr("percentile(value, 0.5)").as("exact"),
+      expr("approx_percentile(value, 0.5, 1000)").as("approx")).head
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / math.max(math.abs(exact), 1e-9) < 0.05)
+  }
+
+  test("csv and json sources round-trip the documents table") {
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = new java.io.File("target/spec-sources").getAbsolutePath
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    docs.write.mode("overwrite").json(s"$base/json")
+    val fromCsv = spark.read.option("header", "true")
+      .schema("doc_id LONG, lang STRING, n_chars LONG").csv(s"$base/csv")
+    val fromJson = spark.read.schema("doc_id LONG, lang STRING, n_chars LONG")
+      .json(s"$base/json")
+    assert(fromCsv.count() == 500 && fromJson.count() == 500)
+    val orig = docs.collect().map(_.toString).sorted.toSeq
+    assert(fromCsv.collect().map(_.toString).sorted.toSeq == orig)
+    assert(fromJson.collect().map(_.toString).sorted.toSeq == orig)
+  }
+
+  test("streaming file source: readStream over parquet dir reaches the pipeline") {
+    val ev = spark.readStream
+      .schema(Tables.events(spark, sf001).schema)
+      .parquet(s"$sf001/events.parquet")
+    assert(ev.isStreaming)
+    // plan-level check only: the same pipeline operators accept the
+    // streaming frame (full drives are covered by the MemoryStream specs)
+    val agg = ev.groupBy(window(col("ts"), "1 minute")).count()
+    assert(agg.isStreaming)
+  }
+}
