@@ -333,6 +333,15 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // LSH-blocked exact jaccard: candidates from MinHash banding,
+    // exact sorted-merge rerank — the at-scale form of q16 (whose
+    // `source` blocking is fixture-only). Seeded hashes → rows-only.
+    "q36_dedup_lsh_jaccard" -> ((s, dir) => {
+      Dedup.lshBlockedJaccardPairs(s, Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // CUBE grouping sets (all four grouping combinations).
     "q34_cube" -> ((s, dir) => {
       Tables.lineitem(s, dir)

@@ -164,6 +164,30 @@ object HashImpl {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** All LSH sign-bit buckets of a vector in one fused pass. */
+  def lshBuckets(vec: ArrayData, planeSets: Array[Array[Array[Double]]]): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long](planeSets.length)
+    var t = 0
+    while (t < planeSets.length) {
+      val planes = planeSets(t)
+      var bucket = 0L
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        var dot = 0.0
+        var i = 0
+        val d = math.min(n, plane.length)
+        while (i < d) { dot += vec.getFloat(i) * plane(i); i += 1 }
+        if (dot >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Cosine similarity between two float/double arrays, accumulated in
     * double (element order = array order, matching the DuckDB oracle's
     * CAST(... AS DOUBLE[]) computation). Returns NaN-free 0.0 on
@@ -260,6 +284,27 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.jaccardSorted($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
     copy(l, r)
+}
+
+/** `lsh_buckets(embedding)` — all hyperplane sign-bit buckets of a
+  * vector in one pass: for `tables` plane sets of `planes` planes each,
+  * returns array<long> of bucket ids (one per table). The plane matrix
+  * rides along as a reference object into generated code
+  * (ctx.addReferenceObj) — one fused loop instead of
+  * tables×planes aggregate-HOF dot products.
+  */
+case class LshBuckets(child: Expression, planeSets: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.lshBuckets(input.asInstanceOf[ArrayData], planeSets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planeSets", planeSets,
+      "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.lshBuckets($c, $planesRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
 }
 
 /** `cosine_sim(array<float|double>, array<float|double>)` — dense cosine. */

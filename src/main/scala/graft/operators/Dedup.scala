@@ -99,6 +99,28 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH-blocked EXACT jaccard: MinHash+LSH proposes candidate pairs
+    * (no quadratic pair space), then the exact sorted-merge jaccard
+    * reranks them — the 100 TB-correct form of [[ngramJaccardPairs]],
+    * whose `source` blocking key is a fixture stand-in. Recall is the
+    * LSH S-curve; precision is exact.
+    */
+  def lshBlockedJaccardPairs(spark: SparkSession, documents: DataFrame,
+                             candidateEst: Double = 0.2,
+                             threshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(spark)
+    val cands = minhashLshPairs(spark, documents, estimateThreshold = candidateEst)
+      .select(col("doc_a"), col("doc_b"))
+    val toks = documents.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    cands
+      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_a", "toks" -> "toks_a")), "doc_a")
+      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_b", "toks" -> "toks_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        HashFunctions.jaccardPresorted(col("toks_a"), col("toks_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash per doc, bucketed by each of
     * its four 16-bit chunks; pairs sharing a chunk are checked for
     * hamming distance ≤ maxHamming (pigeonhole-complete for ≤ 3).

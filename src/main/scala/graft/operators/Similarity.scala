@@ -56,6 +56,18 @@ object Similarity {
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** All table buckets in one fused pass (custom codegen expression
+    * LshBuckets — the plane matrix becomes a codegen reference object;
+    * one loop instead of tables×planes aggregate HOFs per row).
+    */
+  private def lshBucketsFused(embedding: Column,
+                              planeSets: Seq[Seq[Seq[Double]]]): Column = {
+    val matrix = planeSets.map(_.map(_.toArray).toArray).toArray
+    org.apache.spark.sql.classic.GraftPlanBridge.column(
+      graft.functions.LshBuckets(
+        org.apache.spark.sql.classic.GraftPlanBridge.expression(embedding), matrix))
+  }
+
   /** IVF (inverted-file) ANN top-k: partition the corpus into cells
     * around deterministic centroids (the first `cells` vectors by id —
     * a seedless stand-in for k-means centroids; at scale you'd train
@@ -111,28 +123,20 @@ object Similarity {
               dim: Int = 64, seed: Long = 42L): DataFrame = {
     GraftFunctions.register(spark)
     val planeSets = (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
-    // corpus exploded to one (table, bucket) entry per hash table
-    val bucketEntries = array(planeSets.zipWithIndex.map { case (hp, t) =>
-      struct(lit(t).as("tbl"), lshBucket(col("embedding"), hp).as("bucket"))
-    }: _*)
+    // corpus: one fused pass computes every table's bucket (custom
+    // codegen expression), posexplode recovers the table index
     val corpus = embeddings
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-        explode(bucketEntries).as("e"))
-      .select(col("neighbor_id"), col("cv"),
-        col("e.tbl").as("tbl"), col("e.bucket").as("bucket"))
-    // queries: per table, own bucket + single-bit-flip probe buckets
-    val qEntries = array(planeSets.zipWithIndex.flatMap { case (hp, t) =>
-      val b = lshBucket(col("embedding"), hp)
-      (0 to probes).map { p =>
-        val probed = if (p == 0) b else b.bitwiseXOR(lit(1L << (p - 1)))
-        struct(lit(t).as("tbl"), probed.as("bucket"))
-      }
-    }: _*)
+        posexplode(lshBucketsFused(col("embedding"), planeSets)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    // queries: own bucket + single-bit-flip probe buckets per table
+    val probeFlips = array((lit(0L) +: (0 until probes).map(i => lit(1L << i))): _*)
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(qEntries).as("e"))
-      .select(col("query_id"), col("qv"),
-        col("e.tbl").as("tbl"), col("e.bucket").as("bucket"))
+        posexplode(lshBucketsFused(col("embedding"), planeSets)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "qb"))
+      .select(col("query_id"), col("qv"), col("tbl"),
+        explode(transform(probeFlips, f => col("qb").bitwiseXOR(f))).as("bucket"))
     q.join(corpus, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cos(col("qv"), col("cv")).as("cos"))

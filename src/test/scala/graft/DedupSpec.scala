@@ -89,6 +89,19 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("LSH-blocked exact jaccard finds near-dups without a blocking column") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today ok fine"
+    val near = base.replace("today", "tomorrow")
+    val out = Dedup.lshBlockedJaccardPairs(spark, docs(
+      (1L, base, "s1"), (2L, base, "s2"), (3L, near, "s3"),
+      (4L, "completely different text about unrelated topics entirely elsewhere now", "s4")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0, "identical docs: exact jaccard 1.0")
+    assert(out.contains((1L, 3L)), "near-dup must survive candidate + rerank")
+    assert(out((1L, 3L)) < 1.0 && out((1L, 3L)) >= 0.5)
+    assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("skew guard: oversized LSH buckets are dropped, join still completes") {
     // 60 identical docs -> every band bucket has 60 members > maxBucketSize=10
     val many = (1L to 60L).map(i => (i, "same text repeated for everyone here ok", "s"))

@@ -187,6 +187,31 @@ class PriceAlertsStreamingSpec extends SparkSpec {
       "only the same-user purchase within 10 minutes must match")
   }
 
+  test("streaming session window: gap merge + watermark close") {
+    import org.apache.spark.sql.functions.{col, session_window}
+    val in = MemoryStream[Doc]
+    val sessions = in.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("doc_id"))
+      .count()
+      .select(col("doc_id"), col("session_window.start").as("session_start"),
+        col("count"))
+    val out = runQuery(sessions, "append", "sess_out") { q =>
+      in.addData(
+        Doc(1L, "a", Timestamp.valueOf("2024-01-01 00:00:00")),
+        Doc(1L, "b", Timestamp.valueOf("2024-01-01 00:05:00")), // same session
+        Doc(1L, "c", Timestamp.valueOf("2024-01-01 00:30:00"))) // new session
+      q.processAllAvailable()
+      in.addData(Doc(2L, "d", Timestamp.valueOf("2024-01-01 02:00:00"))) // advance wm
+      q.processAllAvailable()
+    }
+    val rows = out.collect().filter(_.getAs[Long]("doc_id") == 1L)
+      .map(r => r.getAs[Timestamp]("session_start") -> r.getAs[Long]("count")).toMap
+    assert(rows == Map(
+      Timestamp.valueOf("2024-01-01 00:00:00") -> 2L,
+      Timestamp.valueOf("2024-01-01 00:30:00") -> 1L))
+  }
+
   test("streaming fingerprint dedup: duplicate text dropped within watermark") {
     val in = MemoryStream[Doc]
     val deduped = graft.streaming.StreamingDedup.byFingerprint(
