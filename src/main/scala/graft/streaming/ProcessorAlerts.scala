@@ -47,6 +47,54 @@ object ProcessorAlerts {
       .as[PurchaseAmount]
   }
 
+  /** Wall-clock punctuator variant — EXACT W7 fidelity: windows close
+    * by PROCESSING time, like the reference's
+    * `context.schedule(1m, WALL_CLOCK_TIME, this::sendAlerts)`
+    * (PurchaseQuantityAlertTrasformer.java:33). Non-deterministic on
+    * replay by construction (same as the reference); the event-time
+    * variant below is the recommended default.
+    */
+  def alertsWallClock(spark: SparkSession, joined: DataFrame,
+                      threshold: Double,
+                      punctuatePeriod: String = "1 minute"): Dataset[Alert] = {
+    import spark.implicits._
+    amounts(spark, joined)
+      .groupByKey(_.product_id)
+      .flatMapGroupsWithState[WindowSums, Alert](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (productId: String, rows: Iterator[PurchaseAmount],
+         state: GroupState[WindowSums]) =>
+          val prior = state.getOption.map(_.sums).getOrElse(Map.empty[Long, Double])
+          val updated = rows.foldLeft(prior) { (acc, p) =>
+            val w = p.ts.getTime - p.ts.getTime % WindowMillis
+            acc.updated(w, acc.getOrElse(w, 0.0) + p.amount)
+          }
+          val out = if (state.hasTimedOut) {
+            // the punctuator: close every window whose end is before the
+            // current wall clock (reference: nearestMinutesTs bound)
+            val nowFloor = {
+              val now = System.currentTimeMillis()
+              now - now % WindowMillis
+            }
+            val (closed, open) = updated.partition {
+              case (w, _) => w + WindowMillis <= nowFloor
+            }
+            if (open.isEmpty) state.remove() else state.update(WindowSums(open))
+            closed.toSeq.sortBy(_._1).collect {
+              case (w, sum) if sum > threshold =>
+                Alert(productId, new Timestamp(w), sum)
+            }
+          } else {
+            state.update(WindowSums(updated))
+            Seq.empty[Alert]
+          }
+          if (state.exists || !state.hasTimedOut) {
+            state.setTimeoutDuration(punctuatePeriod)
+          }
+          out.iterator
+      }
+  }
+
   /** The stateful processor: accumulate per-window sums; when the
     * event-time watermark passes a window end, emit its alert (if over
     * threshold) and delete the window's state.

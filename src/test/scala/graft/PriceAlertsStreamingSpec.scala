@@ -126,6 +126,34 @@ class PriceAlertsStreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("total_sum_per_minute") == 3600.0)
   }
 
+  test("W7 wall-clock punctuator variant: emits after processing-time period") {
+    // NOTE: processAllAvailable() never settles once processing-time
+    // timeouts are registered (the engine keeps scheduling timer
+    // batches), so this test polls the sink with a deadline instead.
+    val in = MemoryStream[P]
+    val joined = graft.operators.PriceAlerts.purchasesWithProducts(
+      in.toDF(), products(300.0))
+    val alerts = ProcessorAlerts.alertsWallClock(spark, joined,
+      threshold = 10.0, punctuatePeriod = "1 second")
+    val q = alerts.toDF().writeStream.format("memory")
+      .queryName("wallclock_out").outputMode("append").start()
+    try {
+      in.addData((1L to 6L).map(i => P(i, 2L, 1L, t0230)))
+      def alertRows() = spark.table("wallclock_out").collect()
+        .filter(_.getAs[String]("product_id") == "1")
+      val deadline = System.currentTimeMillis() + 60000
+      while (alertRows().isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+      }
+      val rows = alertRows()
+      assert(rows.length == 1, "one emission after the punctuator fires")
+      assert(rows.head.getAs[Double]("total_sum_per_minute") == 3600.0)
+      assert(rows.head.getAs[Timestamp]("window_start") == w0200)
+      Thread.sleep(3000) // further punctuations must not re-emit
+      assert(alertRows().length == 1, "state deleted after emission (no re-emit)")
+    } finally q.stop()
+  }
+
   test("W4 append mode runs on the RocksDB state store provider") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(key)
