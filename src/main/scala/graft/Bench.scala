@@ -1,14 +1,23 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line as the final stdout line, and
+  * also writes the same JSON to a file (`BENCH.json` in the cwd, or
+  * `SPARK_GRAFT_BENCH_OUT`) so callers never have to scrape build-tool
+  * prefixed stdout.
   *
   * Each query is executed twice and the MINIMUM wall time is reported —
   * the first pass pays whole-stage-codegen compilation and file-footer
   * reads, and this VM shows bursty host-level CPU steal; min-of-2 is
   * the standard way to report the engine's actual cost under both.
+  *
+  * A query that throws is recorded in an `errors` map (name → message)
+  * instead of being silently timed as a no-op.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,19 +29,33 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\n\\r]", " ").take(200)
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // file write is best-effort; stdout is canonical
     spark.stop()
+    // Print last, after Spark shutdown, so no executor/log lines follow it.
+    System.out.println(line)
+    System.out.flush()
   }
 }

@@ -28,11 +28,18 @@ object GraftFunctions {
       s"expected a constant int argument, got: $other")
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "scala_udf")
+      // Only register once per session: createOrReplaceTempFunction on an
+      // existing name logs a "replaced a previously registered function"
+      // WARN per call, which pollutes the bench's stdout JSON line.
+      if (!registry.functionExists(FunctionIdentifier(name))) {
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+      }
     }
+  }
 
   def polyhash64(c: Column): Column = call_function("polyhash64", c)
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
