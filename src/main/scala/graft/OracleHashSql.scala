@@ -1,0 +1,311 @@
+package graft
+
+/** DuckDB-SQL builders that mirror the engine's integer-hash pipelines
+  * (functions/expressions.scala: fnv1a64, splitmix64 mix, minhashSig,
+  * bandHash, simHash64) BIT-EXACTLY, so the LSH/simhash queries get full
+  * rows+schema+hash oracle verification instead of rows-only checks.
+  *
+  * Technique: 64-bit modular arithmetic on DuckDB HUGEINT (128-bit) —
+  * multiply-mod-2^64 via 32-bit limb decomposition, xor via a
+  * signed-BIGINT round-trip, byte folds via list_reduce over
+  * unicode() codepoints (the fixture corpus is pure ASCII, so codepoint
+  * = UTF-8 byte). The splitmix64 avalanche is expanded as NESTED
+  * SUBQUERIES, not lateral aliases — DuckDB inlines lateral aliases
+  * textually, which makes the expression tree grow exponentially.
+  *
+  * Validated bit-exact against HashImpl on sf0.01 and sf0.1.
+  */
+object OracleHashSql {
+
+  private val TWO64 = "18446744073709551616::HUGEINT"
+  private val TWO32 = "4294967296::HUGEINT"
+  private val OFF = "14695981039346656037::HUGEINT" // FNV-1a offset basis
+  private val PRIME = "1099511628211::HUGEINT" // FNV-1a prime
+  private val GOLD = "11400714819323198485" // 0x9e3779b97f4a7c15
+  private val M1 = "13787848793156543929" // 0xbf58476d1ce4e5b9
+  private val M2 = "10723151780598845931" // 0x94d049bb133111eb
+
+  /** Unsigned HUGEINT in [0,2^64) -> the BIGINT with the same 64 bits. */
+  private def toS(x: String): String =
+    s"(CASE WHEN ($x) >= 9223372036854775808::HUGEINT " +
+      s"THEN (($x) - $TWO64)::BIGINT ELSE ($x)::BIGINT END)"
+
+  /** Signed BIGINT -> unsigned HUGEINT with the same 64 bits. */
+  private def toU(x: String): String =
+    s"(CASE WHEN ($x) < 0 THEN ($x)::HUGEINT + $TWO64 ELSE ($x)::HUGEINT END)"
+
+  /** 64-bit xor of two unsigned HUGEINTs (via the signed view). */
+  private def xor64(a: String, b: String): String =
+    toU(s"xor(${toS(a)}, ${toS(b)})")
+
+  /** (a*c) mod 2^64; a in [0,2^64), c any 64-bit constant. 32-bit limb
+    * split keeps every intermediate below 2^97 (HUGEINT max is 2^127).
+    */
+  private def mulMod(a: String, c: String): String =
+    s"((((($a) // $TWO32) * $c::HUGEINT) % $TWO32) * $TWO32 " +
+      s"+ (($a) % $TWO32) * $c::HUGEINT) % $TWO64"
+
+  /** FNV-1a fold over a HUGEINT byte list, starting from `init`.
+    * list_reduce has no init parameter, so the init is prepended.
+    */
+  private def fnvFold(init: String, bytesList: String): String =
+    s"list_reduce(list_prepend($init, $bytesList), " +
+      s"(h, c) -> (${xor64("h", "c")} * $PRIME) % $TWO64)"
+
+  /** UTF-8 bytes of an ASCII string column as HUGEINTs. */
+  private def strBytes(s: String): String =
+    s"list_transform(string_split($s,''), c -> unicode(c)::HUGEINT)"
+
+  /** splitmix64 finalizer (h0 column -> hmix column) as nested
+    * subqueries; `inner` must select h0 plus any carried columns.
+    */
+  private def mixSubq(inner: String, h0: String): String =
+    s"""
+ SELECT * EXCLUDE (h4), ${xor64("h4", "h4 // 2147483648::HUGEINT")} AS hmix FROM (
+  SELECT * EXCLUDE (h2), ${mulMod(xor64("h2", "h2 // 134217728::HUGEINT"), M2)} AS h4 FROM (
+   SELECT * EXCLUDE (h0), ${mulMod(xor64("h0", "h0 // 1073741824::HUGEINT"), M1)} AS h2 FROM (
+    SELECT *, $h0 AS h0 FROM ($inner)
+   )))"""
+
+  private val pow256 =
+    (0 until 8).map(k => java.math.BigInteger.valueOf(256L).pow(k))
+      .mkString("[", ",", "]::HUGEINT[]")
+  private val pow2 =
+    (0 until 64).map(k => java.math.BigInteger.valueOf(2L).pow(k))
+      .mkString("[", ",", "]::HUGEINT[]")
+
+  /** Shared CTE chain: documents -> word-3-gram shingles -> 64-component
+    * minhash signature (signed, = HashImpl.minhashSig) -> 16 band-hash
+    * buckets (= HashImpl.bandHash) -> skew-bounded bucket self-join ->
+    * candidate pairs with signature-overlap estimate `e`.
+    * Mirrors Dedup.minhashLshPairs(shingleSize=3, k=64, bands=16,
+    * maxBucketSize=1000) exactly.
+    */
+  private def minhashCtes: String =
+    s"""
+toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> length(x) > 0) AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+                 i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks WHERE len(t) >= 3),
+shb AS (
+  SELECT s, ${fnvFold(OFF, strBytes("s"))} AS b
+  FROM (SELECT DISTINCT s FROM sh)),
+mixed AS (
+  SELECT s, j, ${toS("hmix")} AS hv FROM (${mixSubq(
+      "SELECT s, b, j FROM shb, (SELECT unnest(range(64)) AS j)",
+      xor64("b", mulMod("j::HUGEINT", GOLD)))})),
+sig AS (
+  SELECT doc_id, list(m ORDER BY j) AS sig FROM (
+    SELECT sh.doc_id, mixed.j, min(mixed.hv) AS m
+    FROM sh JOIN mixed ON sh.s = mixed.s
+    GROUP BY 1, 2)
+  GROUP BY doc_id),
+bandfold AS (
+  SELECT doc_id, band, ${fnvFold(
+      xor64(OFF, mulMod("band::HUGEINT", GOLD)),
+      s"list_transform(range(0,32), k -> (${toU("sig[band*4 + (k//8) + 1]")} // ($pow256)[(k%8)+1]) % 256::HUGEINT)")} AS fold
+  FROM sig, (SELECT unnest(range(16)) AS band)),
+buckets AS (
+  SELECT doc_id, band, ${toS("fold")} AS bucket FROM bandfold),
+bounded AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS n
+    FROM buckets)
+  WHERE n <= 1000),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bounded l JOIN bounded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+est AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::DOUBLE / 64.0 AS e
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b)"""
+
+  /** Oracle for q17: MinHash+LSH candidate pairs, est >= 0.5. */
+  def q17MinhashLsh: String =
+    s"""WITH $minhashCtes
+SELECT doc_a, doc_b, floor(e * 10000 + 0.5) / 10000 AS est_jaccard
+FROM est
+WHERE e >= 0.5
+ORDER BY 1, 2"""
+
+  /** Oracle for q36: LSH candidates (est >= 0.2) exact-reranked with
+    * word-set jaccard >= 0.5 (= Dedup.lshBlockedJaccardPairs defaults).
+    */
+  def q36LshBlockedJaccard: String =
+    s"""WITH $minhashCtes,
+rtoks AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS rt
+  FROM documents),
+rerank AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(ta.rt, tb.rt))::DOUBLE
+           / (len(ta.rt) + len(tb.rt) - len(list_intersect(ta.rt, tb.rt))) AS j
+  FROM (SELECT doc_a, doc_b FROM est WHERE e >= 0.2) c
+  JOIN rtoks ta ON ta.doc_id = doc_a
+  JOIN rtoks tb ON tb.doc_id = doc_b)
+SELECT doc_a, doc_b, floor(j * 10000 + 0.5) / 10000 AS jaccard
+FROM rerank
+WHERE j >= 0.5
+ORDER BY 1, 2"""
+
+  /** Oracle for q18: 64-bit simhash (= HashImpl.simHash64) bucketed by
+    * 16-bit chunks, pairs at hamming <= 3 (= Dedup.simhashPairs).
+    */
+  def q18Simhash: String =
+    s"""WITH dtoks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> length(x) > 0)) AS tok
+  FROM documents),
+th AS (
+  SELECT tok, ${fnvFold(OFF, strBytes("tok"))} AS h
+  FROM (SELECT DISTINCT tok FROM dtoks)),
+votes AS (
+  SELECT t.doc_id, bits.bit,
+         sum(CASE WHEN (th.h // ($pow2)[bits.bit+1]) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM dtoks t
+  JOIN th ON t.tok = th.tok
+  CROSS JOIN (SELECT unnest(range(64)) AS bit) bits
+  GROUP BY 1, 2),
+shash AS (
+  SELECT d.doc_id, ${toS("coalesce(u, 0::HUGEINT)")} AS sh
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN (
+    SELECT doc_id, sum(CASE WHEN v > 0 THEN ($pow2)[bit+1] ELSE 0::HUGEINT END)::HUGEINT AS u
+    FROM votes GROUP BY 1) s
+  ON d.doc_id = s.doc_id),
+chunks AS (
+  SELECT doc_id, sh, band,
+         (${toU("sh")} // ($pow2)[band*16+1]) % 65536::HUGEINT AS bucket
+  FROM shash, (SELECT unnest(range(4)) AS band)),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         bit_count(xor(l.sh, r.sh))::BIGINT AS hamming
+  FROM chunks l JOIN chunks r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+SELECT doc_a, doc_b, hamming
+FROM pairs
+WHERE hamming <= 3
+ORDER BY 1, 2"""
+
+  /** A double rendered so DuckDB parses back the identical IEEE bits
+    * (Java's shortest round-trip repr; DuckDB reads E-notation).
+    */
+  private def dlit(d: Double): String = java.lang.Double.toString(d)
+
+  /** Oracle for q21: multi-table random-hyperplane LSH ANN top-k
+    * (= Similarity.annTopK defaults: 6 planes, 8 tables, 3 probes,
+    * k=10, queries vec_id < 5). The exact Gaussian plane constants are
+    * embedded as SQL literals; the dot product is folded sequentially
+    * (list_reduce) in the same element order as HashImpl.lshBuckets so
+    * the sign decisions are IEEE-identical.
+    */
+  def q21AnnLsh(planeSets: Seq[Seq[Seq[Double]]]): String = {
+    val planeRows = (for {
+      (tbl, t) <- planeSets.zipWithIndex
+      (plane, p) <- tbl.zipWithIndex
+    } yield s"($t, $p, [${plane.map(dlit).mkString(",")}]::DOUBLE[])")
+      .mkString(",\n  ")
+    val dot = "list_reduce(list_prepend(0.0::DOUBLE, " +
+      "list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * p.w[i])), (a,b) -> a+b)"
+    s"""WITH planes(tbl, pl, w) AS (VALUES
+  $planeRows),
+dots AS (
+  SELECT e.vec_id, p.tbl, p.pl, $dot AS dot
+  FROM embeddings e, planes p),
+bucks AS (
+  SELECT vec_id, tbl,
+         sum(CASE WHEN dot >= 0 THEN ([1,2,4,8,16,32])[pl+1] ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY 1, 2),
+qprobe AS (
+  SELECT vec_id AS query_id, tbl, xor(bucket, f.f) AS bucket
+  FROM bucks, (SELECT unnest([0,1,2,4]) AS f) f
+  WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qprobe q JOIN bucks c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.query_id <> c.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                CAST(ne.embedding AS DOUBLE[])) AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank::BIGINT AS rank, neighbor_id,
+       floor(cos * 10000 + 0.5) / 10000 AS cos
+FROM ranked WHERE rank <= 10
+ORDER BY 1, 2"""
+  }
+
+  /** Oracle for q29: IVF ANN top-k with the deterministic
+    * first-16-by-id centroids (= Similarity.ivfTopK defaults: 16 cells,
+    * nProbe 4, k 10, queries vec_id < 5) — the whole pipeline is
+    * relational, so DuckDB reproduces it exactly.
+    */
+  def q29Ivf: String =
+    s"""WITH cent AS (
+  SELECT vec_id AS cell_id, embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+cassign AS (
+  SELECT neighbor_id, cv, cell_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, ct.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(ct.centroid AS DOUBLE[])) DESC,
+                      ct.cell_id ASC) AS crank
+    FROM embeddings e, cent ct)
+  WHERE crank = 1),
+qassign AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, ct.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(ct.centroid AS DOUBLE[])) DESC,
+                      ct.cell_id ASC) AS crank
+    FROM embeddings e, cent ct WHERE e.vec_id < 5)
+  WHERE crank <= 4),
+scored AS (
+  SELECT DISTINCT q.query_id, a.neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                CAST(a.cv AS DOUBLE[])) AS cos
+  FROM qassign q JOIN cassign a ON q.cell_id = a.cell_id
+  WHERE q.query_id <> a.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank::BIGINT AS rank, neighbor_id,
+       floor(cos * 10000 + 0.5) / 10000 AS cos
+FROM ranked WHERE rank <= 10
+ORDER BY 1, 2"""
+
+  /** Oracle for q24: per-kind integer byte statistics of the synthetic
+    * media table (= Multimodal.featureStats). Every metric is integer
+    * arithmetic over the payload bytes (ASCII text), so the mapPartitions
+    * decode plumbing is verified end-to-end without a codec.
+    */
+  def q24MediaStats: String =
+    s"""SELECT kind, count(*)::BIGINT AS n_files, sum(n_bytes)::BIGINT AS total_bytes,
+       sum(byte_sum)::BIGINT AS byte_checksum,
+       sum(width)::BIGINT AS sum_width, sum(height)::BIGINT AS sum_height
+FROM (
+  SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+         length(text)::BIGINT AS n_bytes,
+         list_sum(list_transform(string_split(text,''), c -> unicode(c)))::BIGINT AS byte_sum,
+         16 + (doc_id % 8) * 16 AS width,
+         16 + (doc_id % 5) * 16 AS height
+  FROM documents)
+GROUP BY 1
+ORDER BY 1"""
+}

@@ -175,7 +175,8 @@ object SparkEntry {
     }),
 
     // MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join).
-    // Internal seeded hashes → no SQL oracle; rows-only check.
+    // Oracle: OracleHashSql.q17MinhashLsh reproduces the FNV-1a/splitmix
+    // signatures bit-exactly in DuckDB HUGEINT arithmetic.
     "q17_dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(s, Tables.documents(s, dir))
         .select(col("doc_a"), col("doc_b"), r4(col("est_jaccard")).as("est_jaccard"))
@@ -183,9 +184,10 @@ object SparkEntry {
     }),
 
     // SimHash near-dup pairs (hamming ≤ 3 via 16-bit chunk buckets).
+    // hamming cast to long: DuckDB bit_count emits a narrow int.
     "q18_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(s, Tables.documents(s, dir))
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -206,7 +208,8 @@ object SparkEntry {
     }),
 
     // LSH-bucketed ANN top-k (the scale path; recall vs q20 is tested
-    // in SimilaritySpec). Seeded hyperplanes → rows-only check.
+    // in SimilaritySpec). Oracle embeds the exact plane constants as
+    // SQL literals (OracleHashSql.q21AnnLsh).
     "q21_sim_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annTopK(s, emb, emb.filter(col("vec_id") < 5), 10)
@@ -237,7 +240,8 @@ object SparkEntry {
     }),
 
     // Multimodal plumbing: binary payloads → batched (stub) decode →
-    // per-kind feature stats. Stubbed codec → rows-only check.
+    // per-kind integer byte stats (oracle-reproducible; the decode
+    // codec itself stays a declared stub).
     "q24_media_features" -> ((s, dir) => {
       Multimodal.featureStats(s, Tables.documents(s, dir)).orderBy("kind")
     }),
@@ -295,7 +299,7 @@ object SparkEntry {
     }),
 
     // IVF ANN top-k (centroid cells + nProbe; recall vs q20 tested in
-    // SimilaritySpec). Deterministic but engine-internal → rows-only.
+    // SimilaritySpec). Fully relational → exact DuckDB oracle.
     "q29_sim_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), 10)
@@ -335,7 +339,8 @@ object SparkEntry {
 
     // LSH-blocked exact jaccard: candidates from MinHash banding,
     // exact sorted-merge rerank — the at-scale form of q16 (whose
-    // `source` blocking is fixture-only). Seeded hashes → rows-only.
+    // `source` blocking is fixture-only). Oracle mirrors the LSH
+    // candidate generation bit-exactly (OracleHashSql).
     "q36_dedup_lsh_jaccard" -> ((s, dir) => {
       Dedup.lshBlockedJaccardPairs(s, Tables.documents(s, dir))
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
@@ -532,6 +537,14 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(string_split(a.text, ' '),
         |                                      string_split(b.text, ' ')))) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+
+    "q17_dedup_minhash_lsh" -> OracleHashSql.q17MinhashLsh,
+    "q18_dedup_simhash" -> OracleHashSql.q18Simhash,
+    "q36_dedup_lsh_jaccard" -> OracleHashSql.q36LshBlockedJaccard,
+    "q21_sim_ann_lsh" ->
+      OracleHashSql.q21AnnLsh(graft.operators.Similarity.defaultPlaneSets()),
+    "q29_sim_ivf" -> OracleHashSql.q29Ivf,
+    "q24_media_features" -> OracleHashSql.q24MediaStats,
 
     "q19_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -26,9 +26,13 @@ object Multimodal {
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
                          n_bytes: Long)
 
-  /** Extracted features: fixed-width vector + dims metadata. */
+  /** Extracted features: fixed-width vector + dims metadata +
+    * byte_sum (integer payload checksum — exactly reproducible by the
+    * oracle, unlike the f32-accumulated feature vector).
+    */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                           feature: Array[Float], width: Int, height: Int)
+                           feature: Array[Float], width: Int, height: Int,
+                           byte_sum: Long)
 
   /** One sampled frame of a "video" payload. */
   case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
@@ -55,9 +59,12 @@ object Multimodal {
   private def decodeStub(rec: MediaRecord): MediaFeatures = {
     val dim = 8
     val feature = new Array[Float](dim)
+    var byteSum = 0L
     var i = 0
     while (i < rec.payload.length) {
-      feature(i % dim) += (rec.payload(i) & 0xff) / 255.0f
+      val b = rec.payload(i) & 0xff
+      feature(i % dim) += b / 255.0f
+      byteSum += b
       i += 1
     }
     var d = 0
@@ -67,7 +74,8 @@ object Multimodal {
     }
     val width = 16 + (rec.media_id % 8).toInt * 16
     val height = 16 + (rec.media_id % 5).toInt * 16
-    MediaFeatures(rec.media_id, rec.kind, rec.n_bytes, feature, width, height)
+    MediaFeatures(rec.media_id, rec.kind, rec.n_bytes, feature, width, height,
+      byteSum)
   }
 
   /** Batch decode / feature extraction — mapPartitions so per-partition
@@ -94,17 +102,20 @@ object Multimodal {
     }
   }
 
-  /** Per-kind feature statistics — the deterministic rows-only query
-    * surfaced through SparkEntry (q24).
+  /** Per-kind integer statistics over the decoded media — the
+    * oracle-backed query surfaced through SparkEntry (q24). Every
+    * output column is integer arithmetic over the payload bytes, so
+    * DuckDB reproduces it exactly from the same parquet while the data
+    * still flows through the real mapPartitions decode path.
     */
   def featureStats(spark: SparkSession, documents: DataFrame): DataFrame = {
     val feats = extractFeatures(syntheticMedia(spark, documents))
     feats.toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        element_at(col("feature"), 1).cast("double").as("f0"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_files"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("f0")), 4).as("avg_f0"))
+        sum(col("byte_sum")).as("byte_checksum"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"))
   }
 }

@@ -41,8 +41,11 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** Deterministic random hyperplanes (seed-fixed Gaussian). */
-  private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  /** Deterministic random hyperplanes (seed-fixed Gaussian). Exposed
+    * package-wide so the DuckDB oracle (OracleHashSql) can embed the
+    * exact same plane constants as SQL literals.
+    */
+  private[graft] def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new Random(seed)
     Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
   }
@@ -118,11 +121,18 @@ object Similarity {
     * tune tables for recall, planes for candidate-set size. Returns the
     * same shape as bruteForceTopK.
     */
+  /** The exact plane sets annTopK uses for its default parameters —
+    * shared with the oracle so both sides hash identical constants.
+    */
+  private[graft] def defaultPlaneSets(planes: Int = 6, tables: Int = 8,
+                                      dim: Int = 64, seed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
+
   def annTopK(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
               k: Int, planes: Int = 6, tables: Int = 8, probes: Int = 3,
               dim: Int = 64, seed: Long = 42L): DataFrame = {
     GraftFunctions.register(spark)
-    val planeSets = (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
+    val planeSets = defaultPlaneSets(planes, tables, dim, seed)
     // corpus: one fused pass computes every table's bucket (custom
     // codegen expression), posexplode recovers the table index
     val corpus = embeddings
