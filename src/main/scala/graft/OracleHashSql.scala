@@ -204,14 +204,23 @@ ORDER BY 1, 2"""
     * (list_reduce) in the same element order as HashImpl.lshBuckets so
     * the sign decisions are IEEE-identical.
     */
-  def q21AnnLsh(planeSets: Seq[Seq[Seq[Double]]]): String = {
-    val planeRows = (for {
+  /** VALUES rows `(tbl, pl, w)` embedding a plane-set matrix. */
+  private def planeValues(planeSets: Seq[Seq[Seq[Double]]]): String =
+    (for {
       (tbl, t) <- planeSets.zipWithIndex
       (plane, p) <- tbl.zipWithIndex
     } yield s"($t, $p, [${plane.map(dlit).mkString(",")}]::DOUBLE[])")
       .mkString(",\n  ")
-    val dot = "list_reduce(list_prepend(0.0::DOUBLE, " +
-      "list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * p.w[i])), (a,b) -> a+b)"
+
+  /** Sequential-fold dot product of `e.embedding` against plane `p.w` —
+    * same element order and IEEE ops as HashImpl.lshBuckets.
+    */
+  private val planeDot = "list_reduce(list_prepend(0.0::DOUBLE, " +
+    "list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * p.w[i])), (a,b) -> a+b)"
+
+  def q21AnnLsh(planeSets: Seq[Seq[Seq[Double]]]): String = {
+    val planeRows = planeValues(planeSets)
+    val dot = planeDot
     s"""WITH planes(tbl, pl, w) AS (VALUES
   $planeRows),
 dots AS (
@@ -289,6 +298,46 @@ SELECT query_id, rank::BIGINT AS rank, neighbor_id,
        floor(cos * 10000 + 0.5) / 10000 AS cos
 FROM ranked WHERE rank <= 10
 ORDER BY 1, 2"""
+
+  /** Oracle for q37: LSH-blocked embedding near-dup pairs
+    * (= Dedup.lshBlockedCosinePairs defaults: 3 planes, 12 tables,
+    * maxBucketSize 1000, cos >= 0.3). Plane constants embedded as
+    * literals; candidate generation mirrored exactly, rerank is the
+    * same list_cosine_similarity pattern as q19/q20.
+    */
+  def q37LshBlockedCosine(planeSets: Seq[Seq[Seq[Double]]]): String = {
+    val nPlanes = planeSets.head.length
+    val powList = (0 until nPlanes).map(p => 1L << p).mkString("[", ",", "]")
+    s"""WITH planes(tbl, pl, w) AS (VALUES
+  ${planeValues(planeSets)}),
+dots AS (
+  SELECT e.vec_id, p.tbl, p.pl, $planeDot AS dot
+  FROM embeddings e, planes p),
+bucks AS (
+  SELECT vec_id, tbl,
+         sum(CASE WHEN dot >= 0 THEN ($powList)[pl+1] ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY 1, 2),
+bounded AS (
+  SELECT vec_id, tbl, bucket FROM (
+    SELECT vec_id, tbl, bucket, count(*) OVER (PARTITION BY tbl, bucket) AS n
+    FROM bucks)
+  WHERE n <= 1000),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM bounded l JOIN bounded r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+scored AS (
+  SELECT vec_a, vec_b,
+         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS c
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = vec_a
+  JOIN embeddings eb ON eb.vec_id = vec_b)
+SELECT vec_a, vec_b, floor(c * 10000 + 0.5) / 10000 AS cos
+FROM scored
+WHERE c >= 0.3
+ORDER BY 1, 2"""
+  }
 
   /** Oracle for q24: per-kind integer byte statistics of the synthetic
     * media table (= Multimodal.featureStats). Every metric is integer

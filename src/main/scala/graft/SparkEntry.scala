@@ -347,6 +347,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // LSH-blocked embedding near-dup pairs: hyperplane buckets propose
+    // candidates, exact cosine reranks — the at-scale form of q19
+    // (whose `label` blocking is fixture-only). Oracle embeds the
+    // plane constants (OracleHashSql.q37LshBlockedCosine).
+    "q37_dedup_embedding_lsh" -> ((s, dir) => {
+      Dedup.lshBlockedCosinePairs(s, Tables.embeddings(s, dir))
+        .select(col("vec_a"), col("vec_b"), r4(col("cos")).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // CUBE grouping sets (all four grouping combinations).
     "q34_cube" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -545,6 +555,9 @@ object SparkEntry {
       OracleHashSql.q21AnnLsh(graft.operators.Similarity.defaultPlaneSets()),
     "q29_sim_ivf" -> OracleHashSql.q29Ivf,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
+    "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
+      graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,
+        dim = 64, seed = 137L)),
 
     "q19_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

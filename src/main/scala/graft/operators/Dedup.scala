@@ -42,15 +42,28 @@ object Dedup {
   /** Exact word-set jaccard near-dup pairs within a blocking key (here:
     * `source`) — the oracle-checkable exact baseline the approximate
     * variants are judged against.
+    *
+    * The self-join is quadratic WITHIN a block, so blocks are bounded by
+    * `maxBlockSize` (same skew guard as the LSH buckets): a degenerate
+    * block — one source holding a huge slice of the corpus — is dropped
+    * rather than allowed to go O(n²) on a single executor. Dropped
+    * blocks are the standard trade; at scale the LSH-blocked form
+    * ([[lshBlockedJaccardPairs]]) is the right tool, this is the exact
+    * baseline.
     */
-  def ngramJaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double,
+                        maxBlockSize: Int = 100000): DataFrame = {
     GraftFunctions.register(documents.sparkSession)
     // sort+dedup ONCE per doc; the pairwise join then runs a linear
     // merge per pair (custom expression), not hash-set building
     val withSets = documents.select(col("doc_id"), col("source"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    val a = withSets.as("a")
-    val b = withSets.as("b")
+    val oversize = withSets.groupBy(col("source")).count()
+      .filter(col("count") > maxBlockSize)
+      .select(col("source"))
+    val bounded = withSets.join(broadcast(oversize), Seq("source"), "left_anti")
+    val a = bounded.as("a")
+    val b = bounded.as("b")
     a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         HashFunctions.jaccardPresorted(col("a.toks"), col("b.toks")).as("jaccard"))
@@ -81,12 +94,15 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
 
     // Bound degenerate buckets before the self-join (skew guard).
-    val bounded = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    // groupBy-count + broadcast anti-join of the (rare) oversize buckets
+    // instead of a count window: the window forced a per-partition SORT
+    // of the exploded rows with their 64-long signatures riding along;
+    // the aggregate shuffles only partially-aggregated (band, bucket)
+    // pairs and the anti-join is broadcast — no sort anywhere.
+    val oversize = buckets.groupBy(col("band"), col("bucket")).count()
+      .filter(col("count") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val bounded = buckets.join(broadcast(oversize), Seq("band", "bucket"), "left_anti")
 
     val l = bounded.as("l")
     val r = bounded.as("r")
@@ -145,9 +161,48 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH-blocked embedding near-dup pairs — the at-scale form of
+    * [[embeddingCosinePairs]] the way [[lshBlockedJaccardPairs]] is the
+    * scale form of [[ngramJaccardPairs]]: random-hyperplane LSH buckets
+    * propose candidate pairs (shuffle key = bucket, never the pair
+    * space), then the exact cosine reranks them. Precision is exact;
+    * recall is the hyperplane S-curve — tune `planes` down / `tables`
+    * up for lower thresholds (defaults target the fixture's cos≥0.3
+    * regime; production near-dup at cos≥0.9 wants planes≈8).
+    */
+  def lshBlockedCosinePairs(spark: SparkSession, embeddings: DataFrame,
+                            threshold: Double = 0.3, planes: Int = 3,
+                            tables: Int = 12, seed: Long = 137L,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    GraftFunctions.register(spark)
+    val planeSets = Similarity.defaultPlaneSets(planes, tables, 64, seed)
+    val buckets = embeddings
+      .select(col("vec_id"),
+        posexplode(Similarity.lshBucketsFused(col("embedding"), planeSets)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val oversize = buckets.groupBy(col("tbl"), col("bucket")).count()
+      .filter(col("count") > maxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val bounded = buckets.join(broadcast(oversize), Seq("tbl", "bucket"), "left_anti")
+    val l = bounded.as("l")
+    val r = bounded.as("r")
+    val cand = l.join(r,
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.withColumnsRenamed(Map("vec_id" -> "vec_a", "embedding" -> "emb_a")), "vec_a")
+      .join(vecs.withColumnsRenamed(Map("vec_id" -> "vec_b", "embedding" -> "emb_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        GraftFunctions.cosineSim(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the ANN-free
     * exact variant; at scale the blocking key would be an LSH/IVF cell —
-    * see Similarity.annTopK).
+    * see [[lshBlockedCosinePairs]]).
     */
   def embeddingCosinePairs(spark: SparkSession, embeddings: DataFrame,
                            threshold: Double): DataFrame = {

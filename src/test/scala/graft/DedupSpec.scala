@@ -102,6 +102,45 @@ class DedupSpec extends SparkSpec {
     assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram jaccard: degenerate source block over maxBlockSize is dropped") {
+    val rows = (1L to 20L).map(i => (i, s"shared words here plus unique$i", "big")) :+
+      (100L, "tiny block text one", "small") :+
+      (101L, "tiny block text one", "small")
+    val unbounded = Dedup.ngramJaccardPairs(docs(rows: _*), 0.5)
+    val bounded = Dedup.ngramJaccardPairs(docs(rows: _*), 0.5, maxBlockSize = 10)
+    val bPairs = bounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bPairs == Set((100L, 101L)),
+      "only the small block survives the cap")
+    assert(unbounded.collect().length >= bPairs.size)
+  }
+
+  test("LSH-blocked cosine pairs: identical vectors found, recall >= 0.8 on fixture") {
+    // sanity on synthetic vectors (64-dim padded)
+    def v(xs: Float*): Array[Float] = (xs ++ Seq.fill(64 - xs.length)(0.0f)).toArray
+    val tiny = Seq(
+      (1L, v(1.0f, 0.1f), 0), (2L, v(1.0f, 0.1f), 0), (3L, v(-1.0f, 0.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val tinyOut = Dedup.lshBlockedCosinePairs(spark, tiny, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tinyOut == Set((1L, 2L)), "identical vectors must pair; opposite must not")
+
+    // recall vs exact all-pairs at the default threshold on real fixture
+    val emb = Tables.embeddings(spark, sf001)
+    GraftFunctions.register(spark)
+    val a = emb.as("a"); val b = emb.as("b")
+    val exact = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshBlockedCosinePairs(spark, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain pairs above threshold")
+    assert((lsh -- exact).isEmpty, "rerank is exact: no false positives")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH-blocked cosine recall too low: $recall")
+  }
+
   test("skew guard: oversized LSH buckets are dropped, join still completes") {
     // 60 identical docs -> every band bucket has 60 members > maxBucketSize=10
     val many = (1L to 60L).map(i => (i, "same text repeated for everyone here ok", "s"))
