@@ -18,7 +18,11 @@ object GraftFunctions {
     "minhash_sig"   -> (es => MinHashSig(es(0), foldInt(es(1)))),
     "band_hash"     -> (es => BandHash(es(0), foldInt(es(1)), foldInt(es(2)))),
     "minhash_est"   -> (es => MinHashEst(es(0), es(1))),
-    "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))))
+    "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))),
+    "from_avro_graft" -> (es => FromAvroGraft(es(0), foldString(es(1)),
+      es.length > 2 && foldBool(es(2)))),
+    "to_avro_graft" -> (es => ToAvroGraft(es(0), foldString(es(1)),
+      es.length > 2 && foldBool(es(2)))))
 
   /** Extract a constant int argument (the k/bands params are literals). */
   private def foldInt(e: Expression): Int = e.eval() match {
@@ -26,6 +30,18 @@ object GraftFunctions {
     case l: Long => l.toInt
     case other => throw new IllegalArgumentException(
       s"expected a constant int argument, got: $other")
+  }
+
+  private def foldString(e: Expression): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => throw new IllegalArgumentException(
+      s"expected a constant string argument, got: $other")
+  }
+
+  private def foldBool(e: Expression): Boolean = e.eval() match {
+    case b: Boolean => b
+    case other => throw new IllegalArgumentException(
+      s"expected a constant boolean argument, got: $other")
   }
 
   def register(spark: SparkSession): Unit = {
@@ -52,4 +68,10 @@ object GraftFunctions {
   def minhashEst(a: Column, b: Column): Column = call_function("minhash_est", a, b)
   def jaccardSorted(a: Column, b: Column): Column =
     call_function("jaccard_sorted", a, b)
+  def fromAvro(value: Column, schemaJson: String,
+               confluentFraming: Boolean = false): Column =
+    call_function("from_avro_graft", value, lit(schemaJson), lit(confluentFraming))
+  def toAvro(struct: Column, schemaJson: String,
+             confluentFraming: Boolean = false): Column =
+    call_function("to_avro_graft", struct, lit(schemaJson), lit(confluentFraming))
 }

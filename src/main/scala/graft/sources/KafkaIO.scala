@@ -6,42 +6,83 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
 
+import graft.functions.GraftFunctions
+
 /** Kafka wiring for the reference's topics (SURVEY.md §2.1 S1-S4,
   * §2.2 K1-K2). The offline harness has no broker and no
   * spark-sql-kafka connector jar, so these builders are the DEPLOYMENT
   * surface: they compile against the stable `format("kafka")` string
   * API and are exercised in production with the connector on the
-  * classpath. Wire format here is JSON; the reference's Avro+Schema-
-  * Registry serde maps to the spark-avro module's from_avro/to_avro
-  * (same column-level contract) when that jar is deployed
-  * (SURVEY.md §1.1 F1).
+  * classpath.
+  *
+  * Wire format is Avro with Confluent Schema Registry framing — the
+  * reference's GenericAvroSerde layer (dsl/PriceAlertsApp.java:84-85) —
+  * decoded by the custom expressions FromAvroGraft/ToAvroGraft
+  * (functions/AvroExpressions.scala, avro-core only, F1). The schema
+  * JSONs below mirror TestUtils.java:7-22 and
+  * dsl/PriceAlertsApp.java:119-127 field-for-field.
   */
 object KafkaIO {
 
-  /** Purchase payload schema (TestUtils.java:7-13). */
+  /** Purchase Avro schema (TestUtils.java:7-13). */
+  val purchaseAvroSchema: String =
+    """{"type":"record","name":"Purchase","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"quantity","type":"long"},
+      |{"name":"productid","type":"long"}]}""".stripMargin
+
+  /** Product Avro schema (TestUtils.java:15-22). */
+  val productAvroSchema: String =
+    """{"type":"record","name":"Product","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":"string"},
+      |{"name":"description","type":"string"},
+      |{"name":"price","type":"double"}]}""".stripMargin
+
+  /** PriceAlert Avro schema with the timestamp-millis logical type
+    * (dsl/PriceAlertsApp.java:119-127).
+    */
+  val priceAlertAvroSchema: String =
+    """{"type":"record","name":"PriceAlert","fields":[
+      |{"name":"window_start","type":{"type":"long","logicalType":"timestamp-millis"}},
+      |{"name":"total_sum_per_minute","type":"double"}]}""".stripMargin
+
+  /** PurchaseWithProduct Avro schema (dsl/PriceAlertsApp.java:141-148). */
+  val purchaseWithProductAvroSchema: String =
+    """{"type":"record","name":"PurchaseWithProduct","fields":[
+      |{"name":"purchase_id","type":"long"},
+      |{"name":"purchase_quantity","type":"long"},
+      |{"name":"product_id","type":"long"},
+      |{"name":"product_name","type":"string"},
+      |{"name":"product_price","type":"double"}]}""".stripMargin
+
+  /** Purchase payload schema as a Spark StructType (decode target). */
   val purchaseSchema: StructType =
     StructType.fromDDL("id LONG, quantity LONG, productid LONG")
 
-  /** Product payload schema (TestUtils.java:15-22). */
+  /** Product payload schema as a Spark StructType (decode target). */
   val productSchema: StructType =
     StructType.fromDDL("id LONG, name STRING, description STRING, price DOUBLE")
 
-  /** S1/S3 — the purchases stream: subscribe, decode payload, surface
-    * the Kafka record timestamp as the event-time column `ts` (the
-    * reference reads record.timestamp(),
+  /** S1/S3 — the purchases stream: subscribe, decode the Confluent-
+    * framed Avro payload, surface the Kafka record timestamp as the
+    * event-time column `ts` (the reference reads record.timestamp(),
     * PurchaseQuantityAlertTrasformer.java:38).
     */
   def purchasesStream(spark: SparkSession, bootstrap: String,
-                      topic: String = "purchases"): DataFrame =
+                      topic: String = "purchases"): DataFrame = {
+    GraftFunctions.register(spark)
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", "latest")
       .load()
-      .select(from_json(col("value").cast("string"), purchaseSchema).as("p"),
+      .select(GraftFunctions.fromAvro(col("value"), purchaseAvroSchema,
+          confluentFraming = true).as("p"),
         col("timestamp").as("ts"))
       .select(col("p.id").as("id"), col("p.quantity").as("quantity"),
         col("p.productid").as("productid"), col("ts"))
+  }
 
   /** S2/S4 — the products dimension: read the topic as a bounded batch
     * (earliest→latest) and compact to latest-per-key — the GlobalKTable
@@ -50,13 +91,15 @@ object KafkaIO {
     */
   def productsSnapshot(spark: SparkSession, bootstrap: String,
                        topic: String = "products"): DataFrame = {
+    GraftFunctions.register(spark)
     val raw = spark.read.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .load()
       .select(col("key").cast("string").as("k"),
-        from_json(col("value").cast("string"), productSchema).as("v"),
+        GraftFunctions.fromAvro(col("value"), productAvroSchema,
+          confluentFraming = true).as("v"),
         col("timestamp").as("ts"))
     raw.groupBy(col("k"))
       .agg(max_by(struct(col("v.*"), col("ts")), col("ts")).as("latest"))
@@ -65,17 +108,23 @@ object KafkaIO {
   }
 
   /** K1/K2 — the alerts sink: key = product id string (the reference's
-    * output Kafka key, dsl/PriceAlertsApp.java:117,132), value = JSON
-    * alert record.
+    * output Kafka key, dsl/PriceAlertsApp.java:117,132), value =
+    * Confluent-framed Avro PriceAlert record (window_start as
+    * timestamp-millis, dsl/PriceAlertsApp.java:128-131).
     */
   def alertsSink(alerts: DataFrame, bootstrap: String, topic: String,
-                 checkpoint: String): DataStreamWriter[Row] =
+                 checkpoint: String): DataStreamWriter[Row] = {
+    GraftFunctions.register(alerts.sparkSession)
     alerts
       .select(col("product_id").cast("string").as("key"),
-        to_json(struct(col("window_start"), col("total_sum_per_minute")))
+        GraftFunctions.toAvro(
+          struct(col("window_start").cast("timestamp").as("window_start"),
+            col("total_sum_per_minute").cast("double").as("total_sum_per_minute")),
+          priceAlertAvroSchema, confluentFraming = true)
           .as("value"))
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+  }
 }

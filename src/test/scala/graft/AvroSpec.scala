@@ -1,0 +1,133 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+import graft.functions.GraftFunctions
+import graft.sources.KafkaIO
+
+/** F1 — Avro wire-format serde (FromAvroGraft/ToAvroGraft) against the
+  * reference's schemas (TestUtils.java:7-22,
+  * dsl/PriceAlertsApp.java:119-127), cross-checked against the plain
+  * avro library so the bytes are wire-compatible, not just
+  * self-consistent.
+  */
+class AvroSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def avroEncode(schema: Schema, fill: GenericRecord => Unit): Array[Byte] = {
+    val rec = new GenericData.Record(schema)
+    fill(rec)
+    val bos = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(bos, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    bos.toByteArray
+  }
+
+  private def avroDecode(schema: Schema, bytes: Array[Byte], skip: Int = 0): GenericRecord =
+    new GenericDatumReader[GenericRecord](schema).read(null,
+      DecoderFactory.get().binaryDecoder(bytes, skip, bytes.length - skip, null))
+
+  test("Purchase: bytes from the plain avro library decode to the right struct") {
+    GraftFunctions.register(spark)
+    val schema = new Schema.Parser().parse(KafkaIO.purchaseAvroSchema)
+    val bytes = avroEncode(schema, r => {
+      r.put("id", 42L); r.put("quantity", 7L); r.put("productid", 99L)
+    })
+    val row = Seq(Tuple1(bytes)).toDF("value")
+      .select(GraftFunctions.fromAvro(col("value"), KafkaIO.purchaseAvroSchema).as("p"))
+      .select("p.*").head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((42L, 7L, 99L)))
+  }
+
+  test("Product: to_avro bytes are readable by the plain avro library") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, "widget", "a widget", 19.99))
+      .toDF("id", "name", "description", "price")
+    val bytes = df.select(GraftFunctions.toAvro(
+        struct(col("id"), col("name"), col("description"), col("price")),
+        KafkaIO.productAvroSchema).as("value"))
+      .head.getAs[Array[Byte]]("value")
+    val schema = new Schema.Parser().parse(KafkaIO.productAvroSchema)
+    val rec = avroDecode(schema, bytes)
+    assert(rec.get("id") == 1L)
+    assert(rec.get("name").toString == "widget")
+    assert(rec.get("description").toString == "a widget")
+    assert(rec.get("price") == 19.99)
+  }
+
+  test("PurchaseWithProduct round-trips through to_avro -> from_avro") {
+    GraftFunctions.register(spark)
+    val df = Seq((10L, 3L, 5L, "gizmo", 7.5))
+      .toDF("purchase_id", "purchase_quantity", "product_id", "product_name",
+        "product_price")
+    val back = df.select(GraftFunctions.toAvro(
+        struct(df.columns.map(col).toIndexedSeq: _*),
+        KafkaIO.purchaseWithProductAvroSchema).as("value"))
+      .select(GraftFunctions.fromAvro(col("value"),
+        KafkaIO.purchaseWithProductAvroSchema).as("r"))
+      .select("r.*")
+    assert(back.collect().toSeq == df.collect().toSeq)
+  }
+
+  test("PriceAlert: timestamp-millis maps to TimestampType and round-trips") {
+    GraftFunctions.register(spark)
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789")
+    val df = Seq((ts, 3600.5)).toDF("window_start", "total_sum_per_minute")
+    val encoded = df.select(GraftFunctions.toAvro(
+        struct(col("window_start"), col("total_sum_per_minute")),
+        KafkaIO.priceAlertAvroSchema).as("value"))
+    val decodedDf = encoded.select(GraftFunctions.fromAvro(col("value"),
+        KafkaIO.priceAlertAvroSchema).as("r"))
+      .select("r.*")
+    assert(decodedDf.schema("window_start").dataType == TimestampType)
+    val row = decodedDf.head
+    assert(row.getTimestamp(0) == ts)
+    assert(row.getDouble(1) == 3600.5)
+    // the wire value is epoch MILLIS (logical type), not micros
+    val schema = new Schema.Parser().parse(KafkaIO.priceAlertAvroSchema)
+    val rec = avroDecode(schema, encoded.head.getAs[Array[Byte]]("value"))
+    assert(rec.get("window_start") == ts.getTime)
+  }
+
+  test("Confluent framing: magic byte + big-endian schema id + avro body") {
+    GraftFunctions.register(spark)
+    val df = Seq((42L, 7L, 99L)).toDF("id", "quantity", "productid")
+    val bytes = df.select(GraftFunctions.toAvro(
+        struct(col("id"), col("quantity"), col("productid")),
+        KafkaIO.purchaseAvroSchema, confluentFraming = true).as("value"))
+      .head.getAs[Array[Byte]]("value")
+    assert(bytes(0) == 0, "magic byte")
+    assert(bytes.slice(1, 5).toSeq == Seq(0, 0, 0, 1), "schema id 1 big-endian")
+    val schema = new Schema.Parser().parse(KafkaIO.purchaseAvroSchema)
+    assert(avroDecode(schema, bytes, skip = 5).get("id") == 42L)
+    // and the framed decode path strips the header
+    val row = Seq(Tuple1(bytes)).toDF("value")
+      .select(GraftFunctions.fromAvro(col("value"), KafkaIO.purchaseAvroSchema,
+        confluentFraming = true).as("p"))
+      .select("p.*").head
+    assert(row.getLong(0) == 42L)
+  }
+
+  test("nullable [null, T] union fields decode/encode null") {
+    GraftFunctions.register(spark)
+    val schemaJson =
+      """{"type":"record","name":"N","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"note","type":["null","string"]}]}""".stripMargin
+    val df = Seq((1L, Some("hi")), (2L, None)).toDF("id", "note")
+    val back = df.select(GraftFunctions.toAvro(
+        struct(col("id"), col("note")), schemaJson).as("value"))
+      .select(GraftFunctions.fromAvro(col("value"), schemaJson).as("r"))
+      .select("r.*")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(back == Set((1L, Some("hi")), (2L, None)))
+  }
+}
