@@ -58,10 +58,14 @@ object Dedup {
     // merge per pair (custom expression), not hash-set building
     val withSets = documents.select(col("doc_id"), col("source"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    val oversize = withSets.groupBy(col("source")).count()
-      .filter(col("count") > maxBlockSize)
-      .select(col("source"))
-    val bounded = withSets.join(broadcast(oversize), Seq("source"), "left_anti")
+    // window guard (not groupBy+anti-join): the block self-join sorts on
+    // source anyway, ReusedExchange shares the one tokenization pass.
+    val bounded = withSets
+      .withColumn("block_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))))
+      .filter(col("block_n") <= maxBlockSize)
+      .drop("block_n")
     val a = bounded.as("a")
     val b = bounded.as("b")
     a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
@@ -93,16 +97,20 @@ object Dedup {
         posexplode(HashFunctions.bandHashes(col("sig"), bands, rowsPerBand)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
 
-    // Bound degenerate buckets before the self-join (skew guard).
-    // groupBy-count + broadcast anti-join of the (rare) oversize buckets
-    // instead of a count window: the window forced a per-partition SORT
-    // of the exploded rows with their 64-long signatures riding along;
-    // the aggregate shuffles only partially-aggregated (band, bucket)
-    // pairs and the anti-join is broadcast — no sort anywhere.
-    val oversize = buckets.groupBy(col("band"), col("bucket")).count()
-      .filter(col("count") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val bounded = buckets.join(broadcast(oversize), Seq("band", "bucket"), "left_anti")
+    // Bound degenerate buckets before the self-join (skew guard) with a
+    // count WINDOW, not a groupBy-count + anti-join: the self-join is a
+    // sort-merge join on (band, bucket), so the exchange AND the sort
+    // exist anyway and both self-join sides share them via
+    // ReusedExchange — the window rides along for free and the minhash
+    // signatures are computed exactly once. The anti-join variant
+    // recomputes the whole shingle→minhash lineage for its counts
+    // branch and measured 2.5× slower at sf0.1 (13 s vs 5 s).
+    val bounded = buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
 
     val l = bounded.as("l")
     val r = bounded.as("r")
@@ -180,10 +188,13 @@ object Dedup {
       .select(col("vec_id"),
         posexplode(Similarity.lshBucketsFused(col("embedding"), planeSets)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
-    val oversize = buckets.groupBy(col("tbl"), col("bucket")).count()
-      .filter(col("count") > maxBucketSize)
-      .select(col("tbl"), col("bucket"))
-    val bounded = buckets.join(broadcast(oversize), Seq("tbl", "bucket"), "left_anti")
+    // window guard — same ReusedExchange rationale as minhashLshPairs
+    val bounded = buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val l = bounded.as("l")
     val r = bounded.as("r")
     val cand = l.join(r,
