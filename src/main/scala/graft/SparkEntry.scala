@@ -357,6 +357,60 @@ object SparkEntry {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // PII scrubbing: per-doc match counts + fingerprint of the redacted
+    // text — the corpus-sanitization step of a training-data pipeline.
+    "q38_pii_redaction" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          piiCount(col("text"), emailRe).cast("long").as("n_emails"),
+          piiCount(col("text"), phoneRe).cast("long").as("n_phones"),
+          piiCount(col("text"), ipRe).cast("long").as("n_ips"),
+          md5(redactPii(col("text"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-vector stats over the embedding column (sequential-fold l2 /
+    // mean via `aggregate`, array_min/max) — the vector-hygiene check
+    // (zero/degenerate embedding detection) of an embedding pipeline.
+    "q39_vector_stats" -> ((s, dir) => {
+      val e = col("embedding")
+      val sq = aggregate(e, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val sm = aggregate(e, lit(0.0), (acc, x) => acc + x.cast("double"))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          r4(sqrt(sq)).as("l2_norm"),
+          r4(sm / size(e)).as("vmean"),
+          r4(array_min(e).cast("double")).as("vmin"),
+          r4(array_max(e).cast("double")).as("vmax"))
+        .orderBy("vec_id")
+    }),
+
+    // Keyed interval join: each click matched to ALL of the user's
+    // purchases in the preceding day (the bounded-range sibling
+    // of the as-of join q26 — equi-key + range predicate, so the pair
+    // space is per-user-window, never the cross product).
+    "q40_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value"))
+      clicks.join(purchases, Seq("user_id"))
+        .filter(col("purchase_ts") <= col("click_ts") &&
+          col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 DAY"))
+        .select(col("click_id"), col("user_id"),
+          tsStr(col("click_ts")).as("click_ts"),
+          col("purchase_id"),
+          tsStr(col("purchase_ts")).as("purchase_ts"),
+          r2(col("value")).as("value"))
+        .orderBy("click_id", "user_id", "click_ts", "purchase_id",
+          "purchase_ts", "value")
+    }),
+
     // CUBE grouping sets (all four grouping combinations).
     "q34_cube" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -558,6 +612,48 @@ object SparkEntry {
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,
         dim = 64, seed = 137L)),
+
+    "q38_pii_redaction" -> {
+      // SQL single-quoted strings keep backslashes literally, so the
+      // Scala regex values drop straight in.
+      val email = graft.functions.TextFunctions.emailRe
+      val phone = graft.functions.TextFunctions.phoneRe
+      val ip = graft.functions.TextFunctions.ipRe
+      s"""SELECT doc_id,
+        |       len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
+        |       len(regexp_extract_all(text, '$phone'))::BIGINT AS n_phones,
+        |       len(regexp_extract_all(text, '$ip'))::BIGINT AS n_ips,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |             '$email', '<EMAIL>', 'g'),
+        |             '$ip', '<IP>', 'g'),
+        |             '$phone', '<PHONE>', 'g')) AS redacted_md5
+        |FROM documents
+        |ORDER BY 1""".stripMargin
+    },
+
+    "q39_vector_stats" ->
+      """SELECT vec_id,
+        |       floor(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |           x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) * 10000 + 0.5) / 10000 AS l2_norm,
+        |       floor((list_reduce(list_prepend(0.0, list_transform(embedding,
+        |           x -> x::DOUBLE)), (a, b) -> a + b) / len(embedding)) * 10000 + 0.5) / 10000 AS vmean,
+        |       floor(list_min(embedding)::DOUBLE * 10000 + 0.5) / 10000 AS vmin,
+        |       floor(list_max(embedding)::DOUBLE * 10000 + 0.5) / 10000 AS vmax
+        |FROM embeddings
+        |ORDER BY 1""".stripMargin,
+
+    "q40_interval_join" ->
+      """SELECT c.event_id AS click_id,
+        |       c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       p.event_id AS purchase_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       floor(p.value * 100 + 0.5) / 100 AS value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 DAY
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
 
     "q19_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -81,6 +81,28 @@ object TextFunctions {
     pick
   }
 
+  /** PII patterns for corpus scrubbing — deliberately simple so the
+    * semantics are identical under Java regex (Spark) and RE2 (DuckDB
+    * oracle): no backreferences, no lookaround.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?\\d[\\d -]{7,}\\d"
+  val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of PII matches of one pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact PII in-place: emails, then IPs, then phone numbers (IPs
+    * before phones so the dot-separated octets aren't half-eaten by the
+    * digits-and-separators phone pattern).
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailRe, "<EMAIL>")
+    val i = regexp_replace(e, ipRe, "<IP>")
+    regexp_replace(i, phoneRe, "<PHONE>")
+  }
+
   /** Canonical normalization for fingerprinting: lowercase, collapse
     * whitespace runs, trim.
     */

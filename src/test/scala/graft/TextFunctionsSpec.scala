@@ -76,4 +76,23 @@ class TextFunctionsSpec extends SparkSpec {
     val b = spark.sql("SELECT simhash64(array('a','b','c'))").head.getLong(0)
     assert(a == b)
   }
+
+  test("PII redaction: emails, phones, IPs counted and replaced") {
+    val df = Seq(
+      (1L, "write to alice.smith+test@example.co.uk for details"),
+      (2L, "call +1 555 123 4567 or 8 800 2000 600 now"),
+      (3L, "server at 192.168.0.12 timed out"),
+      (4L, "no sensitive content here at all")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextFunctions.piiCount(col("text"), TextFunctions.emailRe).as("e"),
+        TextFunctions.piiCount(col("text"), TextFunctions.phoneRe).as("p"),
+        TextFunctions.piiCount(col("text"), TextFunctions.ipRe).as("i"),
+        TextFunctions.redactPii(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._4 == "write to <EMAIL> for details")
+    assert(out(2L)._2 == 2 && out(2L)._4 == "call <PHONE> or <PHONE> now")
+    assert(out(3L)._3 == 1 && out(3L)._4 == "server at <IP> timed out")
+    assert(out(4L) == ((0, 0, 0, "no sensitive content here at all")))
+  }
 }
