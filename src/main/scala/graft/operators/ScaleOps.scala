@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale join patterns: co-located bucketed joins (pre-shuffled
+  * storage, zero exchange at query time) and salted joins (hot-key
+  * skew dilution). Both are storage/plan techniques rather than new
+  * operators — surfaced as helpers so pipelines at 100 TB use them
+  * uniformly, and plan-asserted in ScaleOpsSpec.
+  */
+object ScaleOps {
+
+  /** Prepare a bucketed+sorted writer: both fact tables written with the
+    * same bucket count/column join WITHOUT any exchange or sort — the
+    * shuffle is paid once at write time and amortized over every
+    * subsequent join/aggregation on that key (the Spark analogue of a
+    * co-partitioned Kafka Streams topic pair).
+    */
+  def bucketedWriter(df: DataFrame, buckets: Int,
+                     bucketCol: String): DataFrameWriter[Row] =
+    df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+
+  /** Inner equi-join with the big side's hot keys diluted over `salt`
+    * sub-keys: the big side gets a deterministic per-row salt, the
+    * small side is replicated `salt` times, and the join key becomes
+    * (key, salt) — a single hot key now lands on `salt` reducers
+    * instead of one. Semantically identical to `big.join(small, key)`
+    * (inner); use when AQE skew splitting isn't enough (e.g. one key is
+    * most of the input). The salt is derived from the row content
+    * (xxhash64 over all columns), so the result is reshuffle-stable.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleOps
+
+/** Plan-level evidence for the cluster-scale join patterns: bucketed
+  * joins must not shuffle at query time; salted joins must be
+  * semantically identical to the plain join while splitting hot keys.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed-bucketed join plans with no shuffle exchange") {
+    val facts = (1L to 1000L).map(i => (i % 50, i, i * 2.0))
+      .toDF("k", "id", "v")
+    val dims = (0L until 50L).map(i => (i, s"name$i")).toDF("k", "name")
+    ScaleOps.bucketedWriter(facts, 8, "k").mode("overwrite").saveAsTable("b_facts")
+    ScaleOps.bucketedWriter(dims, 8, "k").mode("overwrite").saveAsTable("b_dims")
+    // disable broadcast so the join would normally shuffle both sides
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000L)
+    }
+    spark.sql("DROP TABLE IF EXISTS b_facts")
+    spark.sql("DROP TABLE IF EXISTS b_dims")
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    // 90% of the big side is one hot key
+    val big = ((1L to 900L).map(i => (7L, i)) ++ (1L to 100L).map(i => (i % 20, 1000 + i)))
+      .toDF("k", "payload")
+    val small = (0L until 25L).map(i => (i, s"dim$i")).toDF("k", "attr")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "payload", "attr").collect().map(_.toString).sorted
+    val salted = ScaleOps.saltedJoin(big, small, "k", salt = 8)
+      .select("k", "payload", "attr").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+    // and the hot key is actually spread over several salt values
+    val saltSpread = big.withColumn("__salt",
+        pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(8)).cast("int"))
+      .filter(col("k") === 7L)
+      .select(countDistinct(col("__salt"))).head.getLong(0)
+    assert(saltSpread >= 4, s"hot key only spread over $saltSpread salt values")
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
