@@ -116,6 +116,35 @@ class AvroSpec extends SparkSpec {
     assert(row.getLong(0) == 42L)
   }
 
+  test("property: random records round-trip across all primitive types") {
+    GraftFunctions.register(spark)
+    val schemaJson =
+      """{"type":"record","name":"P","fields":[
+        |{"name":"b","type":"boolean"},{"name":"i","type":"int"},
+        |{"name":"l","type":"long"},{"name":"f","type":"float"},
+        |{"name":"d","type":"double"},{"name":"s","type":"string"},
+        |{"name":"y","type":"bytes"}]}""".stripMargin
+    val rng = new scala.util.Random(12345)
+    val rows = (1 to 100).map { _ =>
+      (rng.nextBoolean(), rng.nextInt(), rng.nextLong(), rng.nextFloat(),
+        rng.nextDouble(),
+        // include non-ASCII + empty strings
+        if (rng.nextBoolean()) rng.alphanumeric.take(rng.nextInt(20)).mkString
+        else "üñïçødé-" + rng.nextInt(100),
+        Array.fill(rng.nextInt(16))(rng.nextInt().toByte))
+    }
+    val df = rows.toDF("b", "i", "l", "f", "d", "s", "y")
+    val back = df.select(GraftFunctions.toAvro(
+        struct(df.columns.map(col).toIndexedSeq: _*), schemaJson).as("v"))
+      .select(GraftFunctions.fromAvro(col("v"), schemaJson).as("r"))
+      .select("r.*")
+      .collect().map(r => (r.getBoolean(0), r.getInt(1), r.getLong(2),
+        r.getFloat(3), r.getDouble(4), r.getString(5),
+        r.getAs[Array[Byte]](6).toSeq))
+    val expect = rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7.toSeq))
+    assert(back.toSeq == expect)
+  }
+
   test("nullable [null, T] union fields decode/encode null") {
     GraftFunctions.register(spark)
     val schemaJson =
