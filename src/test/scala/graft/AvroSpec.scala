@@ -145,6 +145,70 @@ class AvroSpec extends SparkSpec {
     assert(back.toSeq == expect)
   }
 
+  test("end-to-end wire path: framed Avro in -> stream join+window+filter -> framed Avro out") {
+    // The reference's full Kafka path (S1 -> J1 -> A1 -> P2 -> K1) with
+    // real Confluent-framed Avro bytes on both ends; only the broker is
+    // replaced (MemoryStream / memory sink). Golden scenario: 6
+    // purchases x qty 2 x price 300 in minute 02:00 => alert 3600.0.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    GraftFunctions.register(spark)
+    val t0230 = java.sql.Timestamp.valueOf("2024-01-01 02:00:30")
+    val w0200 = java.sql.Timestamp.valueOf("2024-01-01 02:00:00")
+
+    def framed(bytes: Array[Byte]): Array[Byte] =
+      Array[Byte](0, 0, 0, 0, 1) ++ bytes
+    val purchaseSchema = new Schema.Parser().parse(KafkaIO.purchaseAvroSchema)
+    val productSchema = new Schema.Parser().parse(KafkaIO.productAvroSchema)
+
+    val purchaseBytes = (1L to 6L).map { i =>
+      (framed(avroEncode(purchaseSchema, r => {
+        r.put("id", i); r.put("quantity", 2L); r.put("productid", 1L)
+      })), t0230)
+    }
+    val productBytes = Seq(framed(avroEncode(productSchema, r => {
+      r.put("id", 1L); r.put("name", "widget"); r.put("description", "d")
+      r.put("price", 300.0)
+    })))
+
+    val products = productBytes.map(Tuple1(_)).toDF("value")
+      .select(GraftFunctions.fromAvro(col("value"), KafkaIO.productAvroSchema,
+        confluentFraming = true).as("v"))
+      .select("v.*")
+
+    val in = MemoryStream[(Array[Byte], java.sql.Timestamp)]
+    val purchases = in.toDF().toDF("value", "ts")
+      .select(GraftFunctions.fromAvro(col("value"), KafkaIO.purchaseAvroSchema,
+        confluentFraming = true).as("p"), col("ts"))
+      .select(col("p.id").as("id"), col("p.quantity").as("quantity"),
+        col("p.productid").as("productid"), col("ts"))
+
+    val alerts = graft.streaming.PriceAlertsStream
+      .dslAlertsUpdate(purchases, products, threshold = 300.0)
+    val wire = alerts.select(col("product_id").as("key"),
+      GraftFunctions.toAvro(
+        struct(col("window_start"), col("total_sum_per_minute")),
+        KafkaIO.priceAlertAvroSchema, confluentFraming = true).as("value"))
+
+    val q = wire.writeStream.format("memory").queryName("avro_wire_out")
+      .outputMode("update").start()
+    try {
+      in.addData(purchaseBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("avro_wire_out").collect()
+    assert(out.nonEmpty, "alert must reach the sink")
+    val last = out.last
+    assert(last.getAs[String]("key") == "1")
+    val valueBytes = last.getAs[Array[Byte]]("value")
+    assert(valueBytes(0) == 0, "framed output")
+    val alertSchema = new Schema.Parser().parse(KafkaIO.priceAlertAvroSchema)
+    val rec = avroDecode(alertSchema, valueBytes, skip = 5)
+    assert(rec.get("window_start") == w0200.getTime, "timestamp-millis on the wire")
+    assert(rec.get("total_sum_per_minute") == 3600.0)
+  }
+
   test("nullable [null, T] union fields decode/encode null") {
     GraftFunctions.register(spark)
     val schemaJson =
