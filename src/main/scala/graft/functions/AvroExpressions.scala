@@ -89,6 +89,19 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
     InternalRow.fromSeq(out.toSeq)
   }
 
+  /** Permissive decode: malformed records become NULL instead of
+    * failing the task — at corpus scale some corrupt records are a
+    * certainty, and one poison message must not kill the stream.
+    * (The FAILFAST counterpart is [[decode]].)
+    */
+  def decodeOrNull(bytes: Array[Byte]): InternalRow =
+    try decode(bytes) catch {
+      case _: java.io.IOException => null
+      case _: org.apache.avro.AvroRuntimeException => null
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: java.nio.BufferUnderflowException => null
+    }
+
   private def fromAvroValue(v: AnyRef, fs: Schema): Any = v match {
     case null => null
     case u: Utf8 => UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
@@ -138,21 +151,34 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
   }
 }
 
-/** `from_avro_graft(binary)` — decode Avro binary into a struct. */
+/** `from_avro_graft(binary)` — decode Avro binary into a struct.
+  * `permissive = true` yields NULL for malformed records instead of
+  * failing the task (spark-avro's PERMISSIVE vs FAILFAST modes).
+  */
 case class FromAvroGraft(child: Expression, schemaJson: String,
-                         confluentFraming: Boolean = false)
+                         confluentFraming: Boolean = false,
+                         permissive: Boolean = false)
     extends UnaryExpression {
   @transient private lazy val conv =
     new AvroStructConverter(schemaJson, confluentFraming, 0)
   override def dataType: DataType =
     new AvroStructConverter(schemaJson, confluentFraming, 0).structType
+  override def nullable: Boolean = permissive || super.nullable
   override protected def nullSafeEval(input: Any): Any =
-    conv.decode(input.asInstanceOf[Array[Byte]])
+    if (permissive) conv.decodeOrNull(input.asInstanceOf[Array[Byte]])
+    else conv.decode(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("avroConv",
       new AvroStructConverter(schemaJson, confluentFraming, 0),
       classOf[AvroStructConverter].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.decode($c)")
+    if (permissive) {
+      // decodeOrNull can return null → set the null flag from the result
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $ref.decodeOrNull($c);
+        ${ev.isNull} = (${ev.value} == null);""")
+    } else {
+      defineCodeGen(ctx, ev, c => s"$ref.decode($c)")
+    }
   }
   override protected def withNewChildInternal(c: Expression): FromAvroGraft =
     copy(child = c)

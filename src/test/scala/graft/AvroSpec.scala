@@ -209,6 +209,34 @@ class AvroSpec extends SparkSpec {
     assert(rec.get("total_sum_per_minute") == 3600.0)
   }
 
+  test("permissive decode: corrupt bytes become NULL, valid rows survive") {
+    GraftFunctions.register(spark)
+    val schema = new Schema.Parser().parse(KafkaIO.purchaseAvroSchema)
+    val good = avroEncode(schema, r => {
+      r.put("id", 1L); r.put("quantity", 2L); r.put("productid", 3L)
+    })
+    val corrupt = Array[Byte](-1, -2, -3) // truncated varint garbage
+    val df = Seq(Tuple1(good), Tuple1(corrupt)).toDF("value")
+    // FAILFAST default throws on the corrupt record (raw IO error in
+    // local mode; wrapped in SparkException on a cluster)
+    intercept[Exception] {
+      df.select(GraftFunctions.fromAvro(col("value"),
+        KafkaIO.purchaseAvroSchema).as("p")).collect()
+    }
+    // permissive mode nulls it and keeps the good row
+    import org.apache.spark.sql.classic.GraftPlanBridge
+    val permissive = df.select(GraftPlanBridge.column(
+      graft.functions.FromAvroGraft(
+        GraftPlanBridge.expression(col("value")),
+        KafkaIO.purchaseAvroSchema, confluentFraming = false,
+        permissive = true)).as("p"))
+    val rows = permissive.collect()
+    assert(rows.length == 2)
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.filterNot(_.isNullAt(0))
+      .head.getStruct(0).getLong(0) == 1L)
+  }
+
   test("nullable [null, T] union fields decode/encode null") {
     GraftFunctions.register(spark)
     val schemaJson =
