@@ -411,6 +411,26 @@ object SparkEntry {
           "purchase_ts", "value")
     }),
 
+    // Benchmark decontamination: corpus docs sharing any word 4-gram
+    // with the "benchmark" set (first 5 docs) — the train/test-overlap
+    // sweep of a training-data pipeline (production uses n=8..13; n=4
+    // here so the synthetic fixture shows hits).
+    "q41_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contamination(docs.filter(col("doc_id") >= 5),
+          docs.filter(col("doc_id") < 5), n = 4)
+        .orderBy("doc_id", "n_overlapping")
+    }),
+
+    // Intra-document repetition (Gopher-style quality signal): distinct
+    // vs total 3-gram counts per document.
+    "q42_repetition" -> ((s, dir) => {
+      TextAnalysis.repetition(Tables.documents(s, dir), n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          r4(col("distinct_ratio")).as("distinct_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // CUBE grouping sets (all four grouping combinations).
     "q34_cube" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -640,6 +660,37 @@ object SparkEntry {
         |       floor(list_min(embedding)::DOUBLE * 10000 + 0.5) / 10000 AS vmin,
         |       floor(list_max(embedding)::DOUBLE * 10000 + 0.5) / 10000 AS vmax
         |FROM embeddings
+        |ORDER BY 1""".stripMargin,
+
+    "q41_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)-2),
+        |                 i -> array_to_string(t[i:i+3], ' '))) AS g
+        |  FROM toks WHERE len(t) >= 4),
+        |test AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_overlapping
+        |FROM grams c JOIN test USING (g)
+        |WHERE c.doc_id >= 5
+        |GROUP BY 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q42_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 3
+        |              THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+        |              ELSE [] END AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> length(x) > 0) AS t
+        |        FROM documents))
+        |SELECT doc_id,
+        |       len(grams)::BIGINT AS n_grams,
+        |       len(list_distinct(grams))::BIGINT AS n_distinct,
+        |       floor((len(list_distinct(grams))::DOUBLE
+        |              / greatest(len(grams)::DOUBLE, 1.0)) * 10000 + 0.5) / 10000 AS distinct_ratio
+        |FROM g
         |ORDER BY 1""".stripMargin,
 
     "q40_interval_join" ->

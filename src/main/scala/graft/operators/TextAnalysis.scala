@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, TextFunctions}
+import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
 
 /** Document-level text analysis for the training-data pipeline:
   * quality metrics, language ID, fingerprints. Pure per-row projections
@@ -44,5 +44,38 @@ object TextAnalysis {
       col("doc_id"),
       TextFunctions.fingerprintMd5(col("text")).as("fp_md5"),
       TextFunctions.fingerprintRolling(col("text")).as("fp_rolling"))
+  }
+
+  /** Benchmark decontamination: corpus documents sharing any word
+    * n-gram with the benchmark/test set, with the count of distinct
+    * overlapping n-grams. The benchmark side is tiny (a test set), so
+    * its distinct n-grams BROADCAST and the corpus side never shuffles
+    * — the standard train/test-overlap sweep (n=8..13 in production;
+    * the fixture query uses n=4 so the synthetic corpus shows hits).
+    */
+  def contamination(documents: DataFrame, benchmark: DataFrame,
+                    n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(HashFunctions.wordShingles(
+        TextFunctions.wsTokens(col("text")), n)).as("g"))
+    val benchGrams = grams(benchmark).select(col("g")).distinct()
+    grams(documents)
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_overlapping"))
+  }
+
+  /** Intra-document repetition (Gopher-style quality signal): total vs
+    * distinct word n-gram counts and the distinct ratio — low ratios
+    * flag boilerplate/spam. Pure per-row, scan speed.
+    */
+  def repetition(documents: DataFrame, n: Int = 3): DataFrame = {
+    val grams = HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), n)
+    documents.select(
+      col("doc_id"),
+      size(grams).cast("long").as("n_grams"),
+      size(array_distinct(grams)).cast("long").as("n_distinct"),
+      (size(array_distinct(grams)).cast("double") /
+        greatest(size(grams).cast("double"), lit(1.0))).as("distinct_ratio"))
   }
 }
