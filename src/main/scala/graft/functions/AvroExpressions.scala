@@ -29,10 +29,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * schema id + Avro binary body.
   */
 class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
-                          val schemaId: Int) extends Serializable {
+                          val schemaId: Int,
+                          val readerSchemaJson: Option[String] = None)
+    extends Serializable {
 
-  @transient private lazy val schema: Schema = new Schema.Parser().parse(schemaJson)
-  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+  /** Writer schema — what the bytes were encoded with. */
+  @transient private lazy val writerSchema: Schema =
+    new Schema.Parser().parse(schemaJson)
+  /** Reader schema — possibly a pruned subset of the writer's fields
+    * (Avro schema resolution skips non-reader fields during decode,
+    * which is cheaper than materializing them).
+    */
+  @transient private lazy val schema: Schema =
+    readerSchemaJson.map(new Schema.Parser().parse(_)).getOrElse(writerSchema)
+  @transient private lazy val reader =
+    new GenericDatumReader[GenericRecord](writerSchema, schema)
   @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
   @transient private lazy val decoderFactory = DecoderFactory.get()
   @transient private lazy val encoderFactory = EncoderFactory.get()
@@ -61,9 +72,10 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
     case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
   }
 
-  /** The Spark struct type this schema decodes to. */
+  /** The Spark struct type this converter decodes to (reader schema). */
   lazy val structType: StructType = {
-    val parsed = new Schema.Parser().parse(schemaJson) // dataType runs on the driver too
+    // dataType runs on the driver too, so parse fresh (non-transient path)
+    val parsed = new Schema.Parser().parse(readerSchemaJson.getOrElse(schemaJson))
     StructType(parsed.getFields.toArray.map { f0 =>
       val f = f0.asInstanceOf[Schema.Field]
       val (s, nullable) = unwrap(f.schema())
@@ -154,22 +166,26 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
 /** `from_avro_graft(binary)` — decode Avro binary into a struct.
   * `permissive = true` yields NULL for malformed records instead of
   * failing the task (spark-avro's PERMISSIVE vs FAILFAST modes).
+  * `readerSchemaJson`, when set, is a pruned subset of the writer
+  * schema — installed by the PruneAvroFields optimizer rule when the
+  * query only extracts some fields.
   */
 case class FromAvroGraft(child: Expression, schemaJson: String,
                          confluentFraming: Boolean = false,
-                         permissive: Boolean = false)
+                         permissive: Boolean = false,
+                         readerSchemaJson: Option[String] = None)
     extends UnaryExpression {
   @transient private lazy val conv =
-    new AvroStructConverter(schemaJson, confluentFraming, 0)
+    new AvroStructConverter(schemaJson, confluentFraming, 0, readerSchemaJson)
   override def dataType: DataType =
-    new AvroStructConverter(schemaJson, confluentFraming, 0).structType
+    new AvroStructConverter(schemaJson, confluentFraming, 0, readerSchemaJson).structType
   override def nullable: Boolean = permissive || super.nullable
   override protected def nullSafeEval(input: Any): Any =
     if (permissive) conv.decodeOrNull(input.asInstanceOf[Array[Byte]])
     else conv.decode(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("avroConv",
-      new AvroStructConverter(schemaJson, confluentFraming, 0),
+      new AvroStructConverter(schemaJson, confluentFraming, 0, readerSchemaJson),
       classOf[AvroStructConverter].getName)
     if (permissive) {
       // decodeOrNull can return null → set the null flag from the result

@@ -126,11 +126,14 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 
 /** Registers the strategy:
   * `spark.sql.extensions=graft.plans.GraftPlanExtensions` or
-  * `.withExtensions(new GraftPlanExtensions)`.
+  * `.withExtensions(new GraftPlanExtensions)`. Also injects the
+  * PruneAvroFields optimizer rule (serde-boundary schema pruning).
   */
 class GraftPlanExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => PruneAvroFields)
+  }
 }
 
 /** DataFrame-level API over the physical as-of join. */

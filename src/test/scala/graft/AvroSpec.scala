@@ -237,6 +237,43 @@ class AvroSpec extends SparkSpec {
       .head.getStruct(0).getLong(0) == 1L)
   }
 
+  test("PruneAvroFields: single-field extraction decodes with a pruned reader schema") {
+    GraftFunctions.register(spark)
+    import graft.plans.PruneAvroFields
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ PruneAvroFields
+    try {
+      val schema = new Schema.Parser().parse(KafkaIO.productAvroSchema)
+      val bytes = (1 to 5).map { i =>
+        Tuple1(avroEncode(schema, r => {
+          r.put("id", i.toLong); r.put("name", s"n$i")
+          r.put("description", "long description " * 20); r.put("price", i * 1.5)
+        }))
+      }
+      // a real (non-LocalRelation) source, else ConvertToLocalRelation
+      // constant-folds the whole projection before the rule can fire
+      val dir = java.nio.file.Files.createTempDirectory("graft_avro_prune").toString
+      bytes.toDF("value").write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+        .select(GraftFunctions.fromAvro(col("value"), KafkaIO.productAvroSchema).as("p"))
+        .select(col("p.id").as("id"), col("p.price").as("price"))
+      // the optimized plan must carry a pruned reader schema (2 of 4 fields)
+      val pruned = df.queryExecution.optimizedPlan.collect {
+        case plan => plan.expressions.flatMap(_.collect {
+          case f: graft.functions.FromAvroGraft if f.readerSchemaJson.isDefined => f
+        })
+      }.flatten
+      assert(pruned.nonEmpty, "rule must install a reader schema")
+      val reader = new Schema.Parser().parse(pruned.head.readerSchemaJson.get)
+      assert(reader.getFields.size == 2)
+      assert(reader.getFields.get(0).name == "id")
+      assert(reader.getFields.get(1).name == "price")
+      // and values are identical to the unpruned decode
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == (1 to 5).map(i => (i.toLong, i * 1.5)).toSet)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("nullable [null, T] union fields decode/encode null") {
     GraftFunctions.register(spark)
     val schemaJson =
