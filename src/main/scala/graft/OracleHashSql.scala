@@ -115,10 +115,17 @@ bounded AS (
     SELECT doc_id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS n
     FROM buckets)
   WHERE n <= 1000),
+firstshared AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, min(l.band) AS fb
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  GROUP BY 1, 2),
 cand AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bounded l JOIN bounded r
-    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  JOIN firstshared fs
+    ON fs.doc_a = l.doc_id AND fs.doc_b = r.doc_id AND fs.fb = l.band),
 est AS (
   SELECT doc_a, doc_b,
          len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::DOUBLE / 64.0 AS e
@@ -322,10 +329,17 @@ bounded AS (
     SELECT vec_id, tbl, bucket, count(*) OVER (PARTITION BY tbl, bucket) AS n
     FROM bucks)
   WHERE n <= 1000),
+firstshared AS (
+  SELECT l.vec_id AS va, r.vec_id AS vb, min(l.tbl) AS ft
+  FROM bucks l JOIN bucks r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+  GROUP BY 1, 2),
 cand AS (
-  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
   FROM bounded l JOIN bounded r
-    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+  JOIN firstshared fs
+    ON fs.va = l.vec_id AND fs.vb = r.vec_id AND fs.ft = l.tbl),
 scored AS (
   SELECT vec_a, vec_b,
          list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),

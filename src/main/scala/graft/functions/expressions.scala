@@ -136,6 +136,25 @@ object HashImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Index of the FIRST band whose band-hash matches between two
+    * signatures, or -1. Used to emit each LSH candidate pair exactly
+    * once (from its first shared band) instead of deduplicating pair
+    * duplicates with a shuffle: `l.band === first_shared_band(l, r)` is
+    * a per-row filter, so the post-join `distinct()` exchange
+    * disappears entirely.
+    */
+  def firstSharedBand(a: ArrayData, b: ArrayData, bands: Int,
+                      rowsPerBand: Int): Int = {
+    val ha = bandHash(a, bands, rowsPerBand)
+    val hb = bandHash(b, bands, rowsPerBand)
+    var i = 0
+    while (i < bands) {
+      if (ha.getLong(i) == hb.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Fraction of equal components between two equal-length signatures. */
   def minhashEstimate(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -260,6 +279,23 @@ case class BandHash(child: Expression, bands: Int, rowsPerBand: Int)
       c => s"graft.functions.HashImpl.bandHash($c, $bands, $rowsPerBand)")
   override protected def withNewChildInternal(c: Expression): BandHash =
     copy(child = c)
+}
+
+/** `first_shared_band(sigA, sigB)` — index of the first band whose
+  * band-hash matches, or -1 (single-emission LSH pair filter).
+  */
+case class FirstSharedBand(left: Expression, right: Expression,
+                           bands: Int, rowsPerBand: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.firstSharedBand(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashImpl.firstSharedBand($a, $b, $bands, $rowsPerBand)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstSharedBand =
+    copy(l, r)
 }
 
 /** `minhash_est(array<long>, array<long>)` — signature-overlap estimate. */

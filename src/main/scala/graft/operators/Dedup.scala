@@ -114,13 +114,21 @@ object Dedup {
 
     val l = bounded.as("l")
     val r = bounded.as("r")
+    // Single-emission: a pair sharing k bands would appear k times and
+    // need a distinct() SHUFFLE; instead each pair is emitted only from
+    // its FIRST shared band (recomputed per-row from the signatures —
+    // cheap codegen, no exchange). Contract note: if that first shared
+    // band sat in a guard-dropped bucket the pair is dropped — the skew
+    // guard already sacrifices degenerate buckets by design, and the
+    // oracle mirrors this exact semantics.
     l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
+      .filter(col("l.band") ===
+        GraftFunctions.firstSharedBand(col("l.sig"), col("r.sig"), bands, rowsPerBand))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         HashFunctions.minhashJaccardEstimate(col("l.sig"), col("r.sig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= estimateThreshold)
-      .distinct()
   }
 
   /** LSH-blocked EXACT jaccard: MinHash+LSH proposes candidate pairs
@@ -160,13 +168,23 @@ object Dedup {
         col("bh.bucket").as("bucket"))
     val l = buckets.as("l")
     val r = buckets.as("r")
+    // Single-emission via first shared chunk (no skew guard here, so
+    // this is EXACTLY equivalent to the distinct() it replaces — minus
+    // the shuffle): chunk b matches iff bits [16b, 16b+16) of the xor
+    // are zero; emit only from the smallest matching chunk.
+    val x = col("l.sh").bitwiseXOR(col("r.sh"))
+    def chunkEq(b: Int) =
+      shiftrightunsigned(x, b * 16).bitwiseAND(lit(0xffffL)) === 0L
+    val firstChunk = (0 until 4).foldRight(lit(-1)) { (b, acc) =>
+      when(chunkEq(b), lit(b)).otherwise(acc)
+    }
     l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
+      .filter(col("l.band") === firstChunk)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         HashFunctions.hamming64(col("l.sh"), col("r.sh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** LSH-blocked embedding near-dup pairs — the at-scale form of
@@ -186,7 +204,8 @@ object Dedup {
     val planeSets = Similarity.defaultPlaneSets(planes, tables, 64, seed)
     val buckets = embeddings
       .select(col("vec_id"),
-        posexplode(Similarity.lshBucketsFused(col("embedding"), planeSets)))
+        Similarity.lshBucketsFused(col("embedding"), planeSets).as("bks"))
+      .select(col("vec_id"), col("bks"), posexplode(col("bks")))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
     // window guard — same ReusedExchange rationale as minhashLshPairs
     val bounded = buckets
@@ -197,11 +216,16 @@ object Dedup {
       .drop("bucket_n")
     val l = bounded.as("l")
     val r = bounded.as("r")
+    // single-emission: each pair only from its first shared table (the
+    // bucket arrays ride along), replacing a distinct() shuffle with a
+    // per-row filter — same contract as minhashLshPairs
     val cand = l.join(r,
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
+      .filter(col("l.tbl") ===
+        (array_position(zip_with(col("l.bks"), col("r.bks"), (a, b) => a === b),
+          true) - 1).cast("int"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
-      .distinct()
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
     cand
       .join(vecs.withColumnsRenamed(Map("vec_id" -> "vec_a", "embedding" -> "emb_a")), "vec_a")
