@@ -20,7 +20,9 @@ import graft.streaming.PriceAlertsStream
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val rate = if (args.length > 0) args(0).toInt else 2000000
+    // default offered rate sits ABOVE the pipeline's ~17M rows/s
+    // ceiling so the no-arg run measures the engine, not the source
+    val rate = if (args.length > 0) args(0).toInt else 20000000
     val runSecs = if (args.length > 1) args(1).toInt else 30
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
