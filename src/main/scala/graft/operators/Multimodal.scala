@@ -102,6 +102,36 @@ object Multimodal {
     }
   }
 
+  /** A resized media payload (STUB resampler — see [[resize]]). */
+  case class ResizedMedia(media_id: Long, kind: String, target_w: Int,
+                          target_h: Int, resized: Array[Byte])
+
+  /** STUB resize: deterministic byte-level downsample to targetW×targetH
+    * "pixels" (nearest-neighbor over the payload bytes). A real
+    * implementation replaces ONLY the per-record body with a codec
+    * resample; the mapPartitions batching, schema, and binary-column
+    * plumbing are the production contract (same shape as
+    * [[extractFeatures]]).
+    */
+  def resize(media: Dataset[MediaRecord], targetW: Int,
+             targetH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codec: init resampler here, amortized across the partition
+      it.map { rec =>
+        val n = targetW * targetH
+        val out = new Array[Byte](n)
+        val len = math.max(1, rec.payload.length)
+        var i = 0
+        while (i < n) {
+          out(i) = rec.payload((i.toLong * len / n).toInt % len)
+          i += 1
+        }
+        ResizedMedia(rec.media_id, rec.kind, targetW, targetH, out)
+      }
+    }
+  }
+
   /** Per-kind integer statistics over the decoded media — the
     * oracle-backed query surfaced through SparkEntry (q24). Every
     * output column is integer arithmetic over the payload bytes, so

@@ -30,4 +30,16 @@ class MultimodalSpec extends SparkSpec {
     val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
     assert(frames.map(_.media_id).toSet.subsetOf(videoIds))
   }
+
+  test("resize: fixed-size output, deterministic, plumbing stays distributed") {
+    val media = Multimodal.syntheticMedia(spark,
+      Tables.documents(spark, sf001).limit(20))
+    val out = Multimodal.resize(media, 8, 4).collect()
+    assert(out.length == 20)
+    assert(out.forall(_.resized.length == 32), "every payload resized to 8x4")
+    val again = Multimodal.resize(media, 8, 4).collect()
+    assert(out.map(r => (r.media_id, r.resized.toSeq)).sortBy(_._1).toSeq ==
+      again.map(r => (r.media_id, r.resized.toSeq)).sortBy(_._1).toSeq,
+      "stub resampler is deterministic")
+  }
 }
