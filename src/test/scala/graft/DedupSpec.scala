@@ -141,6 +141,44 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH-blocked cosine recall too low: $recall")
   }
 
+  test("single-emission LSH pairs: exactly once per pair, same set as distinct()") {
+    // random-ish corpus with overlapping vocab so pairs share MANY bands
+    val rng = new scala.util.Random(99)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val rows = (1L to 40L).map { i =>
+      val base = (1 to 12).map(_ => vocab(rng.nextInt(vocab.length)))
+      (i, base.mkString(" "), "s")
+    } ++ Seq((100L, "a b c d e f g h i j k l", "s"),
+      (101L, "a b c d e f g h i j k l", "s"))
+    val d = docs(rows: _*)
+    val got = Dedup.minhashLshPairs(spark, d, estimateThreshold = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "each pair emitted exactly once")
+
+    // reference formulation: same buckets, distinct() dedup
+    GraftFunctions.register(spark)
+    val sigs = d
+      .select(col("doc_id"),
+        HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), HashFunctions.minhashSignature(col("sh"), 64).as("sig"))
+    val buckets = sigs.select(col("doc_id"), col("sig"),
+        posexplode(HashFunctions.bandHashes(col("sig"), 16, 4)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val l = buckets.as("l"); val r = buckets.as("r")
+    val reference = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        HashFunctions.minhashJaccardEstimate(col("l.sig"), col("r.sig")).as("e"))
+      .filter(col("e") >= 0.2)
+      .distinct()
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1)))
+    assert(got.toSet == reference.toSet,
+      "single-emission must produce the same pair set as distinct()")
+    assert(got.toSet.contains((100L, 101L)))
+  }
+
   test("skew guard: oversized LSH buckets are dropped, join still completes") {
     // 60 identical docs -> every band bucket has 60 members > maxBucketSize=10
     val many = (1L to 60L).map(i => (i, "same text repeated for everyone here ok", "s"))
