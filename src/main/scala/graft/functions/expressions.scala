@@ -136,6 +136,32 @@ object HashImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Word n-gram shingles in one pass: shingle i = tokens[i..i+n-1]
+    * joined by a single space (byte-identical to the
+    * transform/sequence/slice/concat_ws HOF tree it replaces, which
+    * allocated an interpreted lambda frame and a slice array per
+    * shingle). Empty output when fewer than n tokens.
+    */
+  def wordShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val space = UTF8String.fromString(" ")
+    val out = new Array[Any](cnt - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= cnt - n) {
+      var j = 0
+      while (j < n) {
+        window(j) = if (tokens.isNullAt(i + j)) null else tokens.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(space, window: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Index of the FIRST band whose band-hash matches between two
     * signatures, or -1. Used to emit each LSH candidate pair exactly
     * once (from its first shared band) instead of deduplicating pair
@@ -278,6 +304,17 @@ case class BandHash(child: Expression, bands: Int, rowsPerBand: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.HashImpl.bandHash($c, $bands, $rowsPerBand)")
   override protected def withNewChildInternal(c: Expression): BandHash =
+    copy(child = c)
+}
+
+/** `word_shingles(tokens, n)` — single-pass word n-gram shingles. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.wordShingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.wordShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)
 }
 

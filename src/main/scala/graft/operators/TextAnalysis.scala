@@ -55,6 +55,7 @@ object TextAnalysis {
     */
   def contamination(documents: DataFrame, benchmark: DataFrame,
                     n: Int = 8): DataFrame = {
+    GraftFunctions.register(documents.sparkSession)
     def grams(df: DataFrame) = df.select(col("doc_id"),
       explode(HashFunctions.wordShingles(
         TextFunctions.wsTokens(col("text")), n)).as("g"))
@@ -70,6 +71,7 @@ object TextAnalysis {
     * flag boilerplate/spam. Pure per-row, scan speed.
     */
   def repetition(documents: DataFrame, n: Int = 3): DataFrame = {
+    GraftFunctions.register(documents.sparkSession)
     val grams = HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), n)
     documents.select(
       col("doc_id"),

@@ -141,6 +141,23 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH-blocked cosine recall too low: $recall")
   }
 
+  test("fused word_shingles is byte-identical to the HOF formulation") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf001).limit(100)
+    for (n <- Seq(2, 3, 5, 8)) {
+      val cmp = d.select(
+          HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), n).as("fused"),
+          HashFunctions.wordShinglesHof(TextFunctions.wsTokens(col("text")), n).as("hof"))
+        .filter(not(col("fused") === col("hof")))
+      assert(cmp.count() == 0, s"n=$n mismatch")
+    }
+    // short-doc edge: fewer tokens than n -> empty array
+    val tiny = docs((1L, "one two", "s"))
+    val out = tiny.select(
+      HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), 3)).head
+    assert(out.getSeq[String](0).isEmpty)
+  }
+
   test("single-emission LSH pairs: exactly once per pair, same set as distinct()") {
     // random-ish corpus with overlapping vocab so pairs share MANY bands
     val rng = new scala.util.Random(99)
