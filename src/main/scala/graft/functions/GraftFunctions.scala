@@ -21,6 +21,7 @@ object GraftFunctions {
     "first_shared_band" -> (es => FirstSharedBand(es(0), es(1),
       foldInt(es(2)), foldInt(es(3)))),
     "word_shingles" -> (es => WordShingles(es(0), foldInt(es(1)))),
+    "first_shared_index" -> (es => FirstSharedIndex(es(0), es(1))),
     "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))),
     "from_avro_graft" -> (es => FromAvroGraft(es(0), foldString(es(1)),
       es.length > 2 && foldBool(es(2)))),
@@ -73,6 +74,8 @@ object GraftFunctions {
     call_function("first_shared_band", a, b, lit(bands), lit(rowsPerBand))
   def wordShingles(tokens: Column, n: Int): Column =
     call_function("word_shingles", tokens, lit(n))
+  def firstSharedIndex(a: Column, b: Column): Column =
+    call_function("first_shared_index", a, b)
   def jaccardSorted(a: Column, b: Column): Column =
     call_function("jaccard_sorted", a, b)
   def fromAvro(value: Column, schemaJson: String,

@@ -181,6 +181,20 @@ object HashImpl {
     -1
   }
 
+  /** Index of the first position where two long arrays agree, or -1
+    * (single-emission filter for hyperplane-bucket pairs — the fused
+    * form of array_position(zip_with(a, b, _ === _), true) - 1).
+    */
+  def firstSharedIndex(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Fraction of equal components between two equal-length signatures. */
   def minhashEstimate(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -305,6 +319,21 @@ case class BandHash(child: Expression, bands: Int, rowsPerBand: Int)
       c => s"graft.functions.HashImpl.bandHash($c, $bands, $rowsPerBand)")
   override protected def withNewChildInternal(c: Expression): BandHash =
     copy(child = c)
+}
+
+/** `first_shared_index(array<long>, array<long>)` — first position where
+  * the arrays agree, or -1.
+  */
+case class FirstSharedIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.firstSharedIndex(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashImpl.firstSharedIndex($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstSharedIndex =
+    copy(l, r)
 }
 
 /** `word_shingles(tokens, n)` — single-pass word n-gram shingles. */

@@ -223,8 +223,7 @@ object Dedup {
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
       .filter(col("l.tbl") ===
-        (array_position(zip_with(col("l.bks"), col("r.bks"), (a, b) => a === b),
-          true) - 1).cast("int"))
+        GraftFunctions.firstSharedIndex(col("l.bks"), col("r.bks")))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
     cand
