@@ -66,9 +66,15 @@ object Dedup {
           .partitionBy(col("source"))))
       .filter(col("block_n") <= maxBlockSize)
       .drop("block_n")
-    val a = bounded.as("a")
-    val b = bounded.as("b")
-    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+    val a = bounded.withColumn("n", size(col("toks"))).as("a")
+    val b = bounded.withColumn("n", size(col("toks"))).as("b")
+    // length prefilter: jaccard >= t forces |A|/|B| within [t, 1/t]
+    // (|A∩B| <= min, |A∪B| >= max), so size-incompatible pairs are
+    // pruned BEFORE the linear merge — a necessary condition, results
+    // unchanged (oracle needs no mirror).
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          greatest(col("a.n"), col("b.n")) * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         HashFunctions.jaccardPresorted(col("a.toks"), col("b.toks")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
