@@ -5,8 +5,9 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
-import graft.functions.{GraftFunctions, HashFunctions}
+import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
 import graft.operators.PriceAlerts
+import graft.sources.Tables
 
 /** Property-based invariants (scalacheck generators): algebraic laws
   * the operators must satisfy on arbitrary inputs, not just the golden
@@ -101,6 +102,32 @@ class PropertySpec extends SparkSpec {
         GraftFunctions.cosineSim(col("as"), col("b")).as("c2")).head
       assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-5, "scale invariance")
       assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9, "bounds")
+    }
+  }
+
+  test("first_shared_band/index: 0 on self, agrees with a scalar reimplementation") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf001).limit(30)
+    val sigs = d.select(col("doc_id"),
+        HashFunctions.minhashSignature(
+          HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), 3), 64).as("sig"))
+      .filter(org.apache.spark.sql.functions.size(col("sig")) > 0)
+    // self: band 0 always matches itself
+    val self = sigs.select(GraftFunctions.firstSharedBand(col("sig"), col("sig"), 16, 4))
+      .collect().map(_.getInt(0))
+    assert(self.forall(_ == 0))
+    // cross-pair: expression equals min matching band of the band-hash arrays
+    val a = sigs.as("a"); val b = sigs.as("b")
+    val cmp = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(
+        GraftFunctions.firstSharedBand(col("a.sig"), col("b.sig"), 16, 4).as("fsb"),
+        HashFunctions.bandHashes(col("a.sig"), 16, 4).as("ba"),
+        HashFunctions.bandHashes(col("b.sig"), 16, 4).as("bb"))
+      .collect()
+    cmp.foreach { r =>
+      val ba = r.getSeq[Long](1); val bb = r.getSeq[Long](2)
+      val expect = ba.zip(bb).indexWhere { case (x, y) => x == y }
+      assert(r.getInt(0) == expect, s"fsb mismatch: got ${r.getInt(0)} want $expect")
     }
   }
 }
