@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{GraftFunctions, TextFunctions}
 
 /** Streaming deduplication for the ingest path of a training-data
   * pipeline: exact and fingerprint dedup with watermark-bounded state.
@@ -31,4 +31,20 @@ object StreamingDedup {
     exact(
       docStream.withColumn("fp", TextFunctions.fingerprintMd5(col("text"))),
       tsCol, delay, "fp")
+
+  /** Near-dup streaming dedup on the 64-bit simhash: documents whose
+    * token-level simhash collides exactly (hamming 0 — reorderings,
+    * token-multiplicity noise) are dropped within the watermark
+    * horizon. State keys on one long per doc. The full hamming≤3
+    * neighborhood needs the batch pass (Dedup.simhashPairs) — a
+    * streaming k-NN over sliding state is deliberately out of scope;
+    * this is the standard cheap ingest-time guard in front of it.
+    */
+  def bySimhash(docStream: DataFrame, tsCol: String, delay: String): DataFrame = {
+    GraftFunctions.register(docStream.sparkSession)
+    exact(
+      docStream.withColumn("sh",
+        GraftFunctions.simhash64(TextFunctions.wsTokens(col("text")))),
+      tsCol, delay, "sh")
+  }
 }

@@ -254,4 +254,21 @@ class PriceAlertsStreamingSpec extends SparkSpec {
     // doc 1 and 2 normalize to the same fingerprint -> one survives
     assert(out.collect().map(_.getAs[Long]("doc_id")).toSet.size == 2)
   }
+
+  test("streaming simhash dedup: token-reordered near-dup dropped, distinct kept") {
+    val in = MemoryStream[Doc]
+    val deduped = graft.streaming.StreamingDedup.bySimhash(
+      in.toDF(), "ts", "10 minutes")
+    val out = runQuery(deduped, "append", "simdedup_out") { q =>
+      in.addData(
+        Doc(1L, "the quick brown fox jumps high", Timestamp.valueOf("2024-01-01 00:00:01")),
+        // same token multiset, different order -> identical simhash
+        Doc(2L, "jumps high the quick brown fox", Timestamp.valueOf("2024-01-01 00:00:02")),
+        Doc(3L, "completely unrelated content here", Timestamp.valueOf("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+    }
+    val ids = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size == 2, s"reordered near-dup must be dropped, got $ids")
+    assert(ids.contains(3L))
+  }
 }
