@@ -422,6 +422,22 @@ object SparkEntry {
         .orderBy("doc_id", "n_overlapping")
     }),
 
+    // Deterministic mixture sampling: each source kept at its own rate
+    // (the dataset-mixing step of a training-data build), decided by a
+    // content-hash uniform — reshuffle-stable and oracle-reproducible.
+    // Rates cycle 25/50/75/100% by source id (a stand-in for a real
+    // per-source weight table, which would broadcast-join instead).
+    "q43_mixture_sampling" -> ((s, dir) => {
+      // first 4 hex chars of md5 -> uniform in [0, 65536)
+      val u = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+      val srcNum = regexp_extract(col("source"), "\\d+", 0).cast("long")
+      val rate = (srcNum % 4 + 1) * 16384L
+      Tables.documents(s, dir)
+        .filter(u < rate)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id", "source")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): distinct
     // vs total 3-gram counts per document.
     "q42_repetition" -> ((s, dir) => {
@@ -675,6 +691,13 @@ object SparkEntry {
         |FROM grams c JOIN test USING (g)
         |WHERE c.doc_id >= 5
         |GROUP BY 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q43_mixture_sampling" ->
+      """SELECT doc_id, source
+        |FROM documents
+        |WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT <
+        |      (regexp_extract(source, '\d+')::BIGINT % 4 + 1) * 16384
         |ORDER BY 1, 2""".stripMargin,
 
     "q42_repetition" ->
