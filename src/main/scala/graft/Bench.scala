@@ -36,8 +36,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
+            // escape backslashes BEFORE quotes so the errors map stays
+            // valid JSON for messages containing '\' (paths, regexes)
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\n\\r]", " ").take(200)
+              .replace("\\", "\\\\").replaceAll("[\"\\n\\r\\t]", " ")
+              .filter(c => c >= ' ').take(200)
         }
         (System.nanoTime() - t0) / 1e9
       }

@@ -306,6 +306,81 @@ SELECT query_id, rank::BIGINT AS rank, neighbor_id,
 FROM ranked WHERE rank <= 10
 ORDER BY 1, 2"""
 
+  /** Oracle for q44: IVF ANN top-k with deterministic sampled-k-means
+    * centroids (= Similarity.ivfTopKTrained defaults). The Lloyd
+    * training is UNROLLED as `iters` CTE stages that reproduce the
+    * driver-side trainer's float arithmetic verbatim: stride init over
+    * the rank-sorted sample, assignment by cosine (ties → lowest cell),
+    * per-dim mean as a sequential vec_id-ordered list_reduce fold
+    * starting at 0.0 then one division by the count, empty cells
+    * keeping their previous centroid. Probe/rerank then mirrors q29.
+    */
+  def q44IvfKmeans(cells: Int = 16, iters: Int = 3, sampleN: Int = 256,
+                   nProbe: Int = 4, k: Int = 10, dim: Int = 64): String = {
+    val stride = sampleN / cells
+    val iterCtes = (1 to iters).map { t =>
+      s"""assign$t AS (
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT s.vec_id, s.emb, c.cell_id,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY list_cosine_similarity(s.emb, c.centroid) DESC,
+                      c.cell_id ASC) AS rn
+    FROM sample s, cent${t - 1} c) WHERE rn = 1),
+agg$t AS (
+  SELECT cell_id, count(*) AS n, list(emb ORDER BY vec_id) AS vecs
+  FROM assign$t GROUP BY cell_id),
+cent$t AS (
+  SELECT c.cell_id,
+         CASE WHEN a.cell_id IS NULL THEN c.centroid
+              ELSE list_transform(range(1, ${dim + 1}), d ->
+                list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(a.vecs, v -> v[d])), (x, y) -> x + y) / a.n)
+         END AS centroid
+  FROM cent${t - 1} c LEFT JOIN agg$t a ON a.cell_id = c.cell_id)"""
+    }.mkString(",\n")
+    s"""WITH sample AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         row_number() OVER (ORDER BY vec_id) - 1 AS rk
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $sampleN)),
+cent0 AS (
+  SELECT (rk // $stride)::INT AS cell_id, emb AS centroid FROM sample
+  WHERE rk % $stride = 0 AND rk // $stride < $cells),
+$iterCtes,
+cassign AS (
+  SELECT neighbor_id, cv, cell_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, ct.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             ct.centroid) DESC,
+                      ct.cell_id ASC) AS crank
+    FROM embeddings e, cent$iters ct)
+  WHERE crank = 1),
+qassign AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, ct.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             ct.centroid) DESC,
+                      ct.cell_id ASC) AS crank
+    FROM embeddings e, cent$iters ct WHERE e.vec_id < 5)
+  WHERE crank <= $nProbe),
+scored AS (
+  SELECT q.query_id, a.neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                CAST(a.cv AS DOUBLE[])) AS cos
+  FROM qassign q JOIN cassign a ON q.cell_id = a.cell_id
+  WHERE q.query_id <> a.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank::BIGINT AS rank, neighbor_id,
+       floor(cos * 10000 + 0.5) / 10000 AS cos
+FROM ranked WHERE rank <= $k
+ORDER BY 1, 2"""
+  }
+
   /** Oracle for q37: LSH-blocked embedding near-dup pairs
     * (= Dedup.lshBlockedCosinePairs defaults: 3 planes, 12 tables,
     * maxBucketSize 1000, cos >= 0.3). Plane constants embedded as

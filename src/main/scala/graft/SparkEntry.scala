@@ -33,6 +33,14 @@ object SparkEntry {
   private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 10000 + lit(0.5)) / 10000
 
+  /** q43's per-source mixture weight table (keep fraction per source) —
+    * the driver-side config the engine broadcast-joins and the oracle
+    * embeds as a VALUES clause. Fractions are exact binary values so
+    * `keep_frac * 65536` is integer-exact in both engines.
+    */
+  private[graft] val mixtureWeights: Seq[(String, Double)] =
+    (0 until 20).map(i => (s"src$i", ((i % 4) + 1) * 0.25))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_price_alerts_dsl")(spark, "/root/testdata/sf0.001")
@@ -308,6 +316,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN top-k with deterministic sampled-k-means centroids — the
+    // recall-quality variant you'd ship (q29's first-N centroids are
+    // the trivial stand-in). Training is a bounded-sample driver-side
+    // Lloyd with a fixed fold order; the oracle unrolls the same
+    // iterations in SQL, so even the trained centroids are verified
+    // bit-exactly.
+    "q44_sim_ivf_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopKTrained(s, emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), r4(col("cos")).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Deterministic content-hash train/val split: the reproducible-split
     // primitive of a training-data pipeline (split follows the CONTENT,
     // not row order or RNG — stable under reshuffling and re-ingestion).
@@ -422,18 +444,22 @@ object SparkEntry {
         .orderBy("doc_id", "n_overlapping")
     }),
 
-    // Deterministic mixture sampling: each source kept at its own rate
-    // (the dataset-mixing step of a training-data build), decided by a
-    // content-hash uniform — reshuffle-stable and oracle-reproducible.
-    // Rates cycle 25/50/75/100% by source id (a stand-in for a real
-    // per-source weight table, which would broadcast-join instead).
+    // Deterministic mixture sampling: each source kept at its own
+    // configured rate (the dataset-mixing step of a training-data
+    // build), decided by a content-hash uniform — reshuffle-stable and
+    // oracle-reproducible. The per-source weight table is a driver-side
+    // config broadcast-joined into the filter (at 100 TB the corpus
+    // side never shuffles; the weights are a ~KB broadcast); sources
+    // absent from the table are dropped, as a mixture spec defines the
+    // kept universe.
     "q43_mixture_sampling" -> ((s, dir) => {
+      import s.implicits._
       // first 4 hex chars of md5 -> uniform in [0, 65536)
       val u = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
-      val srcNum = regexp_extract(col("source"), "\\d+", 0).cast("long")
-      val rate = (srcNum % 4 + 1) * 16384L
+      val weights = mixtureWeights.toDF("source", "keep_frac")
       Tables.documents(s, dir)
-        .filter(u < rate)
+        .join(broadcast(weights), Seq("source"))
+        .filter(u < (col("keep_frac") * 65536).cast("long"))
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id", "source")
     }),
@@ -625,12 +651,20 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
 
     "q16_dedup_ngram_jaccard" ->
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      // the bounded CTE mirrors the engine's maxBlockSize skew guard
+      // (Dedup.ngramJaccardPairs drops blocks larger than the cap)
+      s"""WITH bounded AS (
+        |  SELECT doc_id, source, text
+        |  FROM (SELECT doc_id, source, text,
+        |               COUNT(*) OVER (PARTITION BY source) AS block_n
+        |        FROM documents)
+        |  WHERE block_n <= ${graft.operators.Dedup.DefaultMaxBlockSize})
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       floor((len(list_intersect(list_distinct(string_split(a.text, ' ')),
         |                                list_distinct(string_split(b.text, ' '))))::DOUBLE
         |             / len(list_distinct(list_concat(string_split(a.text, ' '),
         |                                             string_split(b.text, ' '))))) * 10000 + 0.5) / 10000 AS jaccard
-        |FROM documents a JOIN documents b
+        |FROM bounded a JOIN bounded b
         |  ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(list_distinct(string_split(a.text, ' ')),
         |                         list_distinct(string_split(b.text, ' '))))::DOUBLE
@@ -644,6 +678,7 @@ object SparkEntry {
     "q21_sim_ann_lsh" ->
       OracleHashSql.q21AnnLsh(graft.operators.Similarity.defaultPlaneSets()),
     "q29_sim_ivf" -> OracleHashSql.q29Ivf,
+    "q44_sim_ivf_kmeans" -> OracleHashSql.q44IvfKmeans(),
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,
@@ -693,12 +728,17 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY 1, 2""".stripMargin,
 
-    "q43_mixture_sampling" ->
-      """SELECT doc_id, source
-        |FROM documents
+    "q43_mixture_sampling" -> {
+      // the same weight table the engine broadcasts, as a VALUES clause
+      val values = mixtureWeights
+        .map { case (src, f) => s"('$src', $f)" }.mkString(", ")
+      s"""WITH weights(source, keep_frac) AS (VALUES $values)
+        |SELECT doc_id, source
+        |FROM documents JOIN weights USING (source)
         |WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT <
-        |      (regexp_extract(source, '\d+')::BIGINT % 4 + 1) * 16384
-        |ORDER BY 1, 2""".stripMargin,
+        |      CAST(keep_frac * 65536 AS BIGINT)
+        |ORDER BY 1, 2""".stripMargin
+    },
 
     "q42_repetition" ->
       """WITH g AS (

@@ -2,14 +2,15 @@ package graft.functions
 
 import java.io.ByteArrayOutputStream
 
-import org.apache.avro.Schema
-import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericFixed, GenericRecord}
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.avro.util.Utf8
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,22 +19,92 @@ import org.apache.spark.unsafe.types.UTF8String
   * counterpart of the reference's GenericAvroSerde layer
   * (dsl/PriceAlertsApp.java:84-85, schemas at TestUtils.java:7-22).
   *
-  * Scope: flat records of boolean/int/long/float/double/string/bytes,
-  * the `timestamp-millis` logical type on long
-  * (dsl/PriceAlertsApp.java:121-125 → Spark TimestampType, micros), and
-  * `["null", T]` unions (nullable fields). Struct fields map to schema
-  * fields BY POSITION.
+  * Scope: RECURSIVE — records (nested to any depth), arrays, maps,
+  * enums, fixed, the primitive types, plus the logical types
+  * `timestamp-millis`/`timestamp-micros` on long (→ TimestampType,
+  * micros), `date` on int (→ DateType) and `decimal` on bytes/fixed
+  * (→ DecimalType). `["null", T]` unions are nullable fields. Struct
+  * fields map to schema fields BY POSITION. The reference itself needs
+  * only flat records (TestUtils.java:7-22); the nested support is what
+  * any real user hits at the first schema evolution.
   *
   * `confluentFraming` handles the Schema Registry wire format the
   * reference produces on Kafka: 1 magic byte (0) + 4-byte big-endian
-  * schema id + Avro binary body.
+  * schema id + Avro binary body. When `writerSchemasById` is non-empty
+  * the decode resolves the WRITER schema from that frame id per record
+  * (the offline analogue of the reference's CachedSchemaRegistryClient,
+  * dsl/PriceAlertsApp.java:33-38) and Avro schema resolution maps it to
+  * the declared reader schema — so a topic carrying several schema
+  * versions decodes correctly in one batch.
   */
+object AvroStructConverter {
+  /** `[null, T]` union → (T, nullable); anything else → (s, false). */
+  def unwrap(fs: Schema): (Schema, Boolean) = fs.getType match {
+    case Schema.Type.UNION =>
+      val branches = fs.getTypes
+      require(branches.size == 2 && branches.get(0).getType == Schema.Type.NULL,
+        s"only [null, T] unions supported, got $fs")
+      (branches.get(1), true)
+    case _ => (fs, false)
+  }
+
+  def isTsMillis(s: Schema): Boolean =
+    s.getType == Schema.Type.LONG && s.getLogicalType != null &&
+      s.getLogicalType.getName == "timestamp-millis"
+
+  def isTsMicros(s: Schema): Boolean =
+    s.getType == Schema.Type.LONG && s.getLogicalType != null &&
+      s.getLogicalType.getName == "timestamp-micros"
+
+  def isDate(s: Schema): Boolean =
+    s.getType == Schema.Type.INT && s.getLogicalType != null &&
+      s.getLogicalType.getName == "date"
+
+  def decimalOf(s: Schema): Option[(Int, Int)] = s.getLogicalType match {
+    case d: LogicalTypes.Decimal => Some((d.getPrecision, d.getScale))
+    case _ => None
+  }
+
+  /** Recursive Avro schema → Spark DataType. */
+  def sparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT => if (isDate(s)) DateType else IntegerType
+    case Schema.Type.LONG =>
+      if (isTsMillis(s) || isTsMicros(s)) TimestampType else LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING => StringType
+    case Schema.Type.ENUM => StringType
+    case Schema.Type.BYTES =>
+      decimalOf(s).map { case (p, sc) => DecimalType(p, sc) }.getOrElse(BinaryType)
+    case Schema.Type.FIXED =>
+      decimalOf(s).map { case (p, sc) => DecimalType(p, sc) }.getOrElse(BinaryType)
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.toArray.map { f0 =>
+        val f = f0.asInstanceOf[Schema.Field]
+        val (fs, nullable) = unwrap(f.schema())
+        StructField(f.name(), sparkType(fs), nullable)
+      })
+    case Schema.Type.ARRAY =>
+      val (es, nullable) = unwrap(s.getElementType)
+      ArrayType(sparkType(es), containsNull = nullable)
+    case Schema.Type.MAP =>
+      val (vs, nullable) = unwrap(s.getValueType)
+      MapType(StringType, sparkType(vs), valueContainsNull = nullable)
+    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
+  }
+}
+
 class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
                           val schemaId: Int,
-                          val readerSchemaJson: Option[String] = None)
+                          val readerSchemaJson: Option[String] = None,
+                          val writerSchemasById: Map[Int, String] = Map.empty)
     extends Serializable {
+  import AvroStructConverter._
 
-  /** Writer schema — what the bytes were encoded with. */
+  /** Default writer schema — what the bytes were encoded with (when no
+    * per-record frame-id resolution is configured).
+    */
   @transient private lazy val writerSchema: Schema =
     new Schema.Parser().parse(schemaJson)
   /** Reader schema — possibly a pruned subset of the writer's fields
@@ -44,61 +115,43 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
     readerSchemaJson.map(new Schema.Parser().parse(_)).getOrElse(writerSchema)
   @transient private lazy val reader =
     new GenericDatumReader[GenericRecord](writerSchema, schema)
+  /** Frame-id → resolving reader cache (writer = registry schema for
+    * that id, reader = the declared schema). ConcurrentHashMap because
+    * one converter instance is shared across a whole-stage-codegen task.
+    */
+  @transient private lazy val readersById =
+    new java.util.concurrent.ConcurrentHashMap[Int, GenericDatumReader[GenericRecord]]()
   @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
   @transient private lazy val decoderFactory = DecoderFactory.get()
   @transient private lazy val encoderFactory = EncoderFactory.get()
-
-  private def unwrap(fs: Schema): (Schema, Boolean) = fs.getType match {
-    case Schema.Type.UNION =>
-      val branches = fs.getTypes
-      require(branches.size == 2 && branches.get(0).getType == Schema.Type.NULL,
-        s"only [null, T] unions supported, got $fs")
-      (branches.get(1), true)
-    case _ => (fs, false)
-  }
-
-  private def isTsMillis(s: Schema): Boolean =
-    s.getType == Schema.Type.LONG && s.getLogicalType != null &&
-      s.getLogicalType.getName == "timestamp-millis"
-
-  private def sparkType(s: Schema): DataType = s.getType match {
-    case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.INT => IntegerType
-    case Schema.Type.LONG => if (isTsMillis(s)) TimestampType else LongType
-    case Schema.Type.FLOAT => FloatType
-    case Schema.Type.DOUBLE => DoubleType
-    case Schema.Type.STRING => StringType
-    case Schema.Type.BYTES => BinaryType
-    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
-  }
 
   /** The Spark struct type this converter decodes to (reader schema). */
   lazy val structType: StructType = {
     // dataType runs on the driver too, so parse fresh (non-transient path)
     val parsed = new Schema.Parser().parse(readerSchemaJson.getOrElse(schemaJson))
-    StructType(parsed.getFields.toArray.map { f0 =>
-      val f = f0.asInstanceOf[Schema.Field]
-      val (s, nullable) = unwrap(f.schema())
-      StructField(f.name(), sparkType(s), nullable)
-    })
+    sparkType(parsed).asInstanceOf[StructType]
   }
 
   private val headerLen = if (confluentFraming) 5 else 0
+
+  private def readerFor(bytes: Array[Byte]): GenericDatumReader[GenericRecord] = {
+    if (!confluentFraming || writerSchemasById.isEmpty) return reader
+    val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+    readersById.computeIfAbsent(id, { id: Int =>
+      val json = writerSchemasById.getOrElse(id,
+        throw new org.apache.avro.AvroRuntimeException(
+          s"unknown writer schema id $id (known: ${writerSchemasById.keys.toSeq.sorted})"))
+      new GenericDatumReader[GenericRecord](new Schema.Parser().parse(json), schema)
+    })
+  }
 
   /** Avro binary (optionally Confluent-framed) -> InternalRow. */
   def decode(bytes: Array[Byte]): InternalRow = {
     val decoder = decoderFactory.binaryDecoder(bytes, headerLen,
       bytes.length - headerLen, null)
-    val rec = reader.read(null, decoder)
-    val fields = schema.getFields
-    val out = new Array[Any](fields.size)
-    var i = 0
-    while (i < fields.size) {
-      val (fs, _) = unwrap(fields.get(i).schema())
-      out(i) = fromAvroValue(rec.get(i), fs)
-      i += 1
-    }
-    InternalRow.fromSeq(out.toSeq)
+    val rec = readerFor(bytes).read(null, decoder)
+    fromRecord(rec, schema)
   }
 
   /** Permissive decode: malformed records become NULL instead of
@@ -114,26 +167,75 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
       case _: java.nio.BufferUnderflowException => null
     }
 
-  private def fromAvroValue(v: AnyRef, fs: Schema): Any = v match {
-    case null => null
-    case u: Utf8 => UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
-    case s: java.lang.CharSequence => UTF8String.fromString(s.toString)
-    case b: java.nio.ByteBuffer =>
-      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-    case l: java.lang.Long => if (isTsMillis(fs)) l.longValue() * 1000L else l.longValue()
-    case other => other
+  private def fromRecord(rec: GenericRecord, rs: Schema): InternalRow = {
+    val fields = rs.getFields
+    val out = new Array[Any](fields.size)
+    var i = 0
+    while (i < fields.size) {
+      val (fs, _) = unwrap(fields.get(i).schema())
+      out(i) = fromAvroValue(rec.get(i), fs)
+      i += 1
+    }
+    InternalRow.fromSeq(out.toSeq)
+  }
+
+  /** Avro runtime value → Catalyst value (recursive). `fs` is already
+    * union-unwrapped.
+    */
+  private def fromAvroValue(v: AnyRef, fs: Schema): Any = {
+    if (v == null) return null
+    fs.getType match {
+      case Schema.Type.RECORD => fromRecord(v.asInstanceOf[GenericRecord], fs)
+      case Schema.Type.ARRAY =>
+        val (es, _) = unwrap(fs.getElementType)
+        val coll = v.asInstanceOf[java.util.Collection[AnyRef]]
+        val out = new Array[Any](coll.size)
+        val it = coll.iterator(); var i = 0
+        while (it.hasNext) { out(i) = fromAvroValue(it.next(), es); i += 1 }
+        new GenericArrayData(out)
+      case Schema.Type.MAP =>
+        val (vs, _) = unwrap(fs.getValueType)
+        val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        val keys = new Array[Any](m.size)
+        val vals = new Array[Any](m.size)
+        val it = m.entrySet().iterator(); var i = 0
+        while (it.hasNext) {
+          val e = it.next()
+          keys(i) = UTF8String.fromString(e.getKey.toString)
+          vals(i) = fromAvroValue(e.getValue, vs)
+          i += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+      case Schema.Type.ENUM => UTF8String.fromString(v.toString)
+      case Schema.Type.FIXED =>
+        val bytes = v.asInstanceOf[GenericFixed].bytes().clone()
+        decimalOf(fs) match {
+          case Some((p, sc)) => Decimal(
+            new java.math.BigDecimal(new java.math.BigInteger(bytes), sc), p, sc)
+          case None => bytes
+        }
+      case Schema.Type.BYTES =>
+        val b = v.asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+        decimalOf(fs) match {
+          case Some((p, sc)) => Decimal(
+            new java.math.BigDecimal(new java.math.BigInteger(arr), sc), p, sc)
+          case None => arr
+        }
+      case Schema.Type.STRING => v match {
+        case u: Utf8 => UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
+        case s => UTF8String.fromString(s.toString)
+      }
+      case Schema.Type.LONG =>
+        val l = v.asInstanceOf[java.lang.Long].longValue()
+        if (isTsMillis(fs)) l * 1000L else l // micros for both ts types
+      case _ => v // boxed boolean/int/float/double (date ints stay days)
+    }
   }
 
   /** InternalRow (field order = schema order) -> Avro binary. */
   def encode(row: InternalRow): Array[Byte] = {
-    val rec = new GenericData.Record(schema)
-    val fields = schema.getFields
-    var i = 0
-    while (i < fields.size) {
-      val (fs, _) = unwrap(fields.get(i).schema())
-      rec.put(i, toAvroValue(row, i, fs))
-      i += 1
-    }
+    val rec = toRecord(row, schema)
     val bos = new ByteArrayOutputStream()
     if (confluentFraming) {
       bos.write(0)
@@ -146,20 +248,84 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
     bos.toByteArray
   }
 
-  private def toAvroValue(row: InternalRow, i: Int, fs: Schema): AnyRef = {
-    if (row.isNullAt(i)) return null
-    fs.getType match {
-      case Schema.Type.BOOLEAN => java.lang.Boolean.valueOf(row.getBoolean(i))
-      case Schema.Type.INT => java.lang.Integer.valueOf(row.getInt(i))
-      case Schema.Type.LONG =>
-        val v = row.getLong(i)
-        java.lang.Long.valueOf(if (isTsMillis(fs)) v / 1000L else v)
-      case Schema.Type.FLOAT => java.lang.Float.valueOf(row.getFloat(i))
-      case Schema.Type.DOUBLE => java.lang.Double.valueOf(row.getDouble(i))
-      case Schema.Type.STRING => new Utf8(row.getUTF8String(i).getBytes)
-      case Schema.Type.BYTES => java.nio.ByteBuffer.wrap(row.getBinary(i))
-      case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
+  private def toRecord(row: InternalRow, rs: Schema): GenericData.Record = {
+    val rec = new GenericData.Record(rs)
+    val fields = rs.getFields
+    var i = 0
+    while (i < fields.size) {
+      val (fs, _) = unwrap(fields.get(i).schema())
+      rec.put(i,
+        if (row.isNullAt(i)) null
+        else toAvroValue(row.get(i, sparkType(fs)), fs))
+      i += 1
     }
+    rec
+  }
+
+  /** Catalyst value → Avro runtime value (recursive). `fs` is already
+    * union-unwrapped and `v` is non-null.
+    */
+  private def toAvroValue(v: Any, fs: Schema): AnyRef = fs.getType match {
+    case Schema.Type.RECORD => toRecord(v.asInstanceOf[InternalRow], fs)
+    case Schema.Type.ARRAY =>
+      val (es, _) = unwrap(fs.getElementType)
+      val esType = sparkType(es)
+      val ad = v.asInstanceOf[ArrayData]
+      val out = new java.util.ArrayList[AnyRef](ad.numElements())
+      var i = 0
+      while (i < ad.numElements()) {
+        out.add(if (ad.isNullAt(i)) null else toAvroValue(ad.get(i, esType), es))
+        i += 1
+      }
+      out
+    case Schema.Type.MAP =>
+      val (vs, _) = unwrap(fs.getValueType)
+      val vsType = sparkType(vs)
+      val md = v.asInstanceOf[MapData]
+      val keys = md.keyArray(); val vals = md.valueArray()
+      // LinkedHashMap: preserve Catalyst entry order so encoded bytes
+      // are deterministic (map wire order is writer-defined in Avro)
+      val out = new java.util.LinkedHashMap[String, AnyRef](md.numElements())
+      var i = 0
+      while (i < md.numElements()) {
+        out.put(keys.getUTF8String(i).toString,
+          if (vals.isNullAt(i)) null else toAvroValue(vals.get(i, vsType), vs))
+        i += 1
+      }
+      out
+    case Schema.Type.ENUM =>
+      new GenericData.EnumSymbol(fs, v.asInstanceOf[UTF8String].toString)
+    case Schema.Type.FIXED =>
+      val bytes = decimalOf(fs) match {
+        case Some((_, _)) =>
+          val unscaled = v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue()
+          val raw = unscaled.toByteArray
+          val size = fs.getFixedSize
+          require(raw.length <= size, s"decimal overflows fixed($size)")
+          val padded = new Array[Byte](size)
+          // sign-extend on the left (big-endian two's complement)
+          if (unscaled.signum() < 0) java.util.Arrays.fill(padded, 0xff.toByte)
+          System.arraycopy(raw, 0, padded, size - raw.length, raw.length)
+          padded
+        case None => v.asInstanceOf[Array[Byte]]
+      }
+      new GenericData.Fixed(fs, bytes)
+    case Schema.Type.BYTES => decimalOf(fs) match {
+      case Some((_, _)) => java.nio.ByteBuffer.wrap(
+        v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue().toByteArray)
+      case None => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    }
+    case Schema.Type.STRING => new Utf8(v.asInstanceOf[UTF8String].getBytes)
+    case Schema.Type.LONG =>
+      val l = v.asInstanceOf[Long]
+      // floorDiv, not truncating /: pre-1970 timestamps with sub-ms
+      // micros must floor toward -inf to round-trip (decode is * 1000)
+      java.lang.Long.valueOf(if (isTsMillis(fs)) Math.floorDiv(l, 1000L) else l)
+    case Schema.Type.BOOLEAN => java.lang.Boolean.valueOf(v.asInstanceOf[Boolean])
+    case Schema.Type.INT => java.lang.Integer.valueOf(v.asInstanceOf[Int])
+    case Schema.Type.FLOAT => java.lang.Float.valueOf(v.asInstanceOf[Float])
+    case Schema.Type.DOUBLE => java.lang.Double.valueOf(v.asInstanceOf[Double])
+    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
   }
 }
 
@@ -168,24 +334,27 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
   * failing the task (spark-avro's PERMISSIVE vs FAILFAST modes).
   * `readerSchemaJson`, when set, is a pruned subset of the writer
   * schema — installed by the PruneAvroFields optimizer rule when the
-  * query only extracts some fields.
+  * query only extracts some fields. `writerSchemasById`, when non-empty
+  * (requires `confluentFraming`), resolves each record's writer schema
+  * from its Confluent frame id — the injectable offline analogue of the
+  * reference's CachedSchemaRegistryClient.
   */
 case class FromAvroGraft(child: Expression, schemaJson: String,
                          confluentFraming: Boolean = false,
                          permissive: Boolean = false,
-                         readerSchemaJson: Option[String] = None)
+                         readerSchemaJson: Option[String] = None,
+                         writerSchemasById: Map[Int, String] = Map.empty)
     extends UnaryExpression {
-  @transient private lazy val conv =
-    new AvroStructConverter(schemaJson, confluentFraming, 0, readerSchemaJson)
-  override def dataType: DataType =
-    new AvroStructConverter(schemaJson, confluentFraming, 0, readerSchemaJson).structType
+  private def mkConv = new AvroStructConverter(schemaJson, confluentFraming, 0,
+    readerSchemaJson, writerSchemasById)
+  @transient private lazy val conv = mkConv
+  override def dataType: DataType = mkConv.structType
   override def nullable: Boolean = permissive || super.nullable
   override protected def nullSafeEval(input: Any): Any =
     if (permissive) conv.decodeOrNull(input.asInstanceOf[Array[Byte]])
     else conv.decode(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("avroConv",
-      new AvroStructConverter(schemaJson, confluentFraming, 0, readerSchemaJson),
+    val ref = ctx.addReferenceObj("avroConv", mkConv,
       classOf[AvroStructConverter].getName)
     if (permissive) {
       // decodeOrNull can return null → set the null flag from the result

@@ -22,6 +22,7 @@ object GraftFunctions {
       foldInt(es(2)), foldInt(es(3)))),
     "word_shingles" -> (es => WordShingles(es(0), foldInt(es(1)))),
     "first_shared_index" -> (es => FirstSharedIndex(es(0), es(1))),
+    "first_shared_probe" -> (es => FirstSharedProbe(es(0), es(1), foldInt(es(2)))),
     "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))),
     "from_avro_graft" -> (es => FromAvroGraft(es(0), foldString(es(1)),
       es.length > 2 && foldBool(es(2)))),
@@ -76,6 +77,8 @@ object GraftFunctions {
     call_function("word_shingles", tokens, lit(n))
   def firstSharedIndex(a: Column, b: Column): Column =
     call_function("first_shared_index", a, b)
+  def firstSharedProbe(qb: Column, cb: Column, probes: Int): Column =
+    call_function("first_shared_probe", qb, cb, lit(probes))
   def jaccardSorted(a: Column, b: Column): Column =
     call_function("jaccard_sorted", a, b)
   def fromAvro(value: Column, schemaJson: String,
@@ -84,4 +87,19 @@ object GraftFunctions {
   def toAvro(struct: Column, schemaJson: String,
              confluentFraming: Boolean = false): Column =
     call_function("to_avro_graft", struct, lit(schemaJson), lit(confluentFraming))
+  /** Framed decode with per-record writer-schema resolution from the
+    * Confluent frame id — the injectable offline analogue of a
+    * CachedSchemaRegistryClient. `readerSchemaJson` is the schema the
+    * query sees; each record's writer schema is looked up by frame id
+    * and Avro schema resolution maps writer → reader.
+    */
+  def fromAvroResolving(value: Column, readerSchemaJson: String,
+                        writerSchemasById: Map[Int, String],
+                        permissive: Boolean = false): Column = {
+    import org.apache.spark.sql.classic.GraftPlanBridge
+    GraftPlanBridge.column(FromAvroGraft(
+      GraftPlanBridge.expression(value), readerSchemaJson,
+      confluentFraming = true, permissive = permissive,
+      writerSchemasById = writerSchemasById))
+  }
 }

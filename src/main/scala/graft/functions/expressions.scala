@@ -195,6 +195,31 @@ object HashImpl {
     -1
   }
 
+  /** First (table, probe) combination — scanned table-major,
+    * probe-minor, probe 0 = no flip, probe p ≥ 1 = flip bit p-1 — at
+    * which a query's bucket array collides with a corpus bucket array,
+    * encoded as `table * (probes + 1) + probe`, or -1. The multi-probe
+    * analogue of [[firstSharedIndex]]: a (query, neighbor) pair can
+    * collide in several (table, flip) combinations, so emitting only
+    * from the canonical first one replaces the post-join `distinct()`
+    * exchange with a per-row filter.
+    */
+  def firstSharedProbe(qb: ArrayData, cb: ArrayData, probes: Int): Int = {
+    val tables = math.min(qb.numElements(), cb.numElements())
+    var t = 0
+    while (t < tables) {
+      val q = qb.getLong(t); val c = cb.getLong(t)
+      var p = 0
+      while (p <= probes) {
+        val flip = if (p == 0) 0L else 1L << (p - 1)
+        if ((q ^ flip) == c) return t * (probes + 1) + p
+        p += 1
+      }
+      t += 1
+    }
+    -1
+  }
+
   /** Fraction of equal components between two equal-length signatures. */
   def minhashEstimate(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -247,19 +272,34 @@ object HashImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Cosine similarity between two float/double arrays, accumulated in
-    * double (element order = array order, matching the DuckDB oracle's
-    * CAST(... AS DOUBLE[]) computation). Returns NaN-free 0.0 on
-    * zero-norm inputs.
+  /** Cosine similarity between two float/double arrays (each side's
+    * element type independent), accumulated in double (element order =
+    * array order, matching the DuckDB oracle's CAST(... AS DOUBLE[])
+    * computation). Returns NaN-free 0.0 on zero-norm inputs.
     */
-  def cosine(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Plain-array counterpart of [[cosine]] for the driver-side k-means
+    * trainer — identical fold order and IEEE ops, so driver-trained
+    * centroids reproduce in DuckDB.
+    */
+  def cosineArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
@@ -364,6 +404,22 @@ case class FirstSharedBand(left: Expression, right: Expression,
     copy(l, r)
 }
 
+/** `first_shared_probe(qbuckets, cbuckets, probes)` — canonical first
+  * (table, probe-flip) collision encoded as table*(probes+1)+probe, or
+  * -1 (single-emission filter for multi-probe LSH candidate pairs).
+  */
+case class FirstSharedProbe(left: Expression, right: Expression, probes: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.firstSharedProbe(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], probes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashImpl.firstSharedProbe($a, $b, $probes)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstSharedProbe =
+    copy(l, r)
+}
+
 /** `minhash_est(array<long>, array<long>)` — signature-overlap estimate. */
 case class MinHashEst(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -409,17 +465,22 @@ case class LshBuckets(child: Expression, planeSets: Array[Array[Array[Double]]])
     copy(child = c)
 }
 
-/** `cosine_sim(array<float|double>, array<float|double>)` — dense cosine. */
+/** `cosine_sim(array<float|double>, array<float|double>)` — dense
+  * cosine; the two sides may have different element types (e.g. a
+  * float32 corpus against float64 trained centroids).
+  */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  private def isFloat: Boolean = left.dataType match {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    HashImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
+    HashImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.cosine($a, $b, $isFloat)")
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashImpl.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(l, r)
 }

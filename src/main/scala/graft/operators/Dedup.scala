@@ -20,6 +20,12 @@ import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
   */
 object Dedup {
 
+  /** Default block-size cap for the quadratic-within-block baselines —
+    * shared with the DuckDB oracle SQL so engine and oracle agree on
+    * the guard semantics.
+    */
+  val DefaultMaxBlockSize = 100000
+
   /** Exact dedup: one survivor (min doc_id) per distinct text.
     * Plain hash aggregation — one shuffle on the text bytes.
     */
@@ -52,7 +58,7 @@ object Dedup {
     * baseline.
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double,
-                        maxBlockSize: Int = 100000): DataFrame = {
+                        maxBlockSize: Int = DefaultMaxBlockSize): DataFrame = {
     GraftFunctions.register(documents.sparkSession)
     // sort+dedup ONCE per doc; the pairwise join then runs a linear
     // merge per pair (custom expression), not hash-set building

@@ -121,11 +121,14 @@ object Multimodal {
       it.map { rec =>
         val n = targetW * targetH
         val out = new Array[Byte](n)
-        val len = math.max(1, rec.payload.length)
-        var i = 0
-        while (i < n) {
-          out(i) = rec.payload((i.toLong * len / n).toInt % len)
-          i += 1
+        // empty payloads resize to all-zero pixels (no bytes to sample)
+        if (rec.payload.nonEmpty) {
+          val len = rec.payload.length
+          var i = 0
+          while (i < n) {
+            out(i) = rec.payload((i.toLong * len / n).toInt % len)
+            i += 1
+          }
         }
         ResizedMedia(rec.media_id, rec.kind, targetW, targetH, out)
       }

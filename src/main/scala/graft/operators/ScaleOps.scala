@@ -22,19 +22,33 @@ object ScaleOps {
     df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
 
   /** Inner equi-join with the big side's hot keys diluted over `salt`
-    * sub-keys: the big side gets a deterministic per-row salt, the
-    * small side is replicated `salt` times, and the join key becomes
-    * (key, salt) — a single hot key now lands on `salt` reducers
-    * instead of one. Semantically identical to `big.join(small, key)`
-    * (inner); use when AQE skew splitting isn't enough (e.g. one key is
-    * most of the input). The salt is derived from the row content
-    * (xxhash64 over all columns), so the result is reshuffle-stable.
+    * sub-keys: the big side gets a per-row salt, the small side is
+    * replicated `salt` times, and the join key becomes (key, salt) — a
+    * single hot key now lands on `salt` reducers instead of one.
+    * Semantically identical to `big.join(small, key)` (inner) in BOTH
+    * modes (the small side carries every salt value, so a big row
+    * matches the same small rows whatever its salt); use when AQE skew
+    * splitting isn't enough (e.g. one key is most of the input).
+    *
+    * Salt derivation trade-off:
+    *   - default (`spamProof = false`): xxhash64 over the row content —
+    *     fully deterministic (retry/reshuffle-stable map outputs), but
+    *     rows identical in EVERY column share a salt, so exact-duplicate
+    *     spam under one key still lands on one reducer (the
+    *     exact/fingerprint dedup pass upstream is the structural fix).
+    *   - `spamProof = true`: salt from `monotonically_increasing_id()` —
+    *     duplicates fan out evenly, but the salt depends on row order,
+    *     so the map output is indeterminate under stage retry (Spark
+    *     reruns the whole stage for indeterminate outputs; the joined
+    *     RESULT is unchanged either way).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salt: Int): DataFrame = {
+                 salt: Int, spamProof: Boolean = false): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
+    val saltExpr =
+      if (spamProof) pmod(monotonically_increasing_id(), lit(salt)).cast("int")
+      else pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int")
+    val saltedBig = big.withColumn("__salt", saltExpr)
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")

@@ -113,10 +113,13 @@ object Similarity {
     val q = nearestCells(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       "query_id", "qv", nProbe)
+    // No distinct() needed: each corpus vector sits in exactly ONE cell
+    // (rank-1 window above) and a query's nProbe probed cells are
+    // distinct, so a (query, neighbor) pair joins at most once — a
+    // dedup here would only buy a full exchange of the candidate set.
     q.join(corpus, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cos(col("qv"), col("cv")).as("cos"))
-      .distinct()
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id").asc)))
@@ -171,6 +174,79 @@ object Similarity {
     cents
   }
 
+  /** Deterministic k-means (Lloyd) over a BOUNDED sorted sample,
+    * trained driver-side with a fixed fold order — every float op
+    * (cosine assignment, per-dim mean accumulation in vec_id order,
+    * final division) is reproduced verbatim by the DuckDB oracle's
+    * unrolled-iteration SQL (OracleHashSql.q44IvfKmeans), so the
+    * trained centroids are bit-identical across engines.
+    *
+    * Scale posture: sample-then-train is the standard 100 TB pattern —
+    * the trainer touches `sampleN` vectors (KBs on the driver, the same
+    * footprint as a broadcast); only the assignment/probe/rerank runs
+    * distributed. Init is a stride over the sorted sample (rank
+    * i·S/cells) — deterministic and SQL-trivial.
+    */
+  private[graft] def sampledKmeansCentroids(spark: SparkSession,
+                                            embeddings: DataFrame, cells: Int,
+                                            iters: Int,
+                                            sampleN: Int): Seq[(Int, Array[Double])] = {
+    val rows = embeddings.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.length >= cells, s"sample ${rows.length} < cells $cells")
+    val dim = rows.head._2.length
+    val stride = rows.length / cells
+    var cents: Array[Array[Double]] =
+      (0 until cells).map(i => rows(i * stride)._2).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cells)(new Array[Double](dim))
+      val counts = new Array[Long](cells)
+      rows.foreach { case (_, v) =>
+        // argmax cosine; strict > keeps the LOWEST cell on exact ties
+        // (mirrors the oracle's ORDER BY cos DESC, cell_id ASC)
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < cells) {
+          val cs = graft.functions.HashImpl.cosineArr(v, cents(c))
+          if (cs > bestCos) { best = c; bestCos = cs }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      cents = (0 until cells).map { c =>
+        if (counts(c) == 0) cents(c) // empty cells keep their centroid
+        else {
+          val m = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { m(d) = sums(c)(d) / counts(c); d += 1 }
+          m
+        }
+      }.toArray
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toIndexedSeq
+  }
+
+  /** IVF top-k with the deterministic sampled-k-means centroids — the
+    * oracle-backed quality variant of [[ivfTopK]] (q44): same probe/
+    * rerank, but centroids come from [[sampledKmeansCentroids]] instead
+    * of first-N-by-id.
+    */
+  def ivfTopKTrained(spark: SparkSession, embeddings: DataFrame,
+                     queries: DataFrame, k: Int, cells: Int = 16,
+                     nProbe: Int = 4, iters: Int = 3,
+                     sampleN: Int = 256): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cents = sampledKmeansCentroids(spark, embeddings, cells, iters, sampleN)
+    val centroids = cents.toDF("cell_id", "centroid")
+    ivfWithCentroids(embeddings, queries, k, nProbe, centroids)
+  }
+
   /** IVF top-k with k-means-trained centroids — the recall-quality
     * variant of [[ivfTopK]] (whose first-N-by-id centroids are the
     * oracle-expressible stand-in). At scale the centroid training is a
@@ -208,23 +284,34 @@ object Similarity {
     GraftFunctions.register(spark)
     val planeSets = defaultPlaneSets(planes, tables, dim, seed)
     // corpus: one fused pass computes every table's bucket (custom
-    // codegen expression), posexplode recovers the table index
+    // codegen expression); the full bucket array rides along so the
+    // single-emission filter below can recheck collisions per-row
     val corpus = embeddings
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-        posexplode(lshBucketsFused(col("embedding"), planeSets)))
+        lshBucketsFused(col("embedding"), planeSets).as("cb"))
+      .select(col("neighbor_id"), col("cv"), col("cb"), posexplode(col("cb")))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
-    // queries: own bucket + single-bit-flip probe buckets per table
+    // queries: own bucket + single-bit-flip probe buckets per table;
+    // posexplode keeps the probe index for the canonical-first filter
     val probeFlips = array((lit(0L) +: (0 until probes).map(i => lit(1L << i))): _*)
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        posexplode(lshBucketsFused(col("embedding"), planeSets)))
+        lshBucketsFused(col("embedding"), planeSets).as("qbs"))
+      .select(col("query_id"), col("qv"), col("qbs"), posexplode(col("qbs")))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "qb"))
-      .select(col("query_id"), col("qv"), col("tbl"),
-        explode(transform(probeFlips, f => col("qb").bitwiseXOR(f))).as("bucket"))
+      .select(col("query_id"), col("qv"), col("qbs"), col("tbl"),
+        posexplode(transform(probeFlips, f => col("qb").bitwiseXOR(f))))
+      .withColumnsRenamed(Map("pos" -> "probe", "col" -> "bucket"))
+    // Single-emission: a pair colliding in several (table, probe-flip)
+    // combinations would need a distinct() SHUFFLE; instead each pair is
+    // emitted only from its canonical first combination (recomputed
+    // per-row from the two bucket arrays — cheap codegen, no exchange).
+    // Same contract as Dedup.lshBlockedCosinePairs / minhashLshPairs.
     q.join(corpus, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        GraftFunctions.firstSharedProbe(col("qbs"), col("cb"), probes) ===
+          col("tbl") * (probes + 1) + col("probe"))
       .select(col("query_id"), col("neighbor_id"), cos(col("qv"), col("cv")).as("cos"))
-      .distinct()
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id").asc)))

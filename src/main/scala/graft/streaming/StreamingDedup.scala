@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import java.sql.Timestamp
 
-import graft.functions.{GraftFunctions, TextFunctions}
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimerValues}
+
+import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
 
 /** Streaming deduplication for the ingest path of a training-data
   * pipeline: exact and fingerprint dedup with watermark-bounded state.
@@ -46,5 +49,91 @@ object StreamingDedup {
       docStream.withColumn("sh",
         GraftFunctions.simhash64(TextFunctions.wsTokens(col("text")))),
       tsCol, delay, "sh")
+  }
+
+  /** One doc exploded to one of its four 16-bit simhash chunk buckets. */
+  case class ChunkDoc(band: Int, bucket: Long, doc_id: Long, sh: Long,
+                      ts: Timestamp, text: String)
+  /** Per-bucket verdict: did this doc near-collide in this bucket? */
+  case class BucketVerdict(doc_id: Long, ts: Timestamp, text: String, dup: Boolean)
+  private case class SeenEntry(sh: Long, tsMs: Long)
+
+  /** Per-(chunk, bucket) state: the simhashes seen within the watermark
+    * horizon. A doc is flagged when any prior hash in the bucket is
+    * within `maxHamming` bits. Every doc's hash enters state (flagged
+    * or not) — same candidate-universe semantics as the batch
+    * [[graft.operators.Dedup.simhashPairs]]. State is evicted lazily:
+    * entries whose event time has fallen behind the watermark can never
+    * match a non-late future row, so they are dropped on the next visit
+    * to the bucket (the exact bound `dropDuplicatesWithinWatermark`
+    * uses for its keys).
+    */
+  class NearDupProcessor(maxHamming: Int)
+      extends StatefulProcessor[(Int, Long), ChunkDoc, BucketVerdict] {
+    @transient private var seen: ListState[SeenEntry] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      seen = getHandle.getListState[SeenEntry]("seen", Encoders.product[SeenEntry],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[ChunkDoc],
+                                 timerValues: TimerValues): Iterator[BucketVerdict] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      var live = {
+        val it = seen.get()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[SeenEntry]
+        while (it.hasNext) { val e = it.next(); if (e.tsMs >= wm) buf += e }
+        buf
+      }
+      // deterministic within-batch order: earliest (ts, doc_id) first
+      val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
+        val dup = live.exists(e => java.lang.Long.bitCount(e.sh ^ r.sh) <= maxHamming)
+        live += SeenEntry(r.sh, r.ts.getTime)
+        BucketVerdict(r.doc_id, r.ts, r.text, dup)
+      }
+      seen.put(live.toArray)
+      out.iterator
+    }
+  }
+
+  /** Streaming near-dup simhash dedup, hamming ≤ `maxHamming` (≤ 3 is
+    * pigeonhole-complete over the four 16-bit chunks): the streaming
+    * twin of [[graft.operators.Dedup.simhashPairs]]. Topology: explode
+    * each doc to its 4 chunk buckets (the shuffle key is the bucket —
+    * state shards by bucket exactly like the batch self-join), per-
+    * bucket [[NearDupProcessor]] emits 4 verdicts per doc, and a
+    * windowed per-doc reconciliation keeps docs no bucket flagged.
+    * Emission is append-on-window-close (the reconciliation window
+    * closes with the watermark), matching the batch operator's
+    * candidate semantics within the horizon.
+    */
+  def bySimhashNearDup(docStream: DataFrame, tsCol: String, delay: String,
+                       maxHamming: Int = 3,
+                       reconcileWindow: String = "1 minute"): DataFrame = {
+    val spark = docStream.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val hashed = docStream
+      .withColumn("sh", GraftFunctions.simhash64(TextFunctions.wsTokens(col("text"))))
+      .withWatermark(tsCol, delay)
+    val chunks = hashed
+      .select(explode(HashFunctions.simhashBands(col("sh"))).as("bh"),
+        col("doc_id"), col("sh"), col(tsCol).as("ts"), col("text"))
+      .select(col("bh.band").as("band"), col("bh.bucket").as("bucket"),
+        col("doc_id"), col("sh"), col("ts"), col("text"))
+      .as[ChunkDoc]
+    val verdicts = chunks
+      .groupByKey(c => (c.band, c.bucket))
+      .transformWithState(new NearDupProcessor(maxHamming), "ts", OutputMode.Append())
+    // no second withWatermark: transformWithState's eventTimeColumnName
+    // already re-declares `ts` as the output's event time, and the
+    // upstream watermark propagates to the reconciliation aggregate
+    verdicts.toDF()
+      .groupBy(col("doc_id"), window(col("ts"), reconcileWindow))
+      .agg(max(col("dup")).as("dup"), first(col("text")).as("text"))
+      .filter(!col("dup"))
+      .select(col("doc_id"), col("window.start").as("window_start"), col("text"))
   }
 }

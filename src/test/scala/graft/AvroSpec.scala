@@ -274,6 +274,202 @@ class AvroSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("nested records with arrays and maps round-trip and cross-check vs plain avro") {
+    GraftFunctions.register(spark)
+    val schemaJson =
+      """{"type":"record","name":"Outer","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"meta","type":{"type":"record","name":"Meta","fields":[
+        |  {"name":"name","type":"string"},
+        |  {"name":"tags","type":{"type":"array","items":"string"}},
+        |  {"name":"attrs","type":{"type":"map","values":"long"}},
+        |  {"name":"inner","type":{"type":"record","name":"Inner","fields":[
+        |    {"name":"x","type":"double"},{"name":"y","type":["null","string"]}]}}]}},
+        |{"name":"scores","type":{"type":"array","items":"double"}}]}""".stripMargin
+    val df = Seq(Tuple1(1L)).toDF("id").select(
+      col("id"),
+      struct(lit("n1").as("name"),
+        array(lit("a"), lit("b")).as("tags"),
+        map(lit("k1"), lit(10L), lit("k2"), lit(20L)).as("attrs"),
+        struct(lit(2.5).as("x"), lit("hello").as("y")).as("inner")).as("meta"),
+      array(lit(0.25), lit(0.75)).as("scores"))
+    val bytes = df.select(GraftFunctions.toAvro(
+        struct(col("id"), col("meta"), col("scores")), schemaJson).as("v"))
+      .head.getAs[Array[Byte]]("v")
+    // cross-check: plain avro library reads the same structure
+    val schema = new Schema.Parser().parse(schemaJson)
+    val rec = avroDecode(schema, bytes)
+    assert(rec.get("id") == 1L)
+    val meta = rec.get("meta").asInstanceOf[GenericRecord]
+    assert(meta.get("name").toString == "n1")
+    assert(meta.get("tags").asInstanceOf[java.util.List[AnyRef]].toString == "[a, b]")
+    val attrs = meta.get("attrs").asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+    assert(attrs.size == 2)
+    val inner = meta.get("inner").asInstanceOf[GenericRecord]
+    assert(inner.get("x") == 2.5 && inner.get("y").toString == "hello")
+    // and the expression decode round-trips
+    val back = Seq(Tuple1(bytes)).toDF("v")
+      .select(GraftFunctions.fromAvro(col("v"), schemaJson).as("r"))
+      .select(col("r.id"), col("r.meta.name"), col("r.meta.tags"),
+        col("r.meta.attrs"), col("r.meta.inner.x"), col("r.meta.inner.y"),
+        col("r.scores"))
+      .head
+    assert(back.getLong(0) == 1L)
+    assert(back.getString(1) == "n1")
+    assert(back.getSeq[String](2) == Seq("a", "b"))
+    assert(back.getMap[String, Long](3) == Map("k1" -> 10L, "k2" -> 20L))
+    assert(back.getDouble(4) == 2.5 && back.getString(5) == "hello")
+    assert(back.getSeq[Double](6) == Seq(0.25, 0.75))
+  }
+
+  test("enum, fixed, date and decimal logical types round-trip") {
+    GraftFunctions.register(spark)
+    val schemaJson =
+      """{"type":"record","name":"L","fields":[
+        |{"name":"color","type":{"type":"enum","name":"Color","symbols":["RED","GREEN","BLUE"]}},
+        |{"name":"fx","type":{"type":"fixed","name":"F8","size":8}},
+        |{"name":"d","type":{"type":"int","logicalType":"date"}},
+        |{"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}},
+        |{"name":"famount","type":{"type":"fixed","name":"DecF","size":6,"logicalType":"decimal","precision":12,"scale":3}}]}""".stripMargin
+    val df = Seq(Tuple1(1)).toDF("i").select(
+      lit("GREEN").as("color"),
+      lit(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).as("fx"),
+      lit(java.sql.Date.valueOf("2024-03-01")).as("d"),
+      lit(BigDecimal("12345.67")).cast("decimal(10,2)").as("amount"),
+      lit(BigDecimal("-42.125")).cast("decimal(12,3)").as("famount"))
+    val bytes = df.select(GraftFunctions.toAvro(
+        struct(col("color"), col("fx"), col("d"), col("amount"), col("famount")),
+        schemaJson).as("v")).head.getAs[Array[Byte]]("v")
+    // cross-check with the plain avro library
+    val schema = new Schema.Parser().parse(schemaJson)
+    val rec = avroDecode(schema, bytes)
+    assert(rec.get("color").toString == "GREEN")
+    assert(rec.get("d") == java.sql.Date.valueOf("2024-03-01").toLocalDate.toEpochDay.toInt)
+    val unscaled = {
+      val b = rec.get("amount").asInstanceOf[java.nio.ByteBuffer]
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+      new java.math.BigInteger(arr)
+    }
+    assert(unscaled == java.math.BigInteger.valueOf(1234567L))
+    // round-trip through the expression decode
+    val back = Seq(Tuple1(bytes)).toDF("v")
+      .select(GraftFunctions.fromAvro(col("v"), schemaJson).as("r"))
+      .select("r.*").head
+    assert(back.getString(0) == "GREEN")
+    assert(back.getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    assert(back.getDate(2) == java.sql.Date.valueOf("2024-03-01"))
+    assert(back.getDecimal(3) == new java.math.BigDecimal("12345.67"))
+    assert(back.getDecimal(4) == new java.math.BigDecimal("-42.125"))
+  }
+
+  test("pre-1970 timestamps with sub-ms micros round-trip (floorDiv encode)") {
+    GraftFunctions.register(spark)
+    // 1969-12-31 23:59:59.999 — millis = -1; truncating division of the
+    // micros value (-1000) would give 0 and shift the wire value +1 ms
+    val ts = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999")
+    val df = Seq((ts, 1.0)).toDF("window_start", "total_sum_per_minute")
+    val encoded = df.select(GraftFunctions.toAvro(
+        struct(col("window_start"), col("total_sum_per_minute")),
+        KafkaIO.priceAlertAvroSchema).as("value"))
+    val schema = new Schema.Parser().parse(KafkaIO.priceAlertAvroSchema)
+    val rec = avroDecode(schema, encoded.head.getAs[Array[Byte]]("value"))
+    assert(rec.get("window_start") == -1L, "wire millis must floor, not truncate")
+    val back = encoded.select(GraftFunctions.fromAvro(col("value"),
+        KafkaIO.priceAlertAvroSchema).as("r")).select("r.*").head
+    assert(back.getTimestamp(0) == ts)
+  }
+
+  test("writer-schema resolution by frame id: two schema versions in one batch") {
+    GraftFunctions.register(spark)
+    val v1 =
+      """{"type":"record","name":"Purchase","fields":[
+        |{"name":"id","type":"long"},{"name":"quantity","type":"long"}]}""".stripMargin
+    // v2 reorders fields and adds one — resolution must match by NAME
+    val v2 =
+      """{"type":"record","name":"Purchase","fields":[
+        |{"name":"quantity","type":"long"},{"name":"note","type":"string"},
+        |{"name":"id","type":"long"}]}""".stripMargin
+    // reader wants the common shape
+    val reader =
+      """{"type":"record","name":"Purchase","fields":[
+        |{"name":"id","type":"long"},{"name":"quantity","type":"long"}]}""".stripMargin
+    def framed(id: Int, bytes: Array[Byte]): Array[Byte] =
+      Array[Byte](0, (id >>> 24).toByte, (id >>> 16).toByte, (id >>> 8).toByte,
+        id.toByte) ++ bytes
+    val b1 = framed(1, avroEncode(new Schema.Parser().parse(v1), r => {
+      r.put("id", 10L); r.put("quantity", 2L)
+    }))
+    val b2 = framed(2, avroEncode(new Schema.Parser().parse(v2), r => {
+      r.put("quantity", 5L); r.put("note", "hi"); r.put("id", 20L)
+    }))
+    val rows = Seq(Tuple1(b1), Tuple1(b2)).toDF("value")
+      .select(GraftFunctions.fromAvroResolving(col("value"), reader,
+        Map(1 -> v1, 2 -> v2)).as("p"))
+      .select("p.*").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((10L, 2L), (20L, 5L)),
+      "both schema versions must decode through the reader shape")
+    // unknown id: permissive -> NULL row, strict -> failure
+    val b3 = framed(9, avroEncode(new Schema.Parser().parse(v1), r => {
+      r.put("id", 30L); r.put("quantity", 1L)
+    }))
+    intercept[Exception] {
+      Seq(Tuple1(b3)).toDF("value")
+        .select(GraftFunctions.fromAvroResolving(col("value"), reader,
+          Map(1 -> v1, 2 -> v2)).as("p")).collect()
+    }
+    val permissive = Seq(Tuple1(b3)).toDF("value")
+      .select(GraftFunctions.fromAvroResolving(col("value"), reader,
+        Map(1 -> v1, 2 -> v2), permissive = true).as("p")).collect()
+    assert(permissive.length == 1 && permissive.head.isNullAt(0))
+  }
+
+  test("PruneAvroFields prunes NESTED field paths (siblings at every level)") {
+    GraftFunctions.register(spark)
+    import graft.plans.PruneAvroFields
+    val nestedSchema =
+      """{"type":"record","name":"Doc","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"body","type":"string"},
+        |{"name":"meta","type":{"type":"record","name":"Meta","fields":[
+        |  {"name":"lang","type":"string"},
+        |  {"name":"big","type":"string"},
+        |  {"name":"quality","type":"double"}]}}]}""".stripMargin
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ PruneAvroFields
+    try {
+      val schema = new Schema.Parser().parse(nestedSchema)
+      val bytes = (1 to 5).map { i =>
+        Tuple1(avroEncode(schema, r => {
+          r.put("id", i.toLong); r.put("body", "body " * 50)
+          val m = new GenericData.Record(schema.getField("meta").schema())
+          m.put("lang", s"l$i"); m.put("big", "huge " * 50); m.put("quality", i * 0.5)
+          r.put("meta", m)
+        }))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_avro_nested").toString
+      bytes.toDF("value").write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+        .select(GraftFunctions.fromAvro(col("value"), nestedSchema).as("d"))
+        .select(col("d.id").as("id"), col("d.meta.quality").as("quality"))
+      val pruned = df.queryExecution.optimizedPlan.collect {
+        case plan => plan.expressions.flatMap(_.collect {
+          case f: graft.functions.FromAvroGraft if f.readerSchemaJson.isDefined => f
+        })
+      }.flatten
+      assert(pruned.nonEmpty, "rule must install a reader schema")
+      val rs = new Schema.Parser().parse(pruned.head.readerSchemaJson.get)
+      assert(rs.getFields.size == 2, s"top level must keep id+meta, got $rs")
+      assert(rs.getFields.get(0).name == "id")
+      val metaS = rs.getFields.get(1).schema()
+      assert(metaS.getFields.size == 1 && metaS.getFields.get(0).name == "quality",
+        s"meta must keep only quality, got $metaS")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == (1 to 5).map(i => (i.toLong, i * 0.5)).toSet,
+        "pruned decode must produce identical values")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("nullable [null, T] union fields decode/encode null") {
     GraftFunctions.register(spark)
     val schemaJson =

@@ -141,6 +141,29 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH-blocked cosine recall too low: $recall")
   }
 
+  test("ngram jaccard: degenerate block above maxBlockSize is dropped (oracle-mirrored guard)") {
+    // source "spam" holds 5 identical docs (10 pairs), source "ok" a
+    // near-dup pair; with maxBlockSize = 4 the spam block must vanish
+    // entirely while ok survives — the same cap the q16 DuckDB oracle
+    // mirrors with its COUNT(*) OVER (PARTITION BY source) prefilter
+    val d = docs(
+      ((1L to 5L).map(i => (i, "aa bb cc dd ee ff", "spam")) ++
+        Seq((10L, "xx yy zz ww vv", "ok"), (11L, "xx yy zz ww uu", "ok"))): _*)
+    val capped = Dedup.ngramJaccardPairs(d, 0.5, maxBlockSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)), s"spam block must be dropped, got $capped")
+    // and without the cap the spam pairs exist (proving the guard acted)
+    val uncapped = Dedup.ngramJaccardPairs(d, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 11, s"uncapped must keep all pairs, got ${uncapped.size}")
+    // fixture sanity for the oracle contract: real blocks sit far below
+    // the default cap, so cap semantics never bind at test SFs
+    val maxBlock = Tables.documents(spark, sf001)
+      .groupBy("source").count().agg(max("count")).head.getLong(0)
+    assert(maxBlock < Dedup.DefaultMaxBlockSize / 100,
+      s"fixture block size $maxBlock unexpectedly near the cap")
+  }
+
   test("fused word_shingles is byte-identical to the HOF formulation") {
     GraftFunctions.register(spark)
     val d = Tables.documents(spark, sf001).limit(100)
@@ -148,7 +171,7 @@ class DedupSpec extends SparkSpec {
       val cmp = d.select(
           HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), n).as("fused"),
           HashFunctions.wordShinglesHof(TextFunctions.wsTokens(col("text")), n).as("hof"))
-        .filter(not(col("fused") === col("hof")))
+        .filter(not(col("fused") <=> col("hof"))) // null-safe: a NULL-vs-[] divergence must FAIL, not filter out
       assert(cmp.count() == 0, s"n=$n mismatch")
     }
     // short-doc edge: fewer tokens than n -> empty array

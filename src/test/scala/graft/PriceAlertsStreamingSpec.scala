@@ -271,4 +271,56 @@ class PriceAlertsStreamingSpec extends SparkSpec {
     assert(ids.size == 2, s"reordered near-dup must be dropped, got $ids")
     assert(ids.contains(3L))
   }
+
+  test("streaming near-dup simhash dedup: NON-identical hamming<=3 pair dropped in-stream") {
+    // transformWithState (ListState) needs a multi-column-family store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try testNearDup() finally spark.conf.unset(key)
+  }
+
+  private def testNearDup(): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    // find a variant whose simhash is NEAR (hamming 1..3) but not equal —
+    // the case the exact-collision guard (bySimhash) cannot catch
+    val base = "the quick brown fox jumps over the lazy dog while birds sing in the morning sun"
+    val subs = Seq("sings", "evening", "bright", "red", "grey", "walks", "cold",
+      "warm", "runs", "barks", "noon", "night", "field", "creek", "stone")
+    val candidates = base +: subs.flatMap { w =>
+      Seq(base.replace("morning", w), base.replace("sing", w), base.replace("lazy", w))
+    }
+    val hashes = {
+      import org.apache.spark.sql.functions.col
+      candidates.toDF("text")
+        .select(col("text"), graft.functions.GraftFunctions.simhash64(
+          graft.functions.TextFunctions.wsTokens(col("text"))).as("sh"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val baseSh = hashes(base)
+    val near = candidates.tail.find { t =>
+      val d = java.lang.Long.bitCount(hashes(t) ^ baseSh); d >= 1 && d <= 3
+    }
+    assert(near.isDefined, "fixture search must find a hamming 1..3 variant")
+
+    val in = MemoryStream[Doc]
+    val deduped = graft.streaming.StreamingDedup.bySimhashNearDup(
+      in.toDF(), "ts", "10 minutes")
+    val out = runQuery(deduped, "append", "neardup_out") { q =>
+      in.addData(
+        Doc(1L, base, Timestamp.valueOf("2024-01-01 00:00:01")),
+        Doc(2L, near.get, Timestamp.valueOf("2024-01-01 00:00:05")),
+        Doc(3L, "completely unrelated content about databases and distributed systems",
+          Timestamp.valueOf("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      // advance the watermark past the reconciliation window so the
+      // per-doc verdicts emit (append-on-window-close)
+      in.addData(Doc(4L, "watermark mover row arriving much later",
+        Timestamp.valueOf("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+    }
+    val ids = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 3L),
+      s"near-dup 2 dropped, survivors 1 and 3 emitted on window close; got $ids")
+  }
 }

@@ -47,6 +47,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltSpread >= 4, s"hot key only spread over $saltSpread salt values")
   }
 
+  test("spamProof salting spreads 100% exact-duplicate rows; both modes join-equal") {
+    // all 500 big rows are IDENTICAL in every column: the content-hash
+    // salt necessarily co-locates them (one reducer), the spamProof
+    // variant must still fan them out
+    val big = (1 to 500).map(_ => (7L, "same")).toDF("k", "payload")
+    val small = (0L until 10L).map(i => (i, s"dim$i")).toDF("k", "attr")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "payload", "attr").collect().map(_.toString).sorted
+    for (spamProof <- Seq(false, true)) {
+      val salted = ScaleOps.saltedJoin(big, small, "k", salt = 8, spamProof = spamProof)
+        .select("k", "payload", "attr").collect().map(_.toString).sorted
+      assert(salted.toSeq == plain.toSeq, s"spamProof=$spamProof must preserve results")
+    }
+    val spread = big.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(8)).cast("int"))
+      .select(countDistinct(col("__salt"))).head.getLong(0)
+    assert(spread >= 4, s"duplicate rows only spread over $spread salt values")
+    val contentSpread = big.withColumn("__salt",
+        pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(8)).cast("int"))
+      .select(countDistinct(col("__salt"))).head.getLong(0)
+    assert(contentSpread == 1L, "content salt co-locates identical rows (the documented trade)")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -84,6 +84,77 @@ class SimilaritySpec extends SparkSpec {
     assert(km8 >= 0.8, s"k-means IVF recall too low at nProbe=8: $km8")
   }
 
+  test("sampled-k-means IVF (q44): deterministic training, recall >= first-N variant") {
+    val emb = Tables.embeddings(spark, sf001)
+    val c1 = Similarity.sampledKmeansCentroids(spark, emb, 16, 3, 256)
+    val c2 = Similarity.sampledKmeansCentroids(spark, emb, 16, 3, 256)
+    assert(c1.map(_._2.toSeq) == c2.map(_._2.toSeq), "training must be bit-deterministic")
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val exact = Similarity.bruteForceTopK(spark, emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val trained = recall(Similarity.ivfTopKTrained(spark, emb, queries, 10))
+    val firstN = recall(Similarity.ivfTopK(spark, emb, queries, 10))
+    assert(trained >= firstN,
+      s"sampled-k-means centroids must not lose to first-N: $trained vs $firstN")
+    assert(trained >= 0.5, s"trained IVF recall too low: $trained")
+  }
+
+  test("single-emission ANN candidates: same top-k as the distinct() formulation") {
+    // reference formulation: identical buckets/probes, dedup via
+    // distinct() — the exchange the production path eliminates
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Similarity.annTopK(spark, emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val planeSets = Similarity.defaultPlaneSets()
+    def buckets(df: org.apache.spark.sql.DataFrame, idAs: String, vecAs: String) = df
+      .select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+        posexplode(org.apache.spark.sql.classic.GraftPlanBridge.column(
+          graft.functions.LshBuckets(
+            org.apache.spark.sql.classic.GraftPlanBridge.expression(col("embedding")),
+            planeSets.map(_.map(_.toArray).toArray).toArray))))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val corpus = buckets(emb, "neighbor_id", "cv")
+    val probeFlips = array((lit(0L) +: (0 until 3).map(i => lit(1L << i))): _*)
+    val q = buckets(queries, "query_id", "qv")
+      .select(col("query_id"), col("qv"), col("tbl"),
+        explode(transform(probeFlips, f => col("bucket").bitwiseXOR(f))).as("bucket"))
+    val reference = q.join(corpus, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(got == reference, "single-emission must reproduce the distinct() result")
+  }
+
+  test("ANN/IVF candidate paths carry no exchange between candidate join and ranking") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 5)
+    for (df <- Seq(Similarity.annTopK(spark, emb, queries, 10),
+                   Similarity.ivfTopK(spark, emb, queries, 10),
+                   Similarity.ivfTopKTrained(spark, emb, queries, 10))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // the only aggregate-free dedup is the per-row filter: a distinct()
+      // would surface as a HashAggregate pair around an extra Exchange
+      assert(!plan.contains("HashAggregate"),
+        s"no aggregate-based dedup expected in:\n$plan")
+    }
+  }
+
   test("ANN is deterministic across runs (seeded hyperplanes)") {
     val emb = Tables.embeddings(spark, sf001)
     val q = emb.filter(col("vec_id") < 3)
