@@ -464,6 +464,25 @@ object SparkEntry {
         .orderBy("doc_id", "source")
     }),
 
+    // Training-sequence packing: each doc assigned to the fixed
+    // token-budget sequence it starts in (concat-and-chunk pretraining
+    // layout) — per-source doc_id-ordered cumulative token counts, all
+    // integer arithmetic.
+    "q45_sequence_packing" -> ((s, dir) => {
+      TextAnalysis.sequencePacking(Tables.documents(s, dir))
+        .orderBy("doc_id", "source", "n_tokens", "seq_id")
+    }),
+
+    // Per-source length-percentile gate: drop each source's shortest
+    // 20% by token count (deterministic percent_rank over
+    // (n_tokens, doc_id) — no ties, integer-driven).
+    "q46_length_percentile" -> ((s, dir) => {
+      TextAnalysis.lengthPercentileFilter(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          r4(col("pr")).as("pr"))
+        .orderBy("doc_id", "source", "n_tokens", "pr")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): distinct
     // vs total 3-gram counts per document.
     "q42_repetition" -> ((s, dir) => {
@@ -739,6 +758,36 @@ object SparkEntry {
         |      CAST(keep_frac * 65536 AS BIGINT)
         |ORDER BY 1, 2""".stripMargin
     },
+
+    "q45_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |       ((cum_tokens - n_tokens) // 2048)::BIGINT AS seq_id
+        |FROM c
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q46_length_percentile" ->
+      // prr vs pr: the filter must see the UNROUNDED rank (DuckDB WHERE
+      // can bind SELECT aliases, so the output alias is kept distinct)
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0))::BIGINT AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         percent_rank() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS prr
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, floor(prr * 10000 + 0.5) / 10000 AS pr
+        |FROM p WHERE prr >= 0.2
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
 
     "q42_repetition" ->
       """WITH g AS (

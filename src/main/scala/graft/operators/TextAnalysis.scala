@@ -66,6 +66,54 @@ object TextAnalysis {
       .agg(countDistinct(col("g")).as("n_overlapping"))
   }
 
+  /** Training-sequence packing: assign each document to the fixed
+    * token-budget sequence it STARTS in (documents may straddle
+    * boundaries — the standard concat-and-chunk LLM pretraining layout).
+    * Deterministic: docs are laid out per source in doc_id order, and
+    * the windowed cumulative token count is integer arithmetic, so the
+    * assignment is reshuffle-stable and exactly oracle-able.
+    *
+    * Scale: one shuffle on `source`, then a single in-partition window
+    * pass. A degenerate source serializes into one partition; shard the
+    * layout key ((source, hash(doc_id) % k)) when a source exceeds a
+    * partition budget — the packing contract per shard is unchanged.
+    */
+  def sequencePacking(documents: DataFrame, tokenBudget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    documents
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // integral `div`, not double `/`: exact at any corpus size
+      .withColumn("seq_id", expr(s"(cum_tokens - n_tokens) div $tokenBudget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"))
+  }
+
+  /** Per-source length-percentile filter: drop each source's shortest
+    * documents (bottom `dropBelow` fraction by token count) — the
+    * quantile-based quality gate of a corpus build, computed per source
+    * so verbose sources don't starve terse ones. percent_rank over the
+    * (n_tokens, doc_id) total order is deterministic (no ties) and
+    * integer-driven, so the oracle reproduces it exactly.
+    *
+    * Scale: one shuffle on `source` + one window pass, same posture as
+    * [[sequencePacking]]. The global variant (no partition) needs a
+    * range-partitioned sort — prefer per-source.
+    */
+  def lengthPercentileFilter(documents: DataFrame,
+                             dropBelow: Double = 0.2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= dropBelow)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("pr"))
+  }
+
   /** Intra-document repetition (Gopher-style quality signal): total vs
     * distinct word n-gram counts and the distinct ratio — low ratios
     * flag boilerplate/spam. Pure per-row, scan speed.

@@ -19,6 +19,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getAs[Int]("bpe") == 8)
   }
 
+  test("sequence packing: docs assigned to the budget-chunk they start in") {
+    // per-source doc_id order; budget 5 tokens
+    // s1: doc 1 (3 tok, starts at 0 -> seq 0), doc 2 (4 tok, starts at 3 -> seq 0),
+    //     doc 3 (2 tok, starts at 7 -> seq 1), doc 4 (5 tok, starts at 9 -> seq 1)
+    // s2: doc 5 (6 tok, starts at 0 -> seq 0), doc 6 (1 tok, starts at 6 -> seq 1)
+    val d = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c d", "s1"), (3L, "a b", "s1"),
+      (4L, "a b c d e", "s1"), (5L, "a b c d e f", "s2"), (6L, "a", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.sequencePacking(d, tokenBudget = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 1L))
+  }
+
+  test("length-percentile filter drops each source's shortest fraction") {
+    // s1 has 5 docs with 1..5 tokens: dropBelow 0.2 removes only the
+    // 1-token doc (pr 0.0); all of tiny s2 with pr {0, 1} keeps the max
+    val d = ((1L to 5L).map(i => (i, ("w " * i.toInt).trim, "s1")) ++
+      Seq((10L, "a b", "s2"), (11L, "a b c", "s2"))).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.lengthPercentileFilter(d, dropBelow = 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L, 4L, 5L, 11L), s"got $got")
+  }
+
   test("punct and alpha counts") {
     val r = one("a,b;c!?").select(
       TextFunctions.punctCount(col("text")).as("p"),
