@@ -483,6 +483,21 @@ object SparkEntry {
         .orderBy("doc_id", "source", "n_tokens", "pr")
     }),
 
+    // Absmax int8 embedding quantization stats (the storage-compression
+    // step of an embedding pipeline): per-vector scale + integer
+    // checksums of every quantized component — single-pass codegen
+    // expression, scan speed.
+    "q47_embedding_quantize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          graft.functions.GraftFunctions.quantizeI8Stats(col("embedding")).as("q"))
+        .select(col("vec_id"), r4(col("q.scale")).as("scale"),
+          col("q.q_sum").as("q_sum"), col("q.q_min").as("q_min"),
+          col("q.q_max").as("q_max"))
+        .orderBy("vec_id", "scale", "q_sum", "q_min", "q_max")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): distinct
     // vs total 3-gram counts per document.
     "q42_repetition" -> ((s, dir) => {
@@ -758,6 +773,24 @@ object SparkEntry {
         |      CAST(keep_frac * 65536 AS BIGINT)
         |ORDER BY 1, 2""".stripMargin
     },
+
+    "q47_embedding_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM s),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |         CASE WHEN scale > 0
+        |              THEN list_transform(e, x -> floor(x / scale * 127 + 0.5)::BIGINT)
+        |              ELSE list_transform(e, x -> 0::BIGINT) END AS qs
+        |  FROM sc)
+        |SELECT vec_id, floor(scale * 10000 + 0.5) / 10000 AS scale,
+        |       list_sum(qs)::BIGINT AS q_sum,
+        |       list_min(qs)::BIGINT AS q_min,
+        |       list_max(qs)::BIGINT AS q_max
+        |FROM q
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
     "q45_sequence_packing" ->
       """WITH t AS (

@@ -24,6 +24,7 @@ object GraftFunctions {
     "first_shared_index" -> (es => FirstSharedIndex(es(0), es(1))),
     "first_shared_probe" -> (es => FirstSharedProbe(es(0), es(1), foldInt(es(2)))),
     "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))),
+    "quantize_i8_stats" -> (es => QuantizeI8Stats(es.head)),
     "from_avro_graft" -> (es => FromAvroGraft(es(0), foldString(es(1)),
       es.length > 2 && foldBool(es(2)))),
     "to_avro_graft" -> (es => ToAvroGraft(es(0), foldString(es(1)),
@@ -81,6 +82,20 @@ object GraftFunctions {
     call_function("first_shared_probe", qb, cb, lit(probes))
   def jaccardSorted(a: Column, b: Column): Column =
     call_function("jaccard_sorted", a, b)
+  /** Absmax int8 quantization stats: struct(scale, q_sum, q_min, q_max)
+    * — the oracle-checkable integer surface of [[quantizeI8]].
+    */
+  def quantizeI8Stats(vec: Column): Column =
+    call_function("quantize_i8_stats", vec)
+  /** Absmax int8 quantization of an embedding (the storage form): each
+    * component floor(x/scale*127 + 0.5); zero vectors → all zeros.
+    */
+  def quantizeI8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(scale === 0.0, transform(vec, x => lit(0)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") / scale * 127 + lit(0.5)).cast("int")))
+  }
   def fromAvro(value: Column, schemaJson: String,
                confluentFraming: Boolean = false): Column =
     call_function("from_avro_graft", value, lit(schemaJson), lit(confluentFraming))

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the operators Spark's built-in
@@ -290,6 +291,39 @@ object HashImpl {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Symmetric int8 quantization stats of a float/double vector in one
+    * pass: scale = max |x| (absmax quantization), q_i = floor(x_i /
+    * scale * 127 + 0.5) ∈ [-127, 127], returned as (scale, Σq, min q,
+    * max q). The binary-arithmetic rounding form is chosen so DuckDB
+    * reproduces every bit (floor on the raw double, no ties-to-even).
+    * Zero vectors quantize to all-zero (scale 0 guard).
+    */
+  def quantizeI8Stats(vec: ArrayData, isFloat: Boolean): InternalRow = {
+    val n = vec.numElements()
+    var scale = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i))
+      if (x > scale) scale = x
+      i += 1
+    }
+    var sum = 0L; var min = 0L; var max = 0L
+    if (scale > 0.0) {
+      min = Long.MaxValue; max = Long.MinValue
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val q = math.floor(x / scale * 127.0 + 0.5).toLong
+        sum += q
+        if (q < min) min = q
+        if (q > max) max = q
+        i += 1
+      }
+      if (n == 0) { min = 0L; max = 0L }
+    }
+    InternalRow(scale, sum, min, max)
+  }
+
   /** Plain-array counterpart of [[cosine]] for the driver-side k-means
     * trainer — identical fold order and IEEE ops, so driver-trained
     * centroids reproduce in DuckDB.
@@ -462,6 +496,31 @@ case class LshBuckets(child: Expression, planeSets: Array[Array[Array[Double]]])
     defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.lshBuckets($c, $planesRef)")
   }
   override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
+}
+
+/** `quantize_i8_stats(array<float|double>)` — single-pass absmax int8
+  * quantization stats: struct(scale, q_sum, q_min, q_max). The stats
+  * are the oracle-checkable surface of the quantization (the integer
+  * sums verify every quantized component); the array form for storage
+  * is the same loop emitting bytes.
+  */
+case class QuantizeI8Stats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("q_min", LongType, nullable = false),
+    StructField("q_max", LongType, nullable = false)))
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.quantizeI8Stats(input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpl.quantizeI8Stats($c, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): QuantizeI8Stats =
     copy(child = c)
 }
 

