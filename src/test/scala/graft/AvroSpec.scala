@@ -424,6 +424,45 @@ class AvroSpec extends SparkSpec {
     assert(permissive.length == 1 && permissive.head.isNullAt(0))
   }
 
+  test("streaming wire path with MIXED schema versions: resolving decode end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    GraftFunctions.register(spark)
+    val v1 = KafkaIO.purchaseAvroSchema
+    // evolved topic version: extra field, different order
+    val v2 =
+      """{"type":"record","name":"Purchase","fields":[
+        |{"name":"productid","type":"long"},{"name":"channel","type":"string"},
+        |{"name":"id","type":"long"},{"name":"quantity","type":"long"}]}""".stripMargin
+    def framed(id: Int, bytes: Array[Byte]): Array[Byte] =
+      Array[Byte](0, (id >>> 24).toByte, (id >>> 16).toByte, (id >>> 8).toByte,
+        id.toByte) ++ bytes
+    val s1 = new Schema.Parser().parse(v1)
+    val s2 = new Schema.Parser().parse(v2)
+    val batch = (1L to 3L).map(i => framed(1, avroEncode(s1, r => {
+      r.put("id", i); r.put("quantity", 2L); r.put("productid", 7L)
+    }))) ++ (4L to 6L).map(i => framed(2, avroEncode(s2, r => {
+      r.put("productid", 7L); r.put("channel", "web"); r.put("id", i)
+      r.put("quantity", 3L)
+    })))
+    val in = MemoryStream[Array[Byte]]
+    val decoded = in.toDF().toDF("value")
+      .select(GraftFunctions.fromAvroResolving(col("value"), v1,
+        Map(1 -> v1, 2 -> v2)).as("p"))
+      .select("p.*")
+    val q = decoded.writeStream.format("memory").queryName("resolve_out")
+      .outputMode("append").start()
+    try {
+      in.addData(batch)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("resolve_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == ((1L to 3L).map(i => (i, 2L, 7L)) ++
+      (4L to 6L).map(i => (i, 3L, 7L))).toSet,
+      "both wire versions must decode through the reader schema in one stream")
+  }
+
   test("PruneAvroFields prunes NESTED field paths (siblings at every level)") {
     GraftFunctions.register(spark)
     import graft.plans.PruneAvroFields

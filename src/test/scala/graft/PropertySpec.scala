@@ -130,4 +130,30 @@ class PropertySpec extends SparkSpec {
       assert(r.getInt(0) == expect, s"fsb mismatch: got ${r.getInt(0)} want $expect")
     }
   }
+
+  test("first_shared_probe agrees with a scalar reimplementation on random bucket arrays") {
+    GraftFunctions.register(spark)
+    val probes = 3
+    // small bucket space so collisions (direct and single-bit-flip) are common
+    val arrGen = Gen.listOfN(8, Gen.choose(0L, 15L))
+    val pairs = samples(for { a <- arrGen; b <- arrGen } yield (a, b), 300)
+    def scalar(qb: Seq[Long], cb: Seq[Long]): Int = {
+      val flips = 0L +: (0 until probes).map(i => 1L << i)
+      (for {
+        t <- qb.indices.iterator
+        p <- flips.indices.iterator
+        if (qb(t) ^ flips(p)) == cb(t)
+      } yield t * (probes + 1) + p).nextOption().getOrElse(-1)
+    }
+    val got = pairs.toDF("qb", "cb")
+      .select(GraftFunctions.firstSharedProbe(col("qb"), col("cb"), probes))
+      .collect().map(_.getInt(0))
+    pairs.zip(got).foreach { case ((qb, cb), g) =>
+      assert(g == scalar(qb, cb), s"qb=$qb cb=$cb")
+    }
+    // the canonical combination it names must be a REAL collision, and
+    // no earlier (table-major, probe-minor) combination may collide —
+    // the single-emission invariant the ANN join filter relies on
+    assert(got.count(_ >= 0) > 0, "fixture must produce collisions")
+  }
 }
