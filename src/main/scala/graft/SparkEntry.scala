@@ -498,6 +498,13 @@ object SparkEntry {
         .orderBy("vec_id", "scale", "q_sum", "q_min", "q_max")
     }),
 
+    // Cross-document boilerplate 4-grams (C4-style): document frequency
+    // of n-grams shared by >= 2 docs.
+    "q48_boilerplate_ngrams" -> ((s, dir) => {
+      TextAnalysis.boilerplateNgrams(Tables.documents(s, dir))
+        .orderBy("g", "n_docs")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): distinct
     // vs total 3-gram counts per document.
     "q42_repetition" -> ((s, dir) => {
@@ -821,6 +828,20 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, floor(prr * 10000 + 0.5) / 10000 AS pr
         |FROM p WHERE prr >= 0.2
         |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q48_boilerplate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-2),
+        |                 i -> array_to_string(t[i:i+3], ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 4)
+        |SELECT g, count(*)::BIGINT AS n_docs
+        |FROM grams
+        |GROUP BY 1
+        |HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q42_repetition" ->
       """WITH g AS (

@@ -114,6 +114,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("pr"))
   }
 
+  /** Cross-document boilerplate n-gram detection (C4-style): n-grams
+    * occurring in at least `minDocs` DISTINCT documents, with their
+    * document frequency — the candidate set for boilerplate stripping
+    * and the df side of contamination sweeps. Per-doc grams are
+    * array_distinct'ed BEFORE the explode so each doc votes once and
+    * the aggregate is a plain count; one shuffle on the gram. At
+    * 100 TB: partial map-side counts make the shuffle scale with
+    * distinct grams per partition, and a `minDocs` this low is only
+    * for fixtures — production df thresholds shrink the output to the
+    * true boilerplate tail.
+    */
+  def boilerplateNgrams(documents: DataFrame, n: Int = 4,
+                        minDocs: Int = 2): DataFrame = {
+    GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(explode(array_distinct(HashFunctions.wordShingles(
+        TextFunctions.wsTokens(col("text")), n))).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Intra-document repetition (Gopher-style quality signal): total vs
     * distinct word n-gram counts and the distinct ratio — low ratios
     * flag boilerplate/spam. Pure per-row, scan speed.

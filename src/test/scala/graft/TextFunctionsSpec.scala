@@ -43,6 +43,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == Set(2L, 3L, 4L, 5L, 11L), s"got $got")
   }
 
+  test("boilerplate n-grams: cross-doc df counts, each doc votes once") {
+    val d = Seq(
+      (1L, "terms of service apply here now", "s"),
+      (2L, "please read terms of service apply today", "s"),
+      // doc 3 repeats the gram internally -> still ONE vote
+      (3L, "terms of service apply terms of service apply", "s"),
+      (4L, "completely unrelated words in this doc", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.boilerplateNgrams(d, n = 4, minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("terms of service apply") == 3L)
+    assert(!got.keys.exists(_.startsWith("completely")))
+  }
+
   test("punct and alpha counts") {
     val r = one("a,b;c!?").select(
       TextFunctions.punctCount(col("text")).as("p"),
