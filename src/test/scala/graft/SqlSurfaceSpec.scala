@@ -40,4 +40,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
     assert(r.getLong(0) != 0L)
   }
+
+  test("r3 expressions are callable from SQL: quantize_i8_stats, first_shared_probe") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT quantize_i8_stats(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS q,
+        |       first_shared_probe(array(5L, 9L), array(4L, 9L), 3) AS fsp,
+        |       first_shared_probe(array(5L, 9L), array(8L, 3L), 3) AS none""".stripMargin).head
+    val q = r.getStruct(0)
+    assert(q.getDouble(0) == 1.0)            // scale = max |x|
+    assert(q.getLong(1) == 127L - 63L)       // q = [127, floor(-63.5+0.5)] = [127, -63]
+    assert(q.getLong(2) == -63L && q.getLong(3) == 127L)
+    // qb=5 cb=4: flip bit 0 (probe 1) matches at table 0 -> 0*4+1 = 1
+    assert(r.getInt(1) == 1)
+    assert(r.getInt(2) == -1)
+  }
 }
