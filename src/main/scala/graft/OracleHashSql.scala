@@ -428,6 +428,67 @@ WHERE c >= 0.3
 ORDER BY 1, 2"""
   }
 
+  /** Oracle for q49: connected components of the q17 near-dup pair
+    * graph (= GraphOps.dedupClusters over Dedup.minhashLshPairs
+    * defaults). The edge set reuses the bit-exact minhash CTE chain;
+    * the component id (min reachable vertex) is computed with a
+    * recursive reachability CTE — semantically identical to the
+    * engine's min-label propagation fixpoint, all-integer, so the
+    * match is exact.
+    */
+  def q49DedupClusters: String =
+    s"""WITH RECURSIVE $minhashCtes,
+p49 AS (
+  SELECT doc_a, doc_b FROM est WHERE e >= 0.5),
+e49 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p49
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM p49),
+v49 AS (
+  SELECT DISTINCT src AS v FROM e49),
+reach(v, r) AS (
+  SELECT v, v FROM v49
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN e49 e ON e.src = reach.r),
+comp AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+ORDER BY cluster_id, doc_id"""
+
+  /** Oracle for q52: count-min-sketch heavy hitters
+    * (= Sketches.cmsHeavyHitters defaults: depth 4, width 1024, top
+    * 50). The per-row hash is HashImpl.fnv1a64Seeded — FNV fold from a
+    * seed-mixed basis, then the splitmix avalanche — mirrored with the
+    * same fnvFold/mixSubq building blocks the minhash oracle uses; the
+    * counters and the min-across-rows estimate are plain integer
+    * relational algebra, so the sketch itself is verified exactly.
+    */
+  def q52CmsHeavyHitters(depth: Int = 4, width: Int = 1024,
+                         k: Int = 50): String =
+    s"""WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text),' '), x -> length(x) > 0)) AS token
+  FROM documents),
+occ AS (
+  SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+seeded AS (
+  SELECT token, r, (hmix % $width)::BIGINT AS cell FROM (${mixSubq(
+        s"SELECT token, r FROM (SELECT DISTINCT token FROM toks), (SELECT unnest(range($depth)) AS r)",
+        fnvFold(xor64(OFF, mulMod("r::HUGEINT", GOLD)), strBytes("token")))})),
+counters AS (
+  SELECT s.r, s.cell, count(*)::BIGINT AS c
+  FROM toks t JOIN seeded s USING (token)
+  GROUP BY 1, 2),
+top AS (
+  SELECT token, cnt FROM occ ORDER BY cnt DESC, token ASC LIMIT $k)
+SELECT top.token, top.cnt, min(co.c)::BIGINT AS est_cms
+FROM top
+JOIN seeded se USING (token)
+JOIN counters co ON co.r = se.r AND co.cell = se.cell
+GROUP BY 1, 2
+ORDER BY 1, 2, 3"""
+
   /** Oracle for q24: per-kind integer byte statistics of the synthetic
     * media table (= Multimodal.featureStats). Every metric is integer
     * arithmetic over the payload bytes (ASCII text), so the mapPartitions

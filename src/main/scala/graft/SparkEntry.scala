@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Dedup, Multimodal, PriceAlerts, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, GraphOps, Multimodal, PriceAlerts, Relational, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,14 @@ object SparkEntry {
     */
   private[graft] val mixtureWeights: Seq[(String, Double)] =
     (0 until 20).map(i => (s"src$i", ((i % 4) + 1) * 0.25))
+
+  /** q51's per-source sample quotas (exact kept-count per stratum) —
+    * sized so at every SF some strata are clipped by the quota and some
+    * fall short of it (both branches of the min(quota, |stratum|)
+    * contract are exercised).
+    */
+  private[graft] val stratifiedQuotas: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", 10L + 15L * (i % 3)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -505,6 +513,44 @@ object SparkEntry {
         .orderBy("g", "n_docs")
     }),
 
+    // Near-dup cluster assignment: connected components over the q17
+    // MinHash+LSH pair graph (min-label propagation to fixpoint) — the
+    // canonical-survivor step that actually shrinks the corpus (A~B,
+    // B~C collapse to ONE survivor even when A~C was never emitted).
+    "q49_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(s, Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b"))
+      GraphOps.dedupClusters(pairs)
+        .orderBy("cluster_id", "doc_id")
+    }),
+
+    // Per-doc top-3 rarity-weighted terms (TF-IDF keyword extraction
+    // with linear idf — exact-integer ratio, so bit-exactly oracled).
+    "q50_tfidf_terms" -> ((s, dir) => {
+      TextAnalysis.tfidfTerms(Tables.documents(s, dir))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          r4(col("score")).as("score"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // Exact-quota stratified sample: per source keep exactly
+    // min(quota, |source|) docs chosen by content-hash order — the
+    // fixed-budget sibling of q43's rate-based mixture.
+    "q51_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val quotas = stratifiedQuotas.toDF("source", "quota")
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir), quotas)
+        .orderBy("doc_id", "source", "rk")
+    }),
+
+    // Count-min-sketch heavy hitters: bounded-memory token counting
+    // (map-side partial agg = the per-partition sketch), estimates
+    // reported against exact counts for the top 50 tokens.
+    "q52_cms_heavy_hitters" -> ((s, dir) => {
+      Sketches.cmsHeavyHitters(s, Tables.documents(s, dir))
+        .orderBy("token", "cnt", "est_cms")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): distinct
     // vs total 3-gram counts per document.
     "q42_repetition" -> ((s, dir) => {
@@ -716,6 +762,49 @@ object SparkEntry {
     "q17_dedup_minhash_lsh" -> OracleHashSql.q17MinhashLsh,
     "q18_dedup_simhash" -> OracleHashSql.q18Simhash,
     "q36_dedup_lsh_jaccard" -> OracleHashSql.q36LshBlockedJaccard,
+    "q49_dedup_clusters" -> OracleHashSql.q49DedupClusters,
+    "q52_cms_heavy_hitters" -> OracleHashSql.q52CmsHeavyHitters(),
+
+    "q50_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (
+        |  SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df, (tf * n_docs) / df AS sc
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, sc,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY sc DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df,
+        |       floor(sc * 10000 + 0.5) / 10000 AS score, rk::BIGINT AS rk
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY 1, 6""".stripMargin,
+
+    "q51_stratified_sample" -> {
+      val values = stratifiedQuotas
+        .map { case (src, q) => s"('$src', $q)" }.mkString(", ")
+      s"""WITH quotas(source, quota) AS (VALUES $values),
+        |h AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(text), 1, 8))::BIGINT AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT h.doc_id, h.source, quota,
+        |         row_number() OVER (PARTITION BY h.source
+        |                            ORDER BY u, doc_id) AS rk
+        |  FROM h JOIN quotas USING (source))
+        |SELECT doc_id, source, rk::BIGINT AS rk
+        |FROM r WHERE rk <= quota
+        |ORDER BY 1, 2, 3""".stripMargin
+    },
     "q21_sim_ann_lsh" ->
       OracleHashSql.q21AnnLsh(graft.operators.Similarity.defaultPlaneSets()),
     "q29_sim_ivf" -> OracleHashSql.q29Ivf,

@@ -136,6 +136,65 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Per-document top-`k` rarity-weighted terms (TF-IDF keyword
+    * extraction): score = tf · N / df with a LINEAR idf instead of the
+    * textbook log — the ranking signal is the same monotone df-inverse,
+    * but every score stays a ratio of exact integers, so the oracle
+    * reproduces it bit-for-bit (ln() bits differ across libm
+    * implementations; a corpus pipeline cares about the ranking, not
+    * the absolute scale).
+    *
+    * Scale: tf = one shuffle on (doc, term); df aggregates tf (term
+    * shuffle, map-side combined); the scalar N broadcasts; the top-k
+    * window rides the doc_id shuffle. Nothing quadratic, no driver
+    * state — textbook map-reduce TF-IDF declared relationally.
+    */
+  def tfidfTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(TextFunctions.wsTokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      // long*long exact, then IEEE double division — deterministic
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
+  /** Exact-quota stratified sampling: per source, keep exactly
+    * min(quota, |source|) documents, chosen by content-hash order — the
+    * fixed-budget sibling of rate-based mixture sampling (q43): a
+    * mixture RATE keeps a fraction, a QUOTA pins the sample size per
+    * stratum. Hash order makes the choice reshuffle-stable and
+    * re-ingestion-stable (the sample follows content, not row order).
+    *
+    * Scale: quotas are a KB-scale broadcast; one shuffle on `source`
+    * for the rank window. A mega-stratum serializes into one partition
+    * — the standard fix is a two-level rank (pre-rank on
+    * (source, hash % shards), keep quota-safe prefix, re-rank), same
+    * contract.
+    */
+  def stratifiedSample(documents: DataFrame, quotas: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        // first 8 hex chars of md5 -> uniform 32-bit content hash
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("u"))
+      .join(broadcast(quotas), "source")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
   /** Intra-document repetition (Gopher-style quality signal): total vs
     * distinct word n-gram counts and the distinct ratio — low ratios
     * flag boilerplate/spam. Pure per-row, scan speed.

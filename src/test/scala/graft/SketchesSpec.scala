@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sketches, TextAnalysis}
+import graft.sources.Tables
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CMS estimate upper-bounds the exact count and stays tight") {
+    val docs = Tables.documents(spark, sf001)
+    val out = Sketches.cmsHeavyHitters(spark, docs).collect()
+    val vocab = docs
+      .select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    assert(out.length == math.min(50L, vocab))
+    val totalTokens = Tables.documents(spark, sf001)
+      .select(sum(graft.functions.TextFunctions.tokenCountWs(col("text"))))
+      .head().getLong(0)
+    out.foreach { r =>
+      val (cnt, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= cnt, s"CMS must never undercount: ${r}")
+      // one-sided error bound: overcount <= e*N/width w.h.p. (depth 4)
+      assert(est - cnt <= math.ceil(math.E * totalTokens / 1024).toLong,
+        s"CMS overcount beyond the e*N/w bound: ${r} (N=$totalTokens)")
+    }
+  }
+
+  test("tfidf ranks a doc's distinctive term above corpus-wide terms") {
+    val docs = Seq(
+      (1L, "common words plus zebra zebra", "s"),
+      (2L, "common words plus other stuff", "s"),
+      (3L, "common words plus more stuff", "s"))
+      .toDF("doc_id", "text", "source")
+    val top1 = TextAnalysis.tfidfTerms(docs, k = 1)
+      .filter(col("doc_id") === 1L).head()
+    assert(top1.getAs[String]("term") == "zebra")
+  }
+
+  test("stratified sample keeps exactly min(quota, stratum size) rows") {
+    val docs = Tables.documents(spark, sf001)
+    val quotas = SparkEntry.stratifiedQuotas.toDF("source", "quota")
+    val kept = TextAnalysis.stratifiedSample(docs, quotas)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotaMap = SparkEntry.stratifiedQuotas.toMap
+    sizes.foreach { case (src, n) =>
+      assert(kept(src) == math.min(quotaMap(src), n),
+        s"stratum $src: kept ${kept(src)}, want min(${quotaMap(src)}, $n)")
+    }
+    // the fixture must exercise BOTH branches of the min
+    assert(sizes.exists { case (s, n) => n > quotaMap(s) })
+    assert(sizes.exists { case (s, n) => n <= quotaMap(s) })
+  }
+
+  test("stratified sample is reshuffle-stable (content-addressed)") {
+    val docs = Tables.documents(spark, sf001)
+    val quotas = SparkEntry.stratifiedQuotas.toDF("source", "quota")
+    val a = TextAnalysis.stratifiedSample(docs, quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.stratifiedSample(docs.repartition(13), quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+}
