@@ -73,6 +73,9 @@ object OracleHashSql {
   private val pow2 =
     (0 until 64).map(k => java.math.BigInteger.valueOf(2L).pow(k))
       .mkString("[", ",", "]::HUGEINT[]")
+  private val pow4 =
+    (0 until 32).map(k => java.math.BigInteger.valueOf(4L).pow(k))
+      .mkString("[", ",", "]::HUGEINT[]")
 
   /** Shared CTE chain: documents -> word-3-gram shingles -> 64-component
     * minhash signature (signed, = HashImpl.minhashSig) -> 16 band-hash
@@ -456,6 +459,27 @@ SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM comp
 ORDER BY cluster_id, doc_id"""
+
+  /** Oracle for q53: Morton z-order clustering key over
+    * (user_id, event-minute) (= HashImpl.zorder64 — bit k of x lands at
+    * output bit 2k, bit k of y at 2k+1). Expanded as a 32-term HUGEINT
+    * bit sum; the result is cast back through the signed view so it
+    * carries the same 64 bits as the Java long.
+    */
+  def q53ZOrder: String =
+    s"""WITH b AS (
+  SELECT event_id, user_id,
+         (epoch_ns(ts) // 1000000000) // 60 AS m
+  FROM events),
+z AS (
+  SELECT event_id, user_id, m,
+         list_sum(list_transform(range(32), k ->
+             ((user_id::HUGEINT // ($pow2)[k+1]) % 2) * ($pow4)[k+1]
+           + ((m::HUGEINT // ($pow2)[k+1]) % 2) * 2 * ($pow4)[k+1])) AS zu
+  FROM b)
+SELECT event_id, user_id, m, ${toS("zu::HUGEINT")} AS z
+FROM z
+ORDER BY 4, 1, 2, 3"""
 
   /** Oracle for q52: count-min-sketch heavy hitters
     * (= Sketches.cmsHeavyHitters defaults: depth 4, width 1024, top

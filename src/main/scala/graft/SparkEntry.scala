@@ -551,6 +551,20 @@ object SparkEntry {
         .orderBy("token", "cnt", "est_cms")
     }),
 
+    // Morton z-order clustering key over (user_id, event-minute): the
+    // data-layout primitive behind 2-D scan pruning — sorting by z
+    // gives BOTH dimensions row-group locality (ScaleOps.zorderLayout
+    // is the write path; this query verifies the key itself).
+    "q53_zorder_key" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, dir)
+        .withColumn("m", expr("cast(ts AS long) div 60"))
+        .select(col("event_id"), col("user_id"), col("m"),
+          graft.functions.GraftFunctions.zorder64(col("user_id"), col("m"))
+            .as("z"))
+        .orderBy("z", "event_id", "user_id", "m")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): distinct
     // vs total 3-gram counts per document.
     "q42_repetition" -> ((s, dir) => {
@@ -764,6 +778,7 @@ object SparkEntry {
     "q36_dedup_lsh_jaccard" -> OracleHashSql.q36LshBlockedJaccard,
     "q49_dedup_clusters" -> OracleHashSql.q49DedupClusters,
     "q52_cms_heavy_hitters" -> OracleHashSql.q52CmsHeavyHitters(),
+    "q53_zorder_key" -> OracleHashSql.q53ZOrder,
 
     "q50_tfidf_terms" ->
       """WITH toks AS (

@@ -24,6 +24,7 @@ object GraftFunctions {
     "first_shared_index" -> (es => FirstSharedIndex(es(0), es(1))),
     "first_shared_probe" -> (es => FirstSharedProbe(es(0), es(1), foldInt(es(2)))),
     "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))),
+    "zorder64"      -> (es => ZOrder64(es(0), es(1))),
     "quantize_i8_stats" -> (es => QuantizeI8Stats(es.head)),
     "from_avro_graft" -> (es => FromAvroGraft(es(0), foldString(es(1)),
       es.length > 2 && foldBool(es(2)))),
@@ -82,6 +83,11 @@ object GraftFunctions {
     call_function("first_shared_probe", qb, cb, lit(probes))
   def jaccardSorted(a: Column, b: Column): Column =
     call_function("jaccard_sorted", a, b)
+  /** Morton z-order clustering key from two long dimensions (low 32
+    * bits each) — sort/range-partition by it for 2-D scan pruning.
+    */
+  def zorder64(x: Column, y: Column): Column =
+    call_function("zorder64", x, y)
   /** Absmax int8 quantization stats: struct(scale, q_sum, q_min, q_max)
     * — the oracle-checkable integer surface of [[quantizeI8]].
     */

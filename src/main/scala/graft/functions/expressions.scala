@@ -44,6 +44,28 @@ object HashImpl {
     h ^ (h >>> 31)
   }
 
+  /** Spread the low 32 bits of v to the even bit positions of a long
+    * (the classic Morton-code bit-twiddle ladder).
+    */
+  def spreadBits32(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Morton / z-order interleave of the low 32 bits of x (even output
+    * bits) and y (odd output bits) — a space-filling-curve clustering
+    * key: sorting by it co-locates rows that are close in BOTH
+    * dimensions, so min/max column statistics prune scans on either
+    * predicate dimension.
+    */
+  def zorder64(x: Long, y: Long): Long =
+    spreadBits32(x) | (spreadBits32(y) << 1)
+
   /** Polynomial (Karp-Rabin) rolling hash of the whole string. */
   def polyHash64(s: UTF8String): Long = {
     val bytes = s.getBytes
@@ -368,6 +390,19 @@ case class Hash64Seeded(left: Expression, right: Expression) extends BinaryExpre
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.fnv1a64Seeded($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Hash64Seeded =
+    copy(l, r)
+}
+
+/** `zorder64(x, y)` — Morton interleave of two 32-bit dimensions into
+  * one clustering key (see HashImpl.zorder64).
+  */
+case class ZOrder64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    HashImpl.zorder64(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.zorder64($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder64 =
     copy(l, r)
 }
 

@@ -53,4 +53,22 @@ object ScaleOps {
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Z-order layout: range-partition + sort the table by the Morton
+    * interleave of two integer dimensions, so parquet row-group min/max
+    * statistics prune scans filtered on EITHER dimension (a linear sort
+    * clusters only its leading column; the space-filling curve gives
+    * both columns locality). Write the result with `.write` and
+    * point-lookups/range scans on (x) or (y) skip most row groups —
+    * the single-table analogue of what bucketing does for joins.
+    */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String,
+                   partitions: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__z", graft.functions.GraftFunctions.zorder64(
+        col(xCol).cast("long"), col(yCol).cast("long")))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
 }

@@ -70,6 +70,54 @@ class ScaleOpsSpec extends SparkSpec {
     assert(contentSpread == 1L, "content salt co-locates identical rows (the documented trade)")
   }
 
+  test("zorder64 interleaves bits exactly (reference bit loop)") {
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (k <- 0 until 32) {
+        z |= ((x >>> k) & 1L) << (2 * k)
+        z |= ((y >>> k) & 1L) << (2 * k + 1)
+      }
+      z
+    }
+    val rng = new scala.util.Random(42)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xffffffffL, 0xffffffffL)) ++
+      Seq.fill(200)((rng.nextLong().abs & 0xffffffffL, rng.nextLong().abs & 0xffffffffL))
+    cases.foreach { case (x, y) =>
+      assert(graft.functions.HashImpl.zorder64(x, y) == ref(x, y),
+        s"zorder mismatch at ($x, $y)")
+    }
+  }
+
+  test("zorder layout range-partitions by z and clusters both dimensions") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val laid = ScaleOps.zorderLayout(df, "x", "y", partitions = 8)
+    val plan = laid.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"zorder layout must range-partition:\n$plan")
+    assert(laid.count() == 64L * 64L)
+    // the row-group property: every ALIGNED chunk of 512 consecutive z
+    // values is an exact quadtree block — bounding box <= 32x16 in
+    // (x, y), so min/max stats prune on EITHER dimension. (A linear
+    // sort on x leaves y's chunk spread at the full 64. Spark's range
+    // sampler may split chunks off-alignment, which widens at most the
+    // straddling partitions — the aligned-chunk bound is what a
+    // boundary-aligned writer gives every row group.)
+    val spreads = df
+      .withColumn("z", graft.functions.GraftFunctions.zorder64(col("x"), col("y")))
+      .withColumn("chunk", expr("z div 512"))
+      .groupBy("chunk")
+      .agg((max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"))
+      .collect()
+    assert(spreads.length == 8)
+    spreads.foreach { r =>
+      assert(r.getAs[Long]("sx") <= 31 && r.getAs[Long]("sy") <= 31,
+        s"chunk ${r.getAs[Long]("chunk")} spread too wide: $r")
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -54,5 +54,8 @@ class SqlSurfaceSpec extends SparkSpec {
     // qb=5 cb=4: flip bit 0 (probe 1) matches at table 0 -> 0*4+1 = 1
     assert(r.getInt(1) == 1)
     assert(r.getInt(2) == -1)
+    // zorder64: x=0b11 -> even bits, y=0b1 -> odd bits: 0b0111 = 7
+    val z = spark.sql("SELECT zorder64(3L, 1L) AS z").head.getLong(0)
+    assert(z == 7L)
   }
 }
