@@ -460,6 +460,45 @@ SELECT doc_id, cluster_id,
 FROM comp
 ORDER BY cluster_id, doc_id"""
 
+  /** Karp-Rabin polynomial fold (= HashImpl.polyHash64) over a HUGEINT
+    * byte list: h = h·B + b mod 2^64.
+    */
+  private def polyFold(bytesList: String): String =
+    s"list_reduce(list_prepend(0::HUGEINT, $bytesList), " +
+      s"(h, c) -> (${mulMod("h", "1315423911")} + c) % $TWO64)"
+
+  /** Oracle for q54: content-defined chunking + cross-document chunk
+    * dedup (= Dedup.cdcChunkDedup defaults: window 16, mask 63,
+    * minDocs 2). The engine's single rolling pass is mirrored by
+    * hashing each 16-byte window directly (mathematically identical —
+    * the rolling recurrence subtracts the departing byte·B^w); cut
+    * positions where the window hash ≡ 0 mod 64 become chunk
+    * boundaries via a sorted boundary list.
+    */
+  def q54CdcChunks: String =
+    s"""WITH t AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text,''), c -> unicode(c)::HUGEINT) AS b,
+         length(text)::BIGINT AS n
+  FROM documents),
+cutls AS (
+  SELECT doc_id, text, n,
+         list_sort(list_distinct(list_concat(list_concat(
+           [0]::BIGINT[],
+           list_filter(range(16, n+1), p -> ${polyFold("b[p-15:p]")} % 64 = 0)),
+           [n]::BIGINT[]))) AS bs
+  FROM t WHERE n > 0),
+chunks AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(bs)), j ->
+           substr(text, (bs[j]+1)::INT, (bs[j+1]-bs[j])::INT))) AS chunk
+  FROM cutls)
+SELECT md5(chunk) AS chunk_md5, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occ
+FROM chunks
+GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY 1, 2, 3"""
+
   /** Oracle for q53: Morton z-order clustering key over
     * (user_id, event-minute) (= HashImpl.zorder64 — bit k of x lands at
     * output bit 2k, bit k of y at 2k+1). Expanded as a 32-term HUGEINT

@@ -565,6 +565,15 @@ object SparkEntry {
         .orderBy("z", "event_id", "user_id", "m")
     }),
 
+    // Content-defined chunking + cross-doc chunk dedup: rolling-hash
+    // boundaries follow content (re-sync after edits), so near-dup
+    // docs share chunks even without aligned n-grams — the
+    // storage-dedup primitive at chunk granularity.
+    "q54_cdc_chunks" -> ((s, dir) => {
+      Dedup.cdcChunkDedup(s, Tables.documents(s, dir))
+        .orderBy("chunk_md5", "n_docs", "n_occ")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): distinct
     // vs total 3-gram counts per document.
     "q42_repetition" -> ((s, dir) => {
@@ -779,6 +788,7 @@ object SparkEntry {
     "q49_dedup_clusters" -> OracleHashSql.q49DedupClusters,
     "q52_cms_heavy_hitters" -> OracleHashSql.q52CmsHeavyHitters(),
     "q53_zorder_key" -> OracleHashSql.q53ZOrder,
+    "q54_cdc_chunks" -> OracleHashSql.q54CdcChunks,
 
     "q50_tfidf_terms" ->
       """WITH toks AS (

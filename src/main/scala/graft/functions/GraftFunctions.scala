@@ -25,6 +25,8 @@ object GraftFunctions {
     "first_shared_probe" -> (es => FirstSharedProbe(es(0), es(1), foldInt(es(2)))),
     "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))),
     "zorder64"      -> (es => ZOrder64(es(0), es(1))),
+    "cdc_chunks"    -> (es => CdcChunks(es(0), foldInt(es(1)),
+      foldInt(es(2)).toLong)),
     "quantize_i8_stats" -> (es => QuantizeI8Stats(es.head)),
     "from_avro_graft" -> (es => FromAvroGraft(es(0), foldString(es(1)),
       es.length > 2 && foldBool(es(2)))),
@@ -88,6 +90,11 @@ object GraftFunctions {
     */
   def zorder64(x: Column, y: Column): Column =
     call_function("zorder64", x, y)
+  /** Content-defined chunks: boundaries where the rolling w-byte
+    * Karp-Rabin hash has all `mask` bits zero (avg chunk ≈ mask+1 B).
+    */
+  def cdcChunks(text: Column, w: Int, mask: Int): Column =
+    call_function("cdc_chunks", text, lit(w), lit(mask))
   /** Absmax int8 quantization stats: struct(scale, q_sum, q_min, q_max)
     * — the oracle-checkable integer surface of [[quantizeI8]].
     */

@@ -78,6 +78,43 @@ object HashImpl {
     h
   }
 
+  /** Content-defined chunking (Rabin-style CDC): split the byte stream
+    * at positions where the rolling Karp-Rabin hash of the trailing
+    * `w`-byte window has its low bits (`mask`) all zero — boundaries
+    * follow CONTENT, so an insertion early in a document shifts chunk
+    * edges only locally and identical regions across documents yield
+    * identical chunks (the storage-dedup primitive). Byte-level
+    * semantics by definition; expected chunk length ≈ mask+1 bytes.
+    * One rolling pass: h_i = h_{i-1}·B + b_i − b_{i−w}·B^w (mod 2^64).
+    */
+  def cdcChunks(s: UTF8String, w: Int, mask: Long): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (n > 0) {
+      val B = 1315423911L
+      var bw = 1L
+      var k = 0
+      while (k < w) { bw *= B; k += 1 }
+      var h = 0L
+      var start = 0
+      var i = 0
+      while (i < n) {
+        h = h * B + (bytes(i) & 0xffL)
+        if (i >= w) h -= (bytes(i - w) & 0xffL) * bw
+        if (i >= w - 1 && (h & mask) == 0L) {
+          out += UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(bytes, start, i + 1))
+          start = i + 1
+        }
+        i += 1
+      }
+      if (start < n) out += UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, start, n))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** 64-bit simhash over an array of string tokens: each token hashed,
     * per-bit ±1 votes accumulated, sign of each bit-sum becomes the bit.
     */
@@ -404,6 +441,21 @@ case class ZOrder64(left: Expression, right: Expression) extends BinaryExpressio
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.zorder64($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder64 =
     copy(l, r)
+}
+
+/** `cdc_chunks(text, w, mask)` — content-defined chunks of the byte
+  * stream (see HashImpl.cdcChunks).
+  */
+case class CdcChunks(child: Expression, w: Int, mask: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.cdcChunks(input.asInstanceOf[UTF8String], w, mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpl.cdcChunks($c, $w, ${mask}L)")
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
 }
 
 /** `minhash_sig(array<string>, k)` — k-component minhash signature. */

@@ -246,6 +246,33 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Cross-document chunk-level dedup via content-defined chunking:
+    * each document is split at rolling-hash boundaries
+    * ([[graft.functions.HashImpl.cdcChunks]]), and chunks appearing in
+    * ≥ `minDocs` distinct documents are reported — the storage-dedup /
+    * delta-encoding primitive (near-dup documents share most of their
+    * chunks even when no exact n-gram alignment exists, because the
+    * boundaries follow content and re-synchronize after an edit).
+    *
+    * Scale: chunking is a per-row rolling pass inside codegen; the only
+    * shuffle carries (chunk digest → count) with map-side partial
+    * aggregation. The chunk string itself never needs to survive the
+    * exchange in production (group by the digest); it is grouped here
+    * so the oracle can verify digests directly.
+    */
+  def cdcChunkDedup(spark: SparkSession, documents: DataFrame,
+                    window: Int = 16, mask: Int = 63,
+                    minDocs: Int = 2): DataFrame = {
+    GraftFunctions.register(spark)
+    documents
+      .select(col("doc_id"),
+        explode(GraftFunctions.cdcChunks(col("text"), window, mask)).as("chunk"))
+      .groupBy(md5(col("chunk")).as("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the ANN-free
     * exact variant; at scale the blocking key would be an LSH/IVF cell —
     * see [[lshBlockedCosinePairs]]).

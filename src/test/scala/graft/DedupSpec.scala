@@ -219,6 +219,41 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet.contains((100L, 101L)))
   }
 
+  test("cdc chunks reconstruct the text and re-sync after an edit") {
+    GraftFunctions.register(spark)
+    // high-entropy deterministic text (a periodic string has only
+    // period-many distinct windows and may never hit a boundary)
+    val rng = new scala.util.Random(7)
+    val base = Seq.fill(300)(rng.alphanumeric.take(5).mkString).mkString(" ")
+    val edited = "XYZQ " + base // edit at the very front
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        GraftFunctions.cdcChunks(col("text"), 16, 63).as("chunks"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[String](2)).toMap
+    // chunks concatenate back to the original byte stream
+    assert(rows(1L).mkString == base)
+    assert(rows(2L).mkString == edited)
+    // content-defined boundaries re-synchronize: the two docs share a
+    // common chunk suffix despite the front edit (a fixed-size chunker
+    // would shift EVERY boundary and share nothing)
+    val shared = rows(1L).toSet.intersect(rows(2L).toSet)
+    assert(rows(1L).length > 3, s"expected several chunks, got ${rows(1L).length}")
+    assert(shared.nonEmpty, "edited doc must share content-defined chunks")
+    assert(rows(1L).last == rows(2L).last, "chunking must re-sync by the tail")
+  }
+
+  test("cdc chunk dedup finds the chunks shared across near-dup docs") {
+    val base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 8).trim
+    val out = Dedup.cdcChunkDedup(spark, Seq(
+      (1L, base, "s"), (2L, "PREFIX " + base, "s"),
+      (3L, "totally different content here that shares nothing at all with them", "s"))
+      .toDF("doc_id", "text", "source"))
+      .collect()
+    assert(out.nonEmpty, "near-dup docs must share chunks")
+    assert(out.forall(_.getAs[Long]("n_docs") == 2L))
+  }
+
   test("skew guard: oversized LSH buckets are dropped, join still completes") {
     // 60 identical docs -> every band bucket has 60 members > maxBucketSize=10
     val many = (1L to 60L).map(i => (i, "same text repeated for everyone here ok", "s"))
