@@ -186,6 +186,29 @@ class SimilaritySpec extends SparkSpec {
       z.getLong(2) == 0L && z.getLong(3) == 0L)
   }
 
+  test("batch-lookup ANN: no broadcast, shuffle join on (tbl, bucket), results unchanged") {
+    // the 10^6-query shape: the query side is too big to broadcast, so
+    // the candidate join must run as a shuffle join keyed on the LSH
+    // bucket — same results as the broadcast plan, per-query bounded rank
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 200) // batch, not a handful
+    val small = Similarity.annTopK(spark, emb, queries, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val olds = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = Similarity.annTopK(spark, emb, queries, 5)
+      val plan = batch.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"batch mode must not broadcast:\n$plan")
+      assert(batch.collect().map(_.toString).sorted.toSeq == small,
+        "shuffle-join plan must produce identical top-k")
+    } finally olds match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("ANN is deterministic across runs (seeded hyperplanes)") {
     val emb = Tables.embeddings(spark, sf001)
     val q = emb.filter(col("vec_id") < 3)
