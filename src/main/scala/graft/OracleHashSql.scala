@@ -164,6 +164,27 @@ FROM rerank
 WHERE j >= 0.5
 ORDER BY 1, 2"""
 
+  /** Oracle for q55: LSH candidates (est >= 0.2) reranked by
+    * Levenshtein edit distance (= Dedup.lshEditDistancePairs) — both
+    * engines implement classic unit-cost edit distance, and the
+    * normalized similarity is an exact-integer ratio.
+    */
+  def q55EditDistance: String =
+    s"""WITH $minhashCtes,
+cand55 AS (
+  SELECT doc_a, doc_b FROM est WHERE e >= 0.2),
+rr AS (
+  SELECT doc_a, doc_b,
+         levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+         greatest(length(da.text), length(db.text))::BIGINT AS maxlen
+  FROM cand55
+  JOIN documents da ON da.doc_id = doc_a
+  JOIN documents db ON db.doc_id = doc_b)
+SELECT doc_a, doc_b, edit_dist,
+       floor((1.0 - edit_dist::DOUBLE / maxlen) * 10000 + 0.5) / 10000 AS sim
+FROM rr
+ORDER BY 1, 2, 3, 4"""
+
   /** Oracle for q18: 64-bit simhash (= HashImpl.simHash64) bucketed by
     * 16-bit chunks, pairs at hamming <= 3 (= Dedup.simhashPairs).
     */

@@ -574,6 +574,30 @@ object SparkEntry {
         .orderBy("chunk_md5", "n_docs", "n_occ")
     }),
 
+    // Edit-distance rerank over LSH candidates: character-level near-dup
+    // (transpositions/OCR noise) — Levenshtein runs ONLY on the
+    // LSH-bounded candidate set, never a blocked self-join.
+    "q55_dedup_edit_distance" -> ((s, dir) => {
+      Dedup.lshEditDistancePairs(s, Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+          r4(col("sim")).as("sim"))
+        .orderBy("doc_a", "doc_b", "edit_dist", "sim")
+    }),
+
+    // Window-function breadth: quartile bucketing, next-order lookahead,
+    // cumulative distribution per customer order history.
+    "q56_order_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+          r4(cume_dist().over(w)).as("cd"))
+        .orderBy("o_custkey", "o_orderkey", "quartile", "next_ok", "cd")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): distinct
     // vs total 3-gram counts per document.
     "q42_repetition" -> ((s, dir) => {
@@ -789,6 +813,16 @@ object SparkEntry {
     "q52_cms_heavy_hitters" -> OracleHashSql.q52CmsHeavyHitters(),
     "q53_zorder_key" -> OracleHashSql.q53ZOrder,
     "q54_cdc_chunks" -> OracleHashSql.q54CdcChunks,
+    "q55_dedup_edit_distance" -> OracleHashSql.q55EditDistance,
+
+    "q56_order_windows" ->
+      """SELECT o_custkey, o_orderkey,
+        |       ntile(4) OVER w AS quartile,
+        |       lead(o_orderkey, 1) OVER w AS next_ok,
+        |       floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
     "q50_tfidf_terms" ->
       """WITH toks AS (

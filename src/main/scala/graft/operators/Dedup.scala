@@ -246,6 +246,31 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Edit-distance near-dup pairs: MinHash+LSH proposes candidates (no
+    * quadratic pair space), Levenshtein reranks them — character-level
+    * similarity the token/hash family can't see (transpositions,
+    * hyphenation, OCR noise). Levenshtein is O(|a|·|b|) per pair, which
+    * is exactly why it must NEVER run on a blocked self-join at scale:
+    * the candidate set is LSH-bounded, so the quadratic cost applies
+    * only to pairs already known to share shingle structure.
+    */
+  def lshEditDistancePairs(spark: SparkSession, documents: DataFrame,
+                           candidateEst: Double = 0.2): DataFrame = {
+    GraftFunctions.register(spark)
+    val cands = minhashLshPairs(spark, documents, estimateThreshold = candidateEst)
+      .select(col("doc_a"), col("doc_b"))
+    val txt = documents.select(col("doc_id"), col("text"))
+    cands
+      .join(txt.withColumnsRenamed(Map("doc_id" -> "doc_a", "text" -> "text_a")), "doc_a")
+      .join(txt.withColumnsRenamed(Map("doc_id" -> "doc_b", "text" -> "text_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b")))
+          .cast("long").as("maxlen"))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        (lit(1.0) - col("edit_dist").cast("double") / col("maxlen")).as("sim"))
+  }
+
   /** Cross-document chunk-level dedup via content-defined chunking:
     * each document is split at rolling-hash boundaries
     * ([[graft.functions.HashImpl.cdcChunks]]), and chunks appearing in
