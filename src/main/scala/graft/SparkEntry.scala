@@ -598,6 +598,36 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey", "quartile", "next_ok", "cd")
     }),
 
+    // The end-to-end corpus build, composed from the operator library in
+    // ONE declarative plan: fingerprint-dedup survivors -> quality gate
+    // -> benchmark decontamination (anti-join, benchmark n-grams
+    // broadcast) -> per-source mixture sampling (weight table broadcast,
+    // content-hash uniform) -> training-sequence packing of what's left.
+    // Catalyst fuses the whole chain; the corpus is scanned, filtered,
+    // and laid out without ever materializing an intermediate table.
+    "q57_corpus_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val fp = Dedup.byFingerprint(docs).select(col("doc_id"))
+      val quality = TextAnalysis.qualityMetrics(docs)
+        .filter(col("quality") >= 0.3).select(col("doc_id"))
+      val bench = docs.filter(col("doc_id") < 5)
+      val corpus = docs.filter(col("doc_id") >= 5)
+      val contaminated = TextAnalysis.contamination(corpus, bench, n = 4)
+        .select(col("doc_id"))
+      val u = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+      val weights = mixtureWeights.toDF("source", "keep_frac")
+      val kept = corpus
+        .join(fp, "doc_id")
+        .join(quality, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(broadcast(weights), Seq("source"))
+        .filter(u < (col("keep_frac") * 65536).cast("long"))
+        .select(docs.columns.map(col): _*)
+      TextAnalysis.sequencePacking(kept)
+        .orderBy("doc_id", "source", "n_tokens", "seq_id")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): distinct
     // vs total 3-gram counts per document.
     "q42_repetition" -> ((s, dir) => {
@@ -814,6 +844,62 @@ object SparkEntry {
     "q53_zorder_key" -> OracleHashSql.q53ZOrder,
     "q54_cdc_chunks" -> OracleHashSql.q54CdcChunks,
     "q55_dedup_edit_distance" -> OracleHashSql.q55EditDistance,
+
+    "q57_corpus_pipeline" -> {
+      val values = mixtureWeights
+        .map { case (src, f) => s"('$src', $f)" }.mkString(", ")
+      s"""WITH fp AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+        |qual AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           0.4 * (len(list_filter(string_split(lower(text), ' '),
+        |                    x -> x IN ('the','a','of','and','in','to','is','it','that','for')))::DOUBLE
+        |                 / greatest(len(list_filter(string_split(lower(text), ' '),
+        |                    x -> length(x) > 0))::DOUBLE, 1.0))
+        |           + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        |                    / greatest(length(text)::DOUBLE, 1.0))
+        |           + 0.3 * (least(len(list_filter(string_split(lower(text), ' '),
+        |                    x -> length(x) > 0))::DOUBLE, 100.0) / 100.0) AS qv
+        |    FROM documents)
+        |  WHERE qv >= 0.3),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)-2),
+        |                 i -> array_to_string(t[i:i+3], ' '))) AS g
+        |  FROM toks WHERE len(t) >= 4),
+        |test AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+        |contaminated AS (
+        |  SELECT DISTINCT c.doc_id FROM grams c JOIN test USING (g)
+        |  WHERE c.doc_id >= 5),
+        |weights(source, keep_frac) AS (VALUES $values),
+        |kept AS (
+        |  SELECT d.doc_id, d.source, d.text
+        |  FROM documents d
+        |  JOIN fp USING (doc_id)
+        |  JOIN qual USING (doc_id)
+        |  JOIN weights USING (source)
+        |  WHERE d.doc_id >= 5
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |    AND ('0x' || substr(md5(d.text), 1, 4))::BIGINT <
+        |        CAST(keep_frac * 65536 AS BIGINT)),
+        |t57 AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0))::BIGINT AS n_tokens
+        |  FROM kept),
+        |c57 AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM t57)
+        |SELECT doc_id, source, n_tokens, ((cum - n_tokens) // 2048)::BIGINT AS seq_id
+        |FROM c57
+        |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
 
     "q56_order_windows" ->
       """SELECT o_custkey, o_orderkey,
