@@ -628,6 +628,35 @@ object SparkEntry {
         .orderBy("doc_id", "source", "n_tokens", "seq_id")
     }),
 
+    // Corpus snapshot diff (dataset versioning): FULL OUTER join of two
+    // corpus versions on doc_id comparing content fingerprints ->
+    // added / removed / changed rows (v2 is a deterministic derivation:
+    // drop doc_id%7, edit doc_id%11, add doc_id%13 under new ids).
+    // At scale both sides shuffle once on doc_id; only fingerprints
+    // cross the wire, never text.
+    "q58_snapshot_diff" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.select(col("doc_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp_a"))
+      val v2base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" edited"))).otherwise(col("text")).as("text"))
+      val v2new = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val v2 = v2base.union(v2new)
+        .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp_b"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp_a").isNull, "added")
+            .when(col("fp_b").isNull, "removed")
+            .when(col("fp_a") =!= col("fp_b"), "changed")
+            .otherwise("same").as("status"))
+        .filter(col("status") =!= "same")
+        .orderBy("doc_id", "status")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): distinct
     // vs total 3-gram counts per document.
     "q42_repetition" -> ((s, dir) => {
@@ -900,6 +929,32 @@ object SparkEntry {
         |FROM c57
         |ORDER BY 1, 2, 3, 4""".stripMargin
     },
+
+    "q58_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_a
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(
+        |           CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END),
+        |           '\s+', ' ', 'g'))) AS fp_b
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, fp_a, fp_b
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN fp_a IS NULL THEN 'added'
+        |            WHEN fp_b IS NULL THEN 'removed'
+        |            WHEN fp_a <> fp_b THEN 'changed'
+        |            ELSE 'same' END AS status
+        |FROM j
+        |WHERE fp_a IS NULL OR fp_b IS NULL OR fp_a <> fp_b
+        |ORDER BY 1, 2""".stripMargin,
 
     "q56_order_windows" ->
       """SELECT o_custkey, o_orderkey,
