@@ -11,16 +11,16 @@ import org.apache.spark.sql.functions._
   * over-delete: A~B and B~C must collapse to ONE survivor even when
   * A~C was never emitted).
   *
-  * Algorithm: iterative min-label propagation — each vertex repeatedly
-  * adopts the minimum label among itself and its neighbors until a
-  * fixpoint. Every iteration is one shuffle on the vertex id;
-  * convergence takes `diameter(component)` rounds. Near-dup components
-  * are dense and tiny (near-cliques of template/boilerplate variants),
-  * so diameter is single-digit in practice — for adversarial
-  * long-chain graphs the log-round alternating star-contraction of
-  * Kiveris et al. ("Connected Components in MapReduce and Beyond",
-  * SoCC'14) is the drop-in upgrade; the per-round dataflow here (join →
-  * groupBy-min) is the same building block.
+  * Algorithm: min-label propagation WITH pointer jumping — each round
+  * every vertex (1) adopts the minimum label among itself and its
+  * neighbors, then (2) path-halves by adopting its label's label
+  * (l(v) ← l(l(v)); labels are always vertex ids and only decrease, so
+  * the jump is well-defined and monotone). Propagation alone needs
+  * `diameter(component)` rounds; the jump halves label-chain depth
+  * every round, giving O(log n) rounds on adversarial long-chain
+  * graphs — the same asymptotics as the star-contraction of Kiveris
+  * et al. ("Connected Components in MapReduce and Beyond", SoCC'14),
+  * with a simpler per-round dataflow (two joins + a groupBy-min).
   *
   * Scale posture: state per round is one (vertex, label) row per vertex
   * and the edge list — both spill-able, nothing driver-side but the
@@ -40,7 +40,14 @@ object GraphOps {
     * cluster_id = the component's minimum vertex id. Deterministic:
     * min-label is order- and partitioning-independent.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    ccWithStats(pairs, maxIter)._1
+
+  /** As [[connectedComponents]], also returning the round count — the
+    * O(log n) convergence claim is spec-asserted through this.
+    */
+  private[graft] def ccWithStats(pairs: DataFrame,
+                                 maxIter: Int = 50): (DataFrame, Int) = {
     // materialized once; every round re-reads the cached edge list
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -55,16 +62,29 @@ object GraphOps {
     var converged = false
     while (!converged && iter < maxIter) {
       // each neighbor offers its current label; a vertex keeps the min
-      // of its own label and all offers (one shuffle: the groupBy on v)
+      // of its own label and the best offer. Formulated as
+      // aggregate-then-least (NOT union+groupBy: checkpointing an
+      // Aggregate-over-Union trips Catalyst's union constraint rewrite
+      // with a missing-attribute error in LogicalRDD.fromDataset).
+      // The eager checkpoint cuts lineage so round N+1 plans against a
+      // flat scan — the truncation discipline iterative Spark needs.
       val offers = edges
         .join(labels.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), col("label"))
-      // eager checkpoint: materializes THIS round and cuts the plan to
-      // the materialized RDD, so round N+1 plans against a flat scan
-      val next = labels.union(offers)
-        .groupBy(col("v"))
-        .agg(min(col("label")).as("label"))
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("label")).as("offer"))
+      val propagated = labels.join(offers, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("offer"), col("label"))).as("label"))
         .localCheckpoint(true)
+      // pointer jump (path halving): l(v) <- l(l(v)). Labels are vertex
+      // ids with l(w) <= w, so the self-join resolves and only lowers.
+      val next = propagated.as("a")
+        .join(propagated.select(col("v").as("lv"), col("label").as("ll")).as("b"),
+          col("a.label") === col("b.lv"), "left")
+        .select(col("a.v").as("v"),
+          coalesce(col("b.ll"), col("a.label")).as("label"))
+        .localCheckpoint(true)
+      propagated.unpersist()
       val changed = next.join(labels.withColumnsRenamed(
           Map("label" -> "old_label")), "v")
         .filter(col("label") < col("old_label"))
@@ -75,7 +95,7 @@ object GraphOps {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("v").as("doc_id"), col("label").as("cluster_id")), iter)
   }
 
   /** Near-dup clusters with sizes: connected components of the pair

@@ -29,6 +29,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.size == 12 && out.values.forall(_ == 1L))
   }
 
+  test("pointer jumping converges a 64-vertex path in O(log n) rounds") {
+    // propagation alone needs 63 rounds on a 64-path; path halving
+    // must land far under that (each round: one hop + one jump)
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val (labels, iters) = GraphOps.ccWithStats(pairs(chain: _*))
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 64 && out.values.forall(_ == 1L))
+    assert(iters <= 12, s"expected O(log n) rounds on a 64-path, took $iters")
+  }
+
   test("cluster sizes count the full component") {
     val out = GraphOps.dedupClusters(pairs(
       (5L, 6L), (6L, 7L), (20L, 21L)))
