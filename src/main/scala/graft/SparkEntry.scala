@@ -657,6 +657,21 @@ object SparkEntry {
         .orderBy("doc_id", "status")
     }),
 
+    // Semi-structured extraction: parse the JSON `props` column with a
+    // declared schema (from_json stays codegen'd — scan-speed shredding)
+    // and aggregate the extracted field per event type. At 100 TB this
+    // is the ELT shred step: no UDF, the parser runs inside the scan
+    // stage and only (type, k) reaches the aggregate.
+    "q59_json_props" -> ((s, dir) => {
+      val k = expr("from_json(props, 'k BIGINT').k")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type", "n", "sum_k", "min_k", "max_k")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): distinct
     // vs total 3-gram counts per document.
     "q42_repetition" -> ((s, dir) => {
@@ -664,6 +679,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_grams"), col("n_distinct"),
           r4(col("distinct_ratio")).as("distinct_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // Explicit GROUPING SETS with per-column grouping flags — completes
+    // the grouping family (rollup q10, cube q34): only the two
+    // single-column marginals plus the grand total, with grouping()
+    // flags distinguishing "NULL group value" from "aggregated-away".
+    "q60_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          r2(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus", "g_rf", "g_ls", "sum_qty", "n")
     }),
 
     // CUBE grouping sets (all four grouping combinations).
@@ -955,6 +988,25 @@ object SparkEntry {
         |FROM j
         |WHERE fp_a IS NULL OR fp_b IS NULL OR fp_a <> fp_b
         |ORDER BY 1, 2""".stripMargin,
+
+    "q60_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       GROUPING(l_returnflag)::BIGINT AS g_rf,
+        |       GROUPING(l_linestatus)::BIGINT AS g_ls,
+        |       floor((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    "q59_json_props" ->
+      """SELECT event_type, count(k)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+        |       min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+        |FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
+        |      FROM events)
+        |GROUP BY 1
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
     "q56_order_windows" ->
       """SELECT o_custkey, o_orderkey,
