@@ -591,4 +591,44 @@ FROM (
   FROM documents)
 GROUP BY 1
 ORDER BY 1"""
+
+  /** Oracle for q61: fixed-iteration PageRank (= GraphOps.pageRank,
+    * damping 0.85) over the customer→supplier purchase graph. The
+    * fixed round count is UNROLLED as a chain of CTEs (pr0..prN) —
+    * recursive CTEs can't aggregate over the recursive reference, and
+    * unrolling keeps each step a plain grouped join, structurally
+    * identical to the engine's per-round plan. All arithmetic is
+    * double; terms are combined in the same shape as the engine
+    * ((1-d)/N + d·(contrib + dang/N)), so residuals are pure
+    * summation-order noise at ~1e-15 relative.
+    */
+  def q61PageRank(iters: Int = 10, damping: Double = 0.85): String = {
+    // every CTE is MATERIALIZED: each pr step is referenced 3× (dangling
+    // mass, contributions, and the next step); inlining would expand the
+    // chain 3^iters-fold and re-open the parquet scans thousands of times
+    val d = damping.toString
+    val steps = (0 until iters).map { i =>
+      s"""dg$i AS MATERIALIZED (
+  SELECT coalesce(sum(pr), 0) AS dm FROM pr$i
+  WHERE v NOT IN (SELECT src FROM deg)),
+c$i AS MATERIALIZED (
+  SELECT e.dst AS v, sum(p.pr / deg.outd) AS contrib
+  FROM e JOIN pr$i p ON p.v = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst),
+pr${i + 1} AS MATERIALIZED (
+  SELECT nodes.v,
+         (1.0 - $d) / (SELECT n FROM nn) + $d *
+           (coalesce(c.contrib, 0) + (SELECT dm FROM dg$i) / (SELECT n FROM nn)) AS pr
+  FROM nodes LEFT JOIN c$i c ON c.v = nodes.v)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outd FROM e GROUP BY src),
+pr0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+$steps
+SELECT v AS node_id, pr AS pagerank FROM pr$iters ORDER BY node_id"""
+  }
 }

@@ -737,6 +737,22 @@ object SparkEntry {
           r4(col("quality")).as("quality"))
         .orderBy("doc_id", "n_tokens_ws", "quality")
     }),
+
+    // Fixed-iteration PageRank over the customer→supplier purchase
+    // graph (suppliers offset by 100000 to disjoin the id spaces) —
+    // link-authority scoring, the graph-centrality sibling of q49's
+    // connected components. Deterministic: 10 rounds, not
+    // convergence-tested.
+    "q61_pagerank" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(100000L) + col("l_suppkey")).as("dst"))
+      GraphOps.pageRank(edges, iters = 10)
+        .select(col("v").as("node_id"), col("pr").as("pagerank"))
+        .orderBy("node_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -906,6 +922,7 @@ object SparkEntry {
     "q53_zorder_key" -> OracleHashSql.q53ZOrder,
     "q54_cdc_chunks" -> OracleHashSql.q54CdcChunks,
     "q55_dedup_edit_distance" -> OracleHashSql.q55EditDistance,
+    "q61_pagerank" -> OracleHashSql.q61PageRank(),
 
     "q57_corpus_pipeline" -> {
       val values = mixtureWeights

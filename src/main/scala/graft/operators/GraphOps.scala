@@ -107,4 +107,66 @@ object GraphOps {
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+
+  /** Fixed-iteration PageRank over the directed graph `edges`
+    * (columns `src`, `dst`; duplicates are collapsed — simple-graph
+    * semantics). Returns (v, pr) for every vertex incident to an edge.
+    *
+    * pr_{t+1}(v) = (1-d)/N + d·(Σ_{u→v} pr_t(u)/outdeg(u) + D_t/N)
+    * where D_t is the total mass on dangling vertices (no out-edges),
+    * redistributed uniformly — the standard teleport formulation, so
+    * Σ pr = 1 is invariant at every step (spec-asserted).
+    *
+    * Deterministic by construction: the round count is FIXED (not
+    * convergence-tested), so the result is a pure function of the edge
+    * set — required for oracle verification and for reproducible
+    * corpus-quality weights (the LLM-pipeline use: rank documents by
+    * link authority before mixture sampling).
+    *
+    * Scale posture: per round, one shuffle for the contribution
+    * groupBy(dst) and one join back to the vertex list — both keyed,
+    * both spill-able; the dangling mass is a 1-row aggregate
+    * broadcast back into the plan (never a driver scalar), so nothing
+    * driver-side at all except the one-time vertex count N. Lineage is
+    * truncated per round with an eager localCheckpoint exactly as in
+    * [[connectedComponents]]; peak footprint is two pr generations.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outd"))
+      .localCheckpoint(true)
+
+    var pr = nodes.select(col("v"), lit(1.0 / n).as("pr"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      // mass sitting on dangling vertices this round — a 1-row frame
+      // broadcast into the update, keeping the whole step one plan
+      val dang = pr
+        .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
+      val contrib = e.join(outDeg, "src")
+        .join(pr.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("pr") / col("outd")).as("contrib"))
+      val next = nodes.join(contrib, Seq("v"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("v"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dang") / n))
+            .as("pr"))
+        .localCheckpoint(true)
+      pr.unpersist()
+      pr = next
+      i += 1
+    }
+    outDeg.unpersist(); nodes.unpersist(); e.unpersist()
+    pr
+  }
 }

@@ -53,4 +53,37 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a == Seq((3L, 3L), (4L, 3L), (9L, 3L)))
   }
+
+  private def edges(rows: (Long, Long)*) =
+    rows.toDF("src", "dst")
+
+  test("pagerank: 2-cycle is the uniform fixpoint, mass conserved") {
+    // A⇄B is symmetric: pr stays exactly (0.5, 0.5) at every round
+    val out = GraphOps.pageRank(edges((1L, 2L), (2L, 1L)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(math.abs(out(1L) - 0.5) < 1e-12 && math.abs(out(2L) - 0.5) < 1e-12)
+  }
+
+  test("pagerank: star hub outranks leaves; dangling mass recycles; sum=1") {
+    // leaves 1..4 all point at hub 9; the hub is dangling — its mass
+    // teleports back uniformly. Without dangling redistribution the
+    // total would leak toward (1-d) per round.
+    val star = (1L to 4L).map(i => (i, 9L))
+    val out = GraphOps.pageRank(edges(star: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(9L) > out(1L) * 2, s"hub should dominate: $out")
+    assert((1L to 4L).map(out).distinct.size == 1) // leaves symmetric
+    assert(math.abs(out.values.sum - 1.0) < 1e-9, s"mass leak: ${out.values.sum}")
+  }
+
+  test("pagerank: deterministic under repartition, multigraph edges collapse") {
+    val e = edges((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+    val a = GraphOps.pageRank(e).orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = GraphOps.pageRank(e.repartition(5)).orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+    assert(math.abs(a.map(_._2).sum - 1.0) < 1e-9)
+  }
 }
