@@ -753,6 +753,15 @@ object SparkEntry {
         .select(col("v").as("node_id"), col("pr").as("pagerank"))
         .orderBy("node_id")
     }),
+
+    // Segment-level dedup with document reconstruction (C4-style line
+    // dedup on 8-token segments): keep each distinct segment's first
+    // global occurrence, rebuild docs from survivors in order. Exact
+    // duplicates of earlier docs vanish entirely.
+    "q62_segment_dedup" -> ((s, dir) => {
+      TextAnalysis.segmentDedupRebuild(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -923,6 +932,40 @@ object SparkEntry {
     "q54_cdc_chunks" -> OracleHashSql.q54CdcChunks,
     "q55_dedup_edit_distance" -> OracleHashSql.q55EditDistance,
     "q61_pagerank" -> OracleHashSql.q61PageRank(),
+
+    // q62: segment split mirrors wsTokens (lower + split-on-space +
+    // drop empties); first-occurrence key is the same doc_id*4096+idx
+    // packing; reassembly order is the segment index.
+    "q62_segment_dedup" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |segs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range((len(toks) + 7) // 8), j ->
+        |           {'idx': j,
+        |            'seg': array_to_string(toks[(j*8+1)::INT : (j*8+8)::INT], ' ')})) AS s
+        |  FROM base),
+        |occ AS MATERIALIZED (
+        |  SELECT doc_id, s.idx AS idx, s.seg AS seg,
+        |         doc_id * 4096 + s.idx AS occ
+        |  FROM segs),
+        |firsts AS (SELECT seg, min(occ) AS first_occ FROM occ GROUP BY seg),
+        |kept AS (
+        |  SELECT o.doc_id, o.idx, o.seg FROM occ o
+        |  JOIN firsts f ON o.seg = f.seg AND o.occ = f.first_occ),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY idx) AS rb
+        |  FROM kept GROUP BY doc_id),
+        |totals AS (SELECT doc_id, count(*)::BIGINT AS n_seg FROM occ GROUP BY doc_id)
+        |SELECT r.doc_id, t.n_seg, r.n_kept,
+        |       length(r.rb)::BIGINT AS n_chars_rebuilt,
+        |       md5(r.rb) AS rebuilt_md5
+        |FROM rebuilt r JOIN totals t ON r.doc_id = t.doc_id
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q57_corpus_pipeline" -> {
       val values = mixtureWeights

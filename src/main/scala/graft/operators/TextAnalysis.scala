@@ -195,6 +195,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("rk"))
   }
 
+  /** Segment-level corpus dedup WITH document reconstruction (the
+    * C4/RefinedWeb "line dedup" step, on `k`-token segments since the
+    * synthetic corpus has no newlines): split each document into
+    * non-overlapping k-token segments, keep only the globally FIRST
+    * occurrence of each distinct segment text — first = minimum
+    * (doc_id, position), packed into one long so the arg-min is a
+    * plain `min` — and reassemble every document from its surviving
+    * segments in original order. Documents that lose every segment
+    * (exact duplicates of earlier docs) vanish; partially-duplicated
+    * documents come back shorter. Emits per-doc segment accounting
+    * plus the rebuilt text's length and md5.
+    *
+    * Scale posture: one shuffle on segment text for the first-
+    * occurrence arg-min (map-side combined), a join back on the same
+    * key (exchange reused), and one shuffle on doc_id to reassemble —
+    * segments are bounded (k tokens), so no row is ever wide. The
+    * collect_list is per-document and order-restored with array_sort
+    * on (idx, seg) structs, so the rebuild is reshuffle-deterministic.
+    * The packed occurrence key needs idx < 4096 — documents longer
+    * than 4096·k tokens should pack (doc_id, shard) first.
+    */
+  def segmentDedupRebuild(documents: DataFrame, k: Int = 8): DataFrame = {
+    val toks = TextFunctions.wsTokens(col("text"))
+    val nSeg = ((size(toks) + lit(k - 1)) / lit(k)).cast("int")
+    val segs = documents.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nSeg - lit(1)),
+        j => array_join(slice(toks, j * lit(k) + lit(1), lit(k)), " ")))
+        .as(Seq("idx", "seg")))
+    val keyed = segs.withColumn("occ",
+      col("doc_id") * lit(4096L) + col("idx"))
+    val firsts = keyed.groupBy(col("seg")).agg(min(col("occ")).as("first_occ"))
+    val kept = keyed.join(firsts, Seq("seg"))
+      .filter(col("occ") === col("first_occ"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("rebuilt"))
+    val totals = keyed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
+    rebuilt.join(totals, "doc_id")
+      .select(col("doc_id"), col("n_seg"), col("n_kept"),
+        length(col("rebuilt")).cast("long").as("n_chars_rebuilt"),
+        md5(col("rebuilt")).as("rebuilt_md5"))
+  }
+
   /** Intra-document repetition (Gopher-style quality signal): total vs
     * distinct word n-gram counts and the distinct ratio — low ratios
     * flag boilerplate/spam. Pure per-row, scan speed.

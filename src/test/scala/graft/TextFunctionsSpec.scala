@@ -133,4 +133,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(3L)._3 == 1 && out(3L)._4 == "server at <IP> timed out")
     assert(out(4L) == ((0, 0, 0, "no sensitive content here at all")))
   }
+
+  test("segment dedup rebuilds docs from first-occurrence segments") {
+    // doc1: 16 tokens -> 2 segments; doc2 shares doc1's first segment
+    // and keeps only its 4-token tail; doc3 is an exact duplicate of
+    // doc1 and must vanish entirely
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h x y z w"),
+      (3L, "a b c d e f g h i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.segmentDedupRebuild(docs)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val Array(d1, d2) = out
+    assert(d1.getLong(1) == 2 && d1.getLong(2) == 2) // doc1 intact
+    assert(d2.getLong(1) == 2 && d2.getLong(2) == 1) // doc2 loses seg 0
+    assert(d2.getLong(3) == "x y z w".length) // rebuilt = tail only
+    // determinism under repartition (collect_list order is restored)
+    val again = graft.operators.TextAnalysis
+      .segmentDedupRebuild(docs.repartition(7)).orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
