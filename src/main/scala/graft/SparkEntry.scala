@@ -762,6 +762,18 @@ object SparkEntry {
       TextAnalysis.segmentDedupRebuild(Tables.documents(s, dir))
         .orderBy("doc_id")
     }),
+
+    // One-pass histogram quantile sketch per return flag — the
+    // mergeable at-scale sibling of q33's exact percentiles; every
+    // estimate is the bin upper edge at rank ceil(q·n), exact
+    // arithmetic end to end.
+    "q63_histogram_quantiles" -> ((s, dir) => {
+      Sketches.histogramQuantiles(Tables.lineitem(s, dir),
+          "l_extendedprice", "l_returnflag")
+        .select(col("grp").as("l_returnflag"), col("n"),
+          col("p25"), col("p50"), col("p75"), col("p95"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -966,6 +978,26 @@ object SparkEntry {
         |       md5(r.rb) AS rebuilt_md5
         |FROM rebuilt r JOIN totals t ON r.doc_id = t.doc_id
         |ORDER BY r.doc_id""".stripMargin,
+
+    // q63: same inverse-CDF rank rule (first bin edge with cum >=
+    // ceil(q*n)); all-integer counts and literal*integer edges.
+    "q63_histogram_quantiles" ->
+      """WITH bins AS (
+        |  SELECT l_returnflag, floor(l_extendedprice / 1000.0)::BIGINT AS bin,
+        |         count(*)::BIGINT AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, bin, cnt,
+        |         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin)::BIGINT AS cum,
+        |         sum(cnt) OVER (PARTITION BY l_returnflag)::BIGINT AS n
+        |  FROM bins)
+        |SELECT l_returnflag, max(n) AS n,
+        |       min(CASE WHEN cum >= ceil(0.25 * n) THEN (bin + 1) * 1000.0 END) AS p25,
+        |       min(CASE WHEN cum >= ceil(0.5 * n)  THEN (bin + 1) * 1000.0 END) AS p50,
+        |       min(CASE WHEN cum >= ceil(0.75 * n) THEN (bin + 1) * 1000.0 END) AS p75,
+        |       min(CASE WHEN cum >= ceil(0.95 * n) THEN (bin + 1) * 1000.0 END) AS p95
+        |FROM c GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q57_corpus_pipeline" -> {
       val values = mixtureWeights

@@ -57,4 +57,44 @@ object Sketches {
       .agg(min(col("c")).as("est_cms"))
       .select(col("token"), col("cnt"), col("est_cms"))
   }
+
+  /** One-pass mergeable quantile estimation via a fixed-width
+    * histogram: per group, bin counts (bin = floor(value/width)) are
+    * the sketch state — trivially mergeable (vector add), built with
+    * map-side partial aggregation so the shuffle carries at most
+    * (groups × occupied bins) counter rows regardless of input size.
+    * Each requested quantile q is answered with the inclusive upper
+    * edge of the first bin whose cumulative count reaches ceil(q·n) —
+    * the inverse-CDF rank definition — giving a deterministic
+    * estimate within one `width` of the exact order statistic
+    * (spec-asserted against the exact percentile).
+    *
+    * This is the 100 TB path where q33's exact interpolated
+    * percentiles (a full sort per group) stop being affordable: the
+    * histogram needs one narrow shuffle and no sort of the data, only
+    * of the ≤|bins| counter rows inside each group's window. All
+    * arithmetic is exact (integer counts, literal·integer edges), so
+    * the oracle matches bit-for-bit.
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+                         width: Double = 1000.0,
+                         qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = df
+      .groupBy(col(groupCol).as("grp"),
+        floor(col(valueCol) / lit(width)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy(col("grp"))
+    val wCum = wAll.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = bins
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val picks = qs.map { q =>
+      min(when(col("cum") >= ceil(lit(q) * col("n")),
+        (col("bin") + lit(1)) * lit(width))).as(s"p${(q * 100).round}")
+    }
+    c.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), picks: _*)
+  }
 }

@@ -56,6 +56,42 @@ class SketchesSpec extends SparkSpec {
     assert(sizes.exists { case (s, n) => n <= quotaMap(s) })
   }
 
+  test("histogram quantiles land within one bin width of the exact order statistic") {
+    val li = Tables.lineitem(spark, sf001)
+    val width = 1000.0
+    val got = Sketches.histogramQuantiles(li, "l_extendedprice", "l_returnflag",
+        width = width)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (flag, ps) =>
+      val row = got(flag)
+      Seq("p25", "p50", "p75", "p95").zip(ps).foreach { case (cname, ex) =>
+        val est = row.getAs[Double](cname)
+        assert(est >= ex - width && est <= ex + width,
+          s"$flag/$cname: est $est vs exact $ex exceeds one width")
+      }
+    }
+  }
+
+  test("histogram sketch is mergeable: halves combine to the whole") {
+    // the sketch state is bin counts; splitting the input and adding
+    // counts must reproduce the single-pass result exactly
+    val li = Tables.lineitem(spark, sf001)
+    val Array(h1, h2) = li.randomSplit(Array(0.5, 0.5), seed = 7)
+    def binCounts(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("l_returnflag"),
+        floor(col("l_extendedprice") / 1000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = binCounts(h1).union(binCounts(h2))
+      .groupBy("l_returnflag", "bin").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = binCounts(li)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
   test("stratified sample is reshuffle-stable (content-addressed)") {
     val docs = Tables.documents(spark, sf001)
     val quotas = SparkEntry.stratifiedQuotas.toDF("source", "quota")
