@@ -339,8 +339,13 @@ ORDER BY 1, 2"""
     * starting at 0.0 then one division by the count, empty cells
     * keeping their previous centroid. Probe/rerank then mirrors q29.
     */
-  def q44IvfKmeans(cells: Int = 16, iters: Int = 3, sampleN: Int = 256,
-                   nProbe: Int = 4, k: Int = 10, dim: Int = 64): String = {
+  /** The deterministic sampled-k-means centroid CTE chain shared by
+    * q44 and q64: `sample`, `cent0`, and the unrolled Lloyd stages up
+    * through `cent$iters` (see [[q44IvfKmeans]] for the arithmetic
+    * contract with the driver-side trainer).
+    */
+  private def kmeansCentroidCtes(cells: Int, iters: Int, sampleN: Int,
+                                 dim: Int): String = {
     val stride = sampleN / cells
     val iterCtes = (1 to iters).map { t =>
       s"""assign$t AS (
@@ -362,14 +367,19 @@ cent$t AS (
          END AS centroid
   FROM cent${t - 1} c LEFT JOIN agg$t a ON a.cell_id = c.cell_id)"""
     }.mkString(",\n")
-    s"""WITH sample AS (
+    s"""sample AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
          row_number() OVER (ORDER BY vec_id) - 1 AS rk
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $sampleN)),
 cent0 AS (
   SELECT (rk // $stride)::INT AS cell_id, emb AS centroid FROM sample
   WHERE rk % $stride = 0 AND rk // $stride < $cells),
-$iterCtes,
+$iterCtes"""
+  }
+
+  def q44IvfKmeans(cells: Int = 16, iters: Int = 3, sampleN: Int = 256,
+                   nProbe: Int = 4, k: Int = 10, dim: Int = 64): String = {
+    s"""WITH ${kmeansCentroidCtes(cells, iters, sampleN, dim)},
 cassign AS (
   SELECT neighbor_id, cv, cell_id FROM (
     SELECT e.vec_id AS neighbor_id, e.embedding AS cv, ct.cell_id,
@@ -404,6 +414,43 @@ SELECT query_id, rank::BIGINT AS rank, neighbor_id,
 FROM ranked WHERE rank <= $k
 ORDER BY 1, 2"""
   }
+
+  /** Oracle for q64: SemDeDup semantic dedup (= Dedup.semanticDedup
+    * defaults). Same centroid chain as q44; each vector is assigned to
+    * its nearest cell (ties → lowest cell), cells over `maxCellSize`
+    * are excluded (guard mirrored from the engine), and a vector is
+    * dropped iff a lower-id vector in the SAME cell has cosine ≥
+    * `threshold`.
+    */
+  def q64SemanticDedup(cells: Int = 16, iters: Int = 3, sampleN: Int = 256,
+                       dim: Int = 64, threshold: Double = 0.3,
+                       maxCellSize: Int = 1000): String =
+    s"""WITH ${kmeansCentroidCtes(cells, iters, sampleN, dim)},
+cassign AS MATERIALIZED (
+  SELECT vec_id, emb0, cell_id FROM (
+    SELECT e.vec_id, e.embedding AS emb0, ct.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             ct.centroid) DESC,
+                      ct.cell_id ASC) AS crank
+    FROM embeddings e, cent$iters ct)
+  WHERE crank = 1),
+bounded AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT vec_id, emb0, cell_id,
+           count(*) OVER (PARTITION BY cell_id) AS cell_n
+    FROM cassign)
+  WHERE cell_n <= $maxCellSize),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM bounded a JOIN bounded b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.emb0 AS DOUBLE[]),
+                               CAST(b.emb0 AS DOUBLE[])) >= $threshold)
+SELECT s.vec_id, s.cell_id, s.cell_n::BIGINT AS cell_n
+FROM bounded s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+ORDER BY s.vec_id"""
 
   /** Oracle for q37: LSH-blocked embedding near-dup pairs
     * (= Dedup.lshBlockedCosinePairs defaults: 3 planes, 12 tables,

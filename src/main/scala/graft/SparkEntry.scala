@@ -774,6 +774,14 @@ object SparkEntry {
           col("p25"), col("p50"), col("p75"), col("p95"))
         .orderBy("l_returnflag")
     }),
+
+    // SemDeDup semantic dedup: k-means cells (the bit-exact q44
+    // trainer) + intra-cell cosine drop — survivors with their cluster
+    // geometry. The at-scale complement of q37's LSH blocking.
+    "q64_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(s, Tables.embeddings(s, dir))
+        .orderBy("vec_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1153,6 +1161,7 @@ object SparkEntry {
       OracleHashSql.q21AnnLsh(graft.operators.Similarity.defaultPlaneSets()),
     "q29_sim_ivf" -> OracleHashSql.q29Ivf,
     "q44_sim_ivf_kmeans" -> OracleHashSql.q44IvfKmeans(),
+    "q64_semantic_dedup" -> OracleHashSql.q64SemanticDedup(),
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

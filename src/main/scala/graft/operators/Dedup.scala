@@ -246,6 +246,62 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023): cluster the
+    * embedding space with deterministic sampled k-means
+    * ([[Similarity.sampledKmeansCentroids]] — the q44 trainer, so the
+    * centroids are bit-identical across engines), then WITHIN each
+    * cluster drop every vector that has a lower-id neighbor at
+    * cosine ≥ `threshold`. Pairwise comparison never leaves a
+    * cluster: the all-pairs cost is Σ|cell|², controlled by the cell
+    * count (production picks cells ≈ N/targetCellSize; a
+    * `maxCellSize` guard — MIRRORED in the oracle — excludes
+    * degenerate cells outright, the q17/q36/q37 bounded-block
+    * contract). Returns the surviving vectors with their cluster and
+    * its pre-dedup population.
+    *
+    * vs [[lshBlockedCosinePairs]] (q37): LSH blocks by random
+    * hyperplanes — high recall at a sharp threshold; k-means blocks
+    * by global structure — the SemDeDup shape, which also yields the
+    * cluster geometry (cell sizes, centroids) the curation pipeline
+    * reuses for mixture balancing.
+    */
+  def semanticDedup(spark: SparkSession, embeddings: DataFrame,
+                    threshold: Double = 0.3, cells: Int = 16,
+                    iters: Int = 3, sampleN: Int = 256,
+                    maxCellSize: Int = 1000): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val centroids = Similarity
+      .sampledKmeansCentroids(spark, embeddings, cells, iters, sampleN)
+      .toDF("cell_id", "centroid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cdist").desc, col("cell_id").asc)
+    val assigned = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("centroid")).as("cdist"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .drop("cdist", "crank")
+    val bounded = assigned
+      .withColumn("cell_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell_id"))))
+      .filter(col("cell_n") <= maxCellSize)
+    val a = bounded.as("a")
+    val b = bounded.as("b")
+    // no distinct(): left_anti absorbs duplicate drop votes for free
+    val dropped = a.join(b,
+        col("a.cell_id") === col("b.cell_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(GraftFunctions.cosineSim(
+        col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+    bounded.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell_id"), col("cell_n"))
+  }
+
   /** Edit-distance near-dup pairs: MinHash+LSH proposes candidates (no
     * quadratic pair space), Levenshtein reranks them — character-level
     * similarity the token/hash family can't see (transpositions,

@@ -262,4 +262,32 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.minhashLshPairs(spark, docs(many: _*), maxBucketSize = 100)
     assert(kept.count() == 60L * 59 / 2)
   }
+
+  test("semantic dedup: cell minima survive; drops exactly = has-closer-lower-id-neighbor") {
+    val emb = Tables.embeddings(spark, sf001)
+    // threshold > 1 drops nothing -> the full cluster assignment
+    val all = Dedup.semanticDedup(spark, emb, threshold = 1.1)
+    assert(all.count() == emb.count())
+    val kept = Dedup.semanticDedup(spark, emb, threshold = 0.3)
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    val assign = all.select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // the lowest id of every cell can never be dropped
+    assign.groupBy(_._2).values.foreach { vs =>
+      assert(keptIds.contains(vs.map(_._1).min))
+    }
+    assert(keptIds.size < assign.length, "threshold 0.3 should drop some")
+    // drop set == vectors with a lower-id same-cell neighbor at cos>=t
+    val withVec = all.join(emb.select("vec_id", "embedding"), "vec_id")
+    val justified = withVec.as("a")
+      .join(withVec.as("b"),
+        col("a.cell_id") === col("b.cell_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(GraftFunctions.cosineSim(
+        col("a.embedding"), col("b.embedding")) >= 0.3)
+      .select(col("b.vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val dropped = assign.map(_._1).filterNot(keptIds).toSet
+    assert(dropped == justified)
+  }
 }
