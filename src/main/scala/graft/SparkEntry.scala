@@ -782,6 +782,15 @@ object SparkEntry {
       Dedup.semanticDedup(s, Tables.embeddings(s, dir))
         .orderBy("vec_id")
     }),
+
+    // Embedding dimension correlation (top-20 |Pearson| pairs) via the
+    // Gram-matrix pattern: per-row outer-product expansion folded by
+    // the typed VectorSum Aggregator — one moment vector per task ever
+    // reaches the shuffle.
+    "q65_dim_correlation" -> ((s, dir) => {
+      Similarity.dimCorrelationTopK(s, Tables.embeddings(s, dir))
+        .orderBy("rank")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1162,6 +1171,36 @@ object SparkEntry {
     "q29_sim_ivf" -> OracleHashSql.q29Ivf,
     "q44_sim_ivf_kmeans" -> OracleHashSql.q44IvfKmeans(),
     "q64_semantic_dedup" -> OracleHashSql.q64SemanticDedup(),
+
+    // q65: pairwise dim moments via a (vec, dim)-exploded self-join —
+    // the oracle can afford dim²·N rows at fixture scale; the engine's
+    // Gram fold computes the same sums (order-noise ~1e-15 only).
+    "q65_dim_correlation" ->
+      """WITH x AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |dims AS MATERIALIZED (
+        |  SELECT vec_id, s.d AS d, s.v AS v FROM (
+        |    SELECT vec_id,
+        |           unnest(list_transform(range(64), j ->
+        |             {'d': j, 'v': e[(j+1)::INT]})) AS s
+        |    FROM x)),
+        |stats AS (
+        |  SELECT a.d AS d1, b.d AS d2, count(*)::DOUBLE AS n,
+        |         sum(a.v) AS sx, sum(b.v) AS sy,
+        |         sum(a.v*a.v) AS sxx, sum(b.v*b.v) AS syy,
+        |         sum(a.v*b.v) AS sxy
+        |  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.d < b.d
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
+        |         (n*sxy - sx*sy) /
+        |           (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr,
+        |         row_number() OVER (ORDER BY abs((n*sxy - sx*sy) /
+        |           (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))) DESC,
+        |           d1, d2)::BIGINT AS rank
+        |  FROM stats)
+        |WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

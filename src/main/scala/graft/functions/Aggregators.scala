@@ -58,4 +58,35 @@ object Aggregators {
     override def bufferEncoder: Encoder[WelfordBuf] = Encoders.product[WelfordBuf]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Element-wise vector sum — the mergeable state behind moment/Gram
+    * accumulation over embedding columns: each task folds its rows
+    * into ONE fixed-length vector (map-side partial aggregation), so
+    * the shuffle carries a single vector per task instead of the
+    * corpus. The buffer is empty until the first row (dimension is
+    * learned from the data); mismatched lengths fail fast.
+    */
+  case class VecBuf(v: Seq[Double])
+
+  object VectorSum extends Aggregator[Seq[Double], VecBuf, Seq[Double]] {
+    private def add(a: Seq[Double], b: Seq[Double]): Seq[Double] = {
+      require(a.length == b.length,
+        s"vector length mismatch: ${a.length} vs ${b.length}")
+      val out = new Array[Double](a.length)
+      var i = 0
+      while (i < out.length) { out(i) = a(i) + b(i); i += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+    override def zero: VecBuf = VecBuf(Seq.empty)
+    override def reduce(b: VecBuf, in: Seq[Double]): VecBuf =
+      if (in == null) b
+      else if (b.v.isEmpty) VecBuf(in)
+      else VecBuf(add(b.v, in))
+    override def merge(a: VecBuf, b: VecBuf): VecBuf =
+      if (a.v.isEmpty) b else if (b.v.isEmpty) a else VecBuf(add(a.v, b.v))
+    override def finish(b: VecBuf): Seq[Double] = b.v
+    override def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
 }

@@ -318,4 +318,56 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Embedding-space hygiene: the `k` most correlated dimension pairs
+    * (Pearson |corr|, ties broken by (d1, d2)) — the diagnostic behind
+    * whitening / dead-dim pruning decisions before ANN indexing.
+    *
+    * Scale design — the Gram-matrix pattern, NOT a dims×dims join:
+    * each row locally expands to its upper-triangle outer product
+    * (codegen HOF, dim(dim+1)/2 doubles), and a typed vector-sum
+    * Aggregator ([[graft.functions.Aggregators.VectorSum]]) folds every
+    * partition into ONE moment vector map-side, so the exchange moves
+    * a single ~2080-double row per task — corpus size never appears in
+    * the shuffle. Moments → corr happens on the 1-row result joined
+    * with a broadcast (idx → (d1,d2)) triangle map. At 100 TB this is
+    * the only shape that works: any formulation that explodes
+    * (row × dim-pair) into the shuffle is dim²·N rows.
+    */
+  def dimCorrelationTopK(spark: SparkSession, embeddings: DataFrame,
+                         k: Int = 20, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val vecSum = udaf(graft.functions.Aggregators.VectorSum)
+    val e = embeddings.select(col("embedding").cast("array<double>").as("e"))
+    // flatten order: d1 ascending, d2 in d1..dim-1 — mirrored by triMap
+    val prods = flatten(transform(sequence(lit(0), lit(dim - 1)),
+      d1 => transform(sequence(d1, lit(dim - 1)),
+        d2 => element_at(col("e"), d1 + lit(1)) *
+          element_at(col("e"), d2 + lit(1)))))
+    val moments = e.agg(
+      count(lit(1)).as("n"),
+      vecSum(col("e")).as("sums"),
+      vecSum(prods).as("gram"))
+    val tri = for {
+      d1 <- 0 until dim; d2 <- d1 until dim
+    } yield (d1, d2)
+    val triMap = tri.zipWithIndex
+      .collect { case ((d1, d2), i) if d1 < d2 =>
+        // gram indices of (d1,d2), (d1,d1), (d2,d2) — 1-based for element_at
+        (d1, d2, i + 1,
+          tri.indexOf((d1, d1)) + 1, tri.indexOf((d2, d2)) + 1)
+      }
+      .toDF("d1", "d2", "ixy", "ixx", "iyy")
+    val n = col("n").cast("double")
+    val sx = element_at(col("sums"), col("d1") + 1)
+    val sy = element_at(col("sums"), col("d2") + 1)
+    moments.crossJoin(broadcast(triMap))
+      .select(col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"),
+        ((n * element_at(col("gram"), col("ixy")) - sx * sy) /
+          (sqrt(n * element_at(col("gram"), col("ixx")) - sx * sx) *
+            sqrt(n * element_at(col("gram"), col("iyy")) - sy * sy))).as("corr"))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        abs(col("corr")).desc, col("d1").asc, col("d2").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -39,4 +39,27 @@ class AggregatorSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out == Map("a" -> 50.0, "b" -> 5.0))
   }
+
+  test("VectorSum folds element-wise across partitions") {
+    val vecSum = udaf(Aggregators.VectorSum)
+    val df = Seq(Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 30.0),
+      Seq(100.0, 200.0, 300.0)).toDF("v").repartition(5)
+    val r = df.agg(vecSum(col("v"))).head.getSeq[Double](0)
+    assert(r == Seq(111.0, 222.0, 333.0))
+  }
+
+  test("dim correlation ranks a planted perfectly-correlated pair first") {
+    // dim1 = 2*dim0 (corr 1); remaining dims decorrelate by construction
+    val rows = (1 to 40).map { i =>
+      val x = i.toDouble
+      (i.toLong, Array(x.toFloat, (2 * x).toFloat,
+        (if (i % 2 == 0) x else -x).toFloat,
+        (x * x % 7).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val top = graft.operators.Similarity
+      .dimCorrelationTopK(spark, df, k = 1, dim = 4).head
+    assert((top.getLong(0), top.getLong(1)) == ((0L, 1L)))
+    assert(math.abs(top.getDouble(2) - 1.0) < 1e-9)
+  }
 }
