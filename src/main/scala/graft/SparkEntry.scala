@@ -791,6 +791,29 @@ object SparkEntry {
       Similarity.dimCorrelationTopK(s, Tables.embeddings(s, dir))
         .orderBy("rank")
     }),
+
+    // MERGE INTO / CDC apply: a deterministic changeset (updates =
+    // uppercased text on doc_id%7=0, deletes on doc_id%11=3, inserts =
+    // reversed text under doc_id+1e6 on doc_id%13=0) applied to the
+    // documents snapshot via anti-join + union — the broadcastable
+    // merge shape (base never shuffles).
+    "q66_merge_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val changes = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 3, "D")
+            .when(pmod(col("doc_id"), lit(7)) === 0, "U").as("op"),
+          upper(col("text")).as("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .filter(col("op").isNotNull)
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            lit("U").as("op"), reverse(col("text")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      Relational.mergeApply(docs, changes, "doc_id")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars_new"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1201,6 +1224,27 @@ object SparkEntry {
         |  FROM stats)
         |WHERE rank <= 20
         |ORDER BY rank""".stripMargin,
+
+    // q66: same changeset rules; merge = untouched base ∪ 'U' rows.
+    "q66_merge_apply" ->
+      """WITH changes AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 3 THEN 'D'
+        |              WHEN doc_id % 7 = 0 THEN 'U' END AS op,
+        |         upper(text) AS text, source
+        |  FROM documents WHERE doc_id % 11 = 3 OR doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'U', reverse(text), source
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |merged AS (
+        |  SELECT b.doc_id, b.text, b.source FROM documents b
+        |  LEFT JOIN changes c ON b.doc_id = c.doc_id
+        |  WHERE c.doc_id IS NULL
+        |  UNION ALL
+        |  SELECT doc_id, text, source FROM changes WHERE op = 'U')
+        |SELECT doc_id, source, md5(text) AS text_md5,
+        |       length(text)::BIGINT AS n_chars_new
+        |FROM merged ORDER BY doc_id""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

@@ -145,4 +145,26 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
+
+  /** Apply a CDC changeset to a snapshot (the MERGE INTO / Delta-merge
+    * pattern without a table format): `changes` carries the key, an
+    * `op` column ('U' = upsert whole row, 'D' = delete), and the same
+    * payload columns as `base`. Result = base rows untouched by any
+    * change, plus every 'U' row (updates AND inserts — whole-row
+    * replace semantics).
+    *
+    * Shape chosen for scale: anti-join + union, NOT a full-outer join —
+    * a changeset is normally orders of magnitude smaller than the
+    * snapshot, and a full-outer join can never broadcast, while the
+    * LEFT ANTI side here broadcasts the (key) set and the base table
+    * never shuffles at all. (If a changeset ever rivals the snapshot,
+    * drop the broadcast hint and AQE plans the sort-merge.)
+    */
+  def mergeApply(base: DataFrame, changes: DataFrame,
+                 key: String = "doc_id"): DataFrame = {
+    val touched = changes.select(col(key))
+    val upserts = changes.filter(col("op") === "U").drop("op")
+    base.join(broadcast(touched), Seq(key), "left_anti")
+      .unionByName(upserts)
+  }
 }

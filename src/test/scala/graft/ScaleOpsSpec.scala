@@ -118,6 +118,18 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("mergeApply: delete drops, update replaces, insert appends; base side broadcast-anti") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
+    val changes = Seq((2L, "U", "B2"), (3L, "D", null.asInstanceOf[String]),
+      (9L, "U", "n")).toDF("doc_id", "op", "v")
+    val out = graft.operators.Relational.mergeApply(base, changes).orderBy("doc_id")
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (9L, "n")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"merge must anti-join against a broadcast key set:\n$plan")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
