@@ -814,6 +814,22 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars_new"))
         .orderBy("doc_id")
     }),
+
+    // JSONL round-trip: parquet -> JSONL on disk -> schema'd read ->
+    // per-source aggregate. The oracle computes the same aggregate from
+    // the parquet directly, so any loss in the JSON write/read path
+    // (encoding, nulls, type widening) breaks the hash.
+    "q67_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_q67_${math.abs(dir.hashCode)}"
+      graft.sources.JsonIO.writeJsonl(docs, path)
+      graft.sources.JsonIO.readJsonl(s, path, docs.schema)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .orderBy("source")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1245,6 +1261,14 @@ object SparkEntry {
         |SELECT doc_id, source, md5(text) AS text_md5,
         |       length(text)::BIGINT AS n_chars_new
         |FROM merged ORDER BY doc_id""".stripMargin,
+
+    // q67: the engine's JSONL round-trip must reproduce the parquet
+    // truth exactly.
+    "q67_jsonl_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_chars,
+        |       count(DISTINCT md5(text))::BIGINT AS n_distinct_texts
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

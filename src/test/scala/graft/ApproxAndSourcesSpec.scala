@@ -45,6 +45,41 @@ class ApproxAndSourcesSpec extends SparkSpec {
     assert(fromJson.collect().map(_.toString).sorted.toSeq == orig)
   }
 
+  test("jsonl malformed-record policies: permissive captures, drop skips, failfast aborts") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createDirectories(
+      Paths.get("target/spec-sources/jsonl-corrupt"))
+    Files.write(dir.resolve("part-0.jsonl"), java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "good line"}""",
+      """{"doc_id": 2, "text": "also fine"}""",
+      """{"doc_id": 3 "text": "MISSING COMMA"}""",
+      """{"doc_id": 4, "text": "fine again"}"""))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    val path = dir.toAbsolutePath.toString
+
+    val permissive = graft.sources.JsonIO
+      .readJsonlWithCorrupt(spark, path, schema).cache()
+    assert(permissive.count() == 4)
+    val corrupt = permissive.filter(col("_corrupt_record").isNotNull)
+      .collect()
+    assert(corrupt.length == 1 &&
+      corrupt.head.getAs[String]("_corrupt_record").contains("MISSING COMMA"))
+    assert(permissive.filter(col("_corrupt_record").isNull)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+    permissive.unpersist()
+
+    val dropped = graft.sources.JsonIO
+      .readJsonl(spark, path, schema, mode = "DROPMALFORMED")
+    assert(dropped.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+
+    val failfast = graft.sources.JsonIO
+      .readJsonl(spark, path, schema, mode = "FAILFAST")
+    val err = intercept[org.apache.spark.SparkException] { failfast.collect() }
+    assert(err.getMessage.toLowerCase.contains("malformed") ||
+      err.getCause != null)
+  }
+
   test("streaming file source: readStream over parquet dir reaches the pipeline") {
     val ev = spark.readStream
       .schema(Tables.events(spark, sf001).schema)
