@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Dedup, GraphOps, Multimodal, PriceAlerts, Relational, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, GraphOps, Multimodal, PriceAlerts, Relational, Similarity, Sketches, TextAnalysis, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -830,6 +830,19 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_distinct_texts"))
         .orderBy("source")
     }),
+
+    // Per-user time-series features: truncated EWMA (α=1/2 — exact
+    // binary weights, bit-identical fold both engines) + rolling
+    // mean/min/max over the last 32 events.
+    "q68_ewma_features" -> ((s, dir) => {
+      TimeSeries.ewmaFeatures(Tables.events(s, dir))
+        .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts"),
+          r2(col("value")).as("value"), r4(col("ewma")).as("ewma"),
+          r4(col("roll_mean")).as("roll_mean"),
+          r2(col("roll_min")).as("roll_min"),
+          r2(col("roll_max")).as("roll_max"))
+        .orderBy("event_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1269,6 +1282,32 @@ object SparkEntry {
         |       sum(n_chars)::BIGINT AS sum_chars,
         |       count(DISTINCT md5(text))::BIGINT AS n_distinct_texts
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // q68: same truncated-EWMA left fold (2^-j weights are exact
+    // binary doubles, so the fold matches bit-for-bit); rolling stats
+    // over the identical ROWS frame.
+    "q68_ewma_features" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, value,
+        |         list(value) OVER win AS vals,
+        |         min(value) OVER win AS rmin,
+        |         max(value) OVER win AS rmax
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts
+        |                 ROWS BETWEEN 31 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |       strftime(tsu, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       floor(value*100+0.5)/100 AS value,
+        |       floor(list_reduce(list_prepend(0.0::DOUBLE,
+        |           list_transform(range(1, len(vals)+1),
+        |             j -> vals[j] * pow(0.5, len(vals) - j + 1))),
+        |           (a, b) -> a + b) * 10000 + 0.5) / 10000 AS ewma,
+        |       floor(list_reduce(list_prepend(0.0::DOUBLE, vals),
+        |           (a, b) -> a + b) / len(vals) * 10000 + 0.5) / 10000
+        |         AS roll_mean,
+        |       floor(rmin*100+0.5)/100 AS roll_min,
+        |       floor(rmax*100+0.5)/100 AS roll_max
+        |FROM f ORDER BY event_id""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-key time-series feature engineering over the event stream —
+  * the batch form of the features a streaming scorer keeps in state
+  * (trend, burstiness, recency-weighted level).
+  *
+  * The EWMA here is the TRUNCATED form: a window of the last `w`
+  * events folded with α=1/2 weights. Exact recursive EWMA needs an
+  * unbounded sequential scan per key (not window-expressible and not
+  * shuffle-parallel within a key); truncating at w=32 bounds the
+  * state, changes the value by at most 2⁻³² of the range — far below
+  * any feature-quality signal — and makes the computation ONE window
+  * pass. α=1/2 is deliberate: every weight 2⁻ʲ is an exact binary
+  * double, so the fold is bit-identical on any IEEE engine (the
+  * DuckDB oracle reproduces it exactly; an arbitrary α differs by
+  * libm pow ulps across platforms).
+  *
+  * Scale: one shuffle on the key, one in-partition sorted pass; the
+  * rolling frame is O(w) per row. A mega-key serializes its partition
+  * — shard long histories by (key, epoch) if a key exceeds a task.
+  */
+object TimeSeries {
+
+  /** EWMA (α=1/2, last `w` events) + rolling mean/min/max per
+    * `user_id` ordered by `ts`. Emits one row per event.
+    */
+  def ewmaFeatures(events: DataFrame, w: Int = 32): DataFrame = {
+    val win = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    // frame order = ascending ts (unique in the fixture: a total order)
+    val vals = collect_list(col("value")).over(win)
+    val n = size(col("vals"))
+    // ewma = Σ_{j=1..n} vals[j] · 2^{-(n-j+1)}: newest gets weight 1/2,
+    // fold runs oldest→newest — a deterministic left fold both engines
+    // reproduce bit-for-bit
+    val ewma = aggregate(
+      transform(sequence(lit(1), n),
+        j => element_at(col("vals"), j) * pow(lit(0.5), n - j + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+    // the mean folds the SAME list left-to-right (not the window avg:
+    // engines sum sliding frames in different orders, and 2-decimal
+    // inputs put many means exactly on a rounding boundary)
+    val rollMean = aggregate(col("vals"), lit(0.0), (acc, x) => acc + x) / n
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("vals", vals)
+      .withColumn("roll_mean", rollMean)
+      .withColumn("roll_min", min(col("value")).over(win))
+      .withColumn("roll_max", max(col("value")).over(win))
+      .withColumn("ewma", ewma)
+      .drop("vals")
+  }
+}
