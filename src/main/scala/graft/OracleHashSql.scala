@@ -678,4 +678,52 @@ pr0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
 $steps
 SELECT v AS node_id, pr AS pagerank FROM pr$iters ORDER BY node_id"""
   }
+
+  /** Oracle for q69: HyperLogLog distinct l_orderkey per l_returnflag
+    * (= Sketches.hllDistinct(p)). The registers are reproduced
+    * bit-exactly: the key's decimal string is FNV-1a folded + splitmix
+    * mixed (same as hash64_seeded(0, k)), the top p bits pick the
+    * bucket, and rho over the 64-p-bit suffix is an integer CASE ladder
+    * (no floating log2). The harmonic denominator is the exact HUGEINT
+    * sum of 2^(63-r) with 2^63 per empty register; only the final
+    * division is double, against the SAME numerator literal the engine
+    * embeds (Sketches.hllNumerator), rounded at 4 decimals to absorb
+    * the HUGEINT->DOUBLE cast.
+    */
+  def q69HllDistinct(p: Int = 8): String = {
+    val m = 1 << p
+    val suffix = 64 - p
+    val powSuffix = java.math.BigInteger.valueOf(2L).pow(suffix)
+    // rho ladder: w = 0 -> suffix+1, else position of first 1-bit
+    val ladder = (1 to suffix).map { r =>
+      s"WHEN w >= ${java.math.BigInteger.valueOf(2L).pow(suffix - r)}::HUGEINT THEN $r"
+    }.mkString(" ")
+    s"""WITH dk AS (
+  SELECT DISTINCT l_returnflag AS grp, CAST(l_orderkey AS VARCHAR) AS k
+  FROM lineitem),
+mixed AS (
+  SELECT grp, hmix FROM (${mixSubq("SELECT grp, k FROM dk",
+        fnvFold(OFF, strBytes("k")))})),
+rw AS (
+  SELECT grp, hmix // $powSuffix::HUGEINT AS bucket,
+         hmix % $powSuffix::HUGEINT AS w
+  FROM mixed),
+regs AS (
+  SELECT grp, bucket,
+         max(CASE WHEN w = 0 THEN ${suffix + 1} $ladder END) AS r
+  FROM rw GROUP BY 1, 2),
+per AS (
+  SELECT grp, count(*)::BIGINT AS nz,
+         sum(($pow2)[64 - r])::HUGEINT AS sp
+  FROM regs GROUP BY 1),
+ex AS (
+  SELECT l_returnflag AS grp, count(DISTINCT l_orderkey)::BIGINT AS n_exact
+  FROM lineitem GROUP BY 1)
+SELECT grp, n_exact, nz,
+       floor((${dlit(graft.operators.Sketches.hllNumerator(p))} /
+         (sp + ($m - nz)::HUGEINT * 9223372036854775808::HUGEINT)::DOUBLE)
+         * 10000 + 0.5) / 10000 AS hll_est
+FROM ex JOIN per USING (grp)
+ORDER BY grp"""
+  }
 }

@@ -843,6 +843,17 @@ object SparkEntry {
           r2(col("roll_max")).as("roll_max"))
         .orderBy("event_id")
     }),
+
+    // HyperLogLog distinct count: per-flag distinct orders via 256
+    // integer registers — the shuffle carries <= m counter rows per
+    // group instead of every distinct key (the 100 TB replacement for
+    // q08's exact countDistinct); exact count rides along as ground
+    // truth, registers verified bit-for-bit by the oracle.
+    "q69_hll_distinct" -> ((s, dir) => {
+      Sketches.hllDistinct(Tables.lineitem(s, dir), "l_orderkey",
+          "l_returnflag")
+        .orderBy("grp")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1308,6 +1319,10 @@ object SparkEntry {
         |       floor(rmin*100+0.5)/100 AS roll_min,
         |       floor(rmax*100+0.5)/100 AS roll_max
         |FROM f ORDER BY event_id""".stripMargin,
+
+    // q69: registers reproduced bit-exactly (FNV-1a + splitmix on the
+    // key string, integer rho ladder); single double division at the end.
+    "q69_hll_distinct" -> OracleHashSql.q69HllDistinct(),
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

@@ -25,6 +25,7 @@ object GraftFunctions {
     "first_shared_probe" -> (es => FirstSharedProbe(es(0), es(1), foldInt(es(2)))),
     "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))),
     "zorder64"      -> (es => ZOrder64(es(0), es(1))),
+    "clz64"         -> (es => Clz64(es.head)),
     "cdc_chunks"    -> (es => CdcChunks(es(0), foldInt(es(1)),
       foldInt(es(2)).toLong)),
     "quantize_i8_stats" -> (es => QuantizeI8Stats(es.head)),
@@ -90,6 +91,8 @@ object GraftFunctions {
     */
   def zorder64(x: Column, y: Column): Column =
     call_function("zorder64", x, y)
+  /** Leading-zero count of a 64-bit value (HyperLogLog rho primitive). */
+  def clz64(v: Column): Column = call_function("clz64", v)
   /** Content-defined chunks: boundaries where the rolling w-byte
     * Karp-Rabin hash has all `mask` bits zero (avg chunk ≈ mask+1 B).
     */

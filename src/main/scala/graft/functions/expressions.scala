@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the operators Spark's built-in
@@ -608,6 +608,22 @@ case class QuantizeI8Stats(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev,
       c => s"graft.functions.HashImpl.quantizeI8Stats($c, $isFloat)")
   override protected def withNewChildInternal(c: Expression): QuantizeI8Stats =
+    copy(child = c)
+}
+
+/** `clz64(long)` — number of leading zero bits of the 64-bit value
+  * (0 for negative inputs' MSB set, 64 for zero). The HyperLogLog
+  * register primitive: rho = clz of the hash suffix, shifted by the
+  * bucket-index width. A single static JDK intrinsic call, so the
+  * expression stays inside whole-stage codegen.
+  */
+case class Clz64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.numberOfLeadingZeros(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Long.numberOfLeadingZeros($c)")
+  override protected def withNewChildInternal(c: Expression): Clz64 =
     copy(child = c)
 }
 

@@ -58,6 +58,76 @@ object Sketches {
       .select(col("token"), col("cnt"), col("est_cms"))
   }
 
+  /** The HLL raw-estimate numerator alpha_m * m^2 * 2^63 — one shared
+    * Scala computation so the engine column and the DuckDB oracle embed
+    * the SAME IEEE double and the final division matches bit-for-bit.
+    */
+  private[graft] def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m * m * 9223372036854775808.0 // 2^63
+  }
+
+  /** HyperLogLog distinct-count sketch per group: hash each key,
+    * route the top `p` bits to one of m=2^p registers, keep the max
+    * "rho" (position of the first 1-bit in the remaining 64-p bits),
+    * and answer with the harmonic-mean raw estimate
+    * alpha_m * m^2 / sum_j 2^-M_j. Registers are built by a plain
+    * `groupBy(grp, bucket).agg(max(rho))` — map-side partial max IS the
+    * per-partition sketch, the shuffle carries at most m counter rows
+    * per group regardless of input size, and max-merge makes the state
+    * trivially mergeable across any partitioning (spec-asserted).
+    *
+    * Exactness contract: every step up to the final division is 64-bit
+    * integer arithmetic (the denominator sum 2^-M_j is kept as the
+    * exact integer sum of 2^(63-M_j), empty registers contributing
+    * 2^63), so the DuckDB oracle reproduces the registers bit-for-bit
+    * and the single double division rounds identically (the estimate is
+    * reported at 4 decimals to absorb HUGEINT->double cast differences).
+    * The raw estimate is reported WITHOUT the small-range linear-
+    * counting correction (it needs ln(), which is not bit-stable across
+    * libm implementations); callers in the n < 2.5m regime should apply
+    * it — the zero-register count `nz` needed for it is in the output.
+    *
+    * The exact `count(DISTINCT key)` rides along per group as ground
+    * truth, same reporting shape as [[cmsHeavyHitters]]; production at
+    * 100 TB keeps only the sketch side (one narrow shuffle, no
+    * distinct's exact-key exchange).
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.types.DecimalType
+    val m = 1 << p
+    val suffix = 64 - p
+    val rows = df
+      .select(col(groupCol).as("grp"),
+        GraftFunctions.hash64Seeded(lit(0L), col(keyCol).cast("string")).as("h"))
+      .select(col("grp"),
+        expr(s"shiftrightunsigned(h, $suffix)").as("bucket"),
+        col("h").bitwiseAND(lit((1L << suffix) - 1L)).as("w"))
+      .select(col("grp"), col("bucket"),
+        when(col("w") === 0L, lit(suffix + 1))
+          .otherwise(GraftFunctions.clz64(col("w")) - lit(p) + lit(1))
+          .as("rho"))
+    val regs = rows.groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("r"))
+    val per = regs.groupBy(col("grp")).agg(
+      count(lit(1)).as("nz"),
+      sum(expr("shiftleft(1L, 63 - r)").cast(DecimalType(38, 0))).as("sp"))
+    val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
+    val est = per.select(col("grp"), col("nz"),
+      (lit(hllNumerator(p)) /
+        (col("sp") + (lit(m.toLong) - col("nz")).cast(DecimalType(38, 0)) * two63)
+          .cast("double")).as("hll_raw"))
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(keyCol)).as("n_exact"))
+    exact.join(est, Seq("grp"))
+      .select(col("grp"), col("n_exact"), col("nz"),
+        (floor(col("hll_raw") * 10000 + lit(0.5)) / 10000).as("hll_est"))
+  }
+
   /** One-pass mergeable quantile estimation via a fixed-width
     * histogram: per group, bin counts (bin = floor(value/width)) are
     * the sketch state — trivially mergeable (vector add), built with

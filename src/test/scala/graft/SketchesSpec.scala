@@ -27,6 +27,40 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL estimate lands within 4 sigma of the exact distinct count") {
+    val li = Tables.lineitem(spark, sf001)
+    val p = 8
+    val sigma = 1.04 / math.sqrt((1 << p).toDouble)
+    val rows = Sketches.hllDistinct(li, "l_orderkey", "l_returnflag", p)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("hll_est")
+      // raw-estimate regime: the fixture keeps n >> 2.5m so no
+      // linear-counting correction is needed
+      assert(exact > 2.5 * (1 << p), s"fixture left the raw regime: $r")
+      assert(math.abs(est - exact) / exact <= 4 * sigma,
+        s"HLL est $est vs exact $exact beyond 4 sigma ($sigma): $r")
+    }
+  }
+
+  test("HLL registers max-merge: halves combine to the whole estimate") {
+    val li = Tables.lineitem(spark, sf001)
+    val Array(h1, h2) = li.randomSplit(Array(0.5, 0.5), seed = 11)
+    // the sketch state is (bucket -> max rho); rebuilding it from the
+    // union of the halves' inputs must equal max-merging their register
+    // tables — which is exactly what hllDistinct's groupBy(max) does on
+    // the unioned input, so the two estimates must be identical
+    val whole = Sketches.hllDistinct(li, "l_orderkey", "l_returnflag")
+      .select("grp", "hll_est").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val merged = Sketches.hllDistinct(h1.union(h2), "l_orderkey", "l_returnflag")
+      .select("grp", "hll_est").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(whole == merged)
+  }
+
   test("tfidf ranks a doc's distinctive term above corpus-wide terms") {
     val docs = Seq(
       (1L, "common words plus zebra zebra", "s"),
