@@ -68,6 +68,61 @@ object Aggregators {
     */
   case class VecBuf(v: Seq[Double])
 
+  /** Fused second-moment fold for dimension-correlation: one pass over
+    * the embeddings accumulating [n, sums(d), upper-tri gram(d(d+1)/2)]
+    * into a single primitive buffer, mutated in place. Replaces the
+    * HOF formulation (per-row `transform`/`flatten` building a boxed
+    * d(d+1)/2-element array — ~16 KB of garbage per row at d=64) with
+    * zero per-row allocation; per-element addition order is identical,
+    * so results match the vecSum-over-products formulation to the bit.
+    */
+  case class GramBuf(v: Seq[Double])
+
+  class GramMoments(dim: Int)
+      extends Aggregator[Seq[Double], GramBuf, Seq[Double]] {
+    private val len = 1 + dim + dim * (dim + 1) / 2
+    // Primitive view of a Seq[Double]: zero-copy when the encoder hands
+    // back a primitive-backed ArraySeq (the common in-task path), a
+    // one-time copy otherwise (post-deserialization shapes).
+    private def prim(s: Seq[Double]): Array[Double] = s match {
+      case w: scala.collection.immutable.ArraySeq[_]
+          if w.unsafeArray.isInstanceOf[Array[Double]] =>
+        w.unsafeArray.asInstanceOf[Array[Double]]
+      case _ => s.toArray
+    }
+    private def wrap(a: Array[Double]): Seq[Double] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    override def zero: GramBuf = GramBuf(wrap(new Array[Double](len)))
+    override def reduce(b: GramBuf, in: Seq[Double]): GramBuf = {
+      if (in == null) return b
+      require(in.length == dim, s"expected dim $dim, got ${in.length}")
+      val buf = prim(b.v)
+      val x = prim(in)
+      buf(0) += 1.0
+      var i = 0
+      var g = 1 + dim
+      while (i < dim) {
+        val xi = x(i)
+        buf(1 + i) += xi
+        var j = i
+        while (j < dim) { buf(g) += xi * x(j); g += 1; j += 1 }
+        i += 1
+      }
+      GramBuf(wrap(buf))
+    }
+    override def merge(a: GramBuf, b: GramBuf): GramBuf = {
+      val av = prim(a.v)
+      val bv = prim(b.v)
+      var i = 0
+      while (i < len) { av(i) += bv(i); i += 1 }
+      GramBuf(wrap(av))
+    }
+    override def finish(b: GramBuf): Seq[Double] = b.v
+    override def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   object VectorSum extends Aggregator[Seq[Double], VecBuf, Seq[Double]] {
     private def add(a: Seq[Double], b: Seq[Double]): Seq[Double] = {
       require(a.length == b.length,
