@@ -141,6 +141,14 @@ object GraphOps {
     val n = nodes.count().toDouble
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("outd"))
       .localCheckpoint(true)
+    // loop-invariant prework, hoisted: edges pre-joined with out-degree
+    // (saves one join per iteration) and the dangling-vertex set (the
+    // per-round anti-join becomes a semi-join against this snapshot)
+    val eOutd = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("outd")).localCheckpoint(true)
+    val dangV = nodes
+      .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti")
+      .localCheckpoint(true)
 
     var pr = nodes.select(col("v"), lit(1.0 / n).as("pr"))
       .localCheckpoint(true)
@@ -149,9 +157,9 @@ object GraphOps {
       // mass sitting on dangling vertices this round — a 1-row frame
       // broadcast into the update, keeping the whole step one plan
       val dang = pr
-        .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti")
+        .join(dangV, Seq("v"), "left_semi")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
-      val contrib = e.join(outDeg, "src")
+      val contrib = eOutd
         .join(pr.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(col("pr") / col("outd")).as("contrib"))
@@ -167,6 +175,7 @@ object GraphOps {
       i += 1
     }
     outDeg.unpersist(); nodes.unpersist(); e.unpersist()
+    eOutd.unpersist(); dangV.unpersist()
     pr
   }
 }
