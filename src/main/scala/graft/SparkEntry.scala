@@ -854,6 +854,24 @@ object SparkEntry {
           "l_returnflag")
         .orderBy("grp")
     }),
+
+    // Bloom-prefiltered semi join — the manual runtime row-level
+    // filter: customers holding an urgent-priority order, with the
+    // customer scan probed against a 4 KB bloom of the urgent custkeys
+    // BEFORE any exchange. The closing exact semi join removes the
+    // bloom's false positives, so the result is byte-identical to a
+    // plain semi join (the oracle) for any sketch size; at 100 TB the
+    // fact-side shuffle drops from |fact| to |matches| + fpp·|fact|.
+    "q70_bloom_semi_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      Sketches.bloomSemiJoin(Tables.customer(s, dir), urgent,
+          "c_custkey", "o_custkey")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          r2(sum(col("c_acctbal"))).as("sum_acctbal"))
+        .orderBy("nationkey")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1323,6 +1341,17 @@ object SparkEntry {
     // q69: registers reproduced bit-exactly (FNV-1a + splitmix on the
     // key string, integer rho ladder); single double division at the end.
     "q69_hll_distinct" -> OracleHashSql.q69HllDistinct(),
+
+    // q70: the bloom is an optimization, not a semantic — the oracle is
+    // the plain semi join the prefiltered plan must reproduce exactly.
+    "q70_bloom_semi_join" ->
+      """SELECT c_nationkey::BIGINT AS nationkey,
+        |       COUNT(*) AS n_cust,
+        |       floor((SUM(c_acctbal)) * 100 + 0.5) / 100 AS sum_acctbal
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

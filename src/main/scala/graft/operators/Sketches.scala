@@ -128,6 +128,83 @@ object Sketches {
         (floor(col("hll_raw") * 10000 + lit(0.5)) / 10000).as("hll_est"))
   }
 
+  /** Bloom-filter bits for the distinct values of `keyCol`, built
+    * relationally: k probe positions per key (double hashing
+    * h1 + i·h2, Kirsch-Mitzenmacher) exploded to (word, bit) pairs and
+    * OR-folded by a `groupBy(word).agg(bit_or)` — map-side combine
+    * collapses each partition to ≤ m/64 counter rows before the
+    * shuffle, so the build cost is one narrow exchange regardless of
+    * input size. The finished sketch (m/64 longs — a few KB) is
+    * collected to the driver, the same bounded-artifact pattern as the
+    * IVF centroid matrix.
+    *
+    * `mBits` must be a power of two (positions come from a mask, not a
+    * modulo).
+    */
+  def bloomBits(dim: DataFrame, keyCol: String,
+                mBits: Int = 1 << 15, k: Int = 5): Array[Long] = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
+    val hashed = dim.filter(col(keyCol).isNotNull)
+      .select(xxhash64(col(keyCol)).as("h1"),
+        xxhash64(col(keyCol), col(keyCol)).as("h2"))
+    // combine in masked space — (a + i·b) mod m == ((a mod m) + i·(b mod
+    // m)) mod m for power-of-two m — so the arithmetic never overflows
+    // (ANSI mode makes wrap-around a runtime error)
+    val probes = (0 until k).map(i =>
+      (col("h1").bitwiseAND(lit(mBits - 1L)) +
+        lit(i.toLong) * col("h2").bitwiseAND(lit(mBits - 1L)))
+        .bitwiseAND(lit(mBits - 1L)).as(s"p$i"))
+    val words = hashed.select(array(probes: _*).as("ps"))
+      .select(explode(col("ps")).as("pos"))
+      .select(expr("shiftright(pos, 6)").as("w"),
+        expr("shiftleft(1L, cast(pos & 63 AS INT))").as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+      .collect()
+    val bits = new Array[Long](mBits / 64)
+    words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+    bits
+  }
+
+  /** Membership probe against [[bloomBits]] — pure built-in
+    * expressions (xxhash64, shifts, masks), so the test stays inside
+    * whole-stage codegen on the fact-table scan. No false negatives;
+    * false positives at the standard (1 - e^{-kn/m})^k rate.
+    */
+  def bloomMightContain(bits: Array[Long], mBits: Int, k: Int,
+                        key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h1 = xxhash64(key)
+    val h2 = xxhash64(key, key)
+    val bitsLit = typedLit(bits.toSeq)
+    (0 until k).map { i =>
+      val pos = (h1.bitwiseAND(lit(mBits - 1L)) +
+        lit(i.toLong) * h2.bitwiseAND(lit(mBits - 1L)))
+        .bitwiseAND(lit(mBits - 1L))
+      val word = element_at(bitsLit,
+        (call_function("shiftright", pos, lit(6)) + lit(1L)).cast("int"))
+      call_function("shiftrightunsigned", word,
+        pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** Bloom-prefiltered semi join: probe the big side with the sketch
+    * BEFORE the exchange, then close with the exact semi join (which
+    * removes the bloom's false positives — the final result is
+    * byte-identical to a plain semi join for ANY sketch size). At
+    * 100 TB this is the manual form of a runtime row-level filter: the
+    * fact-side shuffle carries only rows that might match, i.e. its
+    * volume drops from |fact| to |matches| + fpp·|fact|.
+    */
+  def bloomSemiJoin(big: DataFrame, dim: DataFrame,
+                    bigKey: String, dimKey: String,
+                    mBits: Int = 1 << 15, k: Int = 5): DataFrame = {
+    val bits = bloomBits(dim, dimKey, mBits, k)
+    big.filter(bloomMightContain(bits, mBits, k, col(bigKey)))
+      .join(dim.select(col(dimKey).as(bigKey)).distinct(), Seq(bigKey),
+        "left_semi")
+  }
+
   /** One-pass mergeable quantile estimation via a fixed-width
     * histogram: per group, bin counts (bin = floor(value/width)) are
     * the sketch state — trivially mergeable (vector add), built with

@@ -126,6 +126,36 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("bloom prefilter: no false negatives, exact result at any size") {
+    val cust = Tables.customer(spark, sf001)
+    val urgent = Tables.orders(spark, sf001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val truth = cust
+      .join(urgent.select(col("o_custkey").as("c_custkey")).distinct(),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+
+    // no false negatives: every true key passes the probe
+    val m = 1 << 15
+    val bits = Sketches.bloomBits(urgent, "o_custkey", m, 5)
+    val probed = cust
+      .filter(Sketches.bloomMightContain(bits, m, 5, col("c_custkey")))
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(truth.subsetOf(probed), "bloom dropped a true key")
+
+    // FP rate sanity at the default size
+    val nCust = cust.count().toDouble
+    val fpObserved = (probed.size - truth.size) / math.max(1.0, nCust - truth.size)
+    assert(fpObserved < 0.05, s"fp rate $fpObserved out of bounds")
+
+    // a deliberately tiny sketch floods FPs, yet the closing exact semi
+    // join makes the composed operator byte-identical to plain semi join
+    val viaTiny = Sketches.bloomSemiJoin(cust, urgent,
+        "c_custkey", "o_custkey", mBits = 256, k = 2)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(viaTiny == truth)
+  }
+
   test("stratified sample is reshuffle-stable (content-addressed)") {
     val docs = Tables.documents(spark, sf001)
     val quotas = SparkEntry.stratifiedQuotas.toDF("source", "quota")
