@@ -872,6 +872,15 @@ object SparkEntry {
           r2(sum(col("c_acctbal"))).as("sum_acctbal"))
         .orderBy("nationkey")
     }),
+
+    // Unigram LM quality scoring (the CCNet-style perplexity filter
+    // with the corpus as its own model): mean negative log-likelihood
+    // per document. Raw doubles (q65 precedent — sub-1e-12 summation
+    // noise sits far inside the compare tolerance).
+    "q71_lm_quality" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1352,6 +1361,21 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q71: same unigram model in SQL; nll = ln(N) - avg(ln cnt).
+    "q71_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |vocab AS (
+        |  SELECT token, COUNT(*)::DOUBLE AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT SUM(cnt) AS n_total FROM vocab)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       ln((SELECT n_total FROM tot)) - avg(ln(cnt)) AS nll
+        |FROM toks JOIN vocab USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

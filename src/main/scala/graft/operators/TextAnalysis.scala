@@ -244,6 +244,32 @@ object TextAnalysis {
     * distinct word n-gram counts and the distinct ratio — low ratios
     * flag boilerplate/spam. Pure per-row, scan speed.
     */
+  /** Unigram language-model quality score (the CCNet/KenLM-style
+    * perplexity filter, with the corpus itself as the model): per
+    * document, the mean negative log-likelihood of its tokens under
+    * the corpus unigram distribution — nll = ln(N) - avg(ln(cnt_t)).
+    * Low nll ⇒ common, fluent tokens; high nll ⇒ rare-token noise.
+    *
+    * Scale shape: one token explode feeding a groupBy (map-side
+    * combined — the model build), one join tokens→counts that is
+    * vocab-bounded on the build side (broadcastable for any real
+    * vocabulary), and the corpus total as a 1-row broadcast. No
+    * driver-side state; no second pass over text.
+    */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    toks.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (log(max(col("n_total"))) - avg(log(col("cnt")))).as("nll"))
+  }
+
   def repetition(documents: DataFrame, n: Int = 3): DataFrame = {
     GraftFunctions.register(documents.sparkSession)
     val grams = HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), n)

@@ -155,4 +155,20 @@ class TextFunctionsSpec extends SparkSpec {
       .segmentDedupRebuild(docs.repartition(7)).orderBy("doc_id").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("unigram LM: common-token docs score lower nll than rare-token docs") {
+    val docs = Seq(
+      (1L, "the the the and and of"), // all high-frequency tokens
+      (2L, "the and of to in a"),
+      (3L, "zyzzyva qwertyuiop xylophone")) // singleton tokens
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.unigramLogProb(docs)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(6L, 6L, 3L))
+    val nll = out.map(_.getDouble(2))
+    assert(nll(0) < nll(1), "more repetition of common tokens => lower nll")
+    assert(nll(1) < nll(2), "rare tokens must score higher nll")
+    // hand-check doc 3: every token is a singleton, nll = ln(N/1) = ln(15)
+    assert(math.abs(nll(2) - math.log(15.0)) < 1e-12)
+  }
 }
