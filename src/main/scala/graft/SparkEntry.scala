@@ -881,6 +881,15 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(Tables.documents(s, dir))
         .orderBy("doc_id")
     }),
+
+    // Exact 2-sigma outlier counts per (user, event_type) with the
+    // threshold algebraized into DECIMAL(38,0) — no float boundary on
+    // the comparison, so membership is bit-identical to the oracle's
+    // HUGEINT evaluation.
+    "q72_outlier_counts" -> ((s, dir) => {
+      TimeSeries.outlierCounts(Tables.events(s, dir))
+        .orderBy("user_id", "event_type")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1376,6 +1385,22 @@ object SparkEntry {
         |       ln((SELECT n_total FROM tot)) - avg(ln(cnt)) AS nll
         |FROM toks JOIN vocab USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q72: same integer-space inequality in HUGEINT.
+    "q72_outlier_counts" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(value * 100) AS HUGEINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |stats AS (
+        |  SELECT user_id, event_type, COUNT(*)::HUGEINT AS n,
+        |         SUM(c) AS s, SUM(c * c) AS ssq
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT e.user_id, e.event_type, max(n)::BIGINT AS n_events,
+        |       SUM(CASE WHEN (c*n - s)*(c*n - s) > 4*(n*ssq - s*s)
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM ev e JOIN stats USING (user_id, event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

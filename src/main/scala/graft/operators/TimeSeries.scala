@@ -28,6 +28,42 @@ object TimeSeries {
   /** EWMA (α=1/2, last `w` events) + rolling mean/min/max per
     * `user_id` ordered by `ts`. Emits one row per event.
     */
+  /** Exact 2-sigma outlier counts per (user, event_type), computed
+    * entirely in integer/decimal space so the threshold comparison is
+    * bit-identical on any engine: values go to cents via
+    * floor(value·100) (floor is IEEE-exact, unlike round-vs-truncate
+    * cast divergence), and |c − mean| > 2σ is algebraized to
+    * (c·n − s)² > 4·(n·ssq − s²) — population variance, both sides
+    * DECIMAL(38,0), no division, no sqrt, no epsilon. Magnitudes stay
+    * below 10²³ for cents ≤ 10⁷ and n ≤ 10⁶ per group, far inside
+    * decimal-38 (the DuckDB oracle runs the same inequality in
+    * HUGEINT).
+    *
+    * Scale shape: a two-aggregate plan — per-group moments (one narrow
+    * shuffle, map-side combined) broadcast back into the event scan
+    * for the recount. Chosen over the window formulation because an
+    * unbounded-frame window forces a per-partition sort at 100 TB;
+    * the broadcast join keeps the second pass streaming.
+    */
+  def outlierCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * lit(100.0)).cast(d38).as("c"))
+    val stats = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ssq"))
+    val lhs = (col("c") * col("n") - col("s")) *
+      (col("c") * col("n") - col("s"))
+    val rhs = (col("n") * col("ssq") - col("s") * col("s")) * lit(4).cast(d38)
+    ev.join(broadcast(stats), Seq("user_id", "event_type"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).cast("long").as("n_events"),
+        sum(when(lhs > rhs, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   def ewmaFeatures(events: DataFrame, w: Int = 32): DataFrame = {
     val win = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       .rowsBetween(-(w - 1), Window.currentRow)

@@ -39,4 +39,23 @@ class TimeSeriesSpec extends SparkSpec {
     // user 2 starts fresh
     assert(out(3).getAs[Double]("ewma") == 3.5)
   }
+
+  test("outlier counts: strict 2-sigma boundary is exact in decimal space") {
+    // four 10.00s and one extreme per type; for x=100.00 the extreme
+    // sits EXACTLY at mean+2sigma ((cn-s)^2 = 4(n*ssq - s^2) =
+    // 1.296e9 in cents), so strict > must exclude it — a boundary a
+    // float formulation cannot decide reliably
+    def rows(extreme: Double) = Seq(
+      (1L, "t", 10.0), (2L, "t", 10.0), (3L, "t", 10.0),
+      (4L, "t", 10.0), (5L, "t", extreme))
+      .map { case (id, t, v) => (id, 1L, new Timestamp(id * 1000L), t, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val atBoundary = TimeSeries.outlierCounts(rows(100.0)).collect()
+    assert(atBoundary.head.getAs[Long]("n_outliers") == 0L)
+    // (100.01 would floor back to 10000 cents — IEEE 100.01 is just
+    // below — and land on the boundary again)
+    val pastBoundary = TimeSeries.outlierCounts(rows(101.0)).collect()
+    assert(pastBoundary.head.getAs[Long]("n_outliers") == 1L)
+    assert(pastBoundary.head.getAs[Long]("n_events") == 5L)
+  }
 }
