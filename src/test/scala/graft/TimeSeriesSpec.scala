@@ -41,21 +41,21 @@ class TimeSeriesSpec extends SparkSpec {
   }
 
   test("outlier counts: strict 2-sigma boundary is exact in decimal space") {
-    // four 10.00s and one extreme per type; for x=100.00 the extreme
-    // sits EXACTLY at mean+2sigma ((cn-s)^2 = 4(n*ssq - s^2) =
-    // 1.296e9 in cents), so strict > must exclude it — a boundary a
-    // float formulation cannot decide reliably
-    def rows(extreme: Double) = Seq(
-      (1L, "t", 10.0), (2L, "t", 10.0), (3L, "t", 10.0),
-      (4L, "t", 10.0), (5L, "t", extreme))
-      .map { case (id, t, v) => (id, 1L, new Timestamp(id * 1000L), t, v) }
-      .toDF("event_id", "user_id", "ts", "event_type", "value")
-    val atBoundary = TimeSeries.outlierCounts(rows(100.0)).collect()
+    // k equal values and one extreme: the extreme's deviation is
+    // (n-1)d/n against 2*sigma = 2*sqrt(n-1)*d/n, so it is an outlier
+    // iff sqrt(n-1) > 2. At n=5 the two sides are EQUAL for ANY
+    // extreme — a structural boundary that strict > must exclude, and
+    // exactly the case a float sqrt formulation cannot decide
+    // reliably; at n=6 the extreme is a true outlier.
+    def rows(nTens: Int, extreme: Double) =
+      ((1 to nTens).map(i => (i.toLong, "t", 10.0)) :+
+        ((nTens + 1).toLong, "t", extreme))
+        .map { case (id, t, v) => (id, 1L, new Timestamp(id * 1000L), t, v) }
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val atBoundary = TimeSeries.outlierCounts(rows(4, 100.0)).collect()
     assert(atBoundary.head.getAs[Long]("n_outliers") == 0L)
-    // (100.01 would floor back to 10000 cents — IEEE 100.01 is just
-    // below — and land on the boundary again)
-    val pastBoundary = TimeSeries.outlierCounts(rows(101.0)).collect()
+    val pastBoundary = TimeSeries.outlierCounts(rows(5, 100.0)).collect()
     assert(pastBoundary.head.getAs[Long]("n_outliers") == 1L)
-    assert(pastBoundary.head.getAs[Long]("n_events") == 5L)
+    assert(pastBoundary.head.getAs[Long]("n_events") == 6L)
   }
 }
