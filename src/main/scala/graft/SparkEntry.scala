@@ -890,6 +890,13 @@ object SparkEntry {
       TimeSeries.outlierCounts(Tables.events(s, dir))
         .orderBy("user_id", "event_type")
     }),
+
+    // Token co-occurrence PMI over the top-50 vocabulary — pair space
+    // bounded at v^2/2 per doc by the broadcast vocab, never a corpus
+    // cross product.
+    "q73_pmi_cooccurrence" -> ((s, dir) => {
+      TextAnalysis.pmiCooccurrence(Tables.documents(s, dir))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1401,6 +1408,27 @@ object SparkEntry {
         |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         |FROM ev e JOIN stats USING (user_id, event_type)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q73: same vocabulary cut and pair count in SQL.
+    "q73_pmi_cooccurrence" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |vocab AS (
+        |  SELECT token, COUNT(*)::DOUBLE AS df FROM toks GROUP BY 1
+        |  ORDER BY 2 DESC, 1 ASC LIMIT 50),
+        |vt AS (SELECT doc_id, token, df FROM toks JOIN vocab USING (token)),
+        |nd AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents)
+        |SELECT a.token AS t1, b.token AS t2, COUNT(*) AS c_xy,
+        |       ln((SELECT n_docs FROM nd) * COUNT(*)::DOUBLE /
+        |          (max(a.df) * max(b.df))) AS pmi
+        |FROM vt a JOIN vt b
+        |  ON a.doc_id = b.doc_id AND a.token < b.token
+        |GROUP BY 1, 2
+        |ORDER BY 3 DESC, 1 ASC, 2 ASC
+        |LIMIT 100""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

@@ -270,6 +270,44 @@ object TextAnalysis {
         (log(max(col("n_total"))) - avg(log(col("cnt")))).as("nll"))
   }
 
+  /** Token co-occurrence PMI over the top-`v` vocabulary: for token
+    * pairs (t1 < t2) both drawn from the `v` highest-document-frequency
+    * tokens, pmi = ln(D·c_xy / (c_x·c_y)) with c_* document
+    * frequencies and D the corpus size. Reported for the `k` most
+    * frequent co-occurring pairs.
+    *
+    * Scale shape: the vocabulary is a broadcast ≤v rows, so the
+    * within-doc self-join is bounded at v²/2 pairs per document —
+    * never a corpus cross product; the (doc, token) distinct and the
+    * pair count are the only shuffles, both map-side combined.
+    */
+  def pmiCooccurrence(documents: DataFrame, v: Int = 50,
+                      k: Int = 100): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val docFreq = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    val vocab = docFreq.orderBy(col("df").desc, col("token").asc).limit(v)
+    val vt = toks.join(broadcast(vocab), "token")
+    val nDocs = documents.agg(
+      count(lit(1)).cast("double").as("n_docs"))
+    vt.as("a")
+      .join(vt.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("t1"), col("b.token").as("t2"))
+      .agg(count(lit(1)).as("c_xy"),
+        max(col("a.df")).cast("double").as("c_x"),
+        max(col("b.df")).cast("double").as("c_y"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("t1"), col("t2"), col("c_xy"),
+        log(col("n_docs") * col("c_xy").cast("double") /
+          (col("c_x") * col("c_y"))).as("pmi"))
+      .orderBy(col("c_xy").desc, col("t1").asc, col("t2").asc)
+      .limit(k)
+  }
+
   def repetition(documents: DataFrame, n: Int = 3): DataFrame = {
     GraftFunctions.register(documents.sparkSession)
     val grams = HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), n)

@@ -171,4 +171,18 @@ class TextFunctionsSpec extends SparkSpec {
     // hand-check doc 3: every token is a singleton, nll = ln(N/1) = ln(15)
     assert(math.abs(nll(2) - math.log(15.0)) < 1e-12)
   }
+
+  test("PMI co-occurrence: hand-computed value, doc-level counting") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c"),
+      (4L, "a a a")) // repeated tokens count once per doc
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.pmiCooccurrence(docs)
+      .collect()
+    // only (a,b) ever co-occurs: c_xy=2, df(a)=3 (doc 4 counts once),
+    // df(b)=2, D=4 -> pmi = ln(4*2/(3*2)) = ln(4/3)
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == ("a", "b", 2L))
+    assert(math.abs(r.getDouble(3) - math.log(4.0 / 3.0)) < 1e-12)
+  }
 }
