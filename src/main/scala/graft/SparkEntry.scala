@@ -49,6 +49,13 @@ object SparkEntry {
   private[graft] val stratifiedQuotas: Seq[(String, Long)] =
     (0 until 20).map(i => (s"src$i", 10L + 15L * (i % 3)))
 
+  /** q74's per-source sampling weights — powers of two only, so the
+    * Efraimidis–Spirakis key u^(1/w) reduces to iterated IEEE sqrt
+    * (bit-identical across engines; see TextAnalysis.weightedSample).
+    */
+  private[graft] val sampleWeights: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", 1L << (i % 3)))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_price_alerts_dsl")(spark, "/root/testdata/sf0.001")
@@ -897,6 +904,16 @@ object SparkEntry {
     "q73_pmi_cooccurrence" -> ((s, dir) => {
       TextAnalysis.pmiCooccurrence(Tables.documents(s, dir))
     }),
+
+    // Deterministic weighted sampling (Efraimidis–Spirakis): top-200
+    // keys u^(1/w), content-addressed u, power-of-two weights so the
+    // key is iterated IEEE sqrt — bit-identical to the oracle.
+    "q74_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.weightedSample(Tables.documents(s, dir),
+          sampleWeights.toDF("source", "w"), 200)
+        .orderBy(col("key").desc, col("doc_id").asc)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1429,6 +1446,29 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY 3 DESC, 1 ASC, 2 ASC
         |LIMIT 100""".stripMargin,
+
+    // q74: same A-ES keys; u from 13 md5 hex chars (52-bit exact),
+    // u^(1/w) as iterated sqrt (correctly rounded per IEEE 754, so the
+    // key — and therefore the top-200 cut — matches bit-for-bit).
+    "q74_weighted_sample" -> {
+      val values = sampleWeights
+        .map { case (src, w) => s"('$src', $w)" }.mkString(", ")
+      s"""WITH weights(source, w) AS (VALUES $values),
+        |keyed AS (
+        |  SELECT doc_id, source, w,
+        |         (('0x' || substr(md5(text), 1, 13))::BIGINT::DOUBLE + 0.5)
+        |           / 4503599627370496.0 AS u
+        |  FROM documents JOIN weights USING (source))
+        |SELECT doc_id, source, w,
+        |       CASE CAST(log2(w) AS INT)
+        |         WHEN 0 THEN u
+        |         WHEN 1 THEN sqrt(u)
+        |         WHEN 2 THEN sqrt(sqrt(u))
+        |         ELSE sqrt(sqrt(sqrt(u))) END AS key
+        |FROM keyed
+        |ORDER BY key DESC, doc_id ASC
+        |LIMIT 200""".stripMargin
+    },
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

@@ -270,6 +270,37 @@ object TextAnalysis {
         (log(max(col("n_total"))) - avg(log(col("cnt")))).as("nll"))
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws key = u^(1/w) from a
+    * content-addressed uniform u and its source's weight w; the global
+    * top-`n` keys are the sample, with inclusion probability
+    * proportional to w. Two engine-exactness tricks make the sample
+    * reproducible anywhere: u comes from the first 13 md5 hex chars
+    * (a 52-bit integer, so (v+0.5)/2^52 is an EXACT double), and
+    * weights are restricted to powers of two so u^(1/w) is iterated
+    * IEEE sqrt — correctly rounded by spec, hence bit-identical across
+    * engines (an arbitrary-w pow() differs by libm ulps).
+    *
+    * Scale shape: per-row key computation at scan speed, then a
+    * distributed top-n (TakeOrderedAndProject — per-partition heaps,
+    * no global sort). Content-addressing makes the sample stable under
+    * any reshuffle, the q30/q43 property.
+    */
+  def weightedSample(documents: DataFrame, weights: DataFrame,
+                     n: Int): DataFrame = {
+    val v = conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val j = log2(col("w")).cast("int") // w in {1,2,4,8}
+    val key = when(j === 0, u)
+      .when(j === 1, sqrt(u))
+      .when(j === 2, sqrt(sqrt(u)))
+      .otherwise(sqrt(sqrt(sqrt(u))))
+    documents.join(broadcast(weights), "source")
+      .select(col("doc_id"), col("source"), col("w"), key.as("key"))
+      .orderBy(col("key").desc, col("doc_id").asc)
+      .limit(n)
+  }
+
   /** Token co-occurrence PMI over the top-`v` vocabulary: for token
     * pairs (t1 < t2) both drawn from the `v` highest-document-frequency
     * tokens, pmi = ln(D·c_xy / (c_x·c_y)) with c_* document

@@ -165,4 +165,26 @@ class SketchesSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("weighted sample: rate tracks weight, reshuffle-stable") {
+    val docs = Tables.documents(spark, sf001)
+    val weights = SparkEntry.sampleWeights.toDF("source", "w")
+    val n = 200
+    val sample = TextAnalysis.weightedSample(docs, weights, n)
+    val rates = sample.groupBy("w").agg(count(lit(1)).as("picked"))
+      .join(docs.join(weights, "source").groupBy("w")
+        .agg(count(lit(1)).as("pop")), "w")
+      .collect()
+      .map(r => r.getAs[Long]("w") ->
+        r.getAs[Long]("picked").toDouble / r.getAs[Long]("pop"))
+      .toMap
+    // E-S inclusion probability is monotone in weight; with 500 docs
+    // and n=200 the w=4 rate must clearly dominate w=1
+    assert(rates(4L) > rates(2L) && rates(2L) > rates(1L), s"rates=$rates")
+    // content-addressed keys: the exact same ids under reshuffle
+    val a = sample.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.weightedSample(docs.repartition(13), weights, n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
