@@ -914,6 +914,22 @@ object SparkEntry {
           sampleWeights.toDF("source", "w"), 200)
         .orderBy(col("key").desc, col("doc_id").asc)
     }),
+
+    // CSV round-trip: parquet -> RFC-4180-escaped CSV -> schema'd read
+    // -> per-source aggregate. The oracle aggregates the parquet
+    // directly, so any loss in quoting/escaping/typing across the CSV
+    // boundary breaks the hash (q67's JSONL contract, for CSV).
+    "q75_csv_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_q75_${math.abs(dir.hashCode)}"
+      graft.sources.CsvIO.writeCsv(docs, path)
+      graft.sources.CsvIO.readCsv(s, path, docs.schema)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .orderBy("source")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1469,6 +1485,13 @@ object SparkEntry {
         |ORDER BY key DESC, doc_id ASC
         |LIMIT 200""".stripMargin
     },
+
+    // q75: the CSV round-trip must reproduce the parquet truth exactly.
+    "q75_csv_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_chars,
+        |       count(DISTINCT md5(text))::BIGINT AS n_distinct_texts
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

@@ -9,6 +9,7 @@ import graft.sources.Tables
   * the cases where exactness can be traded for a single pass at scale.
   */
 class ApproxAndSourcesSpec extends SparkSpec {
+  import spark.implicits._
 
   test("approx_count_distinct within 5% of exact on fixture events") {
     val ev = Tables.events(spark, sf001)
@@ -78,6 +79,46 @@ class ApproxAndSourcesSpec extends SparkSpec {
     val err = intercept[org.apache.spark.SparkException] { failfast.collect() }
     assert(err.getMessage.toLowerCase.contains("malformed") ||
       err.getCause != null)
+  }
+
+  test("csv malformed policies and RFC-4180 quoting survive round-trip") {
+    import java.nio.file.{Files, Paths}
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING, n LONG")
+
+    // embedded commas, doubled quotes, unicode: the writer must quote
+    // and the reader must un-quote to the same strings
+    val tricky = Seq((1L, """a,b "quoted" c""", 10L),
+      (2L, "plain", 20L), (3L, "tab\tand ; semi", 30L))
+      .toDF("doc_id", "text", "n")
+    val base = new java.io.File("target/spec-sources/csv-rt").getAbsolutePath
+    graft.sources.CsvIO.writeCsv(tricky, base)
+    val back = graft.sources.CsvIO.readCsv(spark, base, schema)
+    assert(back.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      tricky.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+
+    // malformed row: wrong arity / untypable field
+    val dir = Files.createDirectories(
+      Paths.get("target/spec-sources/csv-corrupt"))
+    Files.write(dir.resolve("part-0.csv"), java.util.Arrays.asList(
+      "doc_id,text,n",
+      "1,good,10",
+      "2,also fine,20",
+      "3,BAD ARITY",
+      "4,fine again,40"))
+    val path = dir.toAbsolutePath.toString
+    val permissive = graft.sources.CsvIO
+      .readCsvWithCorrupt(spark, path, schema).cache()
+    val corrupt = permissive.filter(col("_corrupt_record").isNotNull)
+      .collect()
+    assert(corrupt.length == 1 &&
+      corrupt.head.getAs[String]("_corrupt_record").contains("BAD ARITY"))
+    assert(permissive.filter(col("_corrupt_record").isNull)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+    permissive.unpersist()
+    val dropped = graft.sources.CsvIO
+      .readCsv(spark, path, schema, mode = "DROPMALFORMED")
+    assert(dropped.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
   }
 
   test("streaming file source: readStream over parquet dir reaches the pipeline") {
