@@ -54,6 +54,28 @@ object ScaleOps {
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hive-style partitioned layout: one directory per value of
+    * `partCol`. The complement of bucketing — bucketing co-locates a
+    * high-cardinality JOIN key; directory partitioning prunes a
+    * low-cardinality FILTER/date key at file-listing time, before a
+    * single byte is read. At 100 TB the standard layout is
+    * date-partitioned directories with bucketed files inside.
+    *
+    * Two prunings fall out (both plan-asserted in ScaleOpsSpec):
+    *  - static: `WHERE partCol = x` never lists the other directories;
+    *  - dynamic (DPP): joining on `partCol` against a filtered dim
+    *    injects a runtime `dynamicpruning` subquery into the scan's
+    *    PartitionFilters, so the fact side reads only partitions the
+    *    dim side survives — the directory-level cousin of q70's
+    *    row-level bloom filter.
+    *
+    * Keep partition cardinality bounded (dates, types, shards — not
+    * user ids): each value is a directory, and millions of tiny
+    * directories kill the file listing long before the scan.
+    */
+  def partitionedWrite(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Z-order layout: range-partition + sort the table by the Morton
     * interleave of two integer dimensions, so parquet row-group min/max
     * statistics prune scans filtered on EITHER dimension (a linear sort

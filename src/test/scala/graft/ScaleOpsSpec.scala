@@ -29,6 +29,42 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_dims")
   }
 
+  test("partitioned layout: static pruning and DPP reach the scan") {
+    val base = new java.io.File("target/spec-sources/part-events")
+      .getAbsolutePath
+    val ev = graft.sources.Tables.events(spark, sf001)
+    ScaleOps.partitionedWrite(ev, "event_type", base)
+    val part = spark.read.parquet(base)
+
+    // static: a literal filter on the partition column becomes a
+    // PartitionFilters entry, never a post-scan Filter over all dirs
+    val static = part.filter(col("event_type") === "click")
+    val staticPlan = static.queryExecution.executedPlan.toString
+    assert(staticPlan.contains("PartitionFilters") &&
+      staticPlan.replaceAll("\\s+", " ")
+        .matches(".*PartitionFilters:.*event_type.*click.*"),
+      s"static partition filter missing:\n$staticPlan")
+    assert(static.count() == ev.filter(col("event_type") === "click").count())
+
+    // dynamic: joining on the partition column against a filtered dim
+    // injects a dynamicpruning subquery into the fact scan
+    // DPP wants a SELECTIVE dim predicate that survives optimization —
+    // a LocalRelation gets constant-folded (filter disappears), so the
+    // dim must be a real file-backed relation
+    val dimPath = new java.io.File("target/spec-sources/part-dim")
+      .getAbsolutePath
+    Seq(("click", 1), ("purchase", 1), ("view", 2))
+      .toDF("event_type", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = part.join(dim.filter(col("grp") === 1), "event_type")
+    val dppPlan = joined.queryExecution.executedPlan.toString
+    assert(dppPlan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$dppPlan")
+    assert(joined.count() ==
+      ev.filter(col("event_type").isin("click", "purchase")).count())
+  }
+
   test("salted join equals the plain join on skewed data") {
     // 90% of the big side is one hot key
     val big = ((1L to 900L).map(i => (7L, i)) ++ (1L to 100L).map(i => (i % 20, 1000 + i)))
