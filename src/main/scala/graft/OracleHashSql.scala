@@ -726,4 +726,46 @@ SELECT grp, n_exact, nz,
 FROM ex JOIN per USING (grp)
 ORDER BY grp"""
   }
+
+  /** q76: the k BPE merge rounds unrolled as CTE chains. Each round's
+    * greedy left-to-right merge is replayed with list_reduce over a
+    * FLAT list accumulator ("merge into the last committed symbol") —
+    * provably equivalent to the engine's (out, pending) struct fold
+    * because a merged symbol l||r can never equal l, and required
+    * because DuckDB 1.0.0's list_reduce returns stale struct fields
+    * when the accumulator is a STRUCT (spot-verified: the integer fold
+    * is correct, the struct fold loses earlier appends).
+    */
+  def q76BpeMerges(k: Int = 5): String = {
+    def pairsCte(i: Int): String =
+      s"""pairs$i AS (
+  SELECT t[i] AS l, t[i+1] AS r, SUM(freq)::BIGINT AS cnt FROM (
+    SELECT t, freq, unnest(range(1, len(t))) AS i FROM seqs$i)
+  GROUP BY 1, 2),
+top$i AS (
+  SELECT l, r, cnt FROM pairs$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+    def mergeCte(i: Int): String =
+      s"""seqs${i + 1} AS (
+  SELECT list_reduce(
+    list_prepend([]::VARCHAR[], list_transform(t, x -> [x])),
+    (acc, cx) -> CASE
+      WHEN len(acc) > 0 AND acc[-1] = l AND cx[1] = r
+        THEN list_append(acc[1:len(acc)-1], l || r)
+      ELSE list_append(acc, cx[1]) END) AS t, freq
+  FROM seqs$i CROSS JOIN top$i)"""
+    val rounds = (1 to k).map { i =>
+      pairsCte(i) + (if (i < k) ",\n" + mergeCte(i) else "")
+    }.mkString(",\n")
+    val out = (1 to k)
+      .map(i => s"SELECT $i::BIGINT AS round, l, r, cnt FROM top$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+  SELECT string_split(w, '') AS t, COUNT(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w),
+seqs1 AS (SELECT t, freq FROM words),
+$rounds
+$out
+ORDER BY round"""
+  }
 }

@@ -930,6 +930,14 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_distinct_texts"))
         .orderBy("source")
     }),
+
+    // Distributed BPE tokenizer training: the first 5 merge rules. One
+    // corpus pass for word frequencies; every merge round then runs
+    // over the vocabulary only (iteration cost independent of corpus
+    // size).
+    "q76_bpe_merges" -> ((s, dir) => {
+      TextAnalysis.bpeMerges(Tables.documents(s, dir))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1492,6 +1500,9 @@ object SparkEntry {
         |       sum(n_chars)::BIGINT AS sum_chars,
         |       count(DISTINCT md5(text))::BIGINT AS n_distinct_texts
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // q76: the same 5 merge rounds unrolled as CTEs (OracleHashSql).
+    "q76_bpe_merges" -> OracleHashSql.q76BpeMerges(),
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

@@ -270,6 +270,81 @@ object TextAnalysis {
         (log(max(col("n_total"))) - avg(log(col("cnt")))).as("nll"))
   }
 
+  /** Distributed BPE merge learning — the first `k` merge rules of a
+    * byte-pair-encoding tokenizer, learned from the corpus. One pass
+    * over the text builds the word-frequency table; every merge round
+    * after that runs over the VOCABULARY only (the classic BPE trick —
+    * identical words collapse to one row with a weight), so at 100 TB
+    * the corpus is read once and the iteration cost is independent of
+    * corpus size.
+    *
+    * Each round: adjacent symbol pairs weighted by word frequency →
+    * top pair by (count desc, pair asc) → greedy left-to-right merge
+    * of that pair in every word (a fold: a merged symbol does not
+    * re-merge with the following symbol in the same round, so
+    * "a a a" under rule (a,a) becomes "aa a" — textbook BPE). The
+    * fold is a Catalyst `aggregate` HOF over the symbol array with a
+    * (committed, pending) struct state; the DuckDB oracle replays the
+    * same fold with `list_reduce`, and the chosen rule is joined in as
+    * a broadcast 1-row frame (never a driver round-trip per rule).
+    *
+    * Returns one row per round: (round, l, r, cnt).
+    */
+  def bpeMerges(documents: DataFrame, k: Int = 5): DataFrame = {
+    val spark = documents.sparkSession
+    val words = documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      // split(w, "") keeps a trailing "" (limit -1 semantics) — drop it
+      .select(expr("filter(split(w, ''), x -> x != '')").as("t"),
+        col("freq"))
+      .localCheckpoint(true)
+
+    val foldMerge = // greedy left-to-right merge of (l, r) in t
+      """aggregate(
+        |  t,
+        |  struct(cast(array() as array<string>) as out,
+        |         cast(null as string) as pending),
+        |  (acc, x) -> case
+        |    when acc.pending = l and x = r
+        |      then struct(concat(acc.out, array(concat(l, r))) as out,
+        |                  cast(null as string) as pending)
+        |    when acc.pending is null
+        |      then struct(acc.out as out, cast(x as string) as pending)
+        |    else struct(concat(acc.out, array(acc.pending)) as out,
+        |                cast(x as string) as pending) end,
+        |  acc -> case when acc.pending is null then acc.out
+        |              else concat(acc.out, array(acc.pending)) end)
+        |""".stripMargin.replaceAll("\n", " ")
+
+    var seqs = words
+    val rules = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 1
+    while (round <= k) {
+      // size<2 guard matters: Spark's sequence(1, 0) DESCENDS ([1,0])
+      // rather than returning empty
+      val pairs = seqs
+        .filter(size(col("t")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) as l, element_at(t, i + 1) as r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+        .localCheckpoint(true)
+      rules += top.select(lit(round.toLong).as("round"),
+        col("l"), col("r"), col("cnt"))
+      seqs = seqs.crossJoin(broadcast(top.select(col("l"), col("r"))))
+        .select(expr(foldMerge).as("t"), col("freq"))
+        .localCheckpoint(true)
+      round += 1
+    }
+    rules.reduce(_.unionByName(_)).orderBy("round")
+  }
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis A-ES): each row draws key = u^(1/w) from a
     * content-addressed uniform u and its source's weight w; the global

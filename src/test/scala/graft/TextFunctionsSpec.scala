@@ -172,6 +172,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(nll(2) - math.log(15.0)) < 1e-12)
   }
 
+  test("BPE merges: hand-traced rounds on the classic low/lower corpus") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bpeMerges(docs, k = 5)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // round ties resolve (cnt desc, l asc, r asc); greedy merges:
+    // lo(5) -> low(5) -> er(2) -> low+er(2) -> es(1, from newest)
+    assert(out.toSeq == Seq(("l", "o", 5L), ("lo", "w", 5L),
+      ("e", "r", 2L), ("low", "er", 2L), ("e", "s", 1L)))
+  }
+
   test("PMI co-occurrence: hand-computed value, doc-level counting") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c"),
       (4L, "a a a")) // repeated tokens count once per doc
