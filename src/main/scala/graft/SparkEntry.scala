@@ -938,6 +938,21 @@ object SparkEntry {
     "q76_bpe_merges" -> ((s, dir) => {
       TextAnalysis.bpeMerges(Tables.documents(s, dir))
     }),
+
+    // Exact triangle count on the co-supplier graph (suppliers sharing
+    // an order). Engine orients edges by (degree, id) — O(sqrt(m))
+    // out-neighborhoods even under skew; the oracle id-orients, valid
+    // because the count is orientation-invariant.
+    "q77_triangle_count" -> ((s, dir) => {
+      val os = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = os.as("pa")
+        .join(os.as("pb"),
+          col("pa.o") === col("pb.o") && col("pa.sk") < col("pb.sk"))
+        .select(col("pa.sk").as("a"), col("pb.sk").as("b"))
+      GraphOps.triangleCount(pairs)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1503,6 +1518,26 @@ object SparkEntry {
 
     // q76: the same 5 merge rounds unrolled as CTEs (OracleHashSql).
     "q76_bpe_merges" -> OracleHashSql.q76BpeMerges(),
+
+    // q77: id-oriented wedge closure — same count as the engine's
+    // degree-oriented join (orientation-invariant).
+    "q77_triangle_count" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.s AS x, b.s AS y
+        |  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+        |deg AS (
+        |  SELECT v FROM (
+        |    SELECT x AS v FROM e UNION ALL SELECT y FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT COUNT(*)::BIGINT AS n
+        |  FROM e e1 JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+        |  JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y)
+        |SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_vertices,
+        |       (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+        |       (SELECT n FROM tri) AS n_triangles""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

@@ -86,4 +86,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(a == b)
     assert(math.abs(a.map(_._2).sum - 1.0) < 1e-9)
   }
+
+  test("triangle count: hand graphs, orientation/duplicate tolerance") {
+    import spark.implicits._
+    def tc(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = graft.operators.GraphOps
+        .triangleCount(edges.toDF("a", "b")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K4: 4 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tc(k4) == ((4L, 6L, 4L)))
+    // K4 minus one edge: 2 triangles
+    assert(tc(k4.filterNot(_ == ((3L, 4L)))) == ((4L, 5L, 2L)))
+    // reversed duplicates and self-loops canonicalize away
+    assert(tc(k4 ++ k4.map(_.swap) ++ Seq((1L, 1L))) == ((4L, 6L, 4L)))
+    // star graph: high-degree hub, zero triangles
+    val star = (2L to 20L).map(i => (1L, i))
+    assert(tc(star) == ((20L, 19L, 0L)))
+  }
 }
