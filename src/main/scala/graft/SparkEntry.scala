@@ -953,6 +953,22 @@ object SparkEntry {
         .select(col("pa.sk").as("a"), col("pb.sk").as("b"))
       GraphOps.triangleCount(pairs)
     }),
+
+    // Ordered conversion funnel view -> click -> purchase with
+    // first-touch semantics (each stage strictly after the previous
+    // stage's first qualifying event).
+    "q78_funnel" -> ((s, dir) => {
+      Relational.funnel(Tables.events(s, dir),
+          Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    }),
+
+    // Cohort retention: users cohorted by first-active epoch day,
+    // (cohort_day, offset) -> distinct active users.
+    "q79_cohort_retention" -> ((s, dir) => {
+      Relational.cohortRetention(Tables.events(s, dir))
+        .orderBy("cohort_d", "offset_d")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1538,6 +1554,40 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_vertices,
         |       (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
         |       (SELECT n FROM tri) AS n_triangles""".stripMargin,
+
+    // q78: the same first-touch chain as three dependent aggregates.
+    "q78_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS stage_idx, 'view' AS stage,
+        |         (SELECT COUNT(*) FROM s1)::BIGINT AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |ORDER BY stage_idx""".stripMargin,
+
+    // q79: identical integer epoch-day arithmetic.
+    "q79_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |fs AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1)
+        |SELECT cohort_d, (d - cohort_d) AS offset_d,
+        |       COUNT(DISTINCT ev.user_id)::BIGINT AS n_users
+        |FROM ev JOIN fs ON ev.user_id = fs.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

@@ -160,6 +160,56 @@ object Relational {
     * never shuffles at all. (If a changeset ever rivals the snapshot,
     * drop the broadcast hint and AQE plans the sort-merge.)
     */
+  /** Ordered conversion funnel over the event stream: how many users
+    * reach each stage of `stages` IN ORDER (each stage's event must be
+    * strictly later than the previous stage's first qualifying event —
+    * the "first touch" semantics analytics tools ship). Returns one
+    * row per stage: (stage_idx, stage, n_users).
+    *
+    * Scale shape: one narrow groupBy per stage over only that stage's
+    * events, joined to the previous stage's (user, t) frame — which is
+    * users-sized, not events-sized, so AQE broadcasts it when it fits
+    * and falls back to a shuffle join when it doesn't (no forced
+    * hint). The fact stream is scanned once per stage with column
+    * pruning to (user_id, ts); only per-stage counts reach the driver.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    var reached: DataFrame = null
+    val counts = stages.zipWithIndex.map { case (stage, i) =>
+      val hits = events.filter(col("event_type") === stage)
+        .select(col("user_id"), col("ts"))
+      val qualified =
+        if (reached == null) hits
+        else hits.join(reached, "user_id")
+          .filter(col("ts") > col("t_prev"))
+          .select(col("user_id"), col("ts"))
+      reached = qualified.groupBy("user_id")
+        .agg(min(col("ts")).as("t_prev"))
+        .localCheckpoint(true)
+      val n = reached.count()
+      (i.toLong + 1, stage, n)
+    }
+    counts.toDF("stage_idx", "stage", "n_users")
+  }
+
+  /** Cohort retention matrix: users cohorted by first-active epoch-day,
+    * then (cohort_day, day_offset) -> distinct active users. The
+    * day index is integer arithmetic on the epoch (exact on any
+    * engine). Two aggregates and one join on user_id — at 100 TB the
+    * first-seen frame is users-sized, orders of magnitude under the
+    * event stream it summarizes.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val day = floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long")
+    val ev = events.select(col("user_id"), day.as("d"))
+    val firstSeen = ev.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+    ev.join(firstSeen, "user_id")
+      .groupBy(col("cohort_d"), (col("d") - col("cohort_d")).as("offset_d"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   def mergeApply(base: DataFrame, changes: DataFrame,
                  key: String = "doc_id"): DataFrame = {
     val touched = changes.select(col(key))

@@ -58,4 +58,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(pastBoundary.head.getAs[Long]("n_outliers") == 1L)
     assert(pastBoundary.head.getAs[Long]("n_events") == 6L)
   }
+
+  test("funnel: first-touch ordering, strict-after semantics") {
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L), // click BEFORE view: stage 1
+      (3L, "view", 10L), (3L, "purchase", 20L), // no click: stage 1
+      (4L, "view", 10L), (4L, "click", 10L)) // same instant: strict >
+      .map { case (u, t, sec) => (u, t, new Timestamp(sec * 1000L)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Relational
+      .funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("view", 4L), ("click", 1L), ("purchase", 1L)))
+  }
+
+  test("cohort retention: first-day cohorts, integer day offsets") {
+    val day = 86400L
+    val ev = Seq(
+      (1L, 0L), (1L, day + 5L), // cohort day 0, active days 0 and 1
+      (2L, day), (2L, day + 10L)) // cohort day 1, active day 1 only
+      .map { case (u, sec) => (u, "view", new Timestamp(sec * 1000L)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Relational.cohortRetention(ev)
+      .orderBy("cohort_d", "offset_d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L)))
+  }
 }
