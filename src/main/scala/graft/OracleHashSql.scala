@@ -736,36 +736,64 @@ ORDER BY grp"""
     * when the accumulator is a STRUCT (spot-verified: the integer fold
     * is correct, the struct fold loses earlier appends).
     */
-  def q76BpeMerges(k: Int = 5): String = {
-    def pairsCte(i: Int): String =
-      s"""pairs$i AS (
+  private def bpePairsCte(i: Int): String =
+    s"""pairs$i AS (
   SELECT t[i] AS l, t[i+1] AS r, SUM(freq)::BIGINT AS cnt FROM (
     SELECT t, freq, unnest(range(1, len(t))) AS i FROM seqs$i)
   GROUP BY 1, 2),
 top$i AS (
   SELECT l, r, cnt FROM pairs$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
-    def mergeCte(i: Int): String =
-      s"""seqs${i + 1} AS (
-  SELECT list_reduce(
+
+  private def bpeMergeCte(i: Int): String =
+    s"""seqs${i + 1} AS (
+  SELECT w, list_reduce(
     list_prepend([]::VARCHAR[], list_transform(t, x -> [x])),
     (acc, cx) -> CASE
       WHEN len(acc) > 0 AND acc[-1] = l AND cx[1] = r
         THEN list_append(acc[1:len(acc)-1], l || r)
       ELSE list_append(acc, cx[1]) END) AS t, freq
   FROM seqs$i CROSS JOIN top$i)"""
+
+  /** Shared q76/q80 CTE prefix: word table and `k` unrolled merge
+    * rounds. `withFinalSeqs` additionally materializes the post-merge
+    * symbol table seqs{k+1} (q80 needs it; q76 stops at top_k).
+    */
+  private def bpeCtes(k: Int, withFinalSeqs: Boolean): String = {
     val rounds = (1 to k).map { i =>
-      pairsCte(i) + (if (i < k) ",\n" + mergeCte(i) else "")
+      bpePairsCte(i) +
+        (if (i < k || withFinalSeqs) ",\n" + bpeMergeCte(i) else "")
     }.mkString(",\n")
+    s"""WITH words AS (
+  SELECT w, string_split(w, '') AS t, COUNT(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w),
+seqs1 AS (SELECT w, t, freq FROM words),
+$rounds"""
+  }
+
+  def q76BpeMerges(k: Int = 5): String = {
     val out = (1 to k)
       .map(i => s"SELECT $i::BIGINT AS round, l, r, cnt FROM top$i")
       .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
-  SELECT string_split(w, '') AS t, COUNT(*)::BIGINT AS freq FROM (
-    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-  WHERE length(w) > 0 GROUP BY w),
-seqs1 AS (SELECT t, freq FROM words),
-$rounds
+    s"""${bpeCtes(k, withFinalSeqs = false)}
 $out
 ORDER BY round"""
   }
+
+  /** q80: the learned merges applied back — per-source compression
+    * stats from the final symbol table joined to (source, word)
+    * frequencies.
+    */
+  def q80BpeEncode(k: Int = 5): String =
+    s"""${bpeCtes(k, withFinalSeqs = true)},
+sf AS (SELECT w, len(t)::BIGINT AS n_tok FROM seqs${k + 1}),
+src AS (
+  SELECT source, w, COUNT(*)::BIGINT AS freq FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY 1, 2)
+SELECT source, SUM(freq)::BIGINT AS n_words,
+       SUM(freq * length(w))::BIGINT AS n_chars,
+       SUM(freq * n_tok)::BIGINT AS n_tokens
+FROM src JOIN sf USING (w)
+GROUP BY source ORDER BY source"""
 }

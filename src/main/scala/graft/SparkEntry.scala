@@ -969,6 +969,15 @@ object SparkEntry {
       Relational.cohortRetention(Tables.events(s, dir))
         .orderBy("cohort_d", "offset_d")
     }),
+
+    // BPE ENCODE: q76's learned merges applied back to the corpus —
+    // per-source token compression (chars vs post-merge tokens). The
+    // corpus text is read once for the (source, word) frequencies; the
+    // symbol table stays vocabulary-bounded.
+    "q80_bpe_encode" -> ((s, dir) => {
+      TextAnalysis.bpeEncode(Tables.documents(s, dir))
+        .orderBy("source")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1588,6 +1597,9 @@ object SparkEntry {
         |       COUNT(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN fs ON ev.user_id = fs.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q80: encode side of the shared BPE CTE chain.
+    "q80_bpe_encode" -> OracleHashSql.q80BpeEncode(),
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

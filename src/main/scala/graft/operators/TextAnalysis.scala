@@ -290,14 +290,39 @@ object TextAnalysis {
     *
     * Returns one row per round: (round, l, r, cnt).
     */
-  def bpeMerges(documents: DataFrame, k: Int = 5): DataFrame = {
+  def bpeMerges(documents: DataFrame, k: Int = 5): DataFrame =
+    bpeLoop(documents, k)._1
+
+  /** [[bpeMerges]]' rules APPLIED back to the corpus: per-source token
+    * compression stats after the k learned merges —
+    * (source, n_words, n_chars, n_tokens). The encode side reuses the
+    * vocabulary-bounded final symbol table and joins it to a
+    * (source, word) frequency frame, so the corpus text is again read
+    * only once.
+    */
+  def bpeEncode(documents: DataFrame, k: Int = 5): DataFrame = {
+    val encoded = bpeLoop(documents, k)._2 // (w, t, freq) — vocab-sized
+    val bySource = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    bySource.join(encoded.select(col("w"), size(col("t")).as("n_tok")), "w")
+      .groupBy("source")
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * length(col("w"))).as("n_chars"),
+        sum(col("freq") * col("n_tok")).as("n_tokens"))
+  }
+
+  private def bpeLoop(documents: DataFrame,
+                      k: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     val words = documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       // split(w, "") keeps a trailing "" (limit -1 semantics) — drop it
-      .select(expr("filter(split(w, ''), x -> x != '')").as("t"),
+      .select(col("w"),
+        expr("filter(split(w, ''), x -> x != '')").as("t"),
         col("freq"))
       .localCheckpoint(true)
 
@@ -338,11 +363,11 @@ object TextAnalysis {
       rules += top.select(lit(round.toLong).as("round"),
         col("l"), col("r"), col("cnt"))
       seqs = seqs.crossJoin(broadcast(top.select(col("l"), col("r"))))
-        .select(expr(foldMerge).as("t"), col("freq"))
+        .select(col("w"), expr(foldMerge).as("t"), col("freq"))
         .localCheckpoint(true)
       round += 1
     }
-    rules.reduce(_.unionByName(_)).orderBy("round")
+    (rules.reduce(_.unionByName(_)).orderBy("round"), seqs)
   }
 
   /** Deterministic weighted sampling without replacement

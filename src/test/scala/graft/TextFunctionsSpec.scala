@@ -181,6 +181,15 @@ class TextFunctionsSpec extends SparkSpec {
     // lo(5) -> low(5) -> er(2) -> low+er(2) -> es(1, from newest)
     assert(out.toSeq == Seq(("l", "o", 5L), ("lo", "w", 5L),
       ("e", "r", 2L), ("low", "er", 2L), ("e", "s", 1L)))
+
+    // encode side: rule 4 (low+er) collapses lower to ONE token —
+    // low -> [low], lower -> [lower], newest -> [n, e, w, es, t]
+    val docsSrc = Seq((1L, "a", "low low low"), (2L, "a", "lower lower"),
+      (3L, "b", "newest")).toDF("doc_id", "source", "text")
+    val stats = graft.operators.TextAnalysis.bpeEncode(docsSrc)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.toSeq == Seq(("a", 5L, 19L, 5L), ("b", 1L, 6L, 5L)))
   }
 
   test("PMI co-occurrence: hand-computed value, doc-level counting") {
