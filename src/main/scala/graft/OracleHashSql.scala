@@ -164,6 +164,27 @@ FROM rerank
 WHERE j >= 0.5
 ORDER BY 1, 2"""
 
+  /** q81: the q36 candidate CTEs reranked by set containment
+    * |∩| / min(|A|,|B|) with the exact-integer threshold 7/10.
+    */
+  def q81Containment: String =
+    s"""WITH $minhashCtes,
+rtoks AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS rt
+  FROM documents),
+rerank AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(ta.rt, tb.rt))::BIGINT AS n_inter,
+         least(len(ta.rt), len(tb.rt))::BIGINT AS n_min
+  FROM (SELECT doc_a, doc_b FROM est WHERE e >= 0.2) c
+  JOIN rtoks ta ON ta.doc_id = doc_a
+  JOIN rtoks tb ON tb.doc_id = doc_b)
+SELECT doc_a, doc_b, n_inter, n_min,
+       floor(n_inter::DOUBLE / n_min * 10000 + 0.5) / 10000 AS containment
+FROM rerank
+WHERE n_inter * 10 >= n_min * 7
+ORDER BY 1, 2"""
+
   /** Oracle for q55: LSH candidates (est >= 0.2) reranked by
     * Levenshtein edit distance (= Dedup.lshEditDistancePairs) — both
     * engines implement classic unit-cost edit distance, and the

@@ -939,18 +939,25 @@ object SparkEntry {
       TextAnalysis.bpeMerges(Tables.documents(s, dir))
     }),
 
-    // Exact triangle count on the co-supplier graph (suppliers sharing
-    // an order). Engine orients edges by (degree, id) — O(sqrt(m))
+    // Exact triangle count on the market-basket parts graph: parts
+    // co-purchased in >= 2 orders (the support threshold keeps the
+    // graph sparse — the raw co-supplier graph is 90% of a complete
+    // graph at sf0.1 and makes EXACT triangle counting quadratic by
+    // construction; dense graphs want sampling estimators, not exact
+    // counts). Engine orients edges by (degree, id) — O(sqrt(m))
     // out-neighborhoods even under skew; the oracle id-orients, valid
     // because the count is orientation-invariant.
     "q77_triangle_count" -> ((s, dir) => {
       val os = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
         .distinct()
       val pairs = os.as("pa")
         .join(os.as("pb"),
-          col("pa.o") === col("pb.o") && col("pa.sk") < col("pb.sk"))
-        .select(col("pa.sk").as("a"), col("pb.sk").as("b"))
+          col("pa.o") === col("pb.o") && col("pa.pk") < col("pb.pk"))
+        .groupBy(col("pa.pk").as("a"), col("pb.pk").as("b"))
+        .agg(count(lit(1)).as("n_cooccur"))
+        .filter(col("n_cooccur") >= 2)
+        .select(col("a"), col("b"))
       GraphOps.triangleCount(pairs)
     }),
 
@@ -977,6 +984,17 @@ object SparkEntry {
     "q80_bpe_encode" -> ((s, dir) => {
       TextAnalysis.bpeEncode(Tables.documents(s, dir))
         .orderBy("source")
+    }),
+
+    // Containment rerank over the LSH candidates: |A∩B| / min(|A|,|B|)
+    // — catches a doc quoted inside a larger one (high containment,
+    // low jaccard). Threshold as an exact-integer inequality.
+    "q81_containment" -> ((s, dir) => {
+      Dedup.lshContainmentPairs(s, Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_min"),
+          r4(col("n_inter").cast("double") / col("n_min"))
+            .as("containment"))
+        .orderBy("doc_a", "doc_b")
     }),
   )
 
@@ -1548,10 +1566,11 @@ object SparkEntry {
     // degree-oriented join (orientation-invariant).
     "q77_triangle_count" ->
       """WITH os AS (
-        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
         |e AS (
-        |  SELECT DISTINCT a.s AS x, b.s AS y
-        |  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+        |  SELECT a.s AS x, b.s AS y
+        |  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |deg AS (
         |  SELECT v FROM (
         |    SELECT x AS v FROM e UNION ALL SELECT y FROM e)
@@ -1600,6 +1619,9 @@ object SparkEntry {
 
     // q80: encode side of the shared BPE CTE chain.
     "q80_bpe_encode" -> OracleHashSql.q80BpeEncode(),
+
+    // q81: q36's bit-exact candidate CTEs + containment rerank.
+    "q81_containment" -> OracleHashSql.q81Containment,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

@@ -149,6 +149,40 @@ object Dedup {
     * whose `source` blocking key is a fixture stand-in. Recall is the
     * LSH S-curve; precision is exact.
     */
+  /** Containment detection over the LSH candidate pairs: the
+    * asymmetric cousin of q36's Jaccard rerank — |A∩B| / min(|A|,|B|)
+    * — which catches a document QUOTED INSIDE a larger one (high
+    * containment, low Jaccard). Threshold is the exact-integer
+    * inequality den·|∩| ≥ num·min (default 7/10): no float boundary,
+    * bit-identical membership on any engine. Emits
+    * (doc_a, doc_b, n_inter, n_min) with containment = n_inter/n_min.
+    *
+    * Scale/recall note: candidates come from the SAME symmetric
+    * MinHash banding as q36 — sound for near-equal sizes, but a tiny
+    * doc inside a huge one dilutes the big doc's signature and can
+    * escape the bands; true asymmetric containment blocking at 100 TB
+    * partitions by size band or uses ordered minhash. Declared limit,
+    * same family as q16's fixture blocking.
+    */
+  def lshContainmentPairs(spark: SparkSession, documents: DataFrame,
+                          candidateEst: Double = 0.2,
+                          num: Int = 7, den: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val cands = minhashLshPairs(spark, documents, estimateThreshold = candidateEst)
+      .select(col("doc_a"), col("doc_b"))
+    val toks = documents.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    cands
+      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_a", "toks" -> "toks_a")), "doc_a")
+      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_b", "toks" -> "toks_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b")))
+          .cast("long").as("n_inter"),
+        least(size(col("toks_a")), size(col("toks_b")))
+          .cast("long").as("n_min"))
+      .filter(col("n_inter") * lit(den.toLong) >= col("n_min") * lit(num.toLong))
+  }
+
   def lshBlockedJaccardPairs(spark: SparkSession, documents: DataFrame,
                              candidateEst: Double = 0.2,
                              threshold: Double = 0.5): DataFrame = {

@@ -290,4 +290,25 @@ class DedupSpec extends SparkSpec {
     val dropped = assign.map(_._1).filterNot(keptIds).toSet
     assert(dropped == justified)
   }
+
+  test("containment catches a quoted subset that the jaccard gate misses") {
+    import spark.implicits._
+    // doc 1 is wholly contained in doc 2: token containment = 1.0 but
+    // jaccard = 60/85 ≈ 0.71 — above the LSH banding regime, below
+    // the 0.8 jaccard gate
+    val base = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val extra = (1 to 25).map(i => s"omega$i").mkString(" ")
+    val docs = (Seq((1L, base), (2L, s"$base $extra")) ++
+      (3L to 12L).map(i => (i, (1 to 40).map(j => s"noise${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val cont = graft.operators.Dedup
+      .lshContainmentPairs(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cont.contains((1L, 2L)), s"containment pair missing: ${cont.toSeq}")
+    val jac = graft.operators.Dedup
+      .lshBlockedJaccardPairs(spark, docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((1L, 2L)),
+      "jaccard>=0.8 should miss the 0.5-jaccard containment pair")
+  }
 }
