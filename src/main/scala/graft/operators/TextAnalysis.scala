@@ -313,6 +313,13 @@ object TextAnalysis {
         sum(col("freq") * col("n_tok")).as("n_tokens"))
   }
 
+  /** Final per-word symbol table after `k` merges — (w, t, freq).
+    * Exposed for the structural invariant spec: concatenating a
+    * word's final symbols must reproduce the word.
+    */
+  def bpeEncodeSymbols(documents: DataFrame, k: Int = 5): DataFrame =
+    bpeLoop(documents, k)._2
+
   private def bpeLoop(documents: DataFrame,
                       k: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession

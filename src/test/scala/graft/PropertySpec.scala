@@ -156,4 +156,33 @@ class PropertySpec extends SparkSpec {
     // the single-emission invariant the ANN join filter relies on
     assert(got.count(_ >= 0) > 0, "fixture must produce collisions")
   }
+
+  test("bloom filter: zero false negatives over random key sets") {
+    import graft.operators.Sketches
+    val keysGen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    for (keys <- samples(keysGen, 10)) {
+      val df = keys.toDF("k")
+      val bits = Sketches.bloomBits(df, "k", mBits = 1 << 10, k = 3)
+      val passed = df
+        .filter(Sketches.bloomMightContain(bits, 1 << 10, 3, col("k")))
+        .count()
+      assert(passed == keys.length.toLong,
+        s"a true key failed the probe (n=${keys.length}, passed=$passed)")
+    }
+  }
+
+  test("BPE merge fold: concatenating final symbols reproduces each word") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    // run the merges, then re-derive the final symbol table by
+    // encoding — the invariant is structural: merging never loses or
+    // reorders characters
+    val rules = graft.operators.TextAnalysis.bpeMerges(docs, k = 5)
+      .collect() // forces the loop; rules themselves checked in q76
+    assert(rules.length == 5)
+    val bad = graft.operators.TextAnalysis
+      .bpeEncodeSymbols(docs, k = 5)
+      .filter(concat_ws("", col("t")) =!= col("w"))
+      .count()
+    assert(bad == 0L, "some word's symbols no longer concatenate to it")
+  }
 }
