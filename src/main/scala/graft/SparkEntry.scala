@@ -996,6 +996,27 @@ object SparkEntry {
             .as("containment"))
         .orderBy("doc_a", "doc_b")
     }),
+
+    // Per-source distribution drift: KL(P_src || P_corpus) over token
+    // frequencies, add-one smoothed on the corpus vocabulary — the
+    // mixture-monitoring primitive. Raw doubles (q65/q71 precedent).
+    "q82_source_drift_kl" -> ((s, dir) => {
+      TextAnalysis.sourceDriftKl(Tables.documents(s, dir))
+        .orderBy("source")
+    }),
+
+    // Per-type value stats through the TYPED Aggregator tier (Welford
+    // online variance, merged with Chan's formula) — puts the UDAF
+    // extension path itself under the oracle gate.
+    "q83_welford_variance" -> ((s, dir) => {
+      val welford = udaf(graft.functions.Aggregators.WelfordVariance)
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          r4(avg(col("value"))).as("mean_value"),
+          r4(welford(col("value"))).as("var_value"))
+        .orderBy("event_type")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1622,6 +1643,40 @@ object SparkEntry {
 
     // q81: q36's bit-exact candidate CTEs + containment rerank.
     "q81_containment" -> OracleHashSql.q81Containment,
+
+    // q82: same smoothed KL fold in SQL.
+    "q82_source_drift_kl" ->
+      """WITH toks AS (
+        |  SELECT source, t AS token FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |corpus AS (
+        |  SELECT token, COUNT(*)::DOUBLE AS c_corpus FROM toks GROUP BY 1),
+        |nc AS (SELECT SUM(c_corpus) AS n_corpus FROM corpus),
+        |nv AS (SELECT COUNT(*)::DOUBLE AS n_vocab FROM corpus),
+        |bysrc AS (
+        |  SELECT source, token, COUNT(*)::DOUBLE AS c_src
+        |  FROM toks GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(c_src) AS n_src FROM bysrc GROUP BY 1)
+        |SELECT source,
+        |       SUM(p * ln(p / (c_corpus / (SELECT n_corpus FROM nc)))) AS kl,
+        |       COUNT(*)::BIGINT AS n_vocab_terms
+        |FROM (
+        |  SELECT st.source, corpus.token, corpus.c_corpus,
+        |         (COALESCE(b.c_src, 0) + 1)
+        |           / (st.n_src + (SELECT n_vocab FROM nv)) AS p
+        |  FROM corpus CROSS JOIN st
+        |  LEFT JOIN bysrc b
+        |    ON b.source = st.source AND b.token = corpus.token)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q83: Welford == var_samp analytically; r4 absorbs path noise.
+    "q83_welford_variance" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n_events,
+        |       floor(avg(value) * 10000 + 0.5) / 10000 AS mean_value,
+        |       floor(var_samp(value) * 10000 + 0.5) / 10000 AS var_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

@@ -313,6 +313,45 @@ object TextAnalysis {
         sum(col("freq") * col("n_tok")).as("n_tokens"))
   }
 
+  /** Per-source distribution drift vs the corpus: KL(P_source ||
+    * P_corpus) over token frequencies, with add-one smoothing on the
+    * source side restricted to the corpus vocabulary (every corpus
+    * token gets source-count + 1, so the divergence is finite and the
+    * smoothed source mass sums to n_src + |V|). The mixture-monitoring
+    * primitive: a source whose token distribution wanders from the
+    * corpus mix shows up as rising KL.
+    *
+    * Scale shape: token counts are (source × vocab)-bounded aggregates
+    * (map-side combined); the per-source fold is one groupBy over that
+    * bounded frame. The corpus text streams once.
+    */
+  def sourceDriftKl(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val corpus = toks.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("c_corpus"))
+    val nCorpus = corpus.agg(sum(col("c_corpus")).as("n_corpus"))
+    val bySrc = toks.groupBy("source", "token")
+      .agg(count(lit(1)).cast("double").as("c_src"))
+    val srcTotals = bySrc.groupBy("source")
+      .agg(sum(col("c_src")).as("n_src"))
+    val vocabN = corpus.agg(count(lit(1)).cast("double").as("n_vocab"))
+    // smoothed source distribution over the full corpus vocabulary:
+    // p = (c_src + 1) / (n_src + |V|); q = c_corpus / n_corpus
+    corpus.crossJoin(broadcast(srcTotals))
+      .join(bySrc, Seq("source", "token"), "left")
+      .na.fill(0.0, Seq("c_src"))
+      .crossJoin(broadcast(nCorpus))
+      .crossJoin(broadcast(vocabN))
+      .select(col("source"),
+        (((col("c_src") + lit(1.0)) / (col("n_src") + col("n_vocab"))) *
+          log(((col("c_src") + lit(1.0)) / (col("n_src") + col("n_vocab"))) /
+            (col("c_corpus") / col("n_corpus")))).as("term"))
+      .groupBy("source")
+      .agg(sum(col("term")).as("kl"), count(lit(1)).as("n_vocab_terms"))
+  }
+
   /** Final per-word symbol table after `k` merges — (w, t, freq).
     * Exposed for the structural invariant spec: concatenating a
     * word's final symbols must reproduce the word.

@@ -192,6 +192,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stats.toSeq == Seq(("a", 5L, 19L, 5L), ("b", 1L, 6L, 5L)))
   }
 
+  test("KL drift: nonnegative, zero-ish for matching sources, high for drifted") {
+    val docs = Seq(
+      (1L, "a", "x x x y"), (2L, "a", "x x x y"),
+      (3L, "b", "x x x y"), (4L, "b", "x x x y"), // b matches a exactly
+      (5L, "c", "z z z z z z z z")) // c is disjoint from the x/y mass
+      .toDF("doc_id", "source", "text")
+    val kl = graft.operators.TextAnalysis.sourceDriftKl(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(kl.values.forall(_ >= -1e-12), s"KL must be nonnegative: $kl")
+    assert(math.abs(kl("a") - kl("b")) < 1e-12,
+      "identically distributed sources must score identically")
+    assert(kl("c") > kl("a") + 0.1,
+      s"drifted source must stand out: $kl")
+  }
+
   test("PMI co-occurrence: hand-computed value, doc-level counting") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c"),
       (4L, "a a a")) // repeated tokens count once per doc
