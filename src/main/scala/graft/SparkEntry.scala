@@ -1017,6 +1017,52 @@ object SparkEntry {
           r4(welford(col("value"))).as("var_value"))
         .orderBy("event_type")
     }),
+
+    // Time-weighted average price per part over its shipment history:
+    // each price holds until the next shipment (lead window), weight =
+    // holding seconds; last observation carries zero weight and the
+    // plain average rides along. One window pass, partitioned by part.
+    "q84_twap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val nextTs = lead(unix_timestamp(col("l_shipdate")), 1)
+        .over(w)
+      val weight = (nextTs - unix_timestamp(col("l_shipdate")))
+        .cast("double")
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_extendedprice").as("price"),
+          weight.as("wt"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_ship"),
+          r2(sum(col("price") * col("wt")) / sum(col("wt"))).as("twap"),
+          r2(avg(col("price"))).as("plain_avg"))
+        .filter(col("n_ship") >= 2)
+        .orderBy("l_partkey")
+    }),
+
+    // Week-over-week trending parts: shipment counts per (part, week),
+    // lag-1 ratio with +1 smoothing, top 50 risers — the corpus-drift
+    // shape on the relational side (two bounded aggregates + one
+    // window over the part's own week series).
+    "q85_trending_parts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = floor(unix_timestamp(col("l_shipdate")) / lit(604800L))
+        .cast("long")
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), wk.as("week"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_partkey")).orderBy(col("week"))
+      counts
+        .select(col("l_partkey"), col("week"), col("cnt"),
+          lag(col("cnt"), 1).over(w).as("prev_cnt"))
+        .filter(col("prev_cnt").isNotNull)
+        .select(col("l_partkey"), col("week"), col("cnt"), col("prev_cnt"),
+          r4((col("cnt") + lit(1)).cast("double") /
+            (col("prev_cnt") + lit(1))).as("ratio"))
+        .orderBy(col("ratio").desc, col("l_partkey").asc, col("week").asc)
+        .limit(50)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1677,6 +1723,41 @@ object SparkEntry {
         |       floor(avg(value) * 10000 + 0.5) / 10000 AS mean_value,
         |       floor(var_samp(value) * 10000 + 0.5) / 10000 AS var_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q84: identical lead-window weighting (last observation NULL
+    // weight drops out of both sums on both engines).
+    "q84_twap" ->
+      """WITH base AS (
+        |  SELECT l_partkey, l_extendedprice AS price,
+        |         epoch(lead(l_shipdate) OVER (
+        |             PARTITION BY l_partkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |           - epoch(l_shipdate) AS wt
+        |  FROM lineitem)
+        |SELECT l_partkey, COUNT(*)::BIGINT AS n_ship,
+        |       floor(SUM(price * wt) / SUM(wt) * 100 + 0.5) / 100 AS twap,
+        |       floor(avg(price) * 100 + 0.5) / 100 AS plain_avg
+        |FROM base GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin,
+
+    // q85: same integer week index and smoothed ratio; ORDER BY the
+    // rounded ratio with a total tie-break so the LIMIT cut matches.
+    "q85_trending_parts" ->
+      """WITH counts AS (
+        |  SELECT l_partkey,
+        |         CAST(floor(epoch(l_shipdate) / 604800) AS BIGINT) AS week,
+        |         COUNT(*)::BIGINT AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT l_partkey, week, cnt,
+        |         lag(cnt) OVER (PARTITION BY l_partkey ORDER BY week)
+        |           AS prev_cnt
+        |  FROM counts)
+        |SELECT l_partkey, week, cnt, prev_cnt,
+        |       floor((cnt + 1)::DOUBLE / (prev_cnt + 1) * 10000 + 0.5)
+        |         / 10000 AS ratio
+        |FROM lagged WHERE prev_cnt IS NOT NULL
+        |ORDER BY ratio DESC, l_partkey ASC, week ASC
+        |LIMIT 50""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,
