@@ -1045,6 +1045,14 @@ object SparkEntry {
     // lag-1 ratio with +1 smoothing, top 50 risers — the corpus-drift
     // shape on the relational side (two bounded aggregates + one
     // window over the part's own week series).
+    // Per-user OLS value trend — slope over centered time (exact
+    // integer centering keeps the moment sums inside exact-double
+    // range; raw-double output, q65 precedent).
+    "q86_user_trend" -> ((s, dir) => {
+      TimeSeries.olsTrend(Tables.events(s, dir))
+        .orderBy("user_id")
+    }),
+
     "q85_trending_parts" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val wk = floor(unix_timestamp(col("l_shipdate")) / lit(604800L))
@@ -1758,6 +1766,21 @@ object SparkEntry {
         |FROM lagged WHERE prev_cnt IS NOT NULL
         |ORDER BY ratio DESC, l_partkey ASC, week ASC
         |LIMIT 50""".stripMargin,
+
+    // q86: same centered closed-form moments (NOT regr_slope — its
+    // internal algorithm differs; the explicit sums match to ulps).
+    "q86_user_trend" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch(ts) AS tsec, value
+        |  FROM events WHERE value IS NOT NULL),
+        |mins AS (SELECT user_id, min(tsec) AS t0 FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT ev.user_id, (tsec - t0)::DOUBLE AS x, value AS y
+        |  FROM ev JOIN mins ON ev.user_id = mins.user_id)
+        |SELECT user_id, COUNT(*)::BIGINT AS n_events,
+        |       (COUNT(*)::DOUBLE * SUM(x*y) - SUM(x) * SUM(y)) /
+        |         (COUNT(*)::DOUBLE * SUM(x*x) - SUM(x) * SUM(x)) AS slope
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_media_features" -> OracleHashSql.q24MediaStats,
     "q37_dedup_embedding_lsh" -> OracleHashSql.q37LshBlockedCosine(
       graft.operators.Similarity.defaultPlaneSets(planes = 3, tables = 12,

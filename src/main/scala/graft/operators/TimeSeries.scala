@@ -64,6 +64,35 @@ object TimeSeries {
         sum(when(lhs > rhs, 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Per-user OLS trend of value over time: slope of the least-squares
+    * line through (ts, value), the per-entity drift feature. The time
+    * axis is CENTERED per user (x = ts - min(ts), exact integer
+    * seconds) before the moment sums — uncentered epoch-seconds put
+    * Σx² near 4·10¹⁷ where double ULP is ~64 and engines disagree in
+    * the cancellation nΣx² - (Σx)²; centered, the sums stay far
+    * inside exact-double range. Same two-aggregate shape as
+    * [[outlierCounts]]: per-user min broadcast back into the scan, no
+    * window sort.
+    */
+  def olsTrend(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"),
+        col("value"))
+    val mins = ev.groupBy("user_id").agg(min(col("tsec")).as("t0"))
+    val centered = ev.join(broadcast(mins), "user_id")
+      .select(col("user_id"),
+        (col("tsec") - col("t0")).cast("double").as("x"),
+        col("value").as("y"))
+    centered.groupBy("user_id")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("user_id"), col("n").cast("long").as("n_events"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+  }
+
   def ewmaFeatures(events: DataFrame, w: Int = 32): DataFrame = {
     val win = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       .rowsBetween(-(w - 1), Window.currentRow)

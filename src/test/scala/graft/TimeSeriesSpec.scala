@@ -59,6 +59,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(pastBoundary.head.getAs[Long]("n_events") == 6L)
   }
 
+  test("OLS trend: exact slope on a known line, zero on constants") {
+    val ev = Seq(
+      (1L, 0L, 1.0), (1L, 10L, 21.0), (1L, 20L, 41.0), // slope 2.0
+      (2L, 0L, 7.0), (2L, 30L, 7.0)) // constant: slope 0
+      .map { case (u, sec, v) => (u, new Timestamp(sec * 1000L), v) }
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.olsTrend(ev).orderBy("user_id").collect()
+    assert(out(0).getAs[Double]("slope") == 2.0)
+    assert(out(1).getAs[Double]("slope") == 0.0)
+  }
+
   test("funnel: first-touch ordering, strict-after semantics") {
     val ev = Seq(
       (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
