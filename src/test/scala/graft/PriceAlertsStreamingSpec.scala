@@ -20,6 +20,7 @@ class PriceAlertsStreamingSpec extends SparkSpec {
   case class P(id: Long, quantity: Long, productid: Long, ts: Timestamp)
   case class Prod(id: Long, name: String, price: Double, ts: Timestamp)
   case class Doc(doc_id: Long, text: String, ts: Timestamp)
+  case class Ev(user_id: Long, event_type: String, ts: Timestamp)
 
   private val t0230 = Timestamp.valueOf("2024-01-01 00:02:30")
   private val w0200 = Timestamp.valueOf("2024-01-01 00:02:00")
@@ -238,6 +239,36 @@ class PriceAlertsStreamingSpec extends SparkSpec {
     assert(rows == Map(
       Timestamp.valueOf("2024-01-01 00:00:00") -> 2L,
       Timestamp.valueOf("2024-01-01 00:30:00") -> 1L))
+  }
+
+  test("streaming funnel: stage advances in-stream, first-touch order") {
+    // transformWithState requires a multi-column-family store → RocksDB
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try testFunnel() finally spark.conf.unset(key)
+  }
+
+  private def testFunnel(): Unit = {
+    val in = MemoryStream[Ev]
+    val adv = graft.streaming.FunnelStream.advances(
+      in.toDF(), Seq("view", "click", "purchase"))
+    val out = runQuery(adv.toDF(), "append", "funnel_out") { q =>
+      in.addData(
+        Ev(1L, "view", Timestamp.valueOf("2024-01-01 00:00:10")),
+        Ev(1L, "click", Timestamp.valueOf("2024-01-01 00:00:20")),
+        Ev(2L, "click", Timestamp.valueOf("2024-01-01 00:00:05")), // pre-view
+        Ev(2L, "view", Timestamp.valueOf("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      // purchase arrives in a LATER batch — state carries across
+      in.addData(Ev(1L, "purchase", Timestamp.valueOf("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+    }
+    val rows = out.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage_idx"),
+        r.getAs[String]("stage"))).toSet
+    assert(rows == Set((1L, 1, "view"), (1L, 2, "click"),
+      (1L, 3, "purchase"), (2L, 1, "view")))
   }
 
   test("streaming fingerprint dedup: duplicate text dropped within watermark") {
