@@ -1045,6 +1045,12 @@ object SparkEntry {
     // lag-1 ratio with +1 smoothing, top 50 risers — the corpus-drift
     // shape on the relational side (two bounded aggregates + one
     // window over the part's own week series).
+    // Top user journeys: sessionized (30-min gap) first-5 event-type
+    // paths, counted — order-deterministic via in-group struct sort.
+    "q87_top_journeys" -> ((s, dir) => {
+      Relational.topJourneys(Tables.events(s, dir))
+    }),
+
     // Per-user OLS value trend — slope over centered time (exact
     // integer centering keeps the moment sums inside exact-double
     // range; raw-double output, q65 precedent).
@@ -1766,6 +1772,30 @@ object SparkEntry {
         |FROM lagged WHERE prev_cnt IS NOT NULL
         |ORDER BY ratio DESC, l_partkey ASC, week ASC
         |LIMIT 50""".stripMargin,
+
+    // q87: same gaps-and-islands sessionization; the path is an
+    // ORDER BY inside the list aggregate, cut to 5.
+    "q87_top_journeys" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM marked),
+        |paths AS (
+        |  SELECT array_to_string(
+        |           (list(event_type ORDER BY ts, event_id))[1:5], '>')
+        |           AS path
+        |  FROM sess GROUP BY user_id, sess)
+        |SELECT path, COUNT(*)::BIGINT AS n_sessions
+        |FROM paths GROUP BY 1
+        |ORDER BY 2 DESC, 1 ASC LIMIT 20""".stripMargin,
 
     // q86: same centered closed-form moments (NOT regr_slope — its
     // internal algorithm differs; the explicit sums match to ulps).

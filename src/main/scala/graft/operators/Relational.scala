@@ -210,6 +210,44 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Top user journeys: sessionize (30-min gap), take each session's
+    * first `maxLen` event types in time order, and count journeys —
+    * the path-mining staple. Session assignment is the gaps-and-
+    * islands cumulative sum; the path is an ORDER-DETERMINISTIC
+    * array built by sorting (ts, event_id) structs inside the session
+    * group (array_sort + transform, codegen) rather than trusting
+    * collect_list arrival order.
+    *
+    * Scale: sessions are user-bounded; the heavy operation is one
+    * window pass per user (same layout as q27/q28) and a path groupBy
+    * whose key space is bounded by |event_types|^maxLen.
+    */
+  def topJourneys(events: DataFrame, gapMinutes: Int = 30,
+                  maxLen: Int = 5, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+          unix_timestamp(col("ts")) -
+            unix_timestamp(lag(col("ts"), 1).over(byUser)) >
+            gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = marked
+      .groupBy(col("user_id"), col("sess"))
+      .agg(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type"))).as("evs"))
+      .select(concat_ws(">",
+        slice(expr("transform(array_sort(evs), e -> e.event_type)"),
+          1, maxLen)).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   def mergeApply(base: DataFrame, changes: DataFrame,
                  key: String = "doc_id"): DataFrame = {
     val touched = changes.select(col(key))

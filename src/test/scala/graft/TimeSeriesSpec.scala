@@ -85,6 +85,28 @@ class TimeSeriesSpec extends SparkSpec {
       Seq(("view", 4L), ("click", 1L), ("purchase", 1L)))
   }
 
+  test("top journeys: session split, ordered path, length cap") {
+    val m = 60L
+    val ev = Seq(
+      // user 1, session 1: v>c>p ; session 2 (gap > 30 min): v
+      (1L, 1L, 0L, "view"), (2L, 1L, m, "click"), (3L, 1L, 2 * m, "purchase"),
+      (4L, 1L, 120 * m, "view"),
+      // user 2: one session v>c — same path shape as nothing else
+      (5L, 2L, 0L, "view"), (6L, 2L, m, "click"),
+      // user 3: 7 events, path capped at 5
+      (7L, 3L, 0L, "view"), (8L, 3L, 1L, "view"), (9L, 3L, 2L, "view"),
+      (10L, 3L, 3L, "view"), (11L, 3L, 4L, "view"), (12L, 3L, 5L, "view"),
+      (13L, 3L, 6L, "view"))
+      .map { case (id, u, sec, t) =>
+        (id, u, new Timestamp(sec * 1000L), t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.Relational.topJourneys(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("view" -> 1L, "view>click" -> 1L,
+      "view>click>purchase" -> 1L,
+      "view>view>view>view>view" -> 1L))
+  }
+
   test("cohort retention: first-day cohorts, integer day offsets") {
     val day = 86400L
     val ev = Seq(
