@@ -1051,6 +1051,16 @@ object SparkEntry {
       Relational.topJourneys(Tables.events(s, dir))
     }),
 
+    // Cluster cohesion: per-label centroid + member-to-centroid cosine
+    // stats — embedding hygiene for a labeled corpus; centroids are a
+    // labels-sized broadcast, zero pairwise work.
+    "q88_cluster_cohesion" -> ((s, dir) => {
+      Similarity.clusterCohesion(s, Tables.embeddings(s, dir))
+        .select(col("label"), col("n_vecs"),
+          r4(col("avg_cos")).as("avg_cos"), r4(col("min_cos")).as("min_cos"))
+        .orderBy("label")
+    }),
+
     // Per-user OLS value trend — slope over centered time (exact
     // integer centering keeps the moment sums inside exact-double
     // range; raw-double output, q65 precedent).
@@ -1796,6 +1806,30 @@ object SparkEntry {
         |SELECT path, COUNT(*)::BIGINT AS n_sessions
         |FROM paths GROUP BY 1
         |ORDER BY 2 DESC, 1 ASC LIMIT 20""".stripMargin,
+
+    // q88: per-dim centroid sums, then list_cosine_similarity to the
+    // rebuilt centroid list (summation-order noise absorbed by r4).
+    "q88_cluster_cohesion" ->
+      """WITH e AS (
+        |  SELECT label::BIGINT AS label,
+        |         CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, i, SUM(e[i]) AS s, COUNT(*)::BIGINT AS n
+        |  FROM (SELECT label, e, unnest(range(1, 65)) AS i FROM e)
+        |  GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT label, max(n) AS n_vecs,
+        |         list(s / n ORDER BY i) AS centroid
+        |  FROM dims GROUP BY 1),
+        |scored AS (
+        |  SELECT e.label, n_vecs,
+        |         list_cosine_similarity(e.e, c.centroid) AS cos
+        |  FROM e JOIN cents c ON e.label = c.label)
+        |SELECT label, max(n_vecs) AS n_vecs,
+        |       floor(avg(cos) * 10000 + 0.5) / 10000 AS avg_cos,
+        |       floor(min(cos) * 10000 + 0.5) / 10000 AS min_cos
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q86: same centered closed-form moments (NOT regr_slope — its
     // internal algorithm differs; the explicit sums match to ulps).

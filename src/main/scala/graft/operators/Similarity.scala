@@ -334,6 +334,34 @@ object Similarity {
     * the only shape that works: any formulation that explodes
     * (row × dim-pair) into the shuffle is dim²·N rows.
     */
+  /** Cluster cohesion per label: centroid (mean vector via the
+    * VectorSum fold — one vector per task on the shuffle) and each
+    * member's cosine to its centroid, reported as per-label mean/min.
+    * The embedding-hygiene report for a labeled corpus: a label whose
+    * cohesion sags is a mislabeled or heterogeneous cluster.
+    *
+    * Scale: centroids are a labels-sized broadcast; the member pass is
+    * one scan with a codegen cosine — no pairwise work at all
+    * (contrast q19/q37, which score PAIRS).
+    */
+  def clusterCohesion(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecSum = udaf(graft.functions.Aggregators.VectorSum)
+    val e = embeddings.select(col("label").cast("long").as("label"),
+      col("embedding").cast("array<double>").as("e"))
+    val cents = e.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), vecSum(col("e")).as("sumv"))
+      .select(col("label"), col("n_vecs"),
+        expr("transform(sumv, x -> x / n_vecs)").as("centroid"))
+    e.join(broadcast(cents), "label")
+      .select(col("label"), col("n_vecs"),
+        graft.functions.GraftFunctions
+          .cosineSim(col("e"), col("centroid")).as("cos"))
+      .groupBy("label")
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        avg(col("cos")).as("avg_cos"), min(col("cos")).as("min_cos"))
+  }
+
   def dimCorrelationTopK(spark: SparkSession, embeddings: DataFrame,
                          k: Int = 20, dim: Int = 64): DataFrame = {
     import spark.implicits._
