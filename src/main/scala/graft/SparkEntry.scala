@@ -1061,6 +1061,35 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // Dataset card: the per-source corpus summary a training-data
+    // pipeline publishes — doc/token/dup counts and the majority
+    // language, all exact aggregates (the mode via a deterministic
+    // (count, lang) argmax).
+    "q89_dataset_card" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val perLang = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_lang"))
+      val topLang = perLang
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("n_lang").desc, col("lang").asc)))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("n_lang").as("top_lang_docs"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCountWs(col("text")))
+            .as("n_tokens"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"),
+          sum(col("n_chars")).as("n_chars"))
+        .join(topLang, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"),
+          (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"),
+          col("top_lang"), col("top_lang_docs"))
+        .orderBy("source")
+    }),
+
     // Per-user OLS value trend — slope over centered time (exact
     // integer centering keeps the moment sums inside exact-double
     // range; raw-double output, q65 precedent).
@@ -1806,6 +1835,28 @@ object SparkEntry {
         |SELECT path, COUNT(*)::BIGINT AS n_sessions
         |FROM paths GROUP BY 1
         |ORDER BY 2 DESC, 1 ASC LIMIT 20""".stripMargin,
+
+    // q89: exact aggregates; mode via the same (count desc, lang asc)
+    // argmax.
+    "q89_dataset_card" ->
+      """WITH base AS (
+        |  SELECT source,
+        |         COUNT(*)::BIGINT AS n_docs,
+        |         SUM(len(list_filter(string_split(lower(text), ' '),
+        |             x -> length(x) > 0)))::BIGINT AS n_tokens,
+        |         COUNT(DISTINCT md5(text))::BIGINT AS n_distinct_texts,
+        |         SUM(n_chars)::BIGINT AS n_chars
+        |  FROM documents GROUP BY 1),
+        |langs AS (
+        |  SELECT source, lang, COUNT(*)::BIGINT AS n_lang,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY COUNT(*) DESC, lang ASC) AS rk
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT b.source, n_docs, n_tokens, n_chars,
+        |       (n_docs - n_distinct_texts) AS n_dup_docs,
+        |       l.lang AS top_lang, l.n_lang AS top_lang_docs
+        |FROM base b JOIN langs l ON b.source = l.source AND l.rk = 1
+        |ORDER BY 1""".stripMargin,
 
     // q88: per-dim centroid sums, then list_cosine_similarity to the
     // rebuilt centroid list (summation-order noise absorbed by r4).
