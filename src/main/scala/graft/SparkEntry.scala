@@ -1051,6 +1051,25 @@ object SparkEntry {
       Relational.topJourneys(Tables.events(s, dir))
     }),
 
+    // PII compliance report: per-source match counts + density per
+    // 10k chars (integer counts; one exact double division, r4).
+    "q90_pii_density" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(piiCount(col("text"), emailRe)).as("n_emails"),
+          sum(piiCount(col("text"), phoneRe)).as("n_phones"),
+          sum(piiCount(col("text"), ipRe)).as("n_ips"))
+        .select(col("source"), col("n_docs"),
+          col("n_emails"), col("n_phones"), col("n_ips"),
+          r4((col("n_emails") + col("n_phones") + col("n_ips"))
+            .cast("double") * lit(10000.0) / col("n_chars"))
+            .as("pii_per_10k_chars"))
+        .orderBy("source")
+    }),
+
     // Cluster cohesion: per-label centroid + member-to-centroid cosine
     // stats — embedding hygiene for a labeled corpus; centroids are a
     // labels-sized broadcast, zero pairwise work.
@@ -1835,6 +1854,23 @@ object SparkEntry {
         |SELECT path, COUNT(*)::BIGINT AS n_sessions
         |FROM paths GROUP BY 1
         |ORDER BY 2 DESC, 1 ASC LIMIT 20""".stripMargin,
+
+    // q90: same regex counters aggregated per source.
+    "q90_pii_density" -> {
+      val email = graft.functions.TextFunctions.emailRe
+      val phone = graft.functions.TextFunctions.phoneRe
+      val ip = graft.functions.TextFunctions.ipRe
+      s"""SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |       SUM(len(regexp_extract_all(text, '$email')))::BIGINT AS n_emails,
+        |       SUM(len(regexp_extract_all(text, '$phone')))::BIGINT AS n_phones,
+        |       SUM(len(regexp_extract_all(text, '$ip')))::BIGINT AS n_ips,
+        |       floor((SUM(len(regexp_extract_all(text, '$email')))
+        |              + SUM(len(regexp_extract_all(text, '$phone')))
+        |              + SUM(len(regexp_extract_all(text, '$ip'))))::DOUBLE
+        |             * 10000.0 / SUM(n_chars) * 10000 + 0.5) / 10000
+        |         AS pii_per_10k_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // q89: exact aggregates; mode via the same (count desc, lang asc)
     // argmax.
