@@ -549,6 +549,35 @@ SELECT doc_id, cluster_id,
 FROM comp
 ORDER BY cluster_id, doc_id"""
 
+  /** q91: q49's components + keep-longest survivor policy. */
+  def q91DedupKeepBest: String =
+    s"""WITH RECURSIVE $minhashCtes,
+p49 AS (
+  SELECT doc_a, doc_b FROM est WHERE e >= 0.5),
+e49 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p49
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM p49),
+v49 AS (
+  SELECT DISTINCT src AS v FROM e49),
+reach(v, r) AS (
+  SELECT v, v FROM v49
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN e49 e ON e.src = reach.r),
+comp AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+sized AS (
+  SELECT comp.doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         d.n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+           ORDER BY d.n_chars DESC, comp.doc_id ASC) AS rk
+  FROM comp JOIN documents d ON d.doc_id = comp.doc_id)
+SELECT cluster_id, doc_id AS survivor_id, cluster_size,
+       n_chars AS n_chars_kept
+FROM sized WHERE rk = 1
+ORDER BY cluster_id"""
+
   /** Karp-Rabin polynomial fold (= HashImpl.polyHash64) over a HUGEINT
     * byte list: h = h·B + b mod 2^64.
     */

@@ -1051,6 +1051,26 @@ object SparkEntry {
       Relational.topJourneys(Tables.events(s, dir))
     }),
 
+    // Keep-best survivor selection over the near-dup clusters: real
+    // pipelines keep the most complete copy (longest text, id
+    // tie-break), not the arbitrary min-id — the policy layer on top
+    // of q49's cluster assignment.
+    "q91_dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.minhashLshPairs(s, Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = GraphOps.dedupClusters(pairs)
+      val rk = row_number().over(Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc))
+      clusters
+        .join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rk", rk)
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+          col("cluster_size"), col("n_chars").as("n_chars_kept"))
+        .orderBy("cluster_id")
+    }),
+
     // PII compliance report: per-source match counts + density per
     // 10k chars (integer counts; one exact double division, r4).
     "q90_pii_density" -> ((s, dir) => {
@@ -1854,6 +1874,9 @@ object SparkEntry {
         |SELECT path, COUNT(*)::BIGINT AS n_sessions
         |FROM paths GROUP BY 1
         |ORDER BY 2 DESC, 1 ASC LIMIT 20""".stripMargin,
+
+    // q91: q49's recursive components + keep-longest argmax.
+    "q91_dedup_keep_best" -> OracleHashSql.q91DedupKeepBest,
 
     // q90: same regex counters aggregated per source.
     "q90_pii_density" -> {
