@@ -1051,6 +1051,37 @@ object SparkEntry {
       Relational.topJourneys(Tables.events(s, dir))
     }),
 
+    // Incremental ingest: a new batch (deterministic derivation —
+    // docs with id%5==0 resubmitted verbatim, id%7==0 with an
+    // " update" suffix under a new id, id%11==0 brand-new reversed
+    // text) admitted against the BASE corpus by exact-fingerprint
+    // anti-join. Per-doc verdict: duplicate_of_base / admitted. The
+    // base side ships only 16-byte fingerprints — at 100 TB the
+    // admission check shuffles digests, never text.
+    "q92_incremental_ingest" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val base = Tables.documents(s, dir)
+      val batch = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("new_id"), col("text"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 3000000L).as("new_id"),
+            concat(col("text"), lit(" update")).as("text")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 4000000L).as("new_id"),
+            reverse(col("text")).as("text")))
+      val baseFp = base
+        .select(TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .distinct()
+      batch
+        .select(col("new_id"),
+          TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .join(baseFp.withColumn("in_base", lit(1L)), Seq("fp"), "left")
+        .select(col("new_id"),
+          when(col("in_base").isNotNull, "duplicate_of_base")
+            .otherwise("admitted").as("verdict"))
+        .orderBy("new_id")
+    }),
+
     // Keep-best survivor selection over the near-dup clusters: real
     // pipelines keep the most complete copy (longest text, id
     // tie-break), not the arbitrary min-id — the policy layer on top
@@ -1877,6 +1908,30 @@ object SparkEntry {
 
     // q91: q49's recursive components + keep-longest argmax.
     "q91_dedup_keep_best" -> OracleHashSql.q91DedupKeepBest,
+
+    // q92: same derivation rules and normalized-md5 admission check.
+    "q92_incremental_ingest" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 2000000 AS new_id, text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' update'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, reverse(text)
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |basefp AS (
+        |  SELECT DISTINCT
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT new_id,
+        |       CASE WHEN basefp.fp IS NOT NULL THEN 'duplicate_of_base'
+        |            ELSE 'admitted' END AS verdict
+        |FROM (SELECT new_id,
+        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |      FROM batch) b
+        |LEFT JOIN basefp ON b.fp = basefp.fp
+        |ORDER BY new_id""".stripMargin,
 
     // q90: same regex counters aggregated per source.
     "q90_pii_density" -> {
