@@ -76,6 +76,25 @@ object ScaleOps {
   def partitionedWrite(df: DataFrame, partCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
+  /** Small-files compaction: rewrite a (typically many-small-files)
+    * table into ~`targetFileBytes` outputs, sized from Catalyst's own
+    * statistics (`optimizedPlan.stats.sizeInBytes` — file-size sum for
+    * a parquet relation, no extra scan). The chronic 100 TB operational
+    * problem: a streaming sink or over-parallel job leaves thousands
+    * of KB-files per partition and every downstream scan pays
+    * per-file open/footer cost; periodic compaction is the fix.
+    * Round-robin repartition (not coalesce: coalesce would narrow the
+    * write parallelism AND inherit upstream skew).
+    */
+  def compactionPartitions(df: DataFrame, targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes // BigInt
+    ((bytes + targetFileBytes - 1) / targetFileBytes).max(BigInt(1)).toInt
+  }
+
+  def compact(df: DataFrame, targetFileBytes: Long): DataFrame =
+    df.repartition(compactionPartitions(df, targetFileBytes))
+
   /** Z-order layout: range-partition + sort the table by the Morton
     * interleave of two integer dimensions, so parquet row-group min/max
     * statistics prune scans filtered on EITHER dimension (a linear sort

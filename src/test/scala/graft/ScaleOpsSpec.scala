@@ -65,6 +65,27 @@ class ScaleOpsSpec extends SparkSpec {
       ev.filter(col("event_type").isin("click", "purchase")).count())
   }
 
+  test("compaction: many small files collapse to the stats-sized count") {
+    val base = new java.io.File("target/spec-sources/compact-in")
+      .getAbsolutePath
+    val out = new java.io.File("target/spec-sources/compact-out")
+      .getAbsolutePath
+    // force a pathological layout: ~40 tiny files
+    graft.sources.Tables.events(spark, sf001)
+      .repartition(40).write.mode("overwrite").parquet(base)
+    val small = spark.read.parquet(base)
+    def partFiles(p: String) = new java.io.File(p)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(partFiles(base) == 40)
+    val n = ScaleOps.compactionPartitions(small, 8L * 1024 * 1024)
+    assert(n >= 1 && n < 40, s"expected a real reduction, got $n")
+    ScaleOps.compact(small, 8L * 1024 * 1024)
+      .write.mode("overwrite").parquet(out)
+    assert(partFiles(out) == n)
+    // content unchanged
+    assert(spark.read.parquet(out).count() == small.count())
+  }
+
   test("salted join equals the plain join on skewed data") {
     // 90% of the big side is one hot key
     val big = ((1L to 900L).map(i => (7L, i)) ++ (1L to 100L).map(i => (i % 20, 1000 + i)))
