@@ -1051,6 +1051,32 @@ object SparkEntry {
       Relational.topJourneys(Tables.events(s, dir))
     }),
 
+    // Cross-source leakage matrix at PASSAGE granularity: 8-token
+    // segment fingerprints (q62's segmentation) present in both
+    // sources of a pair — the check run before declaring two subsets
+    // independent (train vs eval leaks passages, rarely whole docs).
+    // Pair space is per-fingerprint (sources sharing that segment),
+    // never cross-corpus; only 16-byte digests shuffle.
+    "q93_leakage_matrix" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val toks = TextFunctions.wsTokens(col("text"))
+      val nSeg = ((size(toks) + lit(7)) / lit(8)).cast("int")
+      val fps = Tables.documents(s, dir)
+        .select(col("source"), explode(transform(
+          sequence(lit(0), nSeg - lit(1)),
+          j => md5(array_join(slice(toks, j * lit(8) + lit(1), lit(8)),
+            " ")))).as("fp"))
+        .distinct()
+      fps.as("fa")
+        .join(fps.as("fb"),
+          col("fa.fp") === col("fb.fp") &&
+            col("fa.source") < col("fb.source"))
+        .groupBy(col("fa.source").as("source_a"),
+          col("fb.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_segments"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Incremental ingest: a new batch (deterministic derivation —
     // docs with id%5==0 resubmitted verbatim, id%7==0 with an
     // " update" suffix under a new id, id%11==0 brand-new reversed
@@ -1908,6 +1934,26 @@ object SparkEntry {
 
     // q91: q49's recursive components + keep-longest argmax.
     "q91_dedup_keep_best" -> OracleHashSql.q91DedupKeepBest,
+
+    // q93: q62's segmentation, md5 per segment, per-fp source pairs.
+    "q93_leakage_matrix" ->
+      """WITH base AS (
+        |  SELECT source,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |fps AS (
+        |  SELECT DISTINCT source, fp FROM (
+        |    SELECT source,
+        |           unnest(list_transform(range((len(toks) + 7) // 8), j ->
+        |             md5(array_to_string(
+        |               toks[(j*8+1)::INT : (j*8+8)::INT], ' ')))) AS fp
+        |    FROM base))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       COUNT(*)::BIGINT AS n_shared_segments
+        |FROM fps a JOIN fps b
+        |  ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q92: same derivation rules and normalized-md5 admission check.
     "q92_incremental_ingest" ->
