@@ -171,6 +171,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangle count matches brute force on random graphs") {
+    val graphGen = for {
+      n <- Gen.choose(4, 14)
+      p <- Gen.choose(20, 60) // edge density %
+      flags <- Gen.listOfN(n * (n - 1) / 2, Gen.choose(1, 100))
+    } yield {
+      val all = for {
+        a <- 1 to n; b <- (a + 1) to n
+      } yield (a.toLong, b.toLong)
+      all.zip(flags).collect { case (e, f) if f <= p => e }
+    }
+    for (edges <- samples(graphGen, 8) if edges.nonEmpty) {
+      val eset = edges.toSet
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val brute = (for {
+        a <- verts; b <- verts if a < b; c <- verts if b < c
+        if eset((a, b)) && eset((b, c)) && eset((a, c))
+      } yield 1).size.toLong
+      val got = graft.operators.GraphOps
+        .triangleCount(edges.toDF("a", "b")).head()
+      assert(got.getLong(2) == brute,
+        s"n=${verts.size} m=${edges.size}: got ${got.getLong(2)}, brute $brute")
+    }
+  }
+
   test("BPE merge fold: concatenating final symbols reproduces each word") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     // run the merges, then re-derive the final symbol table by
