@@ -271,6 +271,39 @@ class PriceAlertsStreamingSpec extends SparkSpec {
       (1L, 3, "purchase"), (2L, 1, "view")))
   }
 
+  test("streaming funnel == batch funnel on time-ordered fixture events") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try testFunnelEquivalence() finally spark.conf.unset(key)
+  }
+
+  private def testFunnelEquivalence(): Unit = {
+    val stages = Seq("view", "click", "purchase")
+    val events = graft.sources.Tables.events(spark, sf001)
+      .select("user_id", "event_type", "ts")
+    // batch answer: users per stage
+    val batch = graft.operators.Relational.funnel(events, stages)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // streaming answer: same events fed in 3 time-ordered chunks
+    val rows = events.orderBy("ts")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val in = MemoryStream[Ev]
+    val adv = graft.streaming.FunnelStream.advances(in.toDF(), stages)
+    val out = runQuery(adv.toDF(), "append", "funnel_eq_out") { q =>
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    }
+    val streaming = out.collect()
+      .groupBy(_.getAs[Int]("stage_idx"))
+      .map { case (i, rs) => i.toLong -> rs.map(_.getAs[Long]("user_id")).distinct.length.toLong }
+    assert(streaming == batch.filter(_._2 > 0),
+      s"streaming $streaming vs batch $batch")
+  }
+
   test("streaming fingerprint dedup: duplicate text dropped within watermark") {
     val in = MemoryStream[Doc]
     val deduped = graft.streaming.StreamingDedup.byFingerprint(
