@@ -1051,6 +1051,30 @@ object SparkEntry {
       Relational.topJourneys(Tables.events(s, dir))
     }),
 
+    // Event-type transition matrix (first-order Markov): per-user
+    // lag-1 pairs, global counts, and the row-normalized transition
+    // probability — the behavioral model behind q87's journeys. One
+    // window pass partitioned by user; the matrix is
+    // |event_types|^2-bounded.
+    "q94_type_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("prev_type")
+        .agg(sum(col("n")).as("n_from"))
+      pairs.join(totals, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          r4(col("n").cast("double") / col("n_from")).as("p"))
+        .orderBy("prev_type", "next_type")
+    }),
+
     // Cross-source leakage matrix at PASSAGE granularity: 8-token
     // segment fingerprints (q62's segmentation) present in both
     // sources of a pair — the check run before declaring two subsets
@@ -1934,6 +1958,23 @@ object SparkEntry {
 
     // q91: q49's recursive components + keep-longest argmax.
     "q91_dedup_keep_best" -> OracleHashSql.q91DedupKeepBest,
+
+    // q94: identical lag pairs and row-normalized probabilities.
+    "q94_type_transitions" ->
+      """WITH pairs AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS n
+        |  FROM (
+        |    SELECT event_type,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS prev_type
+        |    FROM events)
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT prev_type, SUM(n)::BIGINT AS n_from FROM pairs GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, p.n,
+        |       floor(p.n::DOUBLE / t.n_from * 10000 + 0.5) / 10000 AS p
+        |FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+        |ORDER BY 1, 2""".stripMargin,
 
     // q93: q62's segmentation, md5 per segment, per-fp source pairs.
     "q93_leakage_matrix" ->
