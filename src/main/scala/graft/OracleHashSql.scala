@@ -846,4 +846,123 @@ SELECT source, SUM(freq)::BIGINT AS n_words,
        SUM(freq * n_tok)::BIGINT AS n_tokens
 FROM src JOIN sf USING (w)
 GROUP BY source ORDER BY source"""
+
+  /** Oracle for q95: KMV per-source token sketches and pairwise
+    * overlap estimates (= Sketches.kmvSourceOverlap, seed 0). The
+    * hash is the engine's fnv1a64Seeded (FNV-1a fold + splitmix
+    * finalizer), ranked in SIGNED order on both sides; the union
+    * estimator's "space below h" is therefore h/2^64 + 0.5, with 2^64
+    * a power of two so every double step is the identical IEEE op.
+    */
+  def q95KmvOverlap(k: Int = 64): String =
+    s"""WITH toks AS (
+  SELECT DISTINCT source, unnest(list_filter(string_split(lower(text),' '),
+                                 x -> length(x) > 0)) AS token
+  FROM documents),
+tokh AS (
+  SELECT token, ${toS("hmix")} AS hv FROM (${mixSubq(
+        "SELECT DISTINCT token FROM toks",
+        fnvFold(OFF, strBytes("token")))})),
+shash AS (SELECT DISTINCT source, hv FROM toks JOIN tokh USING (token)),
+sk AS (
+  SELECT source, hv FROM (
+    SELECT source, hv,
+           row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+    FROM shash)
+  WHERE rk <= $k),
+prs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+contrib AS (
+  SELECT source_a, source_b, hv, count(*) AS n_sk
+  FROM sk JOIN prs ON sk.source = prs.source_a OR sk.source = prs.source_b
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+                               ORDER BY hv) AS rk
+  FROM contrib),
+est AS (
+  SELECT source_a, source_b, count(*)::BIGINT AS kk,
+         SUM(CASE WHEN n_sk = 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+         MAX(hv) AS kth
+  FROM ranked WHERE rk <= $k GROUP BY 1, 2),
+sizes AS (SELECT source, count(*)::BIGINT AS nt FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT e.source_a, e.source_b, e.kk,
+       e.n_shared::DOUBLE / e.kk AS est_jaccard,
+       COALESCE(i.n_inter, 0)::DOUBLE /
+         (sa.nt + sb.nt - COALESCE(i.n_inter, 0)) AS exact_jaccard,
+       (e.kk - 1)::DOUBLE /
+         (e.kth::DOUBLE / 18446744073709551616.0 + 0.5) AS est_union
+FROM est e
+JOIN sizes sa ON sa.source = e.source_a
+JOIN sizes sb ON sb.source = e.source_b
+LEFT JOIN inter i ON i.source_a = e.source_a AND i.source_b = e.source_b
+ORDER BY 1, 2"""
+
+  /** Oracle for q96: hashed-feature linear classifier
+    * (= TextAnalysis.qualityClassifier). Token → bucket uses seed 1
+    * with `buckets` a power of two (so the unsigned HUGEINT residue
+    * equals Spark's signed pmod); bucket → weight hashes the string
+    * "w<bucket>" under seed 2 into [-128, 127] (256 also divides
+    * 2^64). The sum is exact BIGINT, so token order is irrelevant and
+    * the oracle can sum over a grouped token-weight map.
+    */
+  def q96QualityClassifier(buckets: Int = 4096): String =
+    s"""WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text),' '),
+                                    x -> length(x) > 0)) AS token
+  FROM documents),
+tokb AS (
+  SELECT token, (hmix % $buckets)::BIGINT AS bucket FROM (${mixSubq(
+        "SELECT DISTINCT token FROM toks",
+        fnvFold(xor64(OFF, mulMod("1::HUGEINT", GOLD)), strBytes("token")))})),
+bw AS (
+  SELECT bucket, ((hmix % 256)::BIGINT - 128) AS w FROM (${mixSubq(
+        "SELECT DISTINCT bucket FROM tokb",
+        fnvFold(xor64(OFF, mulMod("2::HUGEINT", GOLD)),
+          strBytes("('w' || bucket::VARCHAR)")))})),
+tw AS (SELECT token, w FROM tokb JOIN bw USING (bucket)),
+agg AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens, SUM(tw.w)::BIGINT AS score
+  FROM toks t JOIN tw ON t.token = tw.token
+  GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(a.score, 0)::BIGINT AS score,
+       COALESCE(a.score, 0)::DOUBLE /
+         greatest(COALESCE(a.n_tokens, 0)::DOUBLE, 1.0) AS mean_w,
+       (CASE WHEN COALESCE(a.score, 0) > 0 THEN 1 ELSE 0 END)::INT AS keep
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id"""
+
+  /** Oracle for q97: deterministic contrastive negative sampling.
+    * Seed 300+slot hashes the anchor's decimal doc_id string; the
+    * negative id is a SIGNED pmod by n_docs (n_docs does not divide
+    * 2^64, so the HUGEINT residue must be folded back through the
+    * signed view first, unlike q96's power-of-two buckets).
+    */
+  def q97ContrastivePairs(slots: Int = 4): String =
+    s"""WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+anch AS (
+  SELECT doc_id, source, unnest(range($slots)) AS slot FROM documents),
+h AS (
+  SELECT doc_id, source, slot, ${toS("hmix")} AS hv FROM (${mixSubq(
+        "SELECT doc_id, source, slot FROM anch",
+        fnvFold(xor64(OFF, mulMod("(300 + slot)::HUGEINT", GOLD)),
+          strBytes("doc_id::VARCHAR")))})),
+negs AS (
+  SELECT doc_id, source, slot,
+         (((hv % n.n_docs) + n.n_docs) % n.n_docs)::BIGINT AS neg_id
+  FROM h, n)
+SELECT a.doc_id, a.slot, a.neg_id, d.source AS neg_source,
+       (CASE WHEN d.source <> a.source THEN 1 ELSE 0 END)::INT AS cross_source
+FROM negs a JOIN documents d ON d.doc_id = a.neg_id
+WHERE a.neg_id <> a.doc_id
+ORDER BY 1, 2"""
 }

@@ -1236,6 +1236,46 @@ object SparkEntry {
         .orderBy(col("ratio").desc, col("l_partkey").asc, col("week").asc)
         .limit(50)
     }),
+
+    // KMV k-minimum-values sketch: pairwise source overlap (Jaccard +
+    // union cardinality) from k=64 retained hashes per source — the
+    // set-INTERSECTION sketch q69's HLL cannot express. est columns
+    // next to their exact ground truth, q52-style.
+    "q95_kmv_overlap" -> ((s, dir) => {
+      Sketches.kmvSourceOverlap(s, Tables.documents(s, dir))
+    }),
+
+    // Hashed-feature linear quality classifier at scan speed: the
+    // token→bucket→weight chain folded inside one aggregate() HOF —
+    // zero shuffle, exact integer score.
+    "q96_quality_classifier" -> ((s, dir) => {
+      TextAnalysis.qualityClassifier(s, Tables.documents(s, dir))
+    }),
+
+    // Deterministic contrastive negative sampling: 4 hash-derived
+    // negatives per anchor doc, joined back for the negative's
+    // source and a cross-source marker. Reshuffle-stable (content
+    // hash of the anchor id), one hash-join on neg_id.
+    "q97_contrastive_pairs" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val n = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+      val negs = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("source"), col("n_docs"),
+          explode(sequence(lit(0L), lit(3L))).as("slot"))
+        .withColumn("neg_id",
+          pmod(GraftFunctions.hash64Seeded(lit(300L) + col("slot"),
+            col("doc_id").cast("string")), col("n_docs")))
+        .filter(col("neg_id") =!= col("doc_id"))
+      negs.join(docs.select(col("doc_id").as("neg_id"),
+          col("source").as("neg_source")), "neg_id")
+        .select(col("doc_id"), col("slot"), col("neg_id"),
+          col("neg_source"),
+          (col("neg_source") =!= col("source")).cast("int")
+            .as("cross_source"))
+        .orderBy("doc_id", "slot")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2427,5 +2467,15 @@ object SparkEntry {
         |FROM survivors s JOIN quality q ON s.doc_id = q.doc_id
         |WHERE q.q >= 0.3
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q95: bit-exact KMV sketches (fnv1a64Seeded mirror, signed rank).
+    "q95_kmv_overlap" -> OracleHashSql.q95KmvOverlap(),
+
+    // q96: token→bucket→weight hash chain mirrored over distinct
+    // tokens; BIGINT sum is order-independent so grouping is free.
+    "q96_quality_classifier" -> OracleHashSql.q96QualityClassifier(),
+
+    // q97: seeded hash of the anchor id's decimal string, signed pmod.
+    "q97_contrastive_pairs" -> OracleHashSql.q97ContrastivePairs(),
   )
 }

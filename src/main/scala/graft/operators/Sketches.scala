@@ -244,4 +244,87 @@ object Sketches {
     c.groupBy(col("grp"))
       .agg(max(col("n")).as("n"), picks: _*)
   }
+
+  /** KMV (k-minimum-values) set sketch per source over the distinct
+    * token universe, reported as pairwise source-overlap estimates —
+    * the SET-INTERSECTION estimate that HLL (q69, union-only
+    * mergeable) structurally cannot provide. Per source, keep the k
+    * smallest seeded-64-bit token hashes; for a pair, the k smallest
+    * of the merged sketches are a uniform sample of the union, so the
+    * fraction present in BOTH sketches estimates Jaccard, and the
+    * k-th value's position in hash space estimates |union|
+    * ((k-1)/frac, the classic KMV cardinality estimator). Signed-long
+    * ordering is used consistently on both sides, so "space below h"
+    * is h/2^64 + 0.5.
+    *
+    * Scale: after the per-source distinct, only k=`k` hash values per
+    * source survive — the pairwise stage touches |sources|·k rows no
+    * matter how large the corpus. The exact jaccard column is the
+    * fixture-scale verification (one token self-join); production
+    * keeps the sketch columns and drops the exact pass, exactly like
+    * q52's CMS-vs-exact layout.
+    */
+  def kmvSourceOverlap(spark: SparkSession, documents: DataFrame,
+                       k: Int = 64): DataFrame = {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select(col("source"),
+        explode(TextFunctions.wsTokens(col("text"))).as("token"))
+      .distinct()
+    val hashed = toks
+      .select(col("source"),
+        GraftFunctions.hash64Seeded(lit(0L), col("token")).as("hv"))
+      .distinct()
+    val sk = hashed
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("source").orderBy("hv")))
+      .filter(col("rk") <= k).drop("rk")
+
+    val srcs = sk.select("source").distinct()
+    val prs = srcs.as("s1")
+      .join(srcs.as("s2"), col("s1.source") < col("s2.source"))
+      .select(col("s1.source").as("source_a"),
+        col("s2.source").as("source_b"))
+
+    // merged sketch per pair: a value present in both sketches counts
+    // twice; rank again and keep the k smallest of the union
+    val contrib = sk.join(broadcast(prs),
+        col("source") === col("source_a") ||
+          col("source") === col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("hv"))
+      .agg(count(lit(1)).as("n_sk"))
+    val est = contrib
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source_a", "source_b").orderBy("hv")))
+      .filter(col("rk") <= k)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("kk"),
+        sum(when(col("n_sk") === 2, 1L).otherwise(0L)).as("n_shared"),
+        max(col("hv")).as("kth"))
+
+    val sizes = toks.groupBy("source").agg(count(lit(1)).as("nt"))
+    val inter = toks.as("ta").join(toks.as("tb"),
+        col("ta.token") === col("tb.token") &&
+          col("ta.source") < col("tb.source"))
+      .groupBy(col("ta.source").as("source_a"),
+        col("tb.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    val two64 = lit(math.pow(2, 64))
+    est
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("nt").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("nt").as("nb"))), "source_b")
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .select(col("source_a"), col("source_b"), col("kk"),
+        (col("n_shared").cast("double") / col("kk")).as("est_jaccard"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("exact_jaccard"),
+        ((col("kk") - lit(1)).cast("double") /
+          (col("kth").cast("double") / two64 + lit(0.5))).as("est_union"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -495,4 +495,42 @@ object TextAnalysis {
       (size(array_distinct(grams)).cast("double") /
         greatest(size(grams).cast("double"), lit(1.0))).as("distinct_ratio"))
   }
+
+  /** Hashed-feature linear quality classifier (the fastText-style
+    * shape used for corpus filtering): each token hashes into one of
+    * `buckets` feature slots, each slot carries a fixed integer weight
+    * in [-128, 127] (here derived deterministically from the slot id —
+    * in production the trained weight table, broadcast), and a
+    * document's score is the sum of its tokens' weights. Exact integer
+    * arithmetic end to end; `keep` is the sign of the score.
+    *
+    * Scale: scored WITHOUT exploding tokens — the per-token hash →
+    * bucket → weight chain and the sum run inside one `aggregate` HOF
+    * over the token array, so the whole classifier is a zero-shuffle
+    * per-row projection at scan speed (the same posture as
+    * qualityMetrics). `buckets` is a power of two so the bucket id is
+    * stable under any residue convention (2^64 ≡ 0 mod 2^k); the
+    * weight range 256 divides 2^64 for the same reason.
+    */
+  def qualityClassifier(spark: SparkSession, documents: DataFrame,
+                        buckets: Int = 4096): DataFrame = {
+    GraftFunctions.register(spark)
+    require((buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    def weight(t: org.apache.spark.sql.Column) = {
+      val bucket = pmod(GraftFunctions.hash64Seeded(lit(1L), t),
+        lit(buckets.toLong))
+      pmod(GraftFunctions.hash64Seeded(lit(2L),
+        concat(lit("w"), bucket.cast("string"))), lit(256L)) - lit(128L)
+    }
+    val toks = TextFunctions.wsTokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score").cast("double") /
+          greatest(col("n_tokens").cast("double"), lit(1.0))).as("mean_w"),
+        (col("score") > 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
 }

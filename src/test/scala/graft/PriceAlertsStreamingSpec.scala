@@ -387,4 +387,40 @@ class PriceAlertsStreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L),
       s"near-dup 2 dropped, survivors 1 and 3 emitted on window close; got $ids")
   }
+
+  case class SE(user_id: Long, value: Double, ts: Timestamp)
+
+  test("streaming session window: gap-merged sessions emit once on close") {
+    val in = MemoryStream[SE]
+    val sessions = graft.streaming.SessionStream.sessions(
+      in.toDF(), gap = "30 minutes", watermark = "2 minutes")
+    val out = runQuery(sessions, "append", "sess_close_out") { q =>
+      in.addData(
+        SE(1L, 10.0, Timestamp.valueOf("2024-01-01 00:00:00")),
+        SE(1L, 5.0, Timestamp.valueOf("2024-01-01 00:10:00"))) // same session
+      q.processAllAvailable()
+      // watermark 00:08 < session close 00:40: nothing may emit yet
+      assert(spark.table("sess_close_out").isEmpty,
+        "append mode must hold sessions until the watermark closes them")
+      // 01:30 opens user 1's second session; 03:00 -> watermark 02:58
+      // closes both of user 1's sessions
+      in.addData(
+        SE(1L, 7.0, Timestamp.valueOf("2024-01-01 01:30:00")),
+        SE(9L, 0.0, Timestamp.valueOf("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+    }
+    val rows = out.collect().filter(_.getAs[Long]("user_id") == 1L)
+      .sortBy(_.getAs[Timestamp]("session_start").getTime)
+    assert(rows.length == 2, s"two closed sessions expected: ${rows.toSeq}")
+    val first = rows(0)
+    // session extends 30 min past its LAST event (00:10 -> 00:40 close)
+    assert(first.getAs[Timestamp]("session_start") ==
+      Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(first.getAs[Timestamp]("session_end") ==
+      Timestamp.valueOf("2024-01-01 00:40:00"))
+    assert(first.getAs[Long]("n_events") == 2L)
+    assert(first.getAs[Double]("sum_value") == 15.0)
+    assert(rows(1).getAs[Long]("n_events") == 1L)
+    assert(rows(1).getAs[Double]("sum_value") == 7.0)
+  }
 }

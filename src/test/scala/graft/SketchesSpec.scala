@@ -187,4 +187,49 @@ class SketchesSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("KMV overlap: estimates track exact jaccard and union size") {
+    val docs = Tables.documents(spark, sf001)
+    val k = 64
+    val rows = Sketches.kmvSourceOverlap(spark, docs, k).collect()
+    // 20 sources -> 190 ordered pairs, every one present
+    assert(rows.length == 190)
+    // fixture-scale ground truth computed once on the driver
+    val bySource = docs
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("t"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (s, rs) =>
+        s -> rs.map(_.getString(1)).toSet
+      }
+    rows.foreach { r =>
+      val (kk, est, exact, estU) = (r.getAs[Long]("kk"),
+        r.getAs[Double]("est_jaccard"), r.getAs[Double]("exact_jaccard"),
+        r.getAs[Double]("est_union"))
+      val (sa, sb) = (bySource(r.getString(0)), bySource(r.getString(1)))
+      val nUnion = sa.union(sb).size.toDouble
+      // sources below k distinct tokens carry their COMPLETE hash set,
+      // so the merged sketch tops out at |A ∪ B| (hash collisions could
+      // in principle shrink it further, hence <=)
+      assert(kk <= math.min(k.toLong, nUnion.toLong),
+        s"merged sketch exceeded min(k, |union|): $r")
+      assert(kk > 0, s"empty merged sketch: $r")
+      // KMV jaccard has sd ~ sqrt(J(1-J)/k) <= 0.063; allow 4 sigma
+      assert(math.abs(est - exact) <= 0.25, s"jaccard estimate off: $r")
+      val exactJ = sa.intersect(sb).size.toDouble / nUnion
+      assert(math.abs(exact - exactJ) < 1e-12,
+        s"operator's exact column disagrees with driver recompute: $r")
+      // KMV cardinality relative sd ~ 1/sqrt(k-2) ~ 0.13; allow ~4.5x
+      assert(math.abs(estU - nUnion) / nUnion <= 0.6,
+        s"union estimate off: est=$estU exact=$nUnion $r")
+    }
+  }
+
+  test("KMV sketch rows per source never exceed k regardless of corpus") {
+    // the scale contract: after the sketch stage only |sources|*k rows
+    // survive — verified through the public output (kk <= k always)
+    val out = Sketches.kmvSourceOverlap(spark,
+      Tables.documents(spark, sf001), k = 8).collect()
+    assert(out.forall(_.getAs[Long]("kk") <= 8))
+  }
 }

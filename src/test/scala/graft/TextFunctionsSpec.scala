@@ -220,4 +220,45 @@ class TextFunctionsSpec extends SparkSpec {
     assert((r.getString(0), r.getString(1), r.getLong(2)) == ("a", "b", 2L))
     assert(math.abs(r.getDouble(3) - math.log(4.0 / 3.0)) < 1e-12)
   }
+
+  test("quality classifier: score matches a driver re-derivation, zero shuffle") {
+    import graft.functions.HashImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val out = graft.operators.TextAnalysis.qualityClassifier(spark, docs)
+    // the scan-speed contract: no Exchange anywhere before the sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.indexOf("Exchange") == plan.lastIndexOf("Exchange"),
+      s"classifier should add no shuffle beyond the output sort:\n$plan")
+    def weight(tok: String): Long = {
+      val b = Math.floorMod(
+        HashImpl.fnv1a64Seeded(1L, UTF8String.fromString(tok)), 4096L)
+      Math.floorMod(
+        HashImpl.fnv1a64Seeded(2L, UTF8String.fromString("w" + b)), 256L) - 128L
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = out.collect()
+    assert(got.length == texts.size)
+    got.take(50).foreach { r =>
+      val toks = texts(r.getLong(0)).toLowerCase.split(" ").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_tokens") == toks.length, s"token count: $r")
+      assert(r.getAs[Long]("score") == toks.map(weight).sum, s"score: $r")
+      assert(r.getAs[Int]("keep") == (if (r.getAs[Long]("score") > 0) 1 else 0))
+    }
+  }
+
+  test("contrastive negatives: in-range, anchor-free, reshuffle-stable") {
+    val q = SparkEntry.queries("q97_contrastive_pairs")
+    val out = q(spark, sf001).collect()
+    // 500 anchors x 4 slots minus self-collisions (hash hits its own id)
+    assert(out.length > 1900 && out.length <= 2000, s"n=${out.length}")
+    out.foreach { r =>
+      val (a, neg) = (r.getAs[Long]("doc_id"), r.getAs[Long]("neg_id"))
+      assert(neg >= 0 && neg < 500 && neg != a, s"bad negative: $r")
+    }
+    // deterministic: a second run returns the identical pair set
+    val again = q(spark, sf001).collect()
+    assert(out.map(_.toString).toSet == again.map(_.toString).toSet)
+  }
 }
