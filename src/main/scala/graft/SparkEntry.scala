@@ -1276,7 +1276,31 @@ object SparkEntry {
             .as("cross_source"))
         .orderBy("doc_id", "slot")
     }),
+
+    // BM25 keyword retrieval: full posting-set scores for a fixed
+    // 4-query workload — query terms broadcast, tf inside a per-row
+    // HOF (no token explode / inverted-index shuffle).
+    "q98_bm25_retrieval" -> ((s, dir) => {
+      TextAnalysis.bm25(Tables.documents(s, dir), bm25Queries)
+    }),
+
+    // Overlapping passage chunking (RAG unit): window 32 / stride 24
+    // token chunks with offsets + md5 chunk fingerprint. Pure per-row
+    // explode, zero shuffle.
+    "q99_passage_chunks" -> ((s, dir) => {
+      TextAnalysis.passageChunks(Tables.documents(s, dir))
+    }),
   )
+
+  /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
+    * oracle) — in production the query table is whatever arrives, the
+    * plan shape is identical.
+    */
+  private[graft] val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("join", "hash"),
+    2L -> Seq("stream", "window"),
+    3L -> Seq("spark", "filter", "scan"),
+    4L -> Seq("customer", "batch"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2477,5 +2501,67 @@ object SparkEntry {
 
     // q97: seeded hash of the anchor id's decimal string, signed pmod.
     "q97_contrastive_pairs" -> OracleHashSql.q97ContrastivePairs(),
+
+    // q98: BM25 with every constant combination spelled as the same
+    // IEEE op the engine folds (1.2 + 1.0, not 2.2); score is a sum of
+    // <= 3 doubles, inside the checker's 1e-9 float tolerance.
+    "q98_bm25_retrieval" -> {
+      val values = bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $values),
+        |dd AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM dd),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs,
+        |                 SUM(dl)::BIGINT AS sum_dl FROM d),
+        |dfs AS (
+        |  SELECT term, count(*)::BIGINT AS df
+        |  FROM d CROSS JOIN (SELECT DISTINCT term FROM q) t
+        |  WHERE list_contains(toks, term) GROUP BY 1),
+        |cand AS (
+        |  SELECT query_id, q.term, doc_id, dl,
+        |         len(list_filter(toks, x -> x = q.term))::BIGINT AS tf
+        |  FROM d CROSS JOIN q)
+        |SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+        |       count(*)::BIGINT AS n_terms,
+        |       SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf * (1.2 + 1.0))
+        |           / (tf + 1.2 * (1.0 - 0.75
+        |                          + 0.75 * dl / (sum_dl::DOUBLE / n_docs))))
+        |         AS score
+        |FROM cand JOIN dfs USING (term), stats
+        |WHERE tf > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // q99: integer/string chunking — truncating and floor division
+    // agree because dl > 0 is enforced on both sides.
+    "q99_passage_chunks" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM dd
+        |      WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, dl, unnest(range((dl - 1) // 24 + 1)) AS chunk_id
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |         (chunk_id * 24)::BIGINT AS start_tok,
+        |         least(32, dl - chunk_id * 24)::BIGINT AS n_tok,
+        |         array_to_string(
+        |           list_slice(toks, chunk_id * 24 + 1,
+        |                      chunk_id * 24 + least(32, dl - chunk_id * 24)),
+        |           ' ') AS chunk_text
+        |  FROM c)
+        |SELECT doc_id, chunk_id, start_tok, n_tok, chunk_text,
+        |       md5(chunk_text) AS chunk_fp
+        |FROM x ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -533,4 +533,97 @@ object TextAnalysis {
         (col("score") > 0).cast("int").as("keep"))
       .orderBy("doc_id")
   }
+
+  /** BM25 keyword retrieval: score every document containing at least
+    * one query term against a small query-term table (Okapi BM25 with
+    * the +1 "BM25L"-style idf that stays positive for common terms).
+    * Emits the FULL posting-set scores — (query, doc, matched-term
+    * count, score) — so the result is float-tolerance comparable; the
+    * top-k cut is a trivial `ORDER BY score DESC LIMIT k` on top (see
+    * TextFunctionsSpec), kept out of the oracle because a rank
+    * boundary between two last-ulp-apart doubles is the one thing two
+    * engines may legitimately disagree on.
+    *
+    * Scale: the query-term table broadcasts; `tf` is computed inside a
+    * per-row `filter` HOF against the broadcast term (no token
+    * explode, no (doc, token) shuffle — the classic inverted-index
+    * build is never materialized). The only aggregations are the
+    * 2-long global stats row, the |terms|-row df count (map-side
+    * partial, |terms| rows on the wire), and the final per-(query,
+    * doc) sum whose input is already pruned to matching docs. At
+    * 100 TB this is one scan at projection speed + a posting-sized
+    * shuffle keyed on (query_id, doc_id).
+    */
+  def bm25(documents: DataFrame, queries: Seq[(Long, Seq[String])],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val terms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val d = documents
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = d.groupBy()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // df per distinct term: the broadcast nested-loop multiplies rows
+    // only by |terms|, and the partial agg collapses to |terms| rows
+    val dfT = d.crossJoin(broadcast(terms.select("term").distinct()))
+      .filter(array_contains(col("toks"), col("term")))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val cand = d.crossJoin(broadcast(terms))
+      .select(col("query_id"), col("term"), col("doc_id"), col("dl"),
+        size(filter(col("toks"), x => x === col("term"))).cast("long")
+          .as("tf"))
+      .filter(col("tf") > 0)
+    // every constant combination written as the explicit IEEE op so the
+    // DuckDB oracle can reproduce it term by term (k1+1 is NOT the
+    // same double as a literal 2.2)
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val w = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    cand.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", w)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("score"))
+      .orderBy("query_id", "doc_id")
+  }
+
+  /** Overlapping passage chunking (the RAG / retrieval-index unit):
+    * each document becomes chunks of up to `window` tokens starting
+    * every `stride` tokens (overlap = window - stride), with token
+    * offsets and an md5 chunk fingerprint — the downstream embed/index
+    * stages key on (doc_id, chunk_id). Differs from sequencePacking
+    * (q45), which concatenates docs INTO fixed budgets; this splits
+    * docs, preserving provenance offsets.
+    *
+    * Scale: per-row explode by ceil(dl/stride) — output size is
+    * corpus-proportional, no shuffle at all (the orderBy is the
+    * driver-compare canonicalization). Chunk starts are 0, stride,
+    * 2·stride … while start < dl, so every token lands in ≥1 chunk and
+    * the last chunk is never empty.
+    */
+  def passageChunks(documents: DataFrame, window: Int = 32,
+                    stride: Int = 24): DataFrame = {
+    require(stride > 0 && window >= stride, "need window >= stride > 0")
+    val start = (col("chunk_id") * stride).cast("long")
+    documents
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .filter(col("dl") > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),   // Spark `/` on longs is a DOUBLE
+          floor((col("dl") - 1L) / lit(stride.toLong)).cast("long"))))
+      .withColumn("start_tok", start)
+      .withColumn("n_tok", least(lit(window.toLong), col("dl") - start))
+      .withColumn("chunk_text", array_join(
+        slice(col("toks"), (start + 1L).cast("int"),
+          col("n_tok").cast("int")), " "))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tok"), col("chunk_text"),
+        md5(col("chunk_text")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }

@@ -248,6 +248,74 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("BM25: scores match a driver re-derivation; top-k = sort of full set") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val out = graft.operators.TextAnalysis.bm25(docs, SparkEntry.bm25Queries)
+      .collect()
+    val (k1, b) = (1.2, 0.75)
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq).toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.length.toLong).sum.toDouble / n
+    val dfs = SparkEntry.bm25Queries.flatMap(_._2).distinct
+      .map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    def score(qid: Long, d: Long): (Long, Double) = {
+      val terms = SparkEntry.bm25Queries.find(_._1 == qid).get._2
+      val hits = terms.map(t => t -> toks(d).count(_ == t).toDouble)
+        .filter(_._2 > 0)
+      (hits.size.toLong, hits.map { case (t, tf) =>
+        math.log((n - dfs(t) + 0.5) / (dfs(t) + 0.5) + 1.0) *
+          tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * toks(d).length / avgdl))
+      }.sum)
+    }
+    assert(out.nonEmpty)
+    out.take(100).foreach { r =>
+      val (nt, s) = score(r.getLong(0), r.getLong(1))
+      assert(r.getAs[Long]("n_terms") == nt, s"n_terms: $r")
+      assert(math.abs(r.getAs[Double]("score") - s) < 1e-9, s"score: $r")
+    }
+    // only matching docs appear
+    assert(out.forall(_.getAs[Long]("n_terms") > 0))
+    // the top-10 cut for query 3 is exactly the sorted head of the set
+    val full = out.filter(_.getLong(0) == 3L)
+      .sortBy(r => (-r.getAs[Double]("score"), r.getLong(1))).take(10)
+    val topK = graft.operators.TextAnalysis.bm25(docs, SparkEntry.bm25Queries)
+      .filter(col("query_id") === 3L)
+      .orderBy(col("score").desc, col("doc_id")).limit(10).collect()
+    assert(topK.map(_.getLong(1)).toSeq == full.map(_.getLong(1)).toSeq)
+  }
+
+  test("passage chunks: offsets, overlap, and full token coverage") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val out = graft.operators.TextAnalysis.passageChunks(docs, 32, 24)
+      .collect().groupBy(_.getLong(0))
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq).toMap
+    assert(out.keySet == toks.keySet, "every non-empty doc chunked")
+    out.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      val dl = toks(id).length.toLong
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L until ((dl - 1) / 24 + 1)).toSeq)
+      sorted.foreach { c =>
+        val start = c.getAs[Long]("start_tok")
+        assert(start == c.getAs[Long]("chunk_id") * 24)
+        assert(c.getAs[Long]("n_tok") == math.min(32L, dl - start))
+        assert(c.getAs[String]("chunk_text") ==
+          toks(id).slice(start.toInt,
+            start.toInt + c.getAs[Long]("n_tok").toInt).mkString(" "))
+      }
+      // stride-prefixes concatenated + last chunk == the whole doc
+      val rebuilt = sorted.init.map(_.getAs[String]("chunk_text")
+        .split(" ").take(24).mkString(" ")) :+
+        sorted.last.getAs[String]("chunk_text")
+      assert(rebuilt.mkString(" ") == toks(id).mkString(" "),
+        s"doc $id not covered")
+    }
+  }
+
   test("contrastive negatives: in-range, anchor-free, reshuffle-stable") {
     val q = SparkEntry.queries("q97_contrastive_pairs")
     val out = q(spark, sf001).collect()
