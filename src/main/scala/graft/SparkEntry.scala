@@ -1290,6 +1290,12 @@ object SparkEntry {
     "q99_passage_chunks" -> ((s, dir) => {
       TextAnalysis.passageChunks(Tables.documents(s, dir))
     }),
+
+    // Bigram LM quality scoring: add-half-smoothed corpus bigram
+    // model, per-doc NLL — q71's unigram scorer one context up.
+    "q100_bigram_lm" -> ((s, dir) => {
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir))
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -2563,5 +2569,35 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, start_tok, n_tok, chunk_text,
         |       md5(chunk_text) AS chunk_fp
         |FROM x ORDER BY 1, 2""".stripMargin,
+
+    // q100: DuckDB's range(2, n+1) is already empty for n < 2, so only
+    // the Spark side needs the descending-sequence guard. The NLL sum
+    // is <= 98 ln-terms per doc — well inside the 1e-9 float tolerance.
+    "q100_bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(2, len(t) + 1),
+        |                               i -> t[i - 1] || ' ' || t[i])) AS bg
+        |  FROM d),
+        |uni AS (
+        |  SELECT w, count(*)::BIGINT AS ca
+        |  FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
+        |vv AS (SELECT count(*)::BIGINT AS v FROM uni),
+        |big AS (SELECT bg, count(*)::BIGINT AS cab FROM pairs GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |         SUM(-ln((cab + 0.5) / (ca + 0.5 * v))) AS nll
+        |  FROM pairs
+        |  JOIN big USING (bg)
+        |  JOIN uni ON uni.w = split_part(bg, ' ', 1)
+        |  CROSS JOIN vv
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams, nll, nll / n_bigrams AS nll_tok
+        |FROM sc ORDER BY doc_id""".stripMargin,
   )
 }

@@ -591,6 +591,50 @@ object TextAnalysis {
       .orderBy("query_id", "doc_id")
   }
 
+  /** Bigram language-model quality scoring: per-document negative
+    * log-likelihood under an add-half-smoothed corpus bigram model —
+    * nll = −Σ ln((c(ab)+0.5)/(c(a)+0.5·V)) over the doc's bigrams.
+    * The context-aware upgrade of q71's unigram NLL: word salad with
+    * plausible unigrams ("the of and the") now scores badly because
+    * its TRANSITIONS are rare. `nll_tok` is length-normalized for
+    * thresholding.
+    *
+    * Scale: bigrams are built per row inside a `transform` HOF (no
+    * position self-join); the model is the (bigram, count) aggregate —
+    * Zipf-bounded, far below the corpus —, and scoring joins the doc
+    * bigram stream to it, q71's exact shape one order up. First-token
+    * counts come from `substring_index` on the bigram key, so the
+    * unigram join is on the same shuffled stream, not a second pass.
+    * Docs with fewer than 2 tokens have no bigrams and drop out (both
+    * engines derive output rows from the pair stream).
+    */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val t = col("t")
+    val d = documents
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("t"))
+    // Spark's sequence(2, 1) DESCENDS — guard short docs explicitly
+    val pairs = d.select(col("doc_id"),
+        explode(when(size(t) >= 2,
+          transform(sequence(lit(2), size(t)),
+            i => concat_ws(" ", element_at(t, i - 1), element_at(t, i))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val uni = d.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ca"))
+    val v = uni.groupBy().agg(count(lit(1)).as("v"))
+    val big = pairs.groupBy("bg").agg(count(lit(1)).as("cab"))
+    pairs
+      .join(big, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(-log((col("cab") + lit(0.5)) /
+          (col("ca") + lit(0.5) * col("v")))).as("nll"))
+      .withColumn("nll_tok", col("nll") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping passage chunking (the RAG / retrieval-index unit):
     * each document becomes chunks of up to `window` tokens starting
     * every `stride` tokens (overlap = window - stride), with token

@@ -316,6 +316,35 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM: penalizes scrambled transitions, matches hand NLL") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the bed"),
+      (4L, "mat the on sat cat the")) // doc 1's unigrams, scrambled
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll"),
+          r.getAs[Double]("nll_tok"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out.forall(_._2._1 == 5L))
+    // same unigram profile, but every transition in doc 4 is corpus-rare
+    assert(out(4L)._3 > out(1L)._3,
+      s"scrambled doc must score worse: ${out(4L)} vs ${out(1L)}")
+    // hand NLL for doc 1 under add-half smoothing, V = 7 distinct words
+    val toks = d.collect().map(_.getString(1).split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val big = toks.flatMap(t => t.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val v = uni.size
+    def nll(ws: Seq[String]) = ws.sliding(2).map { p =>
+      -math.log((big(p.mkString(" ")) + 0.5) /
+        (uni(p.head) + 0.5 * v))
+    }.sum
+    assert(math.abs(out(1L)._2 - nll(toks.head)) < 1e-12, s"${out(1L)}")
+  }
+
   test("contrastive negatives: in-range, anchor-free, reshuffle-stable") {
     val q = SparkEntry.queries("q97_contrastive_pairs")
     val out = q(spark, sf001).collect()
