@@ -1296,6 +1296,19 @@ object SparkEntry {
     "q100_bigram_lm" -> ((s, dir) => {
       TextAnalysis.bigramLogProb(Tables.documents(s, dir))
     }),
+
+    // Telemetry debounce: drop events < 5 s after the same
+    // (user, type) predecessor. Microsecond-long comparisons, one
+    // keyed window pass.
+    "q101_event_debounce" -> ((s, dir) => {
+      TimeSeries.debounce(Tables.events(s, dir))
+    }),
+
+    // Robust anomaly stats: per-type median, MAD, 3-MAD outlier
+    // count — the robust sibling of q72's 2-sigma counts.
+    "q102_mad_anomaly" -> ((s, dir) => {
+      TimeSeries.madAnomaly(Tables.events(s, dir))
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -2599,5 +2612,42 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, n_bigrams, nll, nll / n_bigrams AS nll_tok
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // q101: epoch_us mirrors unix_micros (both truncate the nanos
+    // column to integer microseconds) — the whole filter is
+    // integer-exact.
+    "q101_event_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lag(tus) OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY tus, event_id) AS prev
+        |  FROM e)
+        |SELECT event_id, user_id, event_type, tus, value
+        |FROM l WHERE prev IS NULL OR tus - prev >= 5000000
+        |ORDER BY event_id""".stripMargin,
+
+    // q102: quantile_cont = Spark's exact interpolated percentile —
+    // identical lower + (upper-lower)*0.5 arithmetic.
+    "q102_mad_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM ev GROUP BY 1),
+        |dev AS (
+        |  SELECT ev.event_type, abs(value - med) AS adev
+        |  FROM ev JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT d.event_type, max(m.med) AS med,
+        |         quantile_cont(d.adev, 0.5) AS mad
+        |  FROM dev d JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT d.event_type, count(*)::BIGINT AS n, max(m.med) AS med,
+        |       max(m.mad) AS mad,
+        |       SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -93,6 +93,66 @@ object TimeSeries {
           (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
   }
 
+  /** Min-gap debounce: drop an event when the PREVIOUS event of the
+    * same (user_id, event_type) is closer than `gapUs` microseconds —
+    * the telemetry de-noise step (double-clicks, retry storms,
+    * duplicate beacons). Lag-based semantics: each event is judged
+    * against its immediate predecessor in event time, kept or not (a
+    * chained "suppress until quiet period" instead is inherently
+    * sequential — that's the STREAMING dedup family's job,
+    * `StreamingDedup`; this is its order-free batch analogue).
+    *
+    * Timestamps compare as microsecond longs on both engines
+    * (`unix_micros` here, `epoch_us` in the oracle) — integer-exact.
+    *
+    * Scale: one shuffle on (user_id, event_type), one in-partition
+    * sort, O(1) lag state — the cheapest possible keyed-sequence scan.
+    */
+  def debounce(events: DataFrame, gapUs: Long = 5000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .filter(col("prev").isNull || col("tus") - col("prev") >= gapUs)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("tus"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** Robust per-type anomaly statistics: median, MAD (median absolute
+    * deviation), and the count of |value − median| > 3·MAD outliers —
+    * the robust sibling of [[outlierCounts]]'s 2-sigma counts (a
+    * single wild value shifts mean AND sigma; it cannot move either
+    * median). Exact interpolated percentile(0.5) both engines (same
+    * lower + (upper−lower)·0.5 IEEE arithmetic as DuckDB's
+    * quantile_cont).
+    *
+    * Scale: two grouped exact-median passes (sort-based within each
+    * type's partition) + a broadcast of the |types|-row stats back
+    * onto the scan. At petabyte scale swap exact percentile for the
+    * mergeable histogram sketch (q63) — same output contract.
+    */
+  def madAnomaly(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(max(col("med")).as("med"),
+        percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.drop("med").join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   def ewmaFeatures(events: DataFrame, w: Int = 32): DataFrame = {
     val win = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       .rowsBetween(-(w - 1), Window.currentRow)

@@ -41,8 +41,12 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000`, NOT `ts / 1000`: Spark's `/` on longs is a DOUBLE
+    // division whose round-to-nearest can land one micro high (and, a
+    // hair below a second boundary, one SECOND high after
+    // unix_timestamp) — `div` truncates exactly like DuckDB's epoch_us
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -107,6 +107,43 @@ class TimeSeriesSpec extends SparkSpec {
       "view>view>view>view>view" -> 1L))
   }
 
+  test("debounce: lag semantics judge each event vs its predecessor") {
+    val us = 1000000L
+    val ev = Seq(
+      // user 1 "click" at 0s/3s/6s/11s: each judged vs its RAW
+      // predecessor (kept or not) — 3-0=3s drop, 6-3=3s drop,
+      // 11-6=5s keep (boundary is >=)
+      (1L, 1L, "click", 0L, 1.0), (2L, 1L, "click", 3 * us, 2.0),
+      (3L, 1L, "click", 6 * us, 3.0),
+      (4L, 1L, "click", 11 * us, 4.0),
+      // different type interleaves freely
+      (5L, 1L, "view", 1L, 5.0),
+      // different user independent
+      (6L, 2L, "click", 1L, 6.0))
+      .map { case (id, u, t, micros, v) =>
+        (id, u, t, new Timestamp(micros / 1000L), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val kept = TimeSeries.debounce(ev).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 6L))
+  }
+
+  test("MAD anomaly: robust to a single wild value, 3-MAD cut exact") {
+    // values 1..9 plus one wild 1000 for type "a": median 5.5,
+    // adevs = {4.5,3.5,...,0.5,0.5,...,4.5, 994.5} → MAD = 3.0 (10
+    // values: sorted adevs 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5
+    // → median = (2.5+2.5)/2 = 2.5). Outliers: adev > 7.5 → only 994.5.
+    val rows = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex.map {
+      case (v, i) => ((i + 1).toLong, 1L, new Timestamp(i * 1000L), "a", v)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = TimeSeries.madAnomaly(rows).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("med") == 5.5)
+    assert(r.getAs[Double]("mad") == 2.5)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[Long]("n") == 10L)
+  }
+
   test("cohort retention: first-day cohorts, integer day offsets") {
     val day = 86400L
     val ev = Seq(
