@@ -965,4 +965,29 @@ SELECT a.doc_id, a.slot, a.neg_id, d.source AS neg_source,
 FROM negs a JOIN documents d ON d.doc_id = a.neg_id
 WHERE a.neg_id <> a.doc_id
 ORDER BY 1, 2"""
+
+  /** Oracle for q103: per-doc distinct word n-gram shingles collapsed
+    * to polyhash64 digests (= TextAnalysis.shingleNovelty: DISTINCT
+    * (doc_id, digest) matches the engine's per-row array_distinct of
+    * hashes), first occurrence by min-doc_id window, per-doc novelty
+    * rollup. The novelty double is a single integer÷integer IEEE op —
+    * bit-identical across engines.
+    */
+  def q103ShingleNovelty(n: Int = 3): String =
+    s"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> length(x) > 0) AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ${toS(polyFold(strBytes("s")))} AS sh
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t)-${n - 2}),
+           i -> array_to_string(t[i:i+${n - 1}], ' '))) AS s
+    FROM toks WHERE len(t) >= $n)),
+f AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY sh) AS first_doc FROM sh)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         AS novelty
+FROM f GROUP BY 1 ORDER BY 1"""
 }

@@ -1309,6 +1309,30 @@ object SparkEntry {
     "q102_mad_anomaly" -> ((s, dir) => {
       TimeSeries.madAnomaly(Tables.events(s, dir))
     }),
+
+    // Inter-document novelty: fraction of a doc's distinct 3-gram
+    // shingles first seen in this doc (min-doc_id attribution).
+    "q103_shingle_novelty" -> ((s, dir) => {
+      TextAnalysis.shingleNovelty(Tables.documents(s, dir))
+    }),
+
+    // Deequ-style data-quality profile: one scan over lineitem, all
+    // four numeric measures columns at once (Expand-planned multi-
+    // distinct), decimal-exact sums.
+    "q104_table_profile" -> ((s, dir) => {
+      Relational.profile(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+
+    // Incremental view maintenance: base partials (event_id % 10 != 0)
+    // merged with the delta batch (% 10 == 0) — bit-equal to a full
+    // recompute because the sums are exact decimals (associative).
+    "q105_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Relational.finalizePartials(Relational.mergePartials(
+        Relational.aggPartials(ev.filter(col("event_id") % 10 =!= 0)),
+        Relational.aggPartials(ev.filter(col("event_id") % 10 === 0))))
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -2648,6 +2672,34 @@ object SparkEntry {
         |       SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)::BIGINT
         |         AS n_outliers
         |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q103_shingle_novelty" -> OracleHashSql.q103ShingleNovelty(),
+
+    // q104: per-column branches UNION ALL'd; sums in DECIMAL(18,2)
+    // (the doubles are cent-valued, so the cast rounds to the intended
+    // cent identically on both engines) then one cast to double.
+    "q104_table_profile" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |       SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           |       count(DISTINCT $c)::BIGINT AS n_distinct,
+           |       CAST(min($c) AS DOUBLE) AS min_v,
+           |       CAST(max($c) AS DOUBLE) AS max_v,
+           |       CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    // q105: the oracle recomputes from scratch — exact decimal sums
+    // make the engine's base+delta merge bit-equal to this.
+    "q105_incremental_agg" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt,
+        |       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v,
+        |       min(value) AS min_v, max(value) AS max_v
+        |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -255,4 +255,86 @@ object Relational {
     base.join(broadcast(touched), Seq(key), "left_anti")
       .unionByName(upserts)
   }
+
+  /** Deequ-style single-pass column profile: per column the row/null/
+    * exact-distinct counts, min/max, and the decimal-exact sum — the
+    * data-quality gate run before any corpus build or table publish.
+    *
+    * ONE scan for all columns: Spark plans the multiple
+    * count(DISTINCT col) aggregates via a single Expand (row ×
+    * (|cols|+1)), each distinct branch partial-aggregating before the
+    * exchange — at 100 TB the scan dominates and nothing wide
+    * shuffles. Sums are computed in DECIMAL(18,2) (exact, order-
+    * independent — a naive double sum is run-order nondeterministic on
+    * a cluster) and rounded to double once at the output. n_distinct
+    * excludes NULLs (SQL count-distinct semantics both engines); the
+    * exact distinct is the profile contract — the streaming/sketch
+    * form is HLL (q69) with the same output shape.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n_null"),
+      count_distinct(col(c)).as(s"${c}__n_distinct"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"),
+      sum(col(c).cast("decimal(18,2)")).cast("double").as(s"${c}__sum"))
+    } :+ count(lit(1)).as("__n_rows")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pieces = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__n_null").as("n_null"),
+        col(s"${c}__n_distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"),
+        col(s"${c}__sum").as("sum_v"))
+    }
+    row.select(col("__n_rows").as("n_rows"),
+        explode(array(pieces: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"),
+        col("p.min_v").as("min_v"), col("p.max_v").as("max_v"),
+        col("p.sum_v").as("sum_v"))
+      .orderBy("col_name")
+  }
+
+  /** Per-key mergeable partial aggregates over an event batch — the
+    * unit of incremental view maintenance. Every measure is a
+    * commutative monoid (count/sum/min/max), and the sum runs in
+    * DECIMAL(28,10): exact and therefore ASSOCIATIVE, so any split of
+    * the input into batches merges to the bit-identical total (a
+    * double sum would drift with the merge tree). This is how a
+    * 100 TB nightly pipeline avoids reprocessing history: yesterday's
+    * partials + today's batch → [[mergePartials]].
+    */
+  def aggPartials(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(col("value").cast("decimal(28,10)")).as("sum_v"),
+      min(col("value")).as("min_v"),
+      max(col("value")).as("max_v"))
+
+  /** Merge two partial-aggregate states ([[aggPartials]] outputs) into
+    * one — the reduce side of incremental maintenance. CLOSED under
+    * composition: the output has the same shape as its inputs (the sum
+    * stays decimal), so partials merge pairwise in any tree —
+    * yesterday's merged state is just another input tomorrow.
+    */
+  def mergePartials(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("event_type").agg(
+      sum(col("cnt")).as("cnt"),
+      sum(col("n_null")).as("n_null"),
+      sum(col("sum_v")).cast("decimal(38,10)").as("sum_v"),
+      min(col("min_v")).as("min_v"),
+      max(col("max_v")).as("max_v"))
+
+  /** Reporting view of a partial state: one deterministic decimal →
+    * double rounding at the very end.
+    */
+  def finalizePartials(state: DataFrame): DataFrame =
+    state.select(col("event_type"), col("cnt"), col("n_null"),
+        col("sum_v").cast("double").as("sum_v"),
+        col("min_v"), col("max_v"))
+      .orderBy("event_type")
 }

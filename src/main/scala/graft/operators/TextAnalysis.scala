@@ -670,4 +670,37 @@ object TextAnalysis {
         md5(col("chunk_text")).as("chunk_fp"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** Per-document novelty: the fraction of a doc's distinct word
+    * n-gram shingles whose FIRST corpus occurrence (min doc_id) is
+    * this doc — the exact inter-document redundancy signal behind
+    * "dedup the tail, keep the head" corpus curation (a doc of pure
+    * boilerplate scores ~0, genuinely new text ~1). Docs with fewer
+    * than n tokens have no shingles and drop out.
+    *
+    * Scale: shingles are per-row deduped and collapsed to 64-bit
+    * polyhash digests BEFORE the explode, so the one unavoidable
+    * shuffle (first-occurrence attribution, here a min-over window on
+    * the digest) moves 16-byte rows, never n-gram strings. The final
+    * per-doc rollup re-shuffles on doc_id at output width. This is the
+    * exact form; the sketch form at extreme scale is a bloom/KMV
+    * admission filter (q70/q95) with the same output contract.
+    */
+  def shingleNovelty(documents: DataFrame, n: Int = 3): DataFrame = {
+    GraftFunctions.register(documents.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val sh = documents.select(col("doc_id"),
+      explode(array_distinct(transform(
+        HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), n),
+        s => GraftFunctions.polyhash64(s)))).as("sh"))
+    sh.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("sh"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
 }

@@ -187,6 +187,44 @@ class ScaleOpsSpec extends SparkSpec {
       s"merge must anti-join against a broadcast key set:\n$plan")
   }
 
+  test("profile: counts/distinct/min/max/sum per column, nulls handled") {
+    val df = Seq(
+      (Some(1.0), Some(10.0)), (Some(2.5), None),
+      (Some(1.0), Some(30.0)), (None, Some(10.0)))
+      .toDF("a", "b")
+    val out = graft.operators.Relational.profile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_rows") == 4L && a.getAs[Long]("n_null") == 1L)
+    assert(a.getAs[Long]("n_distinct") == 2L) // nulls excluded
+    assert(a.getAs[Double]("min_v") == 1.0 && a.getAs[Double]("max_v") == 2.5)
+    assert(a.getAs[Double]("sum_v") == 4.5)
+    val b = out("b")
+    assert(b.getAs[Long]("n_distinct") == 2L &&
+      b.getAs[Double]("sum_v") == 50.0)
+  }
+
+  test("incremental partials: any batch split merges to the full recompute") {
+    val ev = Seq(
+      (1L, "a", Some(1.25)), (2L, "a", Some(2.5)), (3L, "a", None),
+      (4L, "b", Some(-7.0)), (5L, "b", Some(0.125)), (6L, "a", Some(9.0)))
+      .toDF("event_id", "event_type", "value")
+    import graft.operators.Relational.{aggPartials, mergePartials, finalizePartials}
+    val full = finalizePartials(
+      mergePartials(aggPartials(ev.limit(0)), aggPartials(ev)))
+    // split three ways, merged as a lopsided TREE (merge output fed
+    // back in as a partial) — must equal the one-shot recompute
+    val split = finalizePartials(mergePartials(
+      mergePartials(
+        aggPartials(ev.filter($"event_id" <= 2)),
+        aggPartials(ev.filter($"event_id" > 2 && $"event_id" <= 4))),
+      aggPartials(ev.filter($"event_id" > 4))))
+    assert(split.collect().toSeq == full.collect().toSeq)
+    val a = split.collect().find(_.getString(0) == "a").get
+    assert(a.getAs[Long]("cnt") == 4L && a.getAs[Long]("n_null") == 1L)
+    assert(a.getAs[Double]("sum_v") == 12.75)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

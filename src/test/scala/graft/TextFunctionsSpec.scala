@@ -358,4 +358,23 @@ class TextFunctionsSpec extends SparkSpec {
     val again = q(spark, sf001).collect()
     assert(out.map(_.toString).toSet == again.map(_.toString).toSet)
   }
+
+  test("shingle novelty: first doc owns every shingle, duplicate scores 0") {
+    // doc 1: 4 tokens -> 2 distinct 3-gram shingles, all first-seen.
+    // doc 2: identical text -> same shingles, novelty 0.
+    // doc 3: shares suffix "c d e" with doc 1's "b c d"? no — tokens
+    //        c d e f: shingles "c d e","d e f" — none seen -> 1.0.
+    // doc 4: one token -> no shingles -> absent from the output.
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "c d e f"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.shingleNovelty(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+  }
 }
