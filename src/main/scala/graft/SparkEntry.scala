@@ -1333,6 +1333,25 @@ object SparkEntry {
         Relational.aggPartials(ev.filter(col("event_id") % 10 =!= 0)),
         Relational.aggPartials(ev.filter(col("event_id") % 10 === 0))))
     }),
+
+    // Retrieval eval harness: MRR/nDCG/P/R@10 for q98's workload under
+    // an integer coordination-tf ranking (rank boundaries bit-exact
+    // across engines) and md5-derived relevance labels.
+    "q106_retrieval_eval" -> ((s, dir) => {
+      TextAnalysis.retrievalEval(Tables.documents(s, dir), bm25Queries)
+    }),
+
+    // Tokenizer-vocab coverage: top-500 corpus vocab, per-source OOV
+    // rate — the "does this slice fit the tokenizer" gate.
+    "q107_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir))
+    }),
+
+    // Character Shannon entropy + evenness per doc (Gopher-family
+    // quality signal; deterministic sorted fold).
+    "q108_char_entropy" -> ((s, dir) => {
+      TextAnalysis.charEntropy(Tables.documents(s, dir))
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -2701,5 +2720,101 @@ object SparkEntry {
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q106: every division is spelled ::DOUBLE (a bare DuckDB 1.0 is
+    // DECIMAL and decimal÷bigint is not the IEEE op Spark runs); rank
+    // is integer-keyed so the window order is bit-exact both engines.
+    "q106_retrieval_eval" -> {
+      val values = bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $values),
+        |d AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |cand AS (
+        |  SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+        |         SUM(tf)::BIGINT AS tf_sum
+        |  FROM (SELECT query_id, doc_id,
+        |               len(list_filter(toks, x -> x = q.term))::BIGINT AS tf
+        |        FROM d CROSS JOIN q)
+        |  WHERE tf > 0 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN ('0x' || substr(md5(query_id::VARCHAR || ':' ||
+        |                doc_id::VARCHAR), 1, 13))::BIGINT % 5 = 0
+        |         THEN 1 ELSE 0 END AS rel,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n_terms DESC, tf_sum DESC, doc_id ASC) AS rank
+        |  FROM cand),
+        |a AS (
+        |  SELECT query_id, count(*)::BIGINT AS n_cand,
+        |         SUM(rel)::BIGINT AS n_rel,
+        |         SUM(CASE WHEN rank <= 10 THEN rel ELSE 0 END)::BIGINT
+        |           AS rel_at_k,
+        |         MAX(CASE WHEN rank <= 10 AND rel = 1
+        |             THEN 1.0::DOUBLE / rank ELSE 0.0::DOUBLE END) AS mrr,
+        |         SUM(CASE WHEN rank <= 10 AND rel = 1
+        |             THEN 1.0::DOUBLE / ln(rank + 1.0::DOUBLE)
+        |             ELSE 0.0::DOUBLE END) AS dcg
+        |  FROM r GROUP BY 1),
+        |i AS (
+        |  SELECT *, CASE WHEN n_rel = 0 THEN 0.0::DOUBLE ELSE
+        |      coalesce(list_sum(list_transform(
+        |        range(1, least(n_rel, 10) + 1),
+        |        i -> 1.0::DOUBLE / ln(i::DOUBLE + 1.0::DOUBLE))),
+        |        0.0::DOUBLE) END AS idcg
+        |  FROM a)
+        |SELECT query_id, n_cand, n_rel, rel_at_k, mrr,
+        |       CASE WHEN idcg > 0.0 THEN dcg / idcg
+        |            ELSE 0.0::DOUBLE END AS ndcg,
+        |       rel_at_k::DOUBLE / 10.0::DOUBLE AS p_at_k,
+        |       CASE WHEN n_rel > 0 THEN rel_at_k::DOUBLE / n_rel
+        |            ELSE 0.0::DOUBLE END AS recall_at_k
+        |FROM i ORDER BY 1""".stripMargin
+    },
+
+    // q107: vocab boundary is deterministic both engines — (count
+    // desc, token asc) tie-break; oov_rate is one int÷int IEEE op.
+    "q107_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_filter(string_split(lower(text), ' '),
+        |                            x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM toks GROUP BY token
+        |  ORDER BY count(*) DESC, token ASC LIMIT 500)
+        |SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |       count(*)::BIGINT AS n_tokens,
+        |       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_oov,
+        |       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |         / count(*) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q108: the char-histogram fold runs over the SORTED distinct list
+    // on both engines — one deterministic summation order.
+    "q108_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[\s\S]') AS ch
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, len(ch)::BIGINT AS n,
+        |         list_transform(list_sort(list_distinct(ch)),
+        |           x -> len(list_filter(ch, y -> y = x))::DOUBLE) AS cnts
+        |  FROM c WHERE len(ch) > 0)
+        |SELECT doc_id, n AS n_chars, len(cnts)::BIGINT AS n_unique,
+        |       ln(n::DOUBLE) -
+        |         list_sum(list_transform(cnts, c -> c * ln(c))) / n
+        |         AS entropy,
+        |       CASE WHEN len(cnts) > 1 THEN
+        |         (ln(n::DOUBLE) -
+        |          list_sum(list_transform(cnts, c -> c * ln(c))) / n)
+        |           / ln(len(cnts)::DOUBLE)
+        |       ELSE 0.0::DOUBLE END AS evenness
+        |FROM d ORDER BY 1""".stripMargin,
   )
 }

@@ -703,4 +703,140 @@ object TextAnalysis {
         (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
       .orderBy("doc_id")
   }
+
+  /** Retrieval-quality evaluation over the q98 candidate sets: per
+    * query MRR@k, nDCG@k, precision@k, recall@k against deterministic
+    * content-hash relevance labels — the eval harness every retrieval
+    * stack needs beside its scorer. The ranking key is deliberately
+    * INTEGER (matched-term count desc, total tf desc, doc_id asc —
+    * classic coordination-level ranking): a float-score rank boundary
+    * between two last-ulp-apart doubles is the one thing two engines
+    * can legitimately disagree on (why q98 emits scores, not ranks),
+    * whereas this rank is bit-exact everywhere. Relevance = 52-bit
+    * md5(query:doc) residue (mod 5 == 0, ~20%), the q30 trick — labels
+    * follow content, so the eval is reproducible across re-ingestion.
+    *
+    * Metrics: mrr = 1/rank of the first relevant in the top k (a MAX
+    * of single divisions — order-safe); dcg uses binary gain 1/ln(r+1);
+    * idcg folds 1/ln(i+1) for i = 1..min(n_rel,k) in a fixed-order HOF
+    * (`sequence` guarded: Spark's sequence(1,0) DESCENDS, so the
+    * n_rel=0 case short-circuits to 0 before it is built).
+    *
+    * Scale: candidates come from the same broadcast-terms HOF scan as
+    * q98 (no inverted index, no token explode); the per-query window
+    * partitions on query_id — posting-set sized, top-k prunable via
+    * WindowGroupLimit if only the metrics' k rows mattered.
+    */
+  def retrievalEval(documents: DataFrame, queries: Seq[(Long, Seq[String])],
+                    k: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val terms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val cand = documents
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+      .crossJoin(broadcast(terms))
+      .select(col("query_id"), col("doc_id"),
+        size(filter(col("toks"), x => x === col("term"))).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_sum"))
+    val rel = (conv(substring(md5(concat(col("query_id").cast("string"),
+        lit(":"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+        .cast("long") % 5L === 0L).cast("long")
+    val ranked = cand.withColumn("rel", rel)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("n_terms").desc, col("tf_sum").desc, col("doc_id").asc)))
+    val inK = col("rank") <= k
+    val agg = ranked.groupBy("query_id").agg(
+      count(lit(1)).as("n_cand"),
+      sum(col("rel")).as("n_rel"),
+      sum(when(inK, col("rel")).otherwise(0L)).as("rel_at_k"),
+      max(when(inK && col("rel") === 1L,
+        lit(1.0) / col("rank")).otherwise(0.0)).as("mrr"),
+      sum(when(inK && col("rel") === 1L,
+        lit(1.0) / log(col("rank") + lit(1.0))).otherwise(0.0)).as("dcg"))
+    val idcg = when(col("n_rel") === 0L, lit(0.0)).otherwise(
+      aggregate(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+        lit(0.0), (acc, i) => acc + lit(1.0) / log(i.cast("double") + lit(1.0))))
+    agg.withColumn("idcg", idcg)
+      .select(col("query_id"), col("n_cand"), col("n_rel"), col("rel_at_k"),
+        col("mrr"),
+        when(col("idcg") > 0.0, col("dcg") / col("idcg"))
+          .otherwise(lit(0.0)).as("ndcg"),
+        (col("rel_at_k").cast("double") / lit(k.toDouble)).as("p_at_k"),
+        when(col("n_rel") > 0L,
+          col("rel_at_k").cast("double") / col("n_rel"))
+          .otherwise(lit(0.0)).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
+  /** Tokenizer-vocabulary coverage: build the top-`vocabSize` corpus
+    * vocabulary (count desc, token asc — the tie-break makes the
+    * boundary deterministic), then report each source's out-of-
+    * vocabulary token rate. The standard pre-training check that a
+    * tokenizer/vocab fits a new corpus slice before it is mixed in —
+    * a high-OOV source is either foreign-language, boilerplate-coded,
+    * or garbage.
+    *
+    * Scale: the vocab build aggregates (token, count) — Zipf-bounded,
+    * orders of magnitude below corpus size — and `orderBy.limit(V)`
+    * plans as TakeOrderedAndProject (distributed top-k, no global
+    * sort). The scoring pass re-aggregates the token stream per source
+    * with the V-row vocab broadcast into a left join: map-side partials
+    * collapse to |sources| rows on the wire; the corpus side never
+    * wide-shuffles. `oov_rate` is one integer÷integer IEEE division.
+    */
+  def vocabCoverage(documents: DataFrame, vocabSize: Int = 500): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+        explode(TextFunctions.wsTokens(col("text"))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("source").agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy("source")
+  }
+
+  /** Character-level Shannon entropy per document — the Gopher-family
+    * quality signal that catches what token ratios miss: mashed-key
+    * garbage scores HIGH (near-uniform chars), template/repeated
+    * boilerplate scores LOW. entropy = ln(N) − (Σ cᵢ·ln cᵢ)/N over the
+    * doc's character histogram; `evenness` normalizes by ln(distinct)
+    * to [0,1] for thresholding across lengths.
+    *
+    * Scale: strictly per-row (zero shuffle, scan speed). The histogram
+    * fold runs over the SORTED distinct-character array, so the
+    * floating sum has one deterministic fold order on every engine —
+    * a groupBy(doc, char) + sum formulation would re-order the adds
+    * per run. In-row cost is O(|text|·|alphabet|); alphabet-bounded,
+    * not length-quadratic. Empty texts drop (both engines derive rows
+    * from the non-empty char array).
+    */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => length(c) > 0)
+    documents
+      .select(col("doc_id"), chars.as("ch"))
+      .withColumn("n", size(col("ch")).cast("long"))
+      .filter(col("n") > 0L)
+      .withColumn("cnts", transform(array_sort(array_distinct(col("ch"))),
+        x => size(filter(col("ch"), y => y === x)).cast("double")))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        size(col("cnts")).cast("long").as("n_unique"),
+        (log(col("n").cast("double")) -
+          aggregate(col("cnts"), lit(0.0), (acc, c) => acc + c * log(c)) /
+            col("n").cast("double")).as("entropy"))
+      .withColumn("evenness",
+        when(col("n_unique") > 1L,
+          col("entropy") / log(col("n_unique").cast("double")))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
 }

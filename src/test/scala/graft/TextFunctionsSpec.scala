@@ -377,4 +377,60 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 0.0)))
     assert(out(3L) == ((2L, 2L, 1.0)))
   }
+
+  test("retrieval eval: metric invariants + candidate counts + determinism") {
+    val docs = Seq(
+      (1L, "join hash join"), (2L, "hash scan"), (3L, "nothing here"),
+      (4L, "join join join hash hash"), (5L, "hash"), (6L, "join me"))
+      .toDF("doc_id", "text")
+    val qs = Seq(1L -> Seq("join", "hash"), 2L -> Seq("absent"))
+    val out = graft.operators.TextAnalysis.retrievalEval(docs, qs, k = 10)
+      .collect()
+    // query 2 matches nothing -> no row (no candidates at all)
+    assert(out.map(_.getAs[Long]("query_id")).toSeq == Seq(1L))
+    val r = out.head
+    assert(r.getAs[Long]("n_cand") == 5L) // docs 1,2,4,5,6
+    val (nRel, relK) = (r.getAs[Long]("n_rel"), r.getAs[Long]("rel_at_k"))
+    assert(relK == nRel) // 5 candidates, k=10: everything is in the top k
+    val (mrr, ndcg) = (r.getAs[Double]("mrr"), r.getAs[Double]("ndcg"))
+    assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-12)
+    assert((mrr == 0.0) == (relK == 0L)) // mrr>0 iff a relevant hit
+    assert(r.getAs[Double]("p_at_k") == relK.toDouble / 10.0)
+    assert(nRel == 0L || r.getAs[Double]("recall_at_k") == 1.0)
+    val again = graft.operators.TextAnalysis.retrievalEval(docs, qs, k = 10)
+      .collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("vocab coverage: top-V boundary and per-source OOV rates") {
+    // counts: a=4, b=4, c=2, d=1 -> top-2 vocab (count desc, token asc)
+    // = {a, b}; src1 oov = {c}: 1/6; src2 oov = {c, d}: 2/5.
+    val docs = Seq(
+      (1L, "src1", "a a a b b c"), (2L, "src2", "b b a c d"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.vocabCoverage(docs, vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_oov"), r.getAs[Double]("oov_rate"))).toMap
+    assert(out("src1") == ((1L, 6L, 1L, 1.0 / 6.0)))
+    assert(out("src2") == ((1L, 5L, 2L, 2.0 / 5.0)))
+  }
+
+  test("char entropy: degenerate, uniform, and empty docs") {
+    val docs = Seq(
+      (1L, "aaaa"), (2L, "ab"), (3L, "aabb"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.charEntropy(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("n_unique"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("evenness"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // empty doc drops
+    assert(out(1L) == ((4L, 1L, 0.0, 0.0))) // one symbol: zero entropy
+    val ln2 = math.log(2.0)
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._3 - ln2) < 1e-12 &&
+      math.abs(out(2L)._4 - 1.0) < 1e-12)
+    // aabb: uniform over 2 symbols -> ln 2, evenness 1
+    assert(math.abs(out(3L)._3 - ln2) < 1e-12 &&
+      math.abs(out(3L)._4 - 1.0) < 1e-12)
+  }
 }
