@@ -1352,6 +1352,24 @@ object SparkEntry {
     "q108_char_entropy" -> ((s, dir) => {
       TextAnalysis.charEntropy(Tables.documents(s, dir))
     }),
+
+    // Hourly LOCF gap-fill on the custom as-of physical operator —
+    // grid probes per-user reading history backward in time.
+    "q109_gap_fill" -> ((s, dir) => {
+      TimeSeries.gapFillHourly(Tables.events(s, dir))
+    }),
+
+    // Deterministic word-dropout augmentation (content+position keyed
+    // md5 residues — reproducible train-time noise).
+    "q110_word_dropout" -> ((s, dir) => {
+      TextAnalysis.wordDropout(Tables.documents(s, dir))
+    }),
+
+    // Length-percentile calibration: histogram-join percent_rank
+    // (per-source + global) with integer sort keys.
+    "q111_length_calibration" -> ((s, dir) => {
+      TextAnalysis.lengthCalibration(Tables.documents(s, dir))
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -2815,6 +2833,61 @@ object SparkEntry {
         |          list_sum(list_transform(cnts, c -> c * ln(c))) / n)
         |           / ln(len(cnts)::DOUBLE)
         |       ELSE 0.0::DOUBLE END AS evenness
+        |FROM d ORDER BY 1""".stripMargin,
+
+    // q109: DuckDB's native ASOF JOIN oracles the custom physical
+    // operator; grid starts at trunc(min)+1h so inner semantics drop
+    // nothing, readings pre-collapsed per (user, ts) on both sides.
+    "q109_gap_fill" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id,
+        |         date_trunc('hour', min(ts)) + INTERVAL 1 HOUR AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM d GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g
+        |  FROM span WHERE h1 >= h0)
+        |SELECT g.user_id, strftime(g.g, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |       floor((d.value) * 100 + 0.5) / 100 AS value_ffill,
+        |       (epoch_us(g.g) - epoch_us(d.ts))::BIGINT AS age_us
+        |FROM grid g ASOF JOIN d ON d.user_id = g.user_id AND d.ts <= g.g
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    // q110: DuckDB lambda indices are 1-based — the engine hashes the
+    // 1-based ordinal too (i + 1 on the Spark side).
+    "q110_word_dropout" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_orig,
+        |         list_filter(toks, (x, i) ->
+        |           ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+        |             i::VARCHAR || ':' || x), 1, 13))::BIGINT % 10 >= 1)
+        |           AS kept
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, n_orig, len(kept)::BIGINT AS n_kept,
+        |       array_to_string(kept, ' ') AS aug_text,
+        |       (n_orig - len(kept))::DOUBLE / n_orig AS drop_rate
+        |FROM d ORDER BY 1""".stripMargin,
+
+    // q111: the oracle runs the textbook percent_rank windows; the
+    // engine computes the identical (less/(n-1)) via histogram joins.
+    "q111_length_calibration" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split(lower(text), ' '),
+        |                         x -> length(x) > 0))::BIGINT AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |       percent_rank() OVER (PARTITION BY source ORDER BY n_tokens)
+        |         AS pct_source,
+        |       percent_rank() OVER (ORDER BY n_tokens) AS pct_global
         |FROM d ORDER BY 1""".stripMargin,
   )
 }

@@ -805,6 +805,84 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Deterministic word-dropout augmentation: drop every token whose
+    * md5(doc_id:position:token) 52-bit residue falls below `rate10`
+    * tenths — the reproducible text-augmentation primitive (train-time
+    * noise that is a pure function of content + position, so re-runs,
+    * retries, and engine swaps regenerate the identical corpus; an RNG
+    * here would make every epoch's data lineage unreproducible).
+    *
+    * Scale: strictly per-row (scan speed, zero shuffle); the indexed
+    * `filter` HOF keeps position semantics without a posexplode +
+    * re-agg round trip. Spark lambda indices are 0-based, DuckDB's are
+    * 1-based — the hashed position is the 1-based ordinal on both.
+    */
+  def wordDropout(documents: DataFrame, rate10: Int = 1): DataFrame = {
+    require(rate10 >= 0 && rate10 <= 10, "rate10 in [0,10]")
+    val toks = TextFunctions.wsTokens(col("text"))
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_orig", size(col("toks")).cast("long"))
+      .filter(col("n_orig") > 0L)
+      .withColumn("kept", filter(col("toks"), (x, i) =>
+        conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"),
+            (i + lit(1)).cast("string"), x)), 1, 13), 16, 10)
+          .cast("long") % 10L >= rate10.toLong))
+      .select(col("doc_id"), col("n_orig"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("aug_text"),
+        ((col("n_orig") - size(col("kept")).cast("long")).cast("double") /
+          col("n_orig")).as("drop_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source and global token-length percentile calibration:
+    * pct = (#docs with strictly smaller n_tokens) / (n − 1) — exactly
+    * SQL percent_rank, but keyed on an INTEGER so the rank comparison
+    * can never flip on a float ulp between engines. The cross-source
+    * normalizer used before mixing corpora whose raw length
+    * distributions differ (a "long" doc in tweets is a "short" doc in
+    * books).
+    *
+    * Scale: deliberately NOT a global percent_rank window (that is a
+    * full single-partition sort of the corpus). The distribution is
+    * collapsed to a (n_tokens → count) histogram — bounded by the
+    * length domain, not the corpus — cumulated with a window over the
+    * tiny histogram, and broadcast-joined back onto the scan. The
+    * DuckDB oracle runs the textbook percent_rank windows, proving the
+    * histogram form computes the identical result.
+    */
+  def lengthCalibration(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents.select(col("doc_id"), col("source"),
+      size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    val unb = Window.unboundedPreceding
+    val gHist = d.groupBy("n_tokens").agg(count(lit(1)).as("c"))
+      .withColumn("less_g", coalesce(sum(col("c")).over(
+        Window.orderBy("n_tokens").rowsBetween(unb, -1)), lit(0L)))
+      .select(col("n_tokens"), col("less_g"))
+    val sHist = d.groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
+      .withColumn("less_s", coalesce(sum(col("c")).over(
+        Window.partitionBy("source").orderBy("n_tokens")
+          .rowsBetween(unb, -1)), lit(0L)))
+      .select(col("source"), col("n_tokens"), col("less_s"))
+    val nG = d.groupBy().agg(count(lit(1)).as("n_g"))
+    val nS = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    d.join(broadcast(gHist), Seq("n_tokens"))
+      .join(broadcast(sHist), Seq("source", "n_tokens"))
+      .join(broadcast(nS), Seq("source"))
+      .crossJoin(broadcast(nG))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        when(col("n_s") > 1L,
+          col("less_s").cast("double") / (col("n_s") - 1L))
+          .otherwise(lit(0.0)).as("pct_source"),
+        when(col("n_g") > 1L,
+          col("less_g").cast("double") / (col("n_g") - 1L))
+          .otherwise(lit(0.0)).as("pct_global"))
+      .orderBy("doc_id")
+  }
+
   /** Character-level Shannon entropy per document — the Gopher-family
     * quality signal that catches what token ratios miss: mashed-key
     * garbage scores HIGH (near-uniform chars), template/repeated

@@ -179,4 +179,47 @@ object TimeSeries {
       .withColumn("ewma", ewma)
       .drop("vals")
   }
+
+  /** Gap-filled hourly resample with forward-fill (LOCF): one row per
+    * (user, hour) on each user's own observed span, carrying the
+    * latest reading at or before the grid instant plus its staleness
+    * in exact integer microseconds — the "regularize irregular
+    * telemetry onto a model-ready grid" primitive.
+    *
+    * Built by COMPOSING the custom as-of physical operator
+    * ([[graft.plans.AsOfJoinPhysical]], q26's co-partitioned
+    * sort-merge): grid rows probe the per-user reading history
+    * backward in time. The grid starts at trunc(min ts)+1h, so every
+    * grid instant has ≥1 earlier reading and the inner as-of (DuckDB
+    * ASOF JOIN semantics) drops nothing; readings are pre-collapsed to
+    * one row per (user, ts) with a max_by(event_id) winner so equal-µs
+    * duplicates cannot make the carried value partition-order
+    * dependent. Users spanning <1h produce no grid rows (guarded both
+    * engines — Spark's sequence(a,b) DESCENDS when a>b).
+    *
+    * Scale: the grid is |users|·span-hours rows — tiny next to the
+    * event stream; both sides shuffle once on user_id into the
+    * sort-merge, no per-pair explosion, state O(1) per merge. A
+    * mega-user serializes its partition — shard the grid by (user,
+    * week) against week-bucketed readings if a key outgrows a task.
+    */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val readings = events.groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    val span = readings.groupBy("user_id").agg(
+      (date_trunc("hour", min(col("ts"))) + expr("INTERVAL 1 HOUR")).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = span.filter(col("h1") >= col("h0"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("g"))
+    graft.plans.AsOfJoinPhysical.asof(grid, readings,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTs = "g", rightTs = "ts")
+      .select(col("user_id"),
+        date_format(col("g"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        (floor(col("asof_value") * 100 + 0.5) / 100).as("value_ffill"),
+        (unix_micros(col("g")) - unix_micros(col("asof_ts"))).as("age_us"))
+      .orderBy("user_id", "hour_ts", "value_ffill", "age_us")
+  }
 }

@@ -433,4 +433,42 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(out(3L)._3 - ln2) < 1e-12 &&
       math.abs(out(3L)._4 - 1.0) < 1e-12)
   }
+
+  test("word dropout: md5-positional selection matches a local replica") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.wordDropout(docs).collect().head
+    def keep(pos: Int, tok: String): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$pos:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16) % 10L >= 1L
+    }
+    val toks = text.split(" ")
+    val expected = toks.zipWithIndex.collect {
+      case (t, i) if keep(i + 1, t) => t }
+    assert(r.getAs[String]("aug_text") == expected.mkString(" "),
+      s"expected ${expected.toSeq}")
+    assert(r.getAs[Long]("n_orig") == toks.length.toLong)
+    assert(r.getAs[Long]("n_kept") == expected.length.toLong)
+    assert(r.getAs[Double]("drop_rate") ==
+      (toks.length - expected.length).toDouble / toks.length)
+  }
+
+  test("length calibration: percent_rank identity on a hand fixture") {
+    val docs = Seq(
+      (1L, "A", "a"), (2L, "A", "a b"), (3L, "A", "c d"),
+      (4L, "A", "e f g"), (5L, "B", "h i j k l"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.lengthCalibration(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("pct_source"), r.getAs[Double]("pct_global"))).toMap
+    // global: n=5, less/4 -> len1: 0, len2: 1/4, len3: 3/4, len5: 1
+    // source A: n=4, less/3 -> len1: 0, len2: 1/3, len3: 1
+    // source B: single doc -> pct_source 0 by convention
+    assert(out(1L) == ((0.0, 0.0)))
+    assert(out(2L) == ((1.0 / 3.0, 0.25)) && out(3L) == ((1.0 / 3.0, 0.25)))
+    assert(out(4L) == ((1.0, 0.75)))
+    assert(out(5L) == ((0.0, 1.0)))
+  }
 }

@@ -156,4 +156,21 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L)))
   }
+
+  test("gap fill: hourly LOCF grid, staleness, equal-ts winner, short span drops") {
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: readings at 00:10 and 02:40 -> grid 01:00, 02:00, both
+      // carrying the 00:10 reading; equal-ts duplicate at 00:10 must
+      // resolve to the max-event_id writer (7.0, not 1.0)
+      (1L, 1L, t(10), 1.0), (3L, 1L, t(10), 7.0), (2L, 1L, t(160), 2.0),
+      // user 2: 15-minute span -> no full-hour grid point -> absent
+      (4L, 2L, t(5), 9.0), (5L, 2L, t(20), 9.5))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = TimeSeries.gapFillHourly(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "1970-01-01 01:00:00", 7.0, 50L * 60L * 1000000L),
+      (1L, "1970-01-01 02:00:00", 7.0, 110L * 60L * 1000000L)))
+  }
 }
