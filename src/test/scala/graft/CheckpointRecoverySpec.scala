@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.{PriceAlertsStream, ProcessorAlerts, StreamingDedup, TwsAlerts}
+
+/** Checkpoint recovery: the Spark analogue of the reference runtime's
+  * restart story (consumer offsets + changelog topics,
+  * dsl/PriceAlertsApp.java:45-64). Each test runs a checkpointed
+  * stateful pipeline, STOPS the query mid-stream with windows still
+  * open (live state), restarts from the same checkpoint, feeds the
+  * rest of the data, and asserts the final output set is identical to
+  * an uninterrupted run of the same batches — exactly-once resume.
+  *
+  * Append-mode pipelines prove it through the parquet file sink (the
+  * sink's metadata log is what de-duplicates replayed batches);
+  * update-mode proves it through an idempotent keyed upsert
+  * (foreachBatch), the production pattern for update-mode sinks.
+  */
+class CheckpointRecoverySpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  case class P(id: Long, quantity: Long, productid: Long, ts: Timestamp)
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  private val t0230 = Timestamp.valueOf("2024-01-01 00:02:30")
+  private val t0310 = Timestamp.valueOf("2024-01-01 00:03:10")
+  private val t0500 = Timestamp.valueOf("2024-01-01 00:05:00")
+  private val w0200 = Timestamp.valueOf("2024-01-01 00:02:00")
+
+  private def products(price: Double): DataFrame =
+    Seq((1L, "prod", "desc", price)).toDF("id", "name", "description", "price")
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def withRocksDb(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally spark.conf.unset(key)
+  }
+
+  /** Drive an append-mode pipeline to a parquet sink in `phases`:
+    * each phase is a list of batches (addData + processAllAvailable
+    * per batch). When `interrupt`, the query is stopped and restarted
+    * from the same checkpoint between phases; otherwise one query
+    * processes everything. Returns the committed sink rows.
+    */
+  private def runAppendPhases[T](
+      mkStream: () => (MemoryStream[T], DataFrame),
+      phases: Seq[Seq[Seq[T]]], interrupt: Boolean): Seq[String] = {
+    val cp = tmpDir("graft-cp")
+    val out = tmpDir("graft-sink")
+    val (in, df) = mkStream()
+    def start() = df.writeStream.format("parquet")
+      .option("checkpointLocation", cp).option("path", out)
+      .outputMode("append").start()
+    var q = start()
+    try {
+      phases.zipWithIndex.foreach { case (batches, i) =>
+        if (i > 0 && interrupt) { q.stop(); q = start() } // kill + resume
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    spark.read.parquet(out).collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  // ---- TWS (transformWithState + timers, RocksDB) ----------------------
+
+  private def twsPhases: Seq[Seq[Seq[P]]] = Seq(
+    // phase 1 ends with window 02:00 still OPEN (sum=3600 in state only)
+    Seq((1L to 4L).map(i => P(i, 2L, 1L, t0230)),
+        Seq(P(5L, 2L, 1L, t0230), P(6L, 2L, 1L, t0230))),
+    // phase 2 (after the kill): advance watermark → closed-window emit
+    // must come out of RECOVERED state, then open+close one more window
+    Seq(Seq(P(100L, 1L, 1L, t0310)),
+        Seq(P(101L, 1L, 1L, Timestamp.valueOf("2024-01-01 00:07:00")))))
+
+  test("TWS alerts recover from checkpoint: kill mid-window, resume, identical output") {
+    withRocksDb {
+      def mk() = {
+        val in = MemoryStream[P]
+        val joined = graft.operators.PriceAlerts.purchasesWithProducts(
+          in.toDF(), products(300.0))
+        (in, TwsAlerts.alerts(spark, joined, threshold = 10.0).toDF())
+      }
+      val resumed = runAppendPhases(mk _, twsPhases, interrupt = true)
+      val straight = runAppendPhases(mk _, twsPhases, interrupt = false)
+      assert(resumed.nonEmpty, "closed windows must be emitted after resume")
+      assert(resumed == straight,
+        s"resumed run must equal uninterrupted run:\n$resumed\nvs\n$straight")
+      assert(resumed.exists(_.contains("3600.0")),
+        "the 3600 golden sum must be rebuilt from checkpointed state")
+    }
+  }
+
+  // ---- FMGWS (flatMapGroupsWithState, default HDFS provider) -----------
+
+  test("FMGWS alerts recover from checkpoint: kill mid-window, resume, identical output") {
+    def mk() = {
+      val in = MemoryStream[P]
+      val joined = graft.operators.PriceAlerts.purchasesWithProducts(
+        in.toDF(), products(300.0))
+      (in, ProcessorAlerts.alerts(spark, joined, threshold = 10.0).toDF())
+    }
+    val resumed = runAppendPhases(mk _, twsPhases, interrupt = true)
+    val straight = runAppendPhases(mk _, twsPhases, interrupt = false)
+    assert(resumed.nonEmpty && resumed == straight)
+    assert(resumed.exists(_.contains("3600.0")))
+  }
+
+  // ---- DSL append mode (built-in windowed agg state) -------------------
+
+  test("append-mode windowed agg recovers from checkpoint") {
+    def mk() = {
+      val in = MemoryStream[P]
+      (in, PriceAlertsStream.processorAlertsAppend(
+        in.toDF(), products(300.0), threshold = 10.0))
+    }
+    val resumed = runAppendPhases(mk _, twsPhases, interrupt = true)
+    val straight = runAppendPhases(mk _, twsPhases, interrupt = false)
+    assert(resumed.nonEmpty && resumed == straight)
+  }
+
+  // ---- update mode: idempotent keyed upsert through foreachBatch -------
+
+  private def runUpdatePhases(phases: Seq[Seq[Seq[P]]], interrupt: Boolean)
+      : Map[(String, Timestamp), Double] = {
+    val cp = tmpDir("graft-cp-upd")
+    val results = new java.util.concurrent.ConcurrentHashMap[(String, Timestamp), Double]
+    val in = MemoryStream[P]
+    val alerts = PriceAlertsStream.dslAlertsUpdate(in.toDF(), products(300.0))
+    def start() = alerts.writeStream.outputMode("update")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // replay-safe: upsert keyed on (product, window) — a replayed
+        // micro-batch rewrites the same keys with the same values
+        batch.collect().foreach { r =>
+          results.put((r.getAs[String]("product_id"), r.getAs[Timestamp]("window_start")),
+            r.getAs[Double]("total_sum_per_minute"))
+        }
+      }.start()
+    var q = start()
+    try {
+      phases.zipWithIndex.foreach { case (batches, i) =>
+        if (i > 0 && interrupt) { q.stop(); q = start() }
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    results.asScala.toMap
+  }
+
+  test("update-mode alerts recover from checkpoint: refinement continues across restart") {
+    val phases: Seq[Seq[Seq[P]]] = Seq(
+      Seq((1L to 6L).map(i => P(i, 2L, 1L, t0230))),          // 3600 emitted
+      Seq(Seq(P(7L, 1L, 1L, t0230)),                          // refine → 3900
+          Seq(P(8L, 2L, 1L, t0500))))                         // new window 1200... <10*300? no: 600
+    val resumed = runUpdatePhases(phases, interrupt = true)
+    val straight = runUpdatePhases(phases, interrupt = false)
+    assert(resumed == straight, s"final upserted state must match:\n$resumed\nvs\n$straight")
+    // the post-restart refinement must build on pre-restart state: 3600+300
+    assert(resumed(("1", w0200)) == 3900.0,
+      "restarted query must refine the checkpointed window sum, not restart it")
+  }
+
+  // ---- streaming near-dup dedup (MapState-heavy TWS pipeline) ----------
+
+  test("streaming hamming<=3 dedup recovers from checkpoint: same survivor set") {
+    withRocksDb {
+      val base = "the quick brown fox jumps over the lazy dog token %d"
+      def doc(id: Long, s: String, t: String) = Doc(id, s, Timestamp.valueOf(t))
+      val phases: Seq[Seq[Seq[Doc]]] = Seq(
+        // phase 1: seed docs enter bucket state; window still open
+        Seq(Seq(doc(1, base.format(1), "2024-01-01 00:00:10"),
+                doc(2, "completely different text about spark streaming state",
+                    "2024-01-01 00:00:20"))),
+        // phase 2 (after kill): near-dup of doc 1 must be caught by
+        // RECOVERED bucket state; then advance watermark to close windows
+        Seq(Seq(doc(3, base.format(1) + " ", "2024-01-01 00:00:40"),
+                doc(4, "yet another unrelated document body entirely",
+                    "2024-01-01 00:00:50")),
+            Seq(doc(99, "watermark advancer sentinel document",
+                    "2024-01-01 00:10:00"))))
+      def run(interrupt: Boolean): Seq[String] = {
+        val cp = tmpDir("graft-cp-dd")
+        val out = tmpDir("graft-sink-dd")
+        val in = MemoryStream[Doc]
+        val survivors = StreamingDedup.bySimhashNearDup(
+          in.toDF(), "ts", "30 seconds")
+        def start() = survivors.writeStream.format("parquet")
+          .option("checkpointLocation", cp).option("path", out)
+          .outputMode("append").start()
+        var q = start()
+        try {
+          phases.zipWithIndex.foreach { case (batches, i) =>
+            if (i > 0 && interrupt) { q.stop(); q = start() }
+            batches.foreach { b => in.addData(b); q.processAllAvailable() }
+          }
+        } finally q.stop()
+        spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+          .map(_.toString).toSeq
+      }
+      val resumed = run(interrupt = true)
+      val straight = run(interrupt = false)
+      assert(resumed == straight,
+        s"survivor sets must match:\n$resumed\nvs\n$straight")
+      assert(!resumed.contains("3"),
+        "near-dup doc 3 must be dropped by state recovered from the checkpoint")
+      assert(resumed.contains("1") && resumed.contains("2") && resumed.contains("4"))
+    }
+  }
+}
