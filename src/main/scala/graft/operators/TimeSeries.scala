@@ -121,20 +121,77 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
-  /** Robust per-type anomaly statistics: median, MAD (median absolute
-    * deviation), and the count of |value − median| > 3·MAD outliers —
-    * the robust sibling of [[outlierCounts]]'s 2-sigma counts (a
-    * single wild value shifts mean AND sigma; it cannot move either
-    * median). Exact interpolated percentile(0.5) both engines (same
-    * lower + (upper−lower)·0.5 IEEE arithmetic as DuckDB's
-    * quantile_cont).
-    *
-    * Scale: two grouped exact-median passes (sort-based within each
-    * type's partition) + a broadcast of the |types|-row stats back
-    * onto the scan. At petabyte scale swap exact percentile for the
-    * mergeable histogram sketch (q63) — same output contract.
+  /** Histogram-median helper for [[madAnomalySketch]]: per
+    * `event_type`, the inclusive upper bin edge at rank ceil(0.5·n)
+    * over a fixed-width histogram of `valueCol` — the q63 inverse-CDF
+    * rule. The shuffle carries only (types × occupied bins) counter
+    * rows (map-side partial aggregation), and the per-group window
+    * sorts ≤|bins| counters, never the data.
     */
-  def madAnomaly(events: DataFrame): DataFrame = {
+  private def histMedian(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+                         width: Double, out: String): DataFrame = {
+    val bins = df
+      .groupBy(col("event_type"),
+        floor(valueCol / lit(width)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wCum = wAll.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= ceil(lit(0.5) * col("n")),
+        (col("bin") + lit(1)) * lit(width))).as(out))
+  }
+
+  /** Robust per-type anomaly statistics at scale: histogram-sketch
+    * median, MAD (median absolute deviation), and the count of
+    * |value − median| > 3·MAD outliers — the robust sibling of
+    * [[outlierCounts]]'s 2-sigma counts (a single wild value shifts
+    * mean AND sigma; it cannot move either median).
+    *
+    * Both medians are the q63 mergeable fixed-width-histogram
+    * estimate (upper bin edge at rank ceil(0.5·n)) rather than an
+    * exact percentile: Spark's exact `percentile` buffers a
+    * value→count map per group, and with a handful of event types
+    * each group would hold the whole column at 100 TB — a
+    * memory-unbounded aggregate. The histogram sketch is bounded by
+    * (types × range/width) counters, partial-aggregated map-side and
+    * merged by vector add; every estimate is within `width` of the
+    * exact order statistic ([[madAnomalyExact]] is the spec-only
+    * twin that proves it at test SF). All arithmetic — floor(v/w)
+    * binning, (bin+1)·w edges, the 3·MAD comparison — is the same
+    * IEEE double math in DuckDB, so the oracle matches bit-for-bit.
+    *
+    * Scale: two histogram passes (narrow counter shuffles) + two
+    * |types|-row broadcasts back onto the scan. Nothing sorts or
+    * buffers the data itself.
+    */
+  def madAnomaly(events: DataFrame, width: Double = 1.0): DataFrame = {
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = histMedian(ev, col("value"), width, "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = histMedian(dev, col("adev"), width, "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** Exact-percentile twin of [[madAnomaly]] — interpolated
+    * percentile(0.5) medians (same lower + (upper−lower)·0.5 IEEE
+    * arithmetic as DuckDB's quantile_cont). Spec-only: the per-group
+    * exact percentile buffers every value and does NOT scale (see
+    * [[madAnomaly]]); kept as the fixture-scale accuracy baseline
+    * the sketch is asserted against (estimates within `width`).
+    */
+  def madAnomalyExact(events: DataFrame): DataFrame = {
     val ev = events.filter(col("value").isNotNull)
       .select(col("event_type"), col("value"))
     val med = ev.groupBy("event_type")
