@@ -2645,8 +2645,12 @@ object SparkEntry {
         |FROM x ORDER BY 1, 2""".stripMargin,
 
     // q100: DuckDB's range(2, n+1) is already empty for n < 2, so only
-    // the Spark side needs the descending-sequence guard. The NLL sum
-    // is <= 98 ln-terms per doc — well inside the 1e-9 float tolerance.
+    // the Spark side needs the descending-sequence guard. Mirrors the
+    // Spark plan's pre-aggregated form: (doc, bg) → m first, each
+    // ln-term weighted by m (the fingerprint join keys are a pure
+    // shuffle-width optimization — string keys give the same answer,
+    // which is exactly what this oracle checks). <= 98 ln-terms per
+    // doc — well inside the 1e-9 float tolerance.
     "q100_bigram_lm" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -2658,15 +2662,18 @@ object SparkEntry {
         |         unnest(list_transform(range(2, len(t) + 1),
         |                               i -> t[i - 1] || ' ' || t[i])) AS bg
         |  FROM d),
+        |occ AS (
+        |  SELECT doc_id, bg, count(*)::BIGINT AS m
+        |  FROM pairs GROUP BY 1, 2),
         |uni AS (
         |  SELECT w, count(*)::BIGINT AS ca
         |  FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
         |vv AS (SELECT count(*)::BIGINT AS v FROM uni),
-        |big AS (SELECT bg, count(*)::BIGINT AS cab FROM pairs GROUP BY 1),
+        |big AS (SELECT bg, SUM(m)::BIGINT AS cab FROM occ GROUP BY 1),
         |sc AS (
-        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |         SUM(-ln((cab + 0.5) / (ca + 0.5 * v))) AS nll
-        |  FROM pairs
+        |  SELECT doc_id, SUM(m)::BIGINT AS n_bigrams,
+        |         SUM(-ln((cab + 0.5) / (ca + 0.5 * v)) * m) AS nll
+        |  FROM occ
         |  JOIN big USING (bg)
         |  JOIN uni ON uni.w = split_part(bg, ' ', 1)
         |  CROSS JOIN vv
@@ -2689,22 +2696,47 @@ object SparkEntry {
         |FROM l WHERE prev IS NULL OR tus - prev >= 5000000
         |ORDER BY event_id""".stripMargin,
 
-    // q102: quantile_cont = Spark's exact interpolated percentile —
-    // identical lower + (upper-lower)*0.5 arithmetic.
+    // q102: the histogram-sketch median fold (q63 inverse-CDF rule)
+    // mirrored term-for-term — floor(v/w) binning, cumulative counts,
+    // upper bin edge (bin+1)*w at rank ceil(0.5*n). Same IEEE double
+    // arithmetic both engines, width = 1.0.
     "q102_mad_anomaly" ->
       """WITH ev AS (
         |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |mbin AS (
+        |  SELECT event_type, CAST(floor(value / 1.0) AS BIGINT) AS bin,
+        |         count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |mcum AS (
+        |  SELECT event_type, bin, cnt,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM mbin),
         |med AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) AS med
-        |  FROM ev GROUP BY 1),
+        |  SELECT event_type,
+        |         min(CASE WHEN cum >= ceil(0.5 * n)
+        |                  THEN (bin + 1) * 1.0 END) AS med
+        |  FROM mcum GROUP BY 1),
         |dev AS (
-        |  SELECT ev.event_type, abs(value - med) AS adev
+        |  SELECT ev.event_type, med, abs(value - med) AS adev
         |  FROM ev JOIN med USING (event_type)),
+        |abin AS (
+        |  SELECT event_type, CAST(floor(adev / 1.0) AS BIGINT) AS bin,
+        |         count(*) AS cnt
+        |  FROM dev GROUP BY 1, 2),
+        |acum AS (
+        |  SELECT event_type, bin, cnt,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM abin),
         |mad AS (
-        |  SELECT d.event_type, max(m.med) AS med,
-        |         quantile_cont(d.adev, 0.5) AS mad
-        |  FROM dev d JOIN med m USING (event_type) GROUP BY 1)
-        |SELECT d.event_type, count(*)::BIGINT AS n, max(m.med) AS med,
+        |  SELECT event_type,
+        |         min(CASE WHEN cum >= ceil(0.5 * n)
+        |                  THEN (bin + 1) * 1.0 END) AS mad
+        |  FROM acum GROUP BY 1)
+        |SELECT d.event_type, count(*)::BIGINT AS n, max(d.med) AS med,
         |       max(m.mad) AS mad,
         |       SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)::BIGINT
         |         AS n_outliers

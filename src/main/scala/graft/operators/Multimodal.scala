@@ -1,5 +1,11 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,18 +13,21 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, batch-shaped decode/feature-extract over
   * `mapPartitions`.
   *
-  * The DECODE STEP IS A STUB — the container has no image/audio codecs,
-  * so `decodeStub` derives a deterministic fake feature vector from the
-  * payload bytes. Everything around it (schema, Dataset encoders,
-  * per-partition batching, partition sizing) is the real plumbing a
-  * codec would drop into.
+  * Image decode is REAL: `javax.imageio` (in-JDK — PNG/BMP/GIF/JPEG,
+  * no native libs) decodes the payload to pixels, and features are
+  * genuine width/height/per-channel statistics. Payloads that are not
+  * a decodable image (audio/video kinds, corrupt bytes, the synthetic
+  * text fixtures) fall back to deterministic byte-level statistics, so
+  * the same pipeline handles a mixed-modality table and the q24 oracle
+  * — integer arithmetic over payload bytes — stays bit-exact.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no driver
-  * collect); decode is mapPartitions so a real codec amortizes per-batch
-  * init (model load, JNI handles) across the partition — the Scala
-  * analogue of Arrow-batched pandas UDFs; partition size is controlled
-  * upstream by `spark.sql.files.maxPartitionBytes`, which is how you
-  * keep ~100 MB of media per task at 100 TB.
+  * collect); decode is mapPartitions so per-partition init (codec
+  * handles, `ImageIO.setUseCache(false)` to keep decode off local
+  * disk) is amortized across the partition — the Scala analogue of
+  * Arrow-batched pandas UDFs; partition size is controlled upstream by
+  * `spark.sql.files.maxPartitionBytes`, which is how you keep ~100 MB
+  * of media per task at 100 TB.
   */
 object Multimodal {
 
@@ -28,11 +37,14 @@ object Multimodal {
 
   /** Extracted features: fixed-width vector + dims metadata +
     * byte_sum (integer payload checksum — exactly reproducible by the
-    * oracle, unlike the f32-accumulated feature vector).
+    * oracle, unlike the f32-accumulated feature vector). For decoded
+    * images `width`/`height` are the REAL pixel dimensions and
+    * `feature` carries per-channel means; for everything else both are
+    * deterministic functions of the payload bytes.
     */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            feature: Array[Float], width: Int, height: Int,
-                           byte_sum: Long)
+                           byte_sum: Long, decoded: Boolean)
 
   /** One sampled frame of a "video" payload. */
   case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
@@ -52,11 +64,65 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode: deterministic fake features from payload bytes.
-    * A real implementation would replace ONLY this function body with a
-    * codec call (JNI/ffmpeg/turbojpeg); signature and batching stay.
+  /** Decode a payload as an image via the JDK's ImageIO (PNG/BMP/GIF/
+    * JPEG). None for anything the registry can't parse — the caller
+    * falls back to byte statistics. `setUseCache(false)` keeps ImageIO
+    * from spooling through temp files on the executor's local disk.
     */
-  private def decodeStub(rec: MediaRecord): MediaFeatures = {
+  private[operators] def tryDecodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    if (payload == null || payload.length < 8) None
+    else try {
+      ImageIO.setUseCache(false)
+      Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    } catch { case _: Exception => None }
+
+  /** Integer checksum of the raw payload — the oracle-reproducible
+    * column, identical for decoded and fallback rows.
+    */
+  private def payloadByteSum(payload: Array[Byte]): Long = {
+    var s = 0L; var i = 0
+    while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
+    s
+  }
+
+  /** Real image features: pixel dimensions + per-channel means
+    * (R,G,B,A in [0,1]), luminance mean (Rec.601 weights), aspect
+    * ratio, log2 pixel count, decoded flag. Bulk `getRGB` row fetch —
+    * one JNI-free int[] per row, not a call per pixel.
+    */
+  private def imageFeatures(rec: MediaRecord, img: BufferedImage): MediaFeatures = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val argb = row(x)
+        sa += (argb >>> 24) & 0xff; sr += (argb >>> 16) & 0xff
+        sg += (argb >>> 8) & 0xff; sb += argb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val mr = sr.toDouble / n / 255.0; val mg = sg.toDouble / n / 255.0
+    val mb = sb.toDouble / n / 255.0; val ma = sa.toDouble / n / 255.0
+    val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+    val feature = Array[Float](
+      mr.toFloat, mg.toFloat, mb.toFloat, ma.toFloat, luma.toFloat,
+      (w.toDouble / h).toFloat,
+      (math.log(n.toDouble) / math.log(2.0)).toFloat, 1f)
+    MediaFeatures(rec.media_id, rec.kind, rec.n_bytes, feature, w, h,
+      payloadByteSum(rec.payload), decoded = true)
+  }
+
+  /** Fallback features for non-image payloads: deterministic byte-level
+    * statistics (folded byte histogram as the vector, byte-derived
+    * pseudo-dimensions) — keeps mixed-modality tables total.
+    */
+  private def byteFeatures(rec: MediaRecord): MediaFeatures = {
     val dim = 8
     val feature = new Array[Float](dim)
     var byteSum = 0L
@@ -75,18 +141,23 @@ object Multimodal {
     val width = 16 + (rec.media_id % 8).toInt * 16
     val height = 16 + (rec.media_id % 5).toInt * 16
     MediaFeatures(rec.media_id, rec.kind, rec.n_bytes, feature, width, height,
-      byteSum)
+      byteSum, decoded = false)
   }
 
   /** Batch decode / feature extraction — mapPartitions so per-partition
     * init cost is amortized (the iterator is consumed lazily; no
-    * per-record setup).
+    * per-record setup). Image payloads get the real ImageIO decode;
+    * everything else byte statistics.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real codec: open handles here, close via iterator completion
-      it.map(decodeStub)
+      it.map { rec =>
+        tryDecodeImage(rec.payload) match {
+          case Some(img) => imageFeatures(rec, img)
+          case None      => byteFeatures(rec)
+        }
+      }
     }
   }
 
@@ -102,14 +173,16 @@ object Multimodal {
     }
   }
 
-  /** A resized media payload (STUB resampler — see [[resize]]). */
+  /** A resized media payload: PNG-encoded pixels for decoded images,
+    * raw resampled bytes otherwise.
+    */
   case class ResizedMedia(media_id: Long, kind: String, target_w: Int,
                           target_h: Int, resized: Array[Byte])
 
-  /** STUB resize: deterministic byte-level downsample to targetW×targetH
-    * "pixels" (nearest-neighbor over the payload bytes). A real
-    * implementation replaces ONLY the per-record body with a codec
-    * resample; the mapPartitions batching, schema, and binary-column
+  /** Resize. Decodable images get a REAL bilinear resample
+    * (Graphics2D) re-encoded as PNG; other payloads get a
+    * deterministic nearest-neighbor byte downsample to targetW×targetH
+    * "pixels". mapPartitions batching, schema, and binary-column
     * plumbing are the production contract (same shape as
     * [[extractFeatures]]).
     */
@@ -117,20 +190,35 @@ object Multimodal {
              targetH: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real codec: init resampler here, amortized across the partition
       it.map { rec =>
-        val n = targetW * targetH
-        val out = new Array[Byte](n)
-        // empty payloads resize to all-zero pixels (no bytes to sample)
-        if (rec.payload.nonEmpty) {
-          val len = rec.payload.length
-          var i = 0
-          while (i < n) {
-            out(i) = rec.payload((i.toLong * len / n).toInt % len)
-            i += 1
-          }
+        val bytes = tryDecodeImage(rec.payload) match {
+          case Some(img) =>
+            val scaled = new BufferedImage(targetW, targetH,
+              BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            try {
+              g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+                RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+            } finally g.dispose()
+            val baos = new ByteArrayOutputStream()
+            ImageIO.write(scaled, "png", baos)
+            baos.toByteArray
+          case None =>
+            val n = targetW * targetH
+            val out = new Array[Byte](n)
+            // empty payloads resize to all-zero pixels (no bytes to sample)
+            if (rec.payload.nonEmpty) {
+              val len = rec.payload.length
+              var i = 0
+              while (i < n) {
+                out(i) = rec.payload((i.toLong * len / n).toInt % len)
+                i += 1
+              }
+            }
+            out
         }
-        ResizedMedia(rec.media_id, rec.kind, targetW, targetH, out)
+        ResizedMedia(rec.media_id, rec.kind, targetW, targetH, bytes)
       }
     }
   }
@@ -139,7 +227,9 @@ object Multimodal {
     * oracle-backed query surfaced through SparkEntry (q24). Every
     * output column is integer arithmetic over the payload bytes, so
     * DuckDB reproduces it exactly from the same parquet while the data
-    * still flows through the real mapPartitions decode path.
+    * still flows through the real mapPartitions decode path (the
+    * synthetic text payloads are not decodable images, so they take
+    * the byte-statistics branch deterministically).
     */
   def featureStats(spark: SparkSession, documents: DataFrame): DataFrame = {
     val feats = extractFeatures(syntheticMedia(spark, documents))

@@ -600,11 +600,19 @@ object TextAnalysis {
     * thresholding.
     *
     * Scale: bigrams are built per row inside a `transform` HOF (no
-    * position self-join); the model is the (bigram, count) aggregate —
-    * Zipf-bounded, far below the corpus —, and scoring joins the doc
-    * bigram stream to it, q71's exact shape one order up. First-token
-    * counts come from `substring_index` on the bigram key, so the
-    * unigram join is on the same shuffled stream, not a second pass.
+    * position self-join), then the occurrence stream is immediately
+    * pre-aggregated to `(doc_id, bigram) → m` — map-side combine
+    * collapses every repeated transition within a doc BEFORE anything
+    * shuffles, and each NLL term is weighted by `m` downstream.
+    * Both model joins key on `xxhash64` 64-bit fingerprints of the
+    * bigram / first token, so post-pre-agg exchanges move only long
+    * keys and counts — never the strings (on a 100 TB corpus the
+    * bigram strings dominate the shuffle otherwise). The corpus model
+    * `c(ab)` is re-derived from the already-combined per-doc stream
+    * (`sum(m)`), not a second pass over occurrences. Fingerprint
+    * collisions merge two transitions' counts — vanishing at any
+    * realistic vocabulary (birthday bound on 2^64) and harmless to a
+    * smoothed LM score; the spec asserts the fixture is collision-free.
     * Docs with fewer than 2 tokens have no bigrams and drop out (both
     * engines derive output rows from the pair stream).
     */
@@ -618,19 +626,24 @@ object TextAnalysis {
           transform(sequence(lit(2), size(t)),
             i => concat_ws(" ", element_at(t, i - 1), element_at(t, i))))
           .otherwise(array().cast("array<string>"))).as("bg"))
+    // occurrences → (doc, bigram-fp, first-token-fp, multiplicity):
+    // the ONLY full-width shuffle; everything after moves longs
+    val occ = pairs
+      .groupBy(col("doc_id"), xxhash64(col("bg")).as("bgh"),
+        xxhash64(substring_index(col("bg"), " ", 1)).as("w1h"))
+      .agg(count(lit(1)).as("m"))
     val uni = d.select(explode(t).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("ca"))
+      .groupBy(xxhash64(col("w")).as("w1h")).agg(count(lit(1)).as("ca"))
     val v = uni.groupBy().agg(count(lit(1)).as("v"))
-    val big = pairs.groupBy("bg").agg(count(lit(1)).as("cab"))
-    pairs
-      .join(big, "bg")
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(uni.withColumnRenamed("w", "w1"), "w1")
+    val big = occ.groupBy("bgh").agg(sum(col("m")).as("cab"))
+    occ
+      .join(big, "bgh")
+      .join(uni, "w1h")
       .crossJoin(broadcast(v))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(sum(col("m")).as("n_bigrams"),
         sum(-log((col("cab") + lit(0.5)) /
-          (col("ca") + lit(0.5) * col("v")))).as("nll"))
+          (col("ca") + lit(0.5) * col("v"))) * col("m")).as("nll"))
       .withColumn("nll_tok", col("nll") / col("n_bigrams"))
       .orderBy("doc_id")
   }

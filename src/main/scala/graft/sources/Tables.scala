@@ -33,20 +33,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) parquet, which
-    * Spark rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
-    * long (legacy conf) and convert to a microsecond TimestampType
-    * column — truncation to micros matches DuckDB's date_trunc behavior
-    * at every granularity we query (minute/hour).
+  /** `events.ts` has shipped in two physical forms across fixture
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark rejects outright,
+    * [PARQUET_TYPE_ILLEGAL] — read nanos as long via the legacy conf
+    * and truncate to micros, matching DuckDB's epoch_us) and plain
+    * timestamp[us] (read as TIMESTAMP_NTZ — cast to TimestampType,
+    * exact under the session's UTC zone). Both land on the same
+    * microsecond TimestampType column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts div 1000`, NOT `ts / 1000`: Spark's `/` on longs is a DOUBLE
-    // division whose round-to-nearest can land one micro high (and, a
-    // hair below a second boundary, one SECOND high after
-    // unix_timestamp) — `div` truncates exactly like DuckDB's epoch_us
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `ts div 1000`, NOT `ts / 1000`: Spark's `/` on longs is a
+        // DOUBLE division whose round-to-nearest can land one micro
+        // high (and, a hair below a second boundary, one SECOND high
+        // after unix_timestamp) — `div` truncates exactly like epoch_us
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

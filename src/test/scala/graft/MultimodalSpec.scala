@@ -40,6 +40,63 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.resize(media, 8, 4).collect()
     assert(out.map(r => (r.media_id, r.resized.toSeq)).sortBy(_._1).toSeq ==
       again.map(r => (r.media_id, r.resized.toSeq)).sortBy(_._1).toSeq,
-      "stub resampler is deterministic")
+      "fallback resampler is deterministic")
+  }
+
+  // ---- real ImageIO codec -------------------------------------------------
+
+  import java.awt.image.BufferedImage
+  import java.io.ByteArrayOutputStream
+  import javax.imageio.ImageIO
+
+  /** Encode a solid-color w×h image in the given ImageIO format. */
+  private def solidImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val baos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, baos), s"JDK must ship a $fmt writer")
+    baos.toByteArray
+  }
+
+  test("golden image: real PNG/BMP decode yields true dimensions and channel means") {
+    import spark.implicits._
+    // solid color R=102 G=204 B=51 → channel means are exactly x/255
+    val rgb = (102 << 16) | (204 << 8) | 51
+    val png = solidImage(6, 4, rgb, "png")
+    val bmp = solidImage(3, 5, rgb, "bmp")
+    val text = "not an image at all".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png, png.length.toLong),
+      Multimodal.MediaRecord(2L, "image", bmp, bmp.length.toLong),
+      Multimodal.MediaRecord(3L, "audio", text, text.length.toLong)).toDS()
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.media_id -> r).toMap
+    val p = f(1L)
+    assert(p.decoded && p.width == 6 && p.height == 4)
+    assert(p.feature(0) == 102f / 255f && p.feature(1) == 204f / 255f &&
+      p.feature(2) == 51f / 255f, "per-channel means are exact for a solid color")
+    assert(p.feature(3) == 1f, "opaque image alpha mean is 1")
+    assert(p.feature(7) == 1f, "decoded flag set")
+    val b = f(2L)
+    assert(b.decoded && b.width == 3 && b.height == 5)
+    assert(b.feature(0) == 102f / 255f && b.feature(2) == 51f / 255f)
+    val t = f(3L)
+    assert(!t.decoded, "non-image payload takes the byte-stats branch")
+    assert(t.byte_sum == text.map(_ & 0xff).sum.toLong)
+  }
+
+  test("golden image: real resize re-encodes a decodable PNG at target dimensions") {
+    import spark.implicits._
+    val rgb = (10 << 16) | (20 << 8) | 30
+    val png = solidImage(8, 8, rgb, "png")
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png, png.length.toLong)).toDS()
+    val out = Multimodal.resize(media, 4, 2).collect().head
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(out.resized))
+    assert(back != null, "resized payload must be a decodable PNG")
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    // bilinear resample of a solid color is the same solid color
+    assert((back.getRGB(0, 0) & 0xffffff) == rgb)
   }
 }

@@ -345,6 +345,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(out(1L)._2 - nll(toks.head)) < 1e-12, s"${out(1L)}")
   }
 
+  test("bigram LM: repeated transitions weight by multiplicity; fixture is fp-collision-free") {
+    // "go go go go" has ONE distinct bigram "go go" with m=3 — the
+    // pre-aggregated plan must still count 3 bigrams and 3 ln-terms
+    val d = Seq((1L, "go go go go"), (2L, "go stop")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll"))).toMap
+    assert(out(1L)._1 == 3L)
+    // hand NLL: c(go go)=3, c(go)=5 (4+1 from doc2), V=2 →
+    // each term -ln(3.5/6), three of them
+    assert(math.abs(out(1L)._2 - 3 * -math.log(3.5 / 6.0)) < 1e-12)
+
+    // the 64-bit fingerprint join keys are collision-free on the
+    // sf0.001 fixture (so the hash-join answer == the string-join answer)
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val toks2 = docs.select(TextFunctions.wsTokens(col("text")).as("t"))
+    val words = toks2.select(explode(col("t")).as("w")).distinct()
+    val nWords = words.count()
+    val nHashes = words.select(xxhash64(col("w"))).distinct().count()
+    assert(nWords == nHashes, "token fingerprints must be collision-free")
+  }
+
   test("contrastive negatives: in-range, anchor-free, reshuffle-stable") {
     val q = SparkEntry.queries("q97_contrastive_pairs")
     val out = q(spark, sf001).collect()

@@ -127,21 +127,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 6L))
   }
 
-  test("MAD anomaly: robust to a single wild value, 3-MAD cut exact") {
-    // values 1..9 plus one wild 1000 for type "a": median 5.5,
-    // adevs = {4.5,3.5,...,0.5,0.5,...,4.5, 994.5} → MAD = 3.0 (10
-    // values: sorted adevs 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5
-    // → median = (2.5+2.5)/2 = 2.5). Outliers: adev > 7.5 → only 994.5.
+  test("MAD anomaly: robust to a single wild value, histogram sketch vs exact twin") {
+    // values 1..9 plus one wild 1000 for type "a". Exact: median 5.5,
+    // sorted adevs 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5 → MAD 2.5,
+    // outliers adev > 7.5 → only 994.5. Sketch (width 1.0, upper-edge
+    // rule): bins 1..9 each cnt 1, rank ceil(5)=5 → bin 5 → med 6.0;
+    // adevs |v−6| bin to 0:1,1:2,2:2,3:2,4:1,5:1,994:1 → cum hits 5 at
+    // bin 2 → mad 3.0; outliers adev > 9 → only 994. Both agree the
+    // wild value is the single outlier; estimates within width of exact.
     val rows = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex.map {
       case (v, i) => ((i + 1).toLong, 1L, new Timestamp(i * 1000L), "a", v)
     }.toDF("event_id", "user_id", "ts", "event_type", "value")
     val out = TimeSeries.madAnomaly(rows).collect()
     assert(out.length == 1)
     val r = out.head
-    assert(r.getAs[Double]("med") == 5.5)
-    assert(r.getAs[Double]("mad") == 2.5)
+    assert(r.getAs[Double]("med") == 6.0)
+    assert(r.getAs[Double]("mad") == 3.0)
     assert(r.getAs[Long]("n_outliers") == 1L)
     assert(r.getAs[Long]("n") == 10L)
+
+    val ex = TimeSeries.madAnomalyExact(rows).collect().head
+    assert(ex.getAs[Double]("med") == 5.5)
+    assert(ex.getAs[Double]("mad") == 2.5)
+    assert(ex.getAs[Long]("n_outliers") == 1L)
+    // sketch estimates are within one bin width of the exact statistic
+    assert(math.abs(r.getAs[Double]("med") - ex.getAs[Double]("med")) <= 1.0)
+    assert(math.abs(r.getAs[Double]("mad") - ex.getAs[Double]("mad")) <= 1.0)
   }
 
   test("cohort retention: first-day cohorts, integer day offsets") {
