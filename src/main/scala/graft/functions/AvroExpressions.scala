@@ -23,7 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * enums, fixed, the primitive types, plus the logical types
   * `timestamp-millis`/`timestamp-micros` on long (→ TimestampType,
   * micros), `date` on int (→ DateType) and `decimal` on bytes/fixed
-  * (→ DecimalType). `["null", T]` unions are nullable fields. Struct
+  * (→ DecimalType). `["null", T]` unions are nullable fields.
+  * Multi-branch unions (2+ non-null branches, with or without null)
+  * decode to a struct of nullable `member0..memberN-1` fields —
+  * spark-avro's convention — with exactly the written branch's member
+  * set; encode requires exactly one non-null member and writes that
+  * branch. (spark-avro's numeric-promotion shortcut — [int,long]→long
+  * — is deliberately NOT applied: every branch keeps its own member,
+  * so no information about which branch was written is lost.) Struct
   * fields map to schema fields BY POSITION. The reference itself needs
   * only flat records (TestUtils.java:7-22); the nested support is what
   * any real user hits at the first schema evolution.
@@ -38,7 +45,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * versions decodes correctly in one batch.
   */
 object AvroStructConverter {
-  /** `[null, T]` union → (T, nullable); anything else → (s, false). */
+  /** `[null, T]` union → (T, nullable); anything else → (s, false).
+    * Multi-branch unions are NOT expressible as a single schema — use
+    * [[branches]]/[[fieldType]] for the general path; this remains the
+    * fast path for the overwhelmingly common nullable-field case.
+    */
   def unwrap(fs: Schema): (Schema, Boolean) = fs.getType match {
     case Schema.Type.UNION =>
       val branches = fs.getTypes
@@ -46,6 +57,38 @@ object AvroStructConverter {
         s"only [null, T] unions supported, got $fs")
       (branches.get(1), true)
     case _ => (fs, false)
+  }
+
+  /** Union-aware split of a FIELD schema: (non-null branches, had a
+    * null branch). Non-union schemas are a single "branch".
+    */
+  def branches(fs: Schema): (IndexedSeq[Schema], Boolean) = fs.getType match {
+    case Schema.Type.UNION =>
+      val all = fs.getTypes
+      val nn = Vector.newBuilder[Schema]
+      var nullable = false
+      val it = all.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        if (b.getType == Schema.Type.NULL) nullable = true else nn += b
+      }
+      val out = nn.result()
+      require(out.nonEmpty, s"union with no non-null branch: $fs")
+      (out, nullable)
+    case _ => (Vector(fs), false)
+  }
+
+  /** Spark type of a FIELD schema, union-aware: single non-null branch
+    * unwraps to the branch type; 2+ branches become the spark-avro
+    * member struct (one nullable `memberI` per branch, exactly one
+    * set per value).
+    */
+  def fieldType(fs: Schema): (DataType, Boolean) = {
+    val (bs, nullable) = branches(fs)
+    if (bs.length == 1) (sparkType(bs.head), nullable)
+    else (StructType(bs.zipWithIndex.map { case (b, i) =>
+      StructField(s"member$i", sparkType(b), nullable = true)
+    }.toArray), nullable)
   }
 
   def isTsMillis(s: Schema): Boolean =
@@ -82,15 +125,15 @@ object AvroStructConverter {
     case Schema.Type.RECORD =>
       StructType(s.getFields.toArray.map { f0 =>
         val f = f0.asInstanceOf[Schema.Field]
-        val (fs, nullable) = unwrap(f.schema())
-        StructField(f.name(), sparkType(fs), nullable)
+        val (dt, nullable) = fieldType(f.schema())
+        StructField(f.name(), dt, nullable)
       })
     case Schema.Type.ARRAY =>
-      val (es, nullable) = unwrap(s.getElementType)
-      ArrayType(sparkType(es), containsNull = nullable)
+      val (dt, nullable) = fieldType(s.getElementType)
+      ArrayType(dt, containsNull = nullable)
     case Schema.Type.MAP =>
-      val (vs, nullable) = unwrap(s.getValueType)
-      MapType(StringType, sparkType(vs), valueContainsNull = nullable)
+      val (dt, nullable) = fieldType(s.getValueType)
+      MapType(StringType, dt, valueContainsNull = nullable)
     case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
   }
 }
@@ -172,10 +215,42 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
     val out = new Array[Any](fields.size)
     var i = 0
     while (i < fields.size) {
-      val (fs, _) = unwrap(fields.get(i).schema())
-      out(i) = fromAvroValue(rec.get(i), fs)
+      out(i) = fromAvroField(rec.get(i), fields.get(i).schema())
       i += 1
     }
+    InternalRow.fromSeq(out.toSeq)
+  }
+
+  /** Avro FIELD value → Catalyst value: resolves unions. Single
+    * non-null branch → plain nullable conversion; multi-branch → the
+    * member struct with only the written branch's member set
+    * (`GenericData.resolveUnion` identifies the branch by the runtime
+    * value, the same dispatch GenericDatumWriter uses).
+    */
+  private def fromAvroField(v: AnyRef, fs: Schema): Any = {
+    if (v == null) return null
+    if (fs.getType != Schema.Type.UNION) return fromAvroValue(v, fs)
+    val all = fs.getTypes
+    var nn = 0
+    var firstNonNull = -1
+    var j = 0
+    while (j < all.size) {
+      if (all.get(j).getType != Schema.Type.NULL) {
+        if (firstNonNull < 0) firstNonNull = j
+        nn += 1
+      }
+      j += 1
+    }
+    if (nn == 1) return fromAvroValue(v, all.get(firstNonNull))
+    val idx = GenericData.get().resolveUnion(fs, v)
+    var member = 0
+    j = 0
+    while (j < idx) {
+      if (all.get(j).getType != Schema.Type.NULL) member += 1
+      j += 1
+    }
+    val out = new Array[Any](nn)
+    out(member) = fromAvroValue(v, all.get(idx))
     InternalRow.fromSeq(out.toSeq)
   }
 
@@ -187,14 +262,14 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
     fs.getType match {
       case Schema.Type.RECORD => fromRecord(v.asInstanceOf[GenericRecord], fs)
       case Schema.Type.ARRAY =>
-        val (es, _) = unwrap(fs.getElementType)
+        val es = fs.getElementType
         val coll = v.asInstanceOf[java.util.Collection[AnyRef]]
         val out = new Array[Any](coll.size)
         val it = coll.iterator(); var i = 0
-        while (it.hasNext) { out(i) = fromAvroValue(it.next(), es); i += 1 }
+        while (it.hasNext) { out(i) = fromAvroField(it.next(), es); i += 1 }
         new GenericArrayData(out)
       case Schema.Type.MAP =>
-        val (vs, _) = unwrap(fs.getValueType)
+        val vs = fs.getValueType
         val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
         val keys = new Array[Any](m.size)
         val vals = new Array[Any](m.size)
@@ -202,7 +277,7 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
         while (it.hasNext) {
           val e = it.next()
           keys(i) = UTF8String.fromString(e.getKey.toString)
-          vals(i) = fromAvroValue(e.getValue, vs)
+          vals(i) = fromAvroField(e.getValue, vs)
           i += 1
         }
         new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
@@ -253,13 +328,37 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
     val fields = rs.getFields
     var i = 0
     while (i < fields.size) {
-      val (fs, _) = unwrap(fields.get(i).schema())
+      val fschema = fields.get(i).schema()
+      val (dt, _) = fieldType(fschema)
       rec.put(i,
         if (row.isNullAt(i)) null
-        else toAvroValue(row.get(i, sparkType(fs)), fs))
+        else toAvroField(row.get(i, dt), fschema))
       i += 1
     }
     rec
+  }
+
+  /** Catalyst FIELD value → Avro runtime value: resolves unions.
+    * Multi-branch values arrive as the member struct; exactly one
+    * member must be non-null and that branch is written.
+    */
+  private def toAvroField(v: Any, fs: Schema): AnyRef = {
+    if (fs.getType != Schema.Type.UNION) return toAvroValue(v, fs)
+    val (bs, _) = branches(fs)
+    if (bs.length == 1) return toAvroValue(v, bs.head)
+    val row = v.asInstanceOf[InternalRow]
+    var member = -1
+    var i = 0
+    while (i < bs.length) {
+      if (!row.isNullAt(i)) {
+        require(member < 0,
+          s"multi-branch union value sets members $member and $i; exactly one required")
+        member = i
+      }
+      i += 1
+    }
+    require(member >= 0, "multi-branch union value must set exactly one member")
+    toAvroValue(row.get(member, sparkType(bs(member))), bs(member))
   }
 
   /** Catalyst value → Avro runtime value (recursive). `fs` is already
@@ -268,19 +367,19 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
   private def toAvroValue(v: Any, fs: Schema): AnyRef = fs.getType match {
     case Schema.Type.RECORD => toRecord(v.asInstanceOf[InternalRow], fs)
     case Schema.Type.ARRAY =>
-      val (es, _) = unwrap(fs.getElementType)
-      val esType = sparkType(es)
+      val es = fs.getElementType
+      val (esType, _) = fieldType(es)
       val ad = v.asInstanceOf[ArrayData]
       val out = new java.util.ArrayList[AnyRef](ad.numElements())
       var i = 0
       while (i < ad.numElements()) {
-        out.add(if (ad.isNullAt(i)) null else toAvroValue(ad.get(i, esType), es))
+        out.add(if (ad.isNullAt(i)) null else toAvroField(ad.get(i, esType), es))
         i += 1
       }
       out
     case Schema.Type.MAP =>
-      val (vs, _) = unwrap(fs.getValueType)
-      val vsType = sparkType(vs)
+      val vs = fs.getValueType
+      val (vsType, _) = fieldType(vs)
       val md = v.asInstanceOf[MapData]
       val keys = md.keyArray(); val vals = md.valueArray()
       // LinkedHashMap: preserve Catalyst entry order so encoded bytes
@@ -289,7 +388,7 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
       var i = 0
       while (i < md.numElements()) {
         out.put(keys.getUTF8String(i).toString,
-          if (vals.isNullAt(i)) null else toAvroValue(vals.get(i, vsType), vs))
+          if (vals.isNullAt(i)) null else toAvroField(vals.get(i, vsType), vs))
         i += 1
       }
       out

@@ -30,24 +30,40 @@ object ScaleOps {
     * matches the same small rows whatever its salt); use when AQE skew
     * splitting isn't enough (e.g. one key is most of the input).
     *
-    * Salt derivation trade-off:
+    * Salt derivation, in order of preference:
+    *   - `uniqueCol = Some(id)` (use whenever the table HAS a unique
+    *     id — doc_id, event_id, offset…): salt from xxhash64 of that
+    *     column alone — fully DETERMINATE map outputs (retry/
+    *     reshuffle-stable) AND spam-proof (content-identical rows
+    *     carry distinct ids, so 100%-duplicate floods under one key
+    *     still fan out over all `salt` reducers). This is the
+    *     production setting; the two below exist for tables with no
+    *     row identity.
     *   - default (`spamProof = false`): xxhash64 over the row content —
-    *     fully deterministic (retry/reshuffle-stable map outputs), but
-    *     rows identical in EVERY column share a salt, so exact-duplicate
-    *     spam under one key still lands on one reducer (the
-    *     exact/fingerprint dedup pass upstream is the structural fix).
+    *     determinate, but rows identical in EVERY column share a salt,
+    *     so exact-duplicate spam under one key still lands on one
+    *     reducer (the exact/fingerprint dedup pass upstream is the
+    *     structural fix).
     *   - `spamProof = true`: salt from `monotonically_increasing_id()` —
     *     duplicates fan out evenly, but the salt depends on row order,
     *     so the map output is indeterminate under stage retry (Spark
-    *     reruns the whole stage for indeterminate outputs; the joined
-    *     RESULT is unchanged either way).
+    *     correctly reruns the WHOLE stage for indeterminate outputs —
+    *     a real cost at 100 TB; the joined RESULT is unchanged either
+    *     way). Any determinate spam-proof salt would need an ordering
+    *     over identical rows, which is exactly what a unique id column
+    *     provides — prefer `uniqueCol`.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salt: Int, spamProof: Boolean = false): DataFrame = {
+                 salt: Int, spamProof: Boolean = false,
+                 uniqueCol: Option[String] = None): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val saltExpr =
-      if (spamProof) pmod(monotonically_increasing_id(), lit(salt)).cast("int")
-      else pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int")
+    val saltExpr = uniqueCol match {
+      case Some(u) => pmod(xxhash64(col(u)), lit(salt)).cast("int")
+      case None if spamProof =>
+        pmod(monotonically_increasing_id(), lit(salt)).cast("int")
+      case None =>
+        pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int")
+    }
     val saltedBig = big.withColumn("__salt", saltExpr)
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))

@@ -54,8 +54,20 @@ object PruneAvroFields extends Rule[LogicalPlan] {
 
   private def isRecord(s: Schema): Boolean = s.getType == Schema.Type.RECORD
 
-  private def unwrap(fs: Schema): (Schema, Boolean) =
-    graft.functions.AvroStructConverter.unwrap(fs)
+  /** Union-aware unwrap: Some(branch, nullable) for plain fields and
+    * single-branch unions; None for multi-branch unions, which the
+    * rule treats as opaque leaves — their siblings still prune, but
+    * nothing inside a member struct does (dropping fields from one
+    * branch's record would have to keep every branch readable for
+    * Avro resolution AND remap the Spark member struct; the win is
+    * small next to sibling pruning and the complexity is not).
+    */
+  private def unwrap(fs: Schema): Option[(Schema, Boolean)] = fs.getType match {
+    case Schema.Type.UNION =>
+      val (bs, nullable) = graft.functions.AvroStructConverter.branches(fs)
+      if (bs.length == 1) Some((bs.head, nullable)) else None
+    case _ => Some((fs, false))
+  }
 
   private def rewrap(inner: Schema, nullable: Boolean): Schema =
     if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), inner)
@@ -67,8 +79,10 @@ object PruneAvroFields extends Rule[LogicalPlan] {
     case Keep(children) =>
       children.size < s.getFields.size ||
         children.exists { case (i, n) =>
-          val (fs, _) = unwrap(s.getFields.get(i).schema())
-          isRecord(fs) && drops(fs, n)
+          unwrap(s.getFields.get(i).schema()) match {
+            case Some((fs, _)) => isRecord(fs) && drops(fs, n)
+            case None => false // multi-union: opaque, never pruned below
+          }
         }
   }
 
@@ -83,16 +97,16 @@ object PruneAvroFields extends Rule[LogicalPlan] {
       var childRemaps = Map.empty[Int, Remap]
       val fields = keep.map { i =>
         val f = s.getFields.get(i)
-        val (fs, nullable) = unwrap(f.schema())
         val sub = children(i)
-        if (isRecord(fs) && drops(fs, sub)) {
-          val (prunedInner, innerRemap) = pruneSchema(fs, sub)
-          childRemaps += (i -> innerRemap)
-          // drop the default: it may not conform to the pruned nested
-          // schema, and reader⊆writer resolution never consults it
-          new Schema.Field(f.name(), rewrap(prunedInner, nullable), f.doc())
-        } else {
-          new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
+        unwrap(f.schema()) match {
+          case Some((fs, nullable)) if isRecord(fs) && drops(fs, sub) =>
+            val (prunedInner, innerRemap) = pruneSchema(fs, sub)
+            childRemaps += (i -> innerRemap)
+            // drop the default: it may not conform to the pruned nested
+            // schema, and reader⊆writer resolution never consults it
+            new Schema.Field(f.name(), rewrap(prunedInner, nullable), f.doc())
+          case _ =>
+            new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
         }
       }
       val out = Schema.createRecord(s.getName, s.getDoc, s.getNamespace, false)

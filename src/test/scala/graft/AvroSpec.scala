@@ -523,4 +523,66 @@ class AvroSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(back == Set((1L, Some("hi")), (2L, None)))
   }
+
+  test("multi-branch union of two records decodes to member struct and round-trips") {
+    GraftFunctions.register(spark)
+    val schemaJson =
+      """{"type":"record","name":"Evt","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"body","type":["null",
+        |  {"type":"record","name":"Click","fields":[
+        |    {"name":"x","type":"int"},{"name":"y","type":"int"}]},
+        |  {"type":"record","name":"View","fields":[
+        |    {"name":"url","type":"string"}]}]}]}""".stripMargin
+    val schema = new Schema.Parser().parse(schemaJson)
+    val clickS = schema.getField("body").schema().getTypes.get(1)
+    val viewS = schema.getField("body").schema().getTypes.get(2)
+
+    // bytes written by the PLAIN avro library, one per branch + a null
+    val click = new GenericData.Record(clickS)
+    click.put("x", 3); click.put("y", 4)
+    val view = new GenericData.Record(viewS)
+    view.put("url", new org.apache.avro.util.Utf8("/home"))
+    val bytes = Seq[(Long, AnyRef)]((1L, click), (2L, view), (3L, null)).map {
+      case (id, body) => avroEncode(schema, r => { r.put("id", id); r.put("body", body) })
+    }
+
+    val df = bytes.map(Tuple1(_)).toDF("value")
+      .select(GraftFunctions.fromAvro(col("value"), schemaJson).as("r"))
+    // spark-avro member-struct convention: body.member0 = Click, member1 = View
+    val rows = df.select("r.id", "r.body.member0.x", "r.body.member0.y",
+        "r.body.member1.url").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(3)))).toSet
+    assert(rows == Set((1L, Some(3), None), (2L, None, Some("/home")),
+      (3L, None, None)), s"got $rows")
+
+    // round-trip: re-encode through ToAvroGraft, decode with PLAIN avro
+    val wire = df.select(col("r.id"),
+        GraftFunctions.toAvro(col("r"), schemaJson).as("value"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("value")).toMap
+    val back1 = avroDecode(schema, wire(1L))
+    assert(back1.get("body").asInstanceOf[GenericRecord].get("x") == 3)
+    val back2 = avroDecode(schema, wire(2L))
+    assert(back2.get("body").asInstanceOf[GenericRecord].get("url").toString == "/home")
+    assert(avroDecode(schema, wire(3L)).get("body") == null)
+  }
+
+  test("multi-branch primitive union [int, string] keeps each branch's member") {
+    GraftFunctions.register(spark)
+    val schemaJson =
+      """{"type":"record","name":"P","fields":[
+        |{"name":"v","type":["int","string"]}]}""".stripMargin
+    val schema = new Schema.Parser().parse(schemaJson)
+    val bytes = Seq[AnyRef](Integer.valueOf(7), new org.apache.avro.util.Utf8("seven"))
+      .map(v => avroEncode(schema, _.put("v", v)))
+    val df = bytes.map(Tuple1(_)).toDF("value")
+      .select(GraftFunctions.fromAvro(col("value"), schemaJson).as("r"))
+    val got = df.select("r.v.member0", "r.v.member1").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(got == Set((Some(7), None), (None, Some("seven"))), s"got $got")
+    // no-null union: the field itself is non-nullable, encode restores wire
+    val wire = df.select(GraftFunctions.toAvro(col("r"), schemaJson))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    assert(wire == bytes.map(_.toSeq).toSet, "encoded bytes match originals")
+  }
 }

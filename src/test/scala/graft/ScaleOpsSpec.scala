@@ -127,6 +127,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(contentSpread == 1L, "content salt co-locates identical rows (the documented trade)")
   }
 
+  test("uniqueCol salting is determinate AND spreads content-duplicate rows") {
+    // 500 rows identical in every CONTENT column but carrying a unique
+    // id — the production shape. uniqueCol salt must fan them out
+    // (spam-proof) while staying a pure function of the id column
+    // (determinate map outputs — no monotonically_increasing_id).
+    val big = (1L to 500L).map(i => (i, 7L, "same")).toDF("row_id", "k", "payload")
+    val small = (0L until 10L).map(i => (i, s"dim$i")).toDF("k", "attr")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "row_id", "attr").collect().map(_.toString).sorted
+    val salted = ScaleOps.saltedJoin(big, small, "k", salt = 8,
+        uniqueCol = Some("row_id"))
+      .select("k", "row_id", "attr").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+    val spread = big.withColumn("__salt",
+        pmod(xxhash64(col("row_id")), lit(8)).cast("int"))
+      .select(countDistinct(col("__salt"))).head.getLong(0)
+    assert(spread >= 4, s"unique-id salt only spread over $spread values")
+    // determinate: recomputing the salted frame yields identical salts
+    // per row (a pure column function — no order dependence)
+    val s1 = big.withColumn("__salt", pmod(xxhash64(col("row_id")), lit(8)))
+      .select("row_id", "__salt").collect().map(_.toString).sorted.toSeq
+    val s2 = big.repartition(7).withColumn("__salt",
+        pmod(xxhash64(col("row_id")), lit(8)))
+      .select("row_id", "__salt").collect().map(_.toString).sorted.toSeq
+    assert(s1 == s2, "salt assignment survives an arbitrary reshuffle")
+  }
+
   test("zorder64 interleaves bits exactly (reference bit loop)") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L
