@@ -1370,6 +1370,18 @@ object SparkEntry {
     "q111_length_calibration" -> ((s, dir) => {
       TextAnalysis.lengthCalibration(Tables.documents(s, dir))
     }),
+
+    // Inverted-index build: per-term df + capped ascending posting
+    // list (rank-filtered BEFORE collection — no unbounded buffers).
+    "q112_posting_lists" -> ((s, dir) => {
+      TextAnalysis.postingLists(Tables.documents(s, dir))
+    }),
+
+    // Temperature-weighted source mixture: p_temp ∝ p_raw^0.3
+    // renormalized; upsample factor per source.
+    "q113_temperature_mixture" -> ((s, dir) => {
+      TextAnalysis.temperatureMixture(Tables.documents(s, dir))
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -2921,5 +2933,48 @@ object SparkEntry {
         |         AS pct_source,
         |       percent_rank() OVER (ORDER BY n_tokens) AS pct_global
         |FROM d ORDER BY 1""".stripMargin,
+
+    // q112: DISTINCT after the unnest (Spark: array_distinct before
+    // the explode — same per-doc term set); string_agg with ORDER BY
+    // mirrors the sorted comma-joined postings.
+    "q112_posting_lists" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(string_split(lower(text), ' '),
+        |                              x -> length(x) > 0)) AS term
+        |    FROM documents)),
+        |dfv AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY 1),
+        |top AS (
+        |  SELECT term, doc_id,
+        |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM toks),
+        |cap AS (
+        |  SELECT term,
+        |         string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings,
+        |         count(*)::BIGINT AS n_postings
+        |  FROM top WHERE rn <= 16 GROUP BY 1)
+        |SELECT term, df, postings, n_postings
+        |FROM dfv JOIN cap USING (term) ORDER BY term""".stripMargin,
+
+    // q113: pow/division on the |sources|-row table — identical IEEE
+    // double arithmetic both engines; the 20-term z sum is far inside
+    // the 1e-9 tolerance whatever the fold order.
+    "q113_temperature_mixture" ->
+      """WITH per AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |         SUM(len(list_filter(string_split(lower(text), ' '),
+        |                             x -> length(x) > 0)))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_tokens)::BIGINT AS tot FROM per),
+        |p AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         n_tokens::DOUBLE / tot AS p_raw,
+        |         pow(n_tokens::DOUBLE / tot, 0.3) AS pa
+        |  FROM per CROSS JOIN t),
+        |z AS (SELECT SUM(pa) AS z FROM p)
+        |SELECT source, n_docs, n_tokens, p_raw, pa / z AS p_temp,
+        |       (pa / z) / p_raw AS upsample
+        |FROM p CROSS JOIN z ORDER BY source""".stripMargin,
   )
 }

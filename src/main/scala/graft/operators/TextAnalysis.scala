@@ -930,4 +930,63 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
   }
+
+  /** Inverted-index construction (the retrieval-index build step):
+    * per term, document frequency over the whole corpus plus a CAPPED
+    * posting list — the first `cap` doc_ids in ascending order,
+    * comma-joined (strings compare bit-exactly across engines; a
+    * native array column would differ only in container repr).
+    *
+    * Scale: per-doc `array_distinct` bounds the explode to distinct
+    * terms per doc; `df` is a count-only aggregate (never a list);
+    * the posting list is rank-filtered BEFORE collection, so no
+    * aggregation buffer ever holds more than `cap` entries — a
+    * stopword's millions of docs cost a WindowGroupLimit-pruned
+    * top-cap per term, not an unbounded collect_list. Postings and
+    * df ride the same (term)-keyed shuffle pair.
+    */
+  def postingLists(documents: DataFrame, cap: Int = 16): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.wsTokens(col("text")))).as("term"))
+    val dfv = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val capped = toks
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+      .groupBy("term")
+      .agg(
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("postings"),
+        count(lit(1)).as("n_postings"))
+    dfv.join(capped, "term").orderBy("term")
+  }
+
+  /** Temperature-weighted source mixture (the multilingual/multi-source
+    * LM mixing rule): raw source probability p_raw ∝ token count, and
+    * sampling probability p_temp ∝ p_raw^alpha renormalized —
+    * alpha < 1 upsamples the tail, alpha = 1 is proportional, alpha = 0
+    * is uniform. `upsample = p_temp / p_raw` is the per-source
+    * replication factor a sampler applies.
+    *
+    * Scale: one count/sum aggregate per source (map-side combined),
+    * then all arithmetic happens on the |sources|-row table with two
+    * broadcast scalars — the corpus is touched exactly once.
+    */
+  def temperatureMixture(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val per = documents
+      .select(col("source"),
+        size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    val p = per.crossJoin(broadcast(tot))
+      .withColumn("p_raw", col("n_tokens").cast("double") / col("tot"))
+      .withColumn("pa", pow(col("p_raw"), lit(alpha)))
+    val z = p.agg(sum(col("pa")).as("z"))
+    p.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("p_raw"),
+        (col("pa") / col("z")).as("p_temp"),
+        ((col("pa") / col("z")) / col("p_raw")).as("upsample"))
+      .orderBy("source")
+  }
 }

@@ -367,6 +367,45 @@ class TextFunctionsSpec extends SparkSpec {
     assert(nWords == nHashes, "token fingerprints must be collision-free")
   }
 
+  test("posting lists: df over the full corpus, postings capped and ascending") {
+    val d = Seq(
+      (3L, "b a a b"),   // per-doc distinct: {a, b}
+      (1L, "a c"),
+      (2L, "a"),
+      (4L, "a d"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.postingLists(d, cap = 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("df"), r.getAs[String]("postings"),
+          r.getAs[Long]("n_postings"))).toMap
+    // df counts EVERY doc containing the term; postings keep only the
+    // cap smallest doc_ids, comma-joined ascending
+    assert(out("a") == ((4L, "1,2", 2L)), s"got ${out("a")}")
+    assert(out("b") == ((1L, "3", 1L)))
+    assert(out("c") == ((1L, "1", 1L)))
+    assert(out("d") == ((1L, "4", 1L)))
+  }
+
+  test("temperature mixture: alpha<1 upsamples the tail, probabilities normalize") {
+    // source A: 9x tokens of source B -> p_raw 0.9/0.1
+    val d = Seq(
+      (1L, ("x " * 90).trim, "A"),
+      (2L, ("x " * 10).trim, "B"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.temperatureMixture(d, alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p_raw"), r.getAs[Double]("p_temp"),
+          r.getAs[Double]("upsample"))).toMap
+    val z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert(math.abs(out("A")._1 - 0.9) < 1e-15)
+    assert(math.abs(out("A")._2 - math.sqrt(0.9) / z) < 1e-12)
+    assert(math.abs(out("B")._2 - math.sqrt(0.1) / z) < 1e-12)
+    assert(out("A")._2 + out("B")._2 > 1.0 - 1e-12 &&
+      out("A")._2 + out("B")._2 < 1.0 + 1e-12, "p_temp sums to 1")
+    assert(out("B")._3 > 1.0 && out("A")._3 < 1.0,
+      "temperature upsamples the small source and downsamples the large")
+  }
+
   test("contrastive negatives: in-range, anchor-free, reshuffle-stable") {
     val q = SparkEntry.queries("q97_contrastive_pairs")
     val out = q(spark, sf001).collect()
