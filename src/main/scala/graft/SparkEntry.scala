@@ -1382,6 +1382,14 @@ object SparkEntry {
     "q113_temperature_mixture" -> ((s, dir) => {
       TextAnalysis.temperatureMixture(Tables.documents(s, dir))
     }),
+
+    // Codec round-trip: text bytes → real grayscale PNG → real
+    // ImageIO decode → decoded-domain integer pixel stats (the
+    // oracle derives them analytically from the bytes — a fake or
+    // lossy codec cannot pass).
+    "q114_image_roundtrip" -> ((s, dir) => {
+      Multimodal.imageRoundTrip(s, Tables.documents(s, dir))
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -2976,5 +2984,20 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, p_raw, pa / z AS p_temp,
         |       (pa / z) / p_raw AS upsample
         |FROM p CROSS JOIN z ORDER BY source""".stripMargin,
+
+    // q114: the analytic side of the codec round-trip — width is the
+    // layout constant, height the ceil division, pixel_sum the text
+    // byte sum (ASCII fixture: unicode(c) == UTF-8 byte; PNG zero
+    // padding adds nothing). The Spark side reads these from DECODED
+    // pixels; matching hashes prove the codec is real and lossless.
+    "q114_image_roundtrip" ->
+      """SELECT doc_id, 32::BIGINT AS width,
+        |       greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT))
+        |         AS height,
+        |       coalesce(list_sum(list_transform(string_split(text, ''),
+        |                                        c -> unicode(c))), 0)::BIGINT
+        |         AS pixel_sum,
+        |       1::BIGINT AS is_decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

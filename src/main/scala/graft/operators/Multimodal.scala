@@ -38,13 +38,17 @@ object Multimodal {
   /** Extracted features: fixed-width vector + dims metadata +
     * byte_sum (integer payload checksum — exactly reproducible by the
     * oracle, unlike the f32-accumulated feature vector). For decoded
-    * images `width`/`height` are the REAL pixel dimensions and
-    * `feature` carries per-channel means; for everything else both are
-    * deterministic functions of the payload bytes.
+    * images `width`/`height` are the REAL pixel dimensions, `feature`
+    * carries per-channel means, and `pixel_sum` is the integer sum of
+    * the blue/gray channel samples over all pixels (for a grayscale
+    * image: the sum of the gray bytes — the decoded-domain integer
+    * the q114 oracle checks). For everything else dims are
+    * deterministic functions of the payload bytes and
+    * `pixel_sum == byte_sum`.
     */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            feature: Array[Float], width: Int, height: Int,
-                           byte_sum: Long, decoded: Boolean)
+                           byte_sum: Long, pixel_sum: Long, decoded: Boolean)
 
   /** One sampled frame of a "video" payload. */
   case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
@@ -62,6 +66,63 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"),
         length(col("text")).cast("long").as("n_bytes"))
       .as[MediaRecord]
+  }
+
+  /** Deterministic grayscale PNG per document: the text's UTF-8 bytes
+    * laid out row-major into a `width`×ceil(n/width) TYPE_BYTE_GRAY
+    * image (zero-padded tail, min height 1), PNG-encoded — a REAL
+    * image payload whose decoded pixel content is an analytic
+    * function of the text bytes, which is what lets q114 put the
+    * actual ImageIO decode path under the integer oracle gate (PNG is
+    * lossless, so decode must recover every byte). Fixture plumbing:
+    * production tables arrive with real payloads; this is the
+    * generator side of the round-trip proof.
+    */
+  def syntheticImages(spark: SparkSession, documents: DataFrame,
+                      width: Int = 32): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val h = math.max(1, (bytes.length + width - 1) / width)
+          val img = new BufferedImage(width, h, BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < width * h) {
+            raster.setSample(i % width, i / width, 0,
+              if (i < bytes.length) bytes(i) & 0xff else 0)
+            i += 1
+          }
+          val baos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", baos)
+          val payload = baos.toByteArray
+          MediaRecord(id, "image", payload, payload.length.toLong)
+        }
+      }
+  }
+
+  /** q114: the codec round-trip under the oracle gate. Every document
+    * becomes a real PNG ([[syntheticImages]]), flows through the real
+    * ImageIO decode ([[extractFeatures]]), and the DECODED-domain
+    * integers — true pixel dimensions and gray-channel pixel sum —
+    * are emitted per doc. The oracle computes the same values
+    * analytically from the text bytes (width, ceil-division height,
+    * byte sum; zero padding adds nothing), so any codec shortcut —
+    * fake decode, wrong dimensions, lossy pixels — breaks the hash
+    * match. `decoded` must be true for every row (asserted cheaply as
+    * a 1/0 column the oracle pins to 1).
+    */
+  def imageRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val feats = extractFeatures(syntheticImages(spark, documents))
+    feats.toDF().select(
+        col("media_id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("pixel_sum"),
+        when(col("decoded"), 1L).otherwise(0L).as("is_decoded"))
+      .orderBy("doc_id")
   }
 
   /** Decode a payload as an image via the JDK's ImageIO (PNG/BMP/GIF/
@@ -94,17 +155,34 @@ object Multimodal {
     val w = img.getWidth; val h = img.getHeight
     var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
     val row = new Array[Int](w)
-    var y = 0
-    while (y < h) {
-      img.getRGB(0, y, w, 1, row, 0, w)
-      var x = 0
-      while (x < w) {
-        val argb = row(x)
-        sa += (argb >>> 24) & 0xff; sr += (argb >>> 16) & 0xff
-        sg += (argb >>> 8) & 0xff; sb += argb & 0xff
-        x += 1
+    if (img.getRaster.getNumBands == 1) {
+      // grayscale: read RAW samples — getRGB would map the linear gray
+      // color space to sRGB (sample 128 → rgb ~186), destroying the
+      // byte-exactness the q114 round-trip oracle checks
+      var y = 0
+      while (y < h) {
+        img.getRaster.getSamples(0, y, w, 1, 0, row)
+        var x = 0
+        while (x < w) {
+          val g = row(x)
+          sr += g; sg += g; sb += g; sa += 255
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+    } else {
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val argb = row(x)
+          sa += (argb >>> 24) & 0xff; sr += (argb >>> 16) & 0xff
+          sg += (argb >>> 8) & 0xff; sb += argb & 0xff
+          x += 1
+        }
+        y += 1
+      }
     }
     val n = w.toLong * h
     val mr = sr.toDouble / n / 255.0; val mg = sg.toDouble / n / 255.0
@@ -115,7 +193,7 @@ object Multimodal {
       (w.toDouble / h).toFloat,
       (math.log(n.toDouble) / math.log(2.0)).toFloat, 1f)
     MediaFeatures(rec.media_id, rec.kind, rec.n_bytes, feature, w, h,
-      payloadByteSum(rec.payload), decoded = true)
+      payloadByteSum(rec.payload), pixel_sum = sb, decoded = true)
   }
 
   /** Fallback features for non-image payloads: deterministic byte-level
@@ -141,7 +219,7 @@ object Multimodal {
     val width = 16 + (rec.media_id % 8).toInt * 16
     val height = 16 + (rec.media_id % 5).toInt * 16
     MediaFeatures(rec.media_id, rec.kind, rec.n_bytes, feature, width, height,
-      byteSum, decoded = false)
+      byteSum, pixel_sum = byteSum, decoded = false)
   }
 
   /** Batch decode / feature extraction — mapPartitions so per-partition

@@ -86,6 +86,36 @@ class MultimodalSpec extends SparkSpec {
     assert(t.byte_sum == text.map(_ & 0xff).sum.toLong)
   }
 
+  test("codec round-trip: text bytes → gray PNG → decode recovers every byte") {
+    import spark.implicits._
+    // "abc" (97,98,99) at width 4 → 4×1 image [97,98,99,0]; a 9-char
+    // text at width 4 → 4×3 with three padding zeros
+    val d = Seq((1L, "abc"), (2L, "123456789"), (3L, ""))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticImages(spark, d, width = 4))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.values.forall(_.decoded), "every synthetic PNG must decode")
+    assert(feats(1L).width == 4 && feats(1L).height == 1)
+    assert(feats(1L).pixel_sum == 97L + 98 + 99)
+    assert(feats(2L).width == 4 && feats(2L).height == 3)
+    assert(feats(2L).pixel_sum == "123456789".map(_.toLong).sum)
+    assert(feats(3L).width == 4 && feats(3L).height == 1 &&
+      feats(3L).pixel_sum == 0L, "empty text → all-zero 4x1 image")
+    // gray raster read must bypass the sRGB conversion getRGB applies
+    // to TYPE_BYTE_GRAY (sample 128 would read back as ~186)
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until 2; y <- 0 until 2) img.getRaster.setSample(x, y, 0, 128)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val f9 = Multimodal.extractFeatures(Seq(
+        Multimodal.MediaRecord(9L, "image", png, png.length.toLong)).toDS())
+      .collect().head
+    assert(f9.pixel_sum == 4L * 128, s"raw gray samples, got ${f9.pixel_sum}")
+  }
+
   test("golden image: real resize re-encodes a decodable PNG at target dimensions") {
     import spark.implicits._
     val rgb = (10 << 16) | (20 << 8) | 30
