@@ -1390,6 +1390,13 @@ object SparkEntry {
     "q114_image_roundtrip" -> ((s, dir) => {
       Multimodal.imageRoundTrip(s, Tables.documents(s, dir))
     }),
+
+    // Audio-codec round-trip: text bytes → real RIFF/WAV (8-bit
+    // unsigned PCM) → real AudioSystem decode → integer frame/sample
+    // stats the oracle derives analytically.
+    "q115_audio_roundtrip" -> ((s, dir) => {
+      Multimodal.audioRoundTrip(s, Tables.documents(s, dir))
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -2997,6 +3004,19 @@ object SparkEntry {
         |       coalesce(list_sum(list_transform(string_split(text, ''),
         |                                        c -> unicode(c))), 0)::BIGINT
         |         AS pixel_sum,
+        |       1::BIGINT AS is_decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q115: WAV frames are the text bytes themselves (8-bit unsigned
+    // PCM mono, frame size 1); empty text is one zero frame.
+    "q115_audio_roundtrip" ->
+      """SELECT doc_id,
+        |       greatest(1, length(text))::BIGINT AS n_frames,
+        |       8000::BIGINT AS sample_rate,
+        |       1::BIGINT AS channels,
+        |       coalesce(list_sum(list_transform(string_split(text, ''),
+        |                                        c -> unicode(c))), 0)::BIGINT
+        |         AS sample_sum,
         |       1::BIGINT AS is_decoded
         |FROM documents ORDER BY doc_id""".stripMargin,
   )

@@ -125,6 +125,97 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Decoded audio features: frame count, format metadata, and the
+    * integer sum of unsigned 8-bit samples (the decoded-domain
+    * integer the q115 oracle checks).
+    */
+  case class AudioFeatures(media_id: Long, n_frames: Long, sample_rate: Long,
+                           channels: Int, sample_sum: Long, decoded: Boolean)
+
+  /** Deterministic WAV per document: the text's UTF-8 bytes become the
+    * PCM_UNSIGNED 8-bit mono sample stream (8 kHz), wrapped in a real
+    * RIFF/WAVE container by `javax.sound.sampled.AudioSystem` — the
+    * audio analogue of [[syntheticImages]]. Empty docs become a
+    * one-frame silence (an empty WAV data chunk is legal but
+    * degenerate; one zero frame keeps every doc represented).
+    */
+  def syntheticWavs(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = if (bytes0.isEmpty) Array[Byte](0) else bytes0
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+            8000f, 8, 1, 1, 8000f, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+          val baos = new ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          val payload = baos.toByteArray
+          MediaRecord(id, "audio", payload, payload.length.toLong)
+        }
+      }
+  }
+
+  /** Real WAV decode via the JDK's sampled-audio stack: parse the
+    * RIFF container, read every PCM frame, and reduce to integer
+    * sample statistics. mapPartitions, same batching contract as
+    * [[extractFeatures]]. Non-WAV payloads yield `decoded = false`
+    * with byte-level stand-ins (n_frames = payload length,
+    * sample_sum = byte sum) so mixed tables stay total.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(rec.payload))
+          val fmt = ais.getFormat
+          val buf = new Array[Byte](8192)
+          var sum = 0L; var n = 0L
+          var read = ais.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i < read) { sum += buf(i) & 0xff; i += 1 }
+            n += read
+            read = ais.read(buf)
+          }
+          AudioFeatures(rec.media_id, n / math.max(1, fmt.getFrameSize),
+            fmt.getSampleRate.toLong, fmt.getChannels, sum, decoded = true)
+        } catch {
+          case _: Exception =>
+            var sum = 0L; var i = 0
+            while (i < rec.payload.length) { sum += rec.payload(i) & 0xff; i += 1 }
+            AudioFeatures(rec.media_id, rec.payload.length.toLong, 0L, 0, sum,
+              decoded = false)
+        }
+      }
+    }
+  }
+
+  /** q115: the audio-codec round-trip under the oracle gate — every
+    * document becomes a real WAV ([[syntheticWavs]]), flows through
+    * the real `AudioSystem` decode, and the decoded-domain integers
+    * (frame count, sample rate, channels, unsigned sample sum) are
+    * emitted per doc; the oracle derives them analytically from the
+    * text bytes (empty text → one zero frame).
+    */
+  def audioRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val feats = extractAudioFeatures(syntheticWavs(spark, documents))
+    feats.toDF().select(
+        col("media_id").as("doc_id"),
+        col("n_frames"),
+        col("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("sample_sum"),
+        when(col("decoded"), 1L).otherwise(0L).as("is_decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Decode a payload as an image via the JDK's ImageIO (PNG/BMP/GIF/
     * JPEG). None for anything the registry can't parse — the caller
     * falls back to byte statistics. `setUseCache(false)` keeps ImageIO

@@ -116,6 +116,26 @@ class MultimodalSpec extends SparkSpec {
     assert(f9.pixel_sum == 4L * 128, s"raw gray samples, got ${f9.pixel_sum}")
   }
 
+  test("audio round-trip: text bytes → real WAV → AudioSystem decode recovers samples") {
+    import spark.implicits._
+    val d = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val feats = Multimodal.extractAudioFeatures(
+        Multimodal.syntheticWavs(spark, d))
+      .collect().map(f => f.media_id -> f).toMap
+    val a = feats(1L)
+    assert(a.decoded && a.n_frames == 3L && a.sample_rate == 8000L &&
+      a.channels == 1 && a.sample_sum == 97L + 98 + 99, s"got $a")
+    val e = feats(2L)
+    assert(e.decoded && e.n_frames == 1L && e.sample_sum == 0L,
+      "empty text is one zero frame")
+    // a non-WAV payload takes the fallback branch, stays total
+    val junk = "definitely not RIFF".getBytes("UTF-8")
+    val f = Multimodal.extractAudioFeatures(Seq(
+        Multimodal.MediaRecord(9L, "audio", junk, junk.length.toLong)).toDS())
+      .collect().head
+    assert(!f.decoded && f.sample_sum == junk.map(_ & 0xff).sum.toLong)
+  }
+
   test("golden image: real resize re-encodes a decodable PNG at target dimensions") {
     import spark.implicits._
     val rgb = (10 << 16) | (20 << 8) | 30
