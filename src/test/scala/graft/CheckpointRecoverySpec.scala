@@ -170,6 +170,68 @@ class CheckpointRecoverySpec extends SparkSpec {
       "restarted query must refine the checkpointed window sum, not restart it")
   }
 
+  // ---- funnel stage machine (transformWithState, TimeMode.None) --------
+
+  case class E(user_id: Long, event_type: String, ts: Timestamp)
+
+  test("funnel recovers from checkpoint: stage state survives, later stages advance") {
+    withRocksDb {
+      val stages = Seq("view", "cart", "buy")
+      def mk() = {
+        val in = MemoryStream[E]
+        (in, graft.streaming.FunnelStream.advances(in.toDF(), stages).toDF())
+      }
+      val phases: Seq[Seq[Seq[E]]] = Seq(
+        // phase 1: user 1 reaches stage 1; user 2 stays at stage 0
+        Seq(Seq(E(1L, "view", Timestamp.valueOf("2024-01-01 00:00:10")),
+                E(2L, "cart", Timestamp.valueOf("2024-01-01 00:00:11")))),
+        // phase 2 (after kill): "cart" can only advance user 1 if the
+        // RECOVERED state says stage 1 — with lost state it would be
+        // ignored (stage 0 requires "view")
+        Seq(Seq(E(1L, "cart", Timestamp.valueOf("2024-01-01 00:00:20"))),
+            Seq(E(1L, "buy", Timestamp.valueOf("2024-01-01 00:00:30")),
+                E(2L, "view", Timestamp.valueOf("2024-01-01 00:00:31")))))
+      val resumed = runAppendPhases(mk _, phases, interrupt = true)
+      val straight = runAppendPhases(mk _, phases, interrupt = false)
+      assert(resumed == straight,
+        s"advance streams must match:\n$resumed\nvs\n$straight")
+      // user 1 must have advanced through stages 1, 2 AND 3 (2 and 3
+      // emitted after the restart, off recovered stage state)
+      assert((1 to 3).forall(i => resumed.exists(r =>
+        r.startsWith("1|") && r.contains(s"|$i|"))),
+        s"user 1 must reach stage 3 across the restart: $resumed")
+    }
+  }
+
+  // ---- native session windows (merging session state + watermark) ------
+
+  case class V(user_id: Long, value: Double, ts: Timestamp)
+
+  test("session windows recover from checkpoint: open session merges across restart") {
+    def mk() = {
+      val in = MemoryStream[V]
+      (in, graft.streaming.SessionStream.sessions(
+        in.toDF(), gap = "30 seconds", watermark = "10 seconds"))
+    }
+    val phases: Seq[Seq[Seq[V]]] = Seq(
+      // phase 1: two events 10 s apart — ONE open session in state
+      Seq(Seq(V(1L, 1.0, Timestamp.valueOf("2024-01-01 00:00:10")),
+              V(1L, 2.0, Timestamp.valueOf("2024-01-01 00:00:20")))),
+      // phase 2 (after kill): a third event extends the RECOVERED
+      // session; then a late sentinel advances the watermark past the
+      // gap so the merged session closes and is emitted
+      Seq(Seq(V(1L, 4.0, Timestamp.valueOf("2024-01-01 00:00:25"))),
+          Seq(V(9L, 0.0, Timestamp.valueOf("2024-01-01 00:10:00")))))
+    val resumed = runAppendPhases(mk _, phases, interrupt = true)
+    val straight = runAppendPhases(mk _, phases, interrupt = false)
+    assert(resumed == straight,
+      s"session sets must match:\n$resumed\nvs\n$straight")
+    // the user-1 session must be ONE merged window of 3 events / 7.0 —
+    // a lost-state restart would emit two fragments instead
+    assert(resumed.exists(r => r.startsWith("1|") && r.contains("|3|7.0")),
+      s"one merged 3-event session expected: $resumed")
+  }
+
   // ---- streaming near-dup dedup (MapState-heavy TWS pipeline) ----------
 
   test("streaming hamming<=3 dedup recovers from checkpoint: same survivor set") {
