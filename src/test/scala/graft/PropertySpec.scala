@@ -210,4 +210,48 @@ class PropertySpec extends SparkSpec {
       .count()
     assert(bad == 0L, "some word's symbols no longer concatenate to it")
   }
+
+  test("multi-branch union round-trip: random branch choices survive to_avro∘from_avro") {
+    GraftFunctions.register(spark)
+    val schemaJson =
+      """{"type":"record","name":"U","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"v","type":["null","long","string",
+        |  {"type":"record","name":"P","fields":[
+        |    {"name":"a","type":"int"},{"name":"b","type":"string"}]}]}]}"""
+        .stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val pSchema = schema.getField("v").schema().getTypes.get(3)
+    val rng = new scala.util.Random(7)
+    // encode 60 random rows with the PLAIN avro library, one of the
+    // four branches (incl. null) chosen at random per row
+    val rows = (1L to 60L).map { id =>
+      val v: AnyRef = rng.nextInt(4) match {
+        case 0 => null
+        case 1 => java.lang.Long.valueOf(rng.nextLong())
+        case 2 => new org.apache.avro.util.Utf8(s"s${rng.nextInt(1000)}")
+        case 3 =>
+          val p = new org.apache.avro.generic.GenericData.Record(pSchema)
+          p.put("a", rng.nextInt()); p.put("b", new org.apache.avro.util.Utf8(s"b$id"))
+          p
+      }
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("id", id); rec.put("v", v)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+      enc.flush()
+      bos.toByteArray
+    }
+    // decode → re-encode through the engine; the wire bytes must be
+    // IDENTICAL (avro binary is canonical for a fixed writer schema,
+    // so any branch mix-up or member loss changes the bytes)
+    val back = rows.map(Tuple1(_)).toDF("value")
+      .select(GraftFunctions.fromAvro(col("value"), schemaJson).as("r"))
+      .select(GraftFunctions.toAvro(col("r"), schemaJson))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(back.toSet == rows.map(_.toSeq).toSet,
+      "every random union row must round-trip byte-identically")
+  }
 }
