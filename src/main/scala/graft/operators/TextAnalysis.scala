@@ -968,9 +968,13 @@ object TextAnalysis {
     * is uniform. `upsample = p_temp / p_raw` is the per-source
     * replication factor a sampler applies.
     *
-    * Scale: one count/sum aggregate per source (map-side combined),
-    * then all arithmetic happens on the |sources|-row table with two
-    * broadcast scalars — the corpus is touched exactly once.
+    * Scale: one count/sum aggregate per source (map-side combined) —
+    * the corpus is scanned exactly ONCE; the normalizing totals are
+    * global-window sums over the |sources|-row aggregate (the
+    * single-partition WindowExec warning is that ~20-row frame, q111's
+    * documented pattern — cross-joining broadcast scalar aggregates
+    * instead would re-derive the aggregate from its own scan and read
+    * the corpus three times).
     */
   def temperatureMixture(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
     val per = documents
@@ -978,15 +982,17 @@ object TextAnalysis {
         size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    val tot = per.agg(sum(col("n_tokens")).as("tot"))
-    val p = per.crossJoin(broadcast(tot))
-      .withColumn("p_raw", col("n_tokens").cast("double") / col("tot"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    per
+      .withColumn("p_raw",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(all))
       .withColumn("pa", pow(col("p_raw"), lit(alpha)))
-    val z = p.agg(sum(col("pa")).as("z"))
-    p.crossJoin(broadcast(z))
+      .withColumn("p_temp", col("pa") / sum(col("pa")).over(all))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("p_raw"),
-        (col("pa") / col("z")).as("p_temp"),
-        ((col("pa") / col("z")) / col("p_raw")).as("upsample"))
+        col("p_temp"), (col("p_temp") / col("p_raw")).as("upsample"))
       .orderBy("source")
   }
 }
