@@ -27,6 +27,8 @@ class CheckpointRecoverySpec extends SparkSpec {
 
   case class P(id: Long, quantity: Long, productid: Long, ts: Timestamp)
   case class Doc(doc_id: Long, text: String, ts: Timestamp)
+  case class L(k: Long, ts: Timestamp)
+  case class R(k: Long, amount: Double, ts: Timestamp)
 
   private val t0230 = Timestamp.valueOf("2024-01-01 00:02:30")
   private val t0310 = Timestamp.valueOf("2024-01-01 00:03:10")
@@ -230,6 +232,45 @@ class CheckpointRecoverySpec extends SparkSpec {
     // a lost-state restart would emit two fragments instead
     assert(resumed.exists(r => r.startsWith("1|") && r.contains("|3|7.0")),
       s"one merged 3-event session expected: $resumed")
+  }
+
+  // ---- stream-stream interval join (two buffered sides) ----------------
+
+  test("stream-stream interval join recovers from checkpoint: buffered side matches after restart") {
+    def run(interrupt: Boolean): Seq[String] = {
+      val cp = tmpDir("graft-cp-ssj")
+      val out = tmpDir("graft-sink-ssj")
+      val lIn = MemoryStream[L]
+      val rIn = MemoryStream[R]
+      val joined = graft.streaming.StreamJoins.intervalJoin(
+        lIn.toDF(), rIn.toDF(), key = "k", tsCol = "ts",
+        watermarkDelay = "10 seconds", within = "30 seconds")
+      def start() = joined.writeStream.format("parquet")
+        .option("checkpointLocation", cp).option("path", out)
+        .outputMode("append").start()
+      var q = start()
+      try {
+        // phase 1: LEFT event arrives and is buffered — no match yet
+        lIn.addData(Seq(L(1L, Timestamp.valueOf("2024-01-01 00:00:20"))))
+        rIn.addData(Seq.empty[R])
+        q.processAllAvailable()
+        if (interrupt) { q.stop(); q = start() } // kill with buffered state
+        // phase 2: the matching RIGHT event must join against the
+        // RECOVERED left buffer; then watermark advances to flush
+        rIn.addData(Seq(R(1L, 42.0, Timestamp.valueOf("2024-01-01 00:00:10"))))
+        q.processAllAvailable()
+        lIn.addData(Seq(L(9L, Timestamp.valueOf("2024-01-01 00:10:00"))))
+        rIn.addData(Seq(R(9L, 0.0, Timestamp.valueOf("2024-01-01 00:10:00"))))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(out).collect().map(_.mkString("|")).sorted.toSeq
+    }
+    val resumed = run(interrupt = true)
+    val straight = run(interrupt = false)
+    assert(resumed == straight,
+      s"joined sets must match:\n$resumed\nvs\n$straight")
+    assert(resumed.exists(r => r.startsWith("1|") && r.contains("42.0")),
+      "the post-restart right event must match the RECOVERED left buffer")
   }
 
   // ---- streaming near-dup dedup (MapState-heavy TWS pipeline) ----------
