@@ -1397,6 +1397,12 @@ object SparkEntry {
     "q115_audio_roundtrip" -> ((s, dir) => {
       Multimodal.audioRoundTrip(s, Tables.documents(s, dir))
     }),
+
+    // Wide→long unpivot of the lineitem measure family — a single
+    // Expand over the scan, the inverse of q32's pivot.
+    "q116_unpivot_measures" -> ((s, dir) => {
+      Relational.unpivotMeasures(Tables.lineitem(s, dir))
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -3019,5 +3025,19 @@ object SparkEntry {
         |         AS sample_sum,
         |       1::BIGINT AS is_decoded
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q116: UNION ALL of the four measure branches = Spark's Expand;
+    // decimal(18,2) cast both engines makes each cent value exact
+    // before the one double cast.
+    "q116_unpivot_measures" -> {
+      def branch(c: String) =
+        s"""SELECT l_orderkey, l_linenumber, '$c' AS measure,
+           |       CAST(CAST($c AS DECIMAL(18,2)) AS DOUBLE) AS value
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(branch)
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY l_orderkey, l_linenumber, measure")
+    },
   )
 }

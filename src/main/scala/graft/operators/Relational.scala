@@ -337,4 +337,27 @@ object Relational {
         col("sum_v").cast("double").as("sum_v"),
         col("min_v"), col("max_v"))
       .orderBy("event_type")
+
+  /** Wide→long melt of the lineitem measure family (q116): each row
+    * fans out to one (measure, value) pair per column via Spark's
+    * native `unpivot` — planned as a single Expand over the scan (one
+    * pass, output = rows × |measures|, zero shuffles before the
+    * canonical sort). The inverse of q32's pivot; decimal-cast values
+    * keep the long table loss-free and cent-exact either direction.
+    */
+  def unpivotMeasures(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+        col("l_extendedprice").cast("decimal(18,2)").as("l_extendedprice"),
+        col("l_discount").cast("decimal(18,2)").as("l_discount"),
+        col("l_tax").cast("decimal(18,2)").as("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .withColumn("value", col("value").cast("double"))
+      .orderBy("l_orderkey", "l_linenumber", "measure")
 }

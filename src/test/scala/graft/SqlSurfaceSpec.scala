@@ -58,4 +58,42 @@ class SqlSurfaceSpec extends SparkSpec {
     val z = spark.sql("SELECT zorder64(3L, 1L) AS z").head.getLong(0)
     assert(z == 7L)
   }
+
+  test("unpivot equals the hand-stacked union, loss-free (multiset identity)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf001)
+    val long = graft.operators.Relational.unpivotMeasures(li)
+    assert(long.count() == li.count() * 4)
+    // the semantic definition: one stacked select per measure column
+    // ((orderkey, linenumber) is NOT unique in the fixture, so the
+    // comparison must be a multiset identity, not a pivot round-trip)
+    val stacked = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => li.select(col("l_orderkey"), col("l_linenumber"),
+        lit(c).as("measure"),
+        col(c).cast("decimal(18,2)").cast("double").as("value")))
+      .reduce(_ unionAll _)
+    assert(long.exceptAll(stacked).isEmpty && stacked.exceptAll(long).isEmpty,
+      "unpivot must equal the stacked union exactly")
+  }
+
+  test("observe(): data-quality counters piggyback on a pipeline with zero extra passes") {
+    import org.apache.spark.sql.functions._
+    // the production pattern: a corpus filter job reports row counts
+    // and null rates THROUGH the same action that does the work —
+    // no second scan, no .count() side queries
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val kept = Tables.documents(spark, sf001)
+      .observe(obs,
+        count(lit(1)).as("rows_in"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("empty_docs"),
+        sum(length(col("text"))).as("chars_in"))
+      .filter(length(col("text")) >= 50)
+      .count()
+    val m = obs.get
+    assert(m("rows_in") == 500L)
+    assert(m("empty_docs") == 0L)
+    assert(m("chars_in").asInstanceOf[Long] > 0L)
+    assert(kept > 0 && kept <= 500)
+  }
 }
