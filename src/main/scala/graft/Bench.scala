@@ -30,7 +30,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passesRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3")
+    val passes = try passesRaw.toInt catch {
+      case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_BENCH_PASSES must be an integer >= 1, got '$passesRaw'")
+    }
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,7 +59,12 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
     }
-    val results = queries.map { case (name, _) => name -> best(name) }
+    // Errored queries are excluded from the timing map entirely — a
+    // duration of "one failed attempt" is not a measurement, and leaving
+    // it in lets a consumer misread the JSON without checking `errors`.
+    val results = queries.collect {
+      case (name, _) if !errors.contains(name) => name -> best(name)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

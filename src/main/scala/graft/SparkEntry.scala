@@ -2999,32 +2999,42 @@ object SparkEntry {
         |FROM p CROSS JOIN z ORDER BY source""".stripMargin,
 
     // q114: the analytic side of the codec round-trip — width is the
-    // layout constant, height the ceil division, pixel_sum the text
-    // byte sum (ASCII fixture: unicode(c) == UTF-8 byte; PNG zero
-    // padding adds nothing). The Spark side reads these from DECODED
-    // pixels; matching hashes prove the codec is real and lossless.
+    // layout constant, height the ceil division over the UTF-8 BYTE
+    // length, pixel_sum the UTF-8 byte sum (computed from the encoded
+    // blob's hex dump, so the oracle holds for non-ASCII text too; PNG
+    // zero padding adds nothing). The Spark side reads these from
+    // DECODED pixels; matching hashes prove the codec is real and
+    // lossless.
     "q114_image_roundtrip" ->
-      """SELECT doc_id, 32::BIGINT AS width,
-        |       greatest(1, CAST(ceil(length(text) / 32.0) AS BIGINT))
-        |         AS height,
-        |       coalesce(list_sum(list_transform(string_split(text, ''),
-        |                                        c -> unicode(c))), 0)::BIGINT
-        |         AS pixel_sum,
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT AS nb,
+        |         lower(hex(encode(text))) AS hx
+        |  FROM documents)
+        |SELECT doc_id, 32::BIGINT AS width,
+        |       greatest(1, CAST(ceil(nb / 32.0) AS BIGINT)) AS height,
+        |       coalesce(list_sum(list_transform(range(nb),
+        |         i -> ('0x' || substr(hx, (2 * i + 1)::INT, 2))::BIGINT)),
+        |         0)::BIGINT AS pixel_sum,
         |       1::BIGINT AS is_decoded
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM b ORDER BY doc_id""".stripMargin,
 
-    // q115: WAV frames are the text bytes themselves (8-bit unsigned
-    // PCM mono, frame size 1); empty text is one zero frame.
+    // q115: WAV frames are the text's UTF-8 BYTES themselves (8-bit
+    // unsigned PCM mono, frame size 1); empty text is one zero frame.
+    // Byte-based like q114, so non-ASCII fixtures stay correct.
     "q115_audio_roundtrip" ->
-      """SELECT doc_id,
-        |       greatest(1, length(text))::BIGINT AS n_frames,
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT AS nb,
+        |         lower(hex(encode(text))) AS hx
+        |  FROM documents)
+        |SELECT doc_id,
+        |       greatest(1, nb)::BIGINT AS n_frames,
         |       8000::BIGINT AS sample_rate,
         |       1::BIGINT AS channels,
-        |       coalesce(list_sum(list_transform(string_split(text, ''),
-        |                                        c -> unicode(c))), 0)::BIGINT
-        |         AS sample_sum,
+        |       coalesce(list_sum(list_transform(range(nb),
+        |         i -> ('0x' || substr(hx, (2 * i + 1)::INT, 2))::BIGINT)),
+        |         0)::BIGINT AS sample_sum,
         |       1::BIGINT AS is_decoded
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // q116: UNION ALL of the four measure branches = Spark's Expand;
     // decimal(18,2) cast both engines makes each cent value exact

@@ -43,6 +43,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * dsl/PriceAlertsApp.java:33-38) and Avro schema resolution maps it to
   * the declared reader schema — so a topic carrying several schema
   * versions decodes correctly in one batch.
+  *
+  * Known limitation (shared with spark-avro): for a multi-branch union
+  * whose branches share a RUNTIME representation — e.g. `[long,
+  * long+timestamp-micros]` — `GenericData.resolveUnion` identifies the
+  * branch from the runtime value and picks the FIRST matching branch,
+  * so a value written under the second branch decodes into `member0`:
+  * branch identity is not recoverable for such (pathological) schemas.
+  * Unions whose branches have distinct runtime classes (the normal
+  * case — record/string/int/...) are unaffected.
   */
 object AvroStructConverter {
   /** `[null, T]` union → (T, nullable); anything else → (s, false).
@@ -189,8 +198,22 @@ class AvroStructConverter(val schemaJson: String, val confluentFraming: Boolean,
     })
   }
 
-  /** Avro binary (optionally Confluent-framed) -> InternalRow. */
+  /** Avro binary (optionally Confluent-framed) -> InternalRow.
+    * Framed decode validates the header first: a torn frame (shorter
+    * than the 5-byte header) or a wrong magic byte fails with a clear
+    * message instead of silently decoding 4 header bytes as Avro body
+    * — real topics accumulate non-Confluent garbage (heartbeats,
+    * tombstone fragments, a producer misconfigured to plain Avro).
+    */
   def decode(bytes: Array[Byte]): InternalRow = {
+    if (confluentFraming) {
+      if (bytes.length < 5)
+        throw new org.apache.avro.AvroRuntimeException(
+          s"torn Confluent frame: ${bytes.length} bytes (< 5-byte header)")
+      if (bytes(0) != 0)
+        throw new org.apache.avro.AvroRuntimeException(
+          f"bad Confluent magic byte 0x${bytes(0)}%02x (expected 0x00)")
+    }
     val decoder = decoderFactory.binaryDecoder(bytes, headerLen,
       bytes.length - headerLen, null)
     val rec = readerFor(bytes).read(null, decoder)

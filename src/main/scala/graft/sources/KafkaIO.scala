@@ -64,24 +64,70 @@ object KafkaIO {
   val productSchema: StructType =
     StructType.fromDDL("id LONG, name STRING, description STRING, price DOUBLE")
 
+  /** Malformed-frame policy for Confluent-framed Avro decode — the Avro
+    * analogue of [[CsvIO.readCsv]]'s mode option: real topics
+    * eventually carry garbage (torn frames, non-Confluent producers,
+    * unregistered schema ids), and one poison message must not kill
+    * the stream unless that is the declared policy.
+    *
+    *  - FAILFAST: any malformed frame fails the task (strict decode).
+    *  - DROPMALFORMED: malformed frames are silently dropped.
+    *  - PERMISSIVE: malformed frames yield a NULL `decoded` struct and
+    *    the raw frame bytes in `_corrupt_record` (NULL for good rows)
+    *    — the observable-failure-rate form, same shape as
+    *    [[CsvIO.readCsvWithCorrupt]].
+    *
+    * Input: any DataFrame (batch or streaming) with a binary `value`
+    * column; other columns pass through. Caveat shared with every Avro
+    * consumer: the binary body is not self-describing, so a garbage
+    * body can occasionally decode "successfully" into nonsense values
+    * — the framing checks (magic byte, header length, known schema id)
+    * catch the common corruptions, not all of them.
+    */
+  def decodeAvroFrames(raw: DataFrame, schemaJson: String,
+                       mode: String = "PERMISSIVE",
+                       writerSchemasById: Map[Int, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanBridge
+    val m = mode.toUpperCase
+    require(Set("PERMISSIVE", "DROPMALFORMED", "FAILFAST")(m),
+      s"unknown Avro decode mode '$mode' (PERMISSIVE | DROPMALFORMED | FAILFAST)")
+    val expr = graft.functions.FromAvroGraft(
+      GraftPlanBridge.expression(col("value")), schemaJson,
+      confluentFraming = true, permissive = m != "FAILFAST",
+      writerSchemasById = writerSchemasById)
+    val decoded = raw.withColumn("decoded", GraftPlanBridge.column(expr))
+    m match {
+      case "FAILFAST"      => decoded
+      case "DROPMALFORMED" => decoded.filter(col("decoded").isNotNull)
+      case "PERMISSIVE"    => decoded.withColumn("_corrupt_record",
+        when(col("decoded").isNull, col("value")))
+    }
+  }
+
   /** S1/S3 — the purchases stream: subscribe, decode the Confluent-
     * framed Avro payload, surface the Kafka record timestamp as the
     * event-time column `ts` (the reference reads record.timestamp(),
-    * PurchaseQuantityAlertTrasformer.java:38).
+    * PurchaseQuantityAlertTrasformer.java:38). `mode` is the
+    * malformed-frame policy ([[decodeAvroFrames]]); FAILFAST preserves
+    * the historical strict behavior, PERMISSIVE adds a
+    * `_corrupt_record` column carrying each malformed frame's bytes.
     */
   def purchasesStream(spark: SparkSession, bootstrap: String,
-                      topic: String = "purchases"): DataFrame = {
+                      topic: String = "purchases",
+                      mode: String = "FAILFAST"): DataFrame = {
     GraftFunctions.register(spark)
-    spark.readStream.format("kafka")
+    val raw = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", "latest")
       .load()
-      .select(GraftFunctions.fromAvro(col("value"), purchaseAvroSchema,
-          confluentFraming = true).as("p"),
-        col("timestamp").as("ts"))
-      .select(col("p.id").as("id"), col("p.quantity").as("quantity"),
-        col("p.productid").as("productid"), col("ts"))
+    val decoded = decodeAvroFrames(raw, purchaseAvroSchema, mode)
+      .withColumnRenamed("decoded", "p")
+    val base = Seq(col("p.id").as("id"), col("p.quantity").as("quantity"),
+      col("p.productid").as("productid"), col("timestamp").as("ts"))
+    val cols = if (mode.toUpperCase == "PERMISSIVE")
+      base :+ col("_corrupt_record") else base
+    decoded.select(cols: _*)
   }
 
   /** [[purchasesStream]] with per-record writer-schema resolution: the

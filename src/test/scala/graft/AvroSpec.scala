@@ -567,6 +567,131 @@ class AvroSpec extends SparkSpec {
     assert(avroDecode(schema, wire(3L)).get("body") == null)
   }
 
+  test("schema evolution matrix: default-fill, int->long and float->double promotion, field alias") {
+    // The registry lifecycle the reference lives on
+    // (dsl/PriceAlertsApp.java:33-38, auto-register): frames written
+    // under OLD schema ids must decode through an EVOLVED reader via
+    // Avro schema resolution. Cross-checked field-for-field against
+    // the plain avro resolving reader so the semantics are the spec's,
+    // not just self-consistent.
+    GraftFunctions.register(spark)
+    val v1 =
+      """{"type":"record","name":"Purchase","fields":[
+        |{"name":"id","type":"int"},
+        |{"name":"amount","type":"float"},
+        |{"name":"name","type":"string"}]}""".stripMargin
+    // evolved reader: id promoted int->long, amount float->double,
+    // name renamed with an alias, discount added with a default,
+    // note added as nullable-with-null-default
+    val v2 =
+      """{"type":"record","name":"Purchase","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"amount","type":"double"},
+        |{"name":"name_full","type":"string","aliases":["name"]},
+        |{"name":"discount","type":"double","default":0.25},
+        |{"name":"note","type":["null","string"],"default":null}]}""".stripMargin
+    val s1 = new Schema.Parser().parse(v1)
+    val s2 = new Schema.Parser().parse(v2)
+    def framed(id: Int, bytes: Array[Byte]): Array[Byte] =
+      Array[Byte](0, (id >>> 24).toByte, (id >>> 16).toByte, (id >>> 8).toByte,
+        id.toByte) ++ bytes
+    val oldFrame = framed(1, avroEncode(s1, r => {
+      r.put("id", 7); r.put("amount", 1.5f); r.put("name", "widget")
+    }))
+    val newFrame = framed(2, avroEncode(s2, r => {
+      r.put("id", 8L); r.put("amount", 2.5); r.put("name_full", "gizmo")
+      r.put("discount", 0.1); r.put("note", new org.apache.avro.util.Utf8("hi"))
+    }))
+
+    // ground truth: the plain avro RESOLVING reader (writer=v1, reader=v2)
+    val resolved = new GenericDatumReader[GenericRecord](s1, s2).read(null,
+      DecoderFactory.get().binaryDecoder(oldFrame, 5, oldFrame.length - 5, null))
+    assert(resolved.get("id") == 7L, "int->long promotion (plain avro)")
+    assert(resolved.get("amount") == 1.5, "float->double promotion (plain avro)")
+    assert(resolved.get("name_full").toString == "widget", "alias (plain avro)")
+    assert(resolved.get("discount") == 0.25, "default fill (plain avro)")
+    assert(resolved.get("note") == null, "null default fill (plain avro)")
+
+    // the engine decodes BOTH wire versions through the evolved reader
+    val rows = Seq(Tuple1(oldFrame), Tuple1(newFrame)).toDF("value")
+      .select(GraftFunctions.fromAvroResolving(col("value"), v2,
+        Map(1 -> v1, 2 -> v2)).as("p"))
+      .select("p.*").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getDouble(3),
+        Option(r.getString(4)))).toSet
+    assert(rows == Set(
+      (7L, 1.5, "widget", 0.25, None),
+      (8L, 2.5, "gizmo", 0.1, Some("hi"))),
+      s"evolution matrix must match the avro resolving reader, got $rows")
+
+    // encode direction: rows written under the EVOLVED schema by
+    // ToAvroGraft are readable by the plain avro library under v2
+    val ts2 = Seq((9L, 3.5, "gadget", 0.0, Option.empty[String]))
+      .toDF("id", "amount", "name_full", "discount", "note")
+    val wire = ts2.select(GraftFunctions.toAvro(
+        struct(col("id"), col("amount"), col("name_full"), col("discount"),
+          col("note")), v2).as("v"))
+      .head.getAs[Array[Byte]]("v")
+    val back = avroDecode(s2, wire)
+    assert(back.get("id") == 9L && back.get("amount") == 3.5 &&
+      back.get("name_full").toString == "gadget" && back.get("note") == null)
+  }
+
+  test("corrupt-frame policy: PERMISSIVE / DROPMALFORMED / FAILFAST over a poisoned batch") {
+    GraftFunctions.register(spark)
+    val schema = new Schema.Parser().parse(KafkaIO.purchaseAvroSchema)
+    def framed(id: Int, bytes: Array[Byte]): Array[Byte] =
+      Array[Byte](0, (id >>> 24).toByte, (id >>> 16).toByte, (id >>> 8).toByte,
+        id.toByte) ++ bytes
+    val good1 = framed(1, avroEncode(schema, r => {
+      r.put("id", 1L); r.put("quantity", 2L); r.put("productid", 3L)
+    }))
+    val good2 = framed(1, avroEncode(schema, r => {
+      r.put("id", 4L); r.put("quantity", 5L); r.put("productid", 6L)
+    }))
+    val torn = good1.take(3) // shorter than the 5-byte header
+    val badMagic = { val b = good1.clone(); b(0) = 1; b }
+    val unknownId = framed(99, avroEncode(schema, r => {
+      r.put("id", 7L); r.put("quantity", 8L); r.put("productid", 9L)
+    }))
+    val garbageBody = framed(1, Array[Byte](-1)) // truncated varint body
+    val all = Seq(good1, torn, badMagic, unknownId, garbageBody, good2)
+    val df = all.map(Tuple1(_)).toDF("value")
+    val byId = Map(1 -> KafkaIO.purchaseAvroSchema)
+
+    // PERMISSIVE: every row survives; malformed ones carry NULL decoded
+    // + the raw frame in _corrupt_record; good rows the reverse
+    val perm = KafkaIO.decodeAvroFrames(df, KafkaIO.purchaseAvroSchema,
+        mode = "PERMISSIVE", writerSchemasById = byId)
+      .select(col("decoded"), col("_corrupt_record")).collect()
+    assert(perm.length == 6)
+    val corrupt = perm.filter(_.isNullAt(0))
+    assert(corrupt.length == 4, "torn, bad magic, unknown id, garbage body")
+    assert(corrupt.forall(r => !r.isNullAt(1)), "corrupt rows keep raw bytes")
+    assert(corrupt.map(_.getAs[Array[Byte]](1).toSeq).toSet ==
+      Set(torn, badMagic, unknownId, garbageBody).map(_.toSeq))
+    val goodRows = perm.filterNot(_.isNullAt(0))
+    assert(goodRows.forall(_.isNullAt(1)), "good rows have NULL _corrupt_record")
+    assert(goodRows.map(_.getStruct(0).getLong(0)).toSet == Set(1L, 4L))
+
+    // DROPMALFORMED: only the good rows, no corrupt column
+    val dropped = KafkaIO.decodeAvroFrames(df, KafkaIO.purchaseAvroSchema,
+      mode = "DROPMALFORMED", writerSchemasById = byId)
+    assert(!dropped.columns.contains("_corrupt_record"))
+    val keptIds = dropped.select("decoded.id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == Set(1L, 4L))
+
+    // FAILFAST: the first malformed frame fails the task
+    intercept[Exception] {
+      KafkaIO.decodeAvroFrames(df, KafkaIO.purchaseAvroSchema,
+        mode = "FAILFAST", writerSchemasById = byId).collect()
+    }
+    // and an unknown mode is rejected eagerly
+    intercept[IllegalArgumentException] {
+      KafkaIO.decodeAvroFrames(df, KafkaIO.purchaseAvroSchema, mode = "LENIENT")
+    }
+  }
+
   test("multi-branch primitive union [int, string] keeps each branch's member") {
     GraftFunctions.register(spark)
     val schemaJson =
