@@ -990,4 +990,71 @@ SELECT doc_id, count(*)::BIGINT AS n_shingles,
        SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*)
          AS novelty
 FROM f GROUP BY 1 ORDER BY 1"""
+
+  /** Oracle for q117 (= Multimodal.perceptualNearDupPairs): dHash/aHash
+    * per document image derived ANALYTICALLY from the text's UTF-8
+    * bytes (the engine computes them from the decoded PNG raster —
+    * matching hashes certify codec + hash together, the q114 pattern),
+    * then every a<b pair with dHash hamming ≤ `maxHamming`. The
+    * engine's 16-bit-chunk bucket join is pigeonhole-complete for
+    * hamming ≤ 3, so the oracle's plain quadratic join over the tiny
+    * verify fixture produces the identical pair set.
+    *
+    * Integer-exactness notes: block means are floor divisions of raw
+    * byte sums; the 64-bit hash is packed as two 32-bit halves in
+    * BIGINT (a HUGEINT list_sum would round through DOUBLE) and
+    * sign-folded to match Java's signed long; `bit_count(xor(..))` on
+    * BIGINT counts two's-complement bits exactly like Long.bitCount.
+    */
+  def q117ImageNearDup(maxHamming: Int = 3): String = {
+    // floor-mean of grid cell c (gw columns × 8 rows) over the 32-wide
+    // pixel list `p` of an h-row image — same boundaries as the
+    // engine's blockMeans: floor(g*dim/grid), degenerate rows widened
+    def meanCells(gw: Int): String = {
+      val y0 = s"((c // $gw) * h) // 8"
+      val y1raw = s"(((c // $gw) + 1) * h) // 8"
+      val y1 = s"(CASE WHEN $y1raw <= $y0 THEN $y0 + 1 ELSE $y1raw END)"
+      val x0 = s"((c % $gw) * 32) // $gw"
+      val x1 = s"(((c % $gw) + 1) * 32) // $gw"
+      val xw = s"($x1 - $x0)"
+      val cnt = s"(($y1 - $y0) * $xw)"
+      val idx = s"(($y0 + k // $xw) * 32 + $x0 + k % $xw + 1)"
+      s"""list_transform(range(${8 * gw}), c ->
+    list_sum(list_transform(range($cnt), k -> p[$idx])) // $cnt)"""
+    }
+    // MSB-first 64-bit pack from a per-bit predicate, exact in BIGINT
+    def pack(bit: String => String): String = {
+      def half(i: String) =
+        s"""list_sum(list_transform(range(32), i ->
+      CASE WHEN ${bit(i)} THEN (1::BIGINT << (31 - i)::INT) ELSE 0 END))::BIGINT"""
+      val hi = half("i")
+      val lo = half("(i + 32)")
+      s"""((CASE WHEN $hi >= 2147483648 THEN $hi - 4294967296 ELSE $hi END)
+   * 4294967296 + $lo)"""
+    }
+    val dhBit = (i: String) =>
+      s"md[($i // 8) * 9 + ($i % 8) + 2] > md[($i // 8) * 9 + ($i % 8) + 1]"
+    val ahBit = (i: String) => s"ma[$i + 1] > list_sum(ma) // 64"
+    s"""WITH b AS (
+  SELECT doc_id, octet_length(encode(text))::BIGINT AS nb,
+         lower(hex(encode(text))) AS hx
+  FROM documents),
+px AS (
+  SELECT doc_id, greatest(1, (nb + 31) // 32)::BIGINT AS h,
+         list_transform(range(greatest(1, (nb + 31) // 32) * 32),
+           i -> CASE WHEN i < nb
+                THEN ('0x' || substr(hx, (2 * i + 1)::INT, 2))::BIGINT
+                ELSE 0 END) AS p
+  FROM b),
+cells AS MATERIALIZED (
+  SELECT doc_id, ${meanCells(9)} AS md, ${meanCells(8)} AS ma FROM px),
+hashes AS MATERIALIZED (
+  SELECT doc_id, ${pack(dhBit)} AS dh, ${pack(ahBit)} AS ah FROM cells)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.dh, b.dh))::BIGINT AS dhash_dist,
+       bit_count(xor(a.ah, b.ah))::BIGINT AS ahash_dist
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dh, b.dh)) <= $maxHamming
+ORDER BY 1, 2"""
+  }
 }

@@ -1403,6 +1403,22 @@ object SparkEntry {
     "q116_unpivot_measures" -> ((s, dir) => {
       Relational.unpivotMeasures(Tables.lineitem(s, dir))
     }),
+
+    // Image perceptual near-dup: dHash over the real ImageIO decode,
+    // hamming<=3 pairing via 16-bit chunk buckets (pigeonhole-
+    // complete), aHash distance as the second opinion.
+    "q117_image_neardup" -> ((s, dir) => {
+      Multimodal.perceptualNearDupPairs(s, Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Cross-document repeated-substring spans (Lee et al.-style) —
+    // shingle-chain extension of duplicated 8-token runs; shuffle keys
+    // are the shingle and the doc, never a suffix-array sort.
+    "q118_repeated_substrings" -> ((s, dir) => {
+      TextAnalysis.repeatedSubstringSpans(Tables.documents(s, dir))
+        .orderBy("doc_id", "span_start")
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -3035,6 +3051,43 @@ object SparkEntry {
         |         0)::BIGINT AS sample_sum,
         |       1::BIGINT AS is_decoded
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q117: hashes derived analytically from the text bytes; the
+    // engine reads them from DECODED PNG pixels (q114 pattern) — see
+    // OracleHashSql.q117ImageNearDup for the exactness notes.
+    "q117_image_neardup" -> OracleHashSql.q117ImageNearDup(),
+
+    // q118: same shingling as the engine (wsTokens split + 8-token
+    // space-joined shingles), duplicate test = global COUNT window over
+    // the shingle string, islands via pos - row_number — all integer.
+    "q118_repeated_substrings" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |         unnest(list_transform(range(len(t) - 7),
+        |                i -> array_to_string(t[(i+1)::INT:(i+8)::INT], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 8),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS occ FROM sh)
+        |  WHERE occ >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS island
+        |  FROM dup),
+        |runs AS (
+        |  SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |         (max(pos) + 7)::BIGINT AS span_end
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, span_start, span_end,
+        |       span_end - span_start + 1 AS span_tokens
+        |FROM runs WHERE span_end - span_start + 1 >= 16
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // q116: UNION ALL of the four measure branches = Spark's Expand;
     // decimal(18,2) cast both engines makes each cent value exact

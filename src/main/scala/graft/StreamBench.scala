@@ -1,69 +1,152 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.PriceAlertsStream
+import graft.streaming.{PriceAlertsStream, StreamJoins, StreamingDedup, TwsAlerts}
 
-/** Streaming throughput benchmark: drives the full price-alerts
-  * pipeline (stream-static broadcast join → tumbling-window agg →
-  * threshold filter) from the built-in `rate` source into a noop sink
-  * and reports steady-state processedRowsPerSecond.
+/** Streaming throughput benchmark battery: drives every stateful
+  * streaming SHAPE the library ships (update-mode windowed agg,
+  * append-mode watermark agg, transformWithState processor, watermark
+  * dedup, stream-stream interval join) from the built-in `rate` source
+  * into a noop sink and reports steady-state processedRowsPerSecond
+  * per shape — one JSON line on stdout AND `STREAMBENCH.json` (or
+  * `SPARK_GRAFT_STREAMBENCH_OUT`), the streaming sibling of
+  * [[Bench]]'s artifact, so streaming-path regressions are visible
+  * round-over-round.
   *
   * Context (BASELINE.md): the reference processes record-at-a-time
   * interpreted Java over Avro GenericRecord with a RocksDB get/put per
   * record, one stream thread. This measures the Spark pipeline's
-  * micro-batch throughput on the same logical query.
+  * micro-batch throughput on the same logical queries (RocksDB state
+  * store provider on, matching the production/recovery configuration).
   *
-  * Usage: tools/run.sh graft.StreamBench [rowsPerSecond] [seconds]
+  * Method notes: `processedRowsPerSecond` counts INPUT rows per
+  * wall-second, so shapes that emit little (append windows that
+  * haven't closed inside the run) still measure real work; the first
+  * third of each run is dropped as micro-batch/codegen warmup; the
+  * offered rate sits above each shape's ceiling so the engine, not the
+  * source, is measured.
+  *
+  * Usage: tools/run.sh graft.StreamBench [secondsPerShape]
   */
 object StreamBench {
+
   def main(args: Array[String]): Unit = {
-    // default offered rate sits ABOVE the pipeline's ~17M rows/s
-    // ceiling so the no-arg run measures the engine, not the source
-    val rate = if (args.length > 0) args(0).toInt else 20000000
-    val runSecs = if (args.length > 1) args(1).toInt else 30
+    val runSecs = if (args.length > 0) args(0).toInt else 20
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
     // rate source cast to the purchase shape: 200 products, qty 1-10
-    val purchases = spark.readStream.format("rate")
-      .option("rowsPerSecond", rate)
-      .option("numPartitions", cpus)
-      .load()
-      .select(
-        col("value").as("id"),
-        (col("value") % 10 + 1).as("quantity"),
-        (col("value") % 200).as("productid"),
-        col("timestamp").as("ts"))
+    def purchases(rate: Long): DataFrame =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .option("numPartitions", cpus)
+        .load()
+        .select(
+          col("value").as("id"),
+          (col("value") % 10 + 1).as("quantity"),
+          (col("value") % 200).as("productid"),
+          col("timestamp").as("ts"))
     val products = (0L until 200L)
       .map(i => (i, s"p$i", "d", (i % 40 + 1) * 10.0))
       .toDF("id", "name", "description", "price")
 
-    val alerts = PriceAlertsStream.dslAlertsUpdate(purchases, products, threshold = 500.0)
-    val q = alerts.writeStream
-      .format("noop")
-      .outputMode("update")
-      .trigger(Trigger.ProcessingTime("1 second"))
-      .start()
+    /** Run one shape until ≥ 6 micro-batches completed (or a 3×runSecs
+      * deadline — a huge first batch must not zero the measurement),
+      * minimum `runSecs`; return (avg, peak) steady-state
+      * processedRowsPerSecond with the first third dropped as warmup.
+      */
+    def measure(df: DataFrame, outputMode: String): (Double, Double) = {
+      val q = df.writeStream
+        .format("noop")
+        .outputMode(outputMode)
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+      val t0 = System.nanoTime()
+      def secs = (System.nanoTime() - t0) / 1e9
+      try {
+        while (secs < runSecs ||
+               (q.recentProgress.length < 6 && secs < 3.0 * runSecs)) {
+          Thread.sleep(500L)
+        }
+      } finally q.stop()
+      val progress = q.recentProgress.toSeq
+      val steady = progress.drop(progress.length / 3)
+        .map(_.processedRowsPerSecond).filter(d => !d.isNaN && d > 0)
+      (if (steady.nonEmpty) steady.sum / steady.length else 0.0,
+        if (steady.nonEmpty) steady.max else 0.0)
+    }
 
-    Thread.sleep(runSecs * 1000L)
-    val progress = q.recentProgress.toSeq
-    q.stop()
-    // steady state: skip the first third (warmup batches)
-    val steady = progress.drop(progress.length / 3)
-      .map(_.processedRowsPerSecond).filter(d => !d.isNaN && d > 0)
-    val rps = if (steady.nonEmpty) steady.sum / steady.length else 0.0
-    val peak = if (steady.nonEmpty) steady.max else 0.0
-    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.0f,"peak":$peak%.0f,"rate_limit":$rate,"batches":${progress.length},"unit":"rows/sec"}""")
+    // offered rates sit above each shape's measured ceiling (agg
+    // ~17M/s; the processor/dedup/join shapes are state-store-bound)
+    val shapes: Seq[(String, () => (DataFrame, String))] = Seq(
+      "update_agg" -> (() =>
+        (PriceAlertsStream.dslAlertsUpdate(purchases(20000000L), products,
+          threshold = 500.0), "update")),
+      "append_agg" -> (() =>
+        (PriceAlertsStream.processorAlertsAppend(purchases(20000000L), products,
+          threshold = 500.0, watermarkDelay = "5 seconds"), "append")),
+      "tws_processor" -> (() =>
+        (TwsAlerts.alerts(spark,
+          graft.operators.PriceAlerts.purchasesWithProducts(
+            purchases(2000000L), products),
+          threshold = 500.0, watermarkDelay = "5 seconds").toDF(), "append")),
+      "dedup_watermark" -> (() => {
+        // 50% duplicate keys: value % (rate/2) collides once on average
+        val s = purchases(1000000L)
+          .withColumn("k", col("id") % 500000L)
+        (StreamingDedup.exact(s, "ts", "5 seconds", "k"), "append")
+      }),
+      "interval_join" -> (() => {
+        val l = purchases(300000L).select(col("id"),
+          (col("id") % 10000L).as("k"), col("ts"))
+        val r = purchases(300000L).select(
+          (col("id") % 10000L).as("k"), col("ts"), col("quantity"))
+        (StreamJoins.intervalJoin(l, r, "k", "ts",
+          watermarkDelay = "5 seconds", within = "10 seconds"), "append")
+      }))
+
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    shapes.foreach { case (name, build) =>
+      try {
+        val (df, mode) = build()
+        results(name) = measure(df, mode)
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replace("\\", "\\\\").replaceAll("[\"\\n\\r\\t]", " ")
+            .filter(c => c >= ' ').take(200)
+      }
+    }
+
+    val qs = results.map { case (k, (avg, peak)) =>
+      f""""$k":{"rows_per_sec":$avg%.0f,"peak":$peak%.0f}"""
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    val line =
+      s"""{"metric":"stream_rows_per_sec_total","value":${total.round},"unit":"rows/sec","shapes":$qs,"errors":$errJson,"secs_per_shape":$runSecs}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
+    try Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // best-effort; stdout is canonical
     spark.stop()
+    System.out.println(line)
+    System.out.flush()
   }
 }

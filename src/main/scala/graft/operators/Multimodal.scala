@@ -216,6 +216,137 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Perceptual hashes of a DECODED image. */
+  case class PerceptualHash(doc_id: Long, dhash: Long, ahash: Long)
+
+  /** Integer floor-mean of each cell of a `gw`×8 grid laid over the
+    * image (cell boundaries `floor(g·dim/grid)`, degenerate rows
+    * widened to 1 px for images shorter than 8 rows). All-integer
+    * arithmetic — sums of raw band-0 samples, one floor division per
+    * cell — so an oracle can reproduce every cell exactly from the
+    * source bytes. Gray images read raw samples (same rationale as
+    * [[imageFeatures]]: getRGB would gamma-map them).
+    */
+  private def blockMeans(img: BufferedImage, gw: Int): Array[Long] = {
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val row = new Array[Int](w)
+    val out = new Array[Long](gw * 8)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8
+      val y1raw = (gy + 1) * h / 8
+      val y1 = if (y1raw <= y0) y0 + 1 else y1raw
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = (gx + 1) * w / gw
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          raster.getSamples(x0, y, x1 - x0, 1, 0, row)
+          var k = 0
+          while (k < x1 - x0) { sum += row(k); k += 1 }
+          y += 1
+        }
+        out(gy * gw + gx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** dHash: 9×8 grid of block means, bit per horizontally adjacent
+    * cell pair (1 iff right > left), MSB-first — the gradient-based
+    * perceptual hash (robust to brightness shifts; block-mean
+    * downsample instead of a resampling filter so the hash is an
+    * exact integer function of the decoded pixels).
+    */
+  private[operators] def dHash64(img: BufferedImage): Long = {
+    val m = blockMeans(img, 9)
+    var hsh = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        hsh = (hsh << 1) | (if (m(gy * 9 + gx + 1) > m(gy * 9 + gx)) 1L else 0L)
+        gx += 1
+      }
+      gy += 1
+    }
+    hsh
+  }
+
+  /** aHash: 8×8 grid of block means, bit per cell (1 iff cell > the
+    * floor-mean of the 64 cells), MSB-first.
+    */
+  private[operators] def aHash64(img: BufferedImage): Long = {
+    val m = blockMeans(img, 8)
+    var s = 0L; var i = 0
+    while (i < 64) { s += m(i); i += 1 }
+    val mean = s / 64
+    var hsh = 0L; i = 0
+    while (i < 64) { hsh = (hsh << 1) | (if (m(i) > mean) 1L else 0L); i += 1 }
+    hsh
+  }
+
+  /** dHash + aHash per document image: every doc becomes a real PNG
+    * ([[syntheticImages]]), flows through the real ImageIO decode, and
+    * both hashes are computed from the DECODED raster — so the q117
+    * oracle (which derives the same integers analytically from the
+    * text bytes) certifies decode + hash together, the q114 pattern.
+    * Non-decodable payloads are skipped (this is a decoded-domain op;
+    * the byte-stat fallback lives in [[extractFeatures]]).
+    */
+  def perceptualHashes(spark: SparkSession, documents: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    syntheticImages(spark, documents).mapPartitions { it =>
+      it.flatMap { rec =>
+        tryDecodeImage(rec.payload).map { img =>
+          PerceptualHash(rec.media_id, dHash64(img), aHash64(img))
+        }
+      }
+    }
+  }
+
+  /** q117 — image near-dup pairs: dHash per decoded image, bucketed by
+    * its four 16-bit chunks (any pair within hamming ≤ 3 shares a
+    * chunk — pigeonhole, the q18 machinery), paired within buckets
+    * with first-shared-chunk single emission, then filtered on true
+    * dHash hamming; the aHash distance rides along as a second
+    * opinion. Scale: the shuffle key is the 16-bit chunk, never the
+    * pair space, and each surviving pair is emitted exactly once with
+    * no distinct() exchange.
+    */
+  def perceptualNearDupPairs(spark: SparkSession, documents: DataFrame,
+                             maxHamming: Int = 3): DataFrame = {
+    import graft.functions.HashFunctions
+    val hashed = perceptualHashes(spark, documents).toDF()
+    val buckets = hashed.select(col("doc_id"), col("dhash"), col("ahash"),
+        explode(HashFunctions.simhashBands(col("dhash"))).as("bh"))
+      .select(col("doc_id"), col("dhash"), col("ahash"),
+        col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+    val l = buckets.as("l")
+    val r = buckets.as("r")
+    val x = col("l.dhash").bitwiseXOR(col("r.dhash"))
+    def chunkEq(b: Int) =
+      shiftrightunsigned(x, b * 16).bitwiseAND(lit(0xffffL)) === 0L
+    val firstChunk = (0 until 4).foldRight(lit(-1)) { (b, acc) =>
+      when(chunkEq(b), lit(b)).otherwise(acc)
+    }
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .filter(col("l.band") === firstChunk)
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        HashFunctions.hamming64(col("l.dhash"), col("r.dhash"))
+          .cast("long").as("dhash_dist"),
+        HashFunctions.hamming64(col("l.ahash"), col("r.ahash"))
+          .cast("long").as("ahash_dist"))
+      .filter(col("dhash_dist") <= maxHamming)
+  }
+
   /** Decode a payload as an image via the JDK's ImageIO (PNG/BMP/GIF/
     * JPEG). None for anything the registry can't parse — the caller
     * falls back to byte statistics. `setUseCache(false)` keeps ImageIO

@@ -39,27 +39,31 @@ object ScaleOps {
     *     still fan out over all `salt` reducers). This is the
     *     production setting; the two below exist for tables with no
     *     row identity.
-    *   - default (`spamProof = false`): xxhash64 over the row content —
-    *     determinate, but rows identical in EVERY column share a salt,
-    *     so exact-duplicate spam under one key still lands on one
-    *     reducer (the exact/fingerprint dedup pass upstream is the
-    *     structural fix).
-    *   - `spamProof = true`: salt from `monotonically_increasing_id()` —
-    *     duplicates fan out evenly, but the salt depends on row order,
-    *     so the map output is indeterminate under stage retry (Spark
-    *     correctly reruns the WHOLE stage for indeterminate outputs —
-    *     a real cost at 100 TB; the joined RESULT is unchanged either
-    *     way). Any determinate spam-proof salt would need an ordering
-    *     over identical rows, which is exactly what a unique id column
-    *     provides — prefer `uniqueCol`.
+    *   - default: xxhash64 over the row content — determinate, but
+    *     rows identical in EVERY column share a salt, so exact-
+    *     duplicate spam under one key still lands on one reducer (the
+    *     exact/fingerprint dedup pass upstream is the structural fix).
+    *   - `acceptIndeterminateSalt = true`: salt from
+    *     `monotonically_increasing_id()` — duplicates fan out evenly,
+    *     but the salt depends on row order, so the map output is
+    *     INDETERMINATE under stage retry (Spark correctly reruns the
+    *     WHOLE stage for indeterminate outputs — a real cost at
+    *     100 TB; the joined RESULT is unchanged either way). The
+    *     parameter name is the warning label: any determinate
+    *     spam-proof salt needs an ordering over identical rows, which
+    *     is exactly what a unique id column provides — there is no
+    *     third option, so reach for this ONLY when the table truly
+    *     has no row identity, and say so in the calling code.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salt: Int, spamProof: Boolean = false,
+                 salt: Int, acceptIndeterminateSalt: Boolean = false,
                  uniqueCol: Option[String] = None): DataFrame = {
     require(salt > 0, "salt must be positive")
+    require(!(acceptIndeterminateSalt && uniqueCol.isDefined),
+      "a table with a unique id never needs the indeterminate salt — drop the flag")
     val saltExpr = uniqueCol match {
       case Some(u) => pmod(xxhash64(col(u)), lit(salt)).cast("int")
-      case None if spamProof =>
+      case None if acceptIndeterminateSalt =>
         pmod(monotonically_increasing_id(), lit(salt)).cast("int")
       case None =>
         pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int")

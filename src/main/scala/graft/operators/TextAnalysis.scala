@@ -976,6 +976,51 @@ object TextAnalysis {
     * instead would re-derive the aggregate from its own scan and read
     * the corpus three times).
     */
+  /** q118 — cross-document repeated-substring spans (the Lee et al.
+    * 2022 "Deduplicating Training Data" shape) at finer grain than
+    * q62's fixed k-token segments: every n-token shingle occurring at
+    * ≥ 2 positions corpus-wide marks its start position as duplicated,
+    * and maximal CONSECUTIVE runs of duplicated positions within a doc
+    * chain-extend into spans `[span_start, span_end]` (token indices,
+    * end inclusive: last run position + n − 1). Spans shorter than
+    * `minSpanTokens` are noise and dropped; the surviving (doc, span)
+    * pairs are what a curation pass cuts out of the text.
+    *
+    * Scale: NO suffix-array global sort — the duplicate test is one
+    * shuffle keyed on the shingle (window count over it), the chain
+    * extension one per-doc window; both are bounded keys. Within-doc
+    * repeats count toward the ≥ 2 threshold, matching the reference
+    * semantics (any second occurrence anywhere is a duplicate). In
+    * production the shingle string would shuffle as xxhash64(s) — kept
+    * as the string here so the oracle needs no hash mirroring (a
+    * 64-bit collision would silently merge two shingles' counts).
+    */
+  def repeatedSubstringSpans(documents: DataFrame, n: Int = 8,
+                             minSpanTokens: Int = 16): DataFrame = {
+    GraftFunctions.register(documents.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val sh = documents
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+        posexplode(HashFunctions.wordShingles(col("t"), n)).as(Seq("pos", "s")))
+    val dup = sh
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("occ") >= 2)
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands: consecutive duplicated positions share
+    // pos − row_number, so one groupBy collapses each maximal run
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+  }
+
   def temperatureMixture(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
     val per = documents
       .select(col("source"),

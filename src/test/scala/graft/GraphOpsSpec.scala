@@ -87,6 +87,43 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(a.map(_._2).sum - 1.0) < 1e-9)
   }
 
+  test("pagerank: tol early-exit stops before the cap and matches run-to-cap within the bound") {
+    // A⇄B converges at round 1 (symmetric fixpoint): with tol set the
+    // loop must exit immediately instead of burning all 50 rounds,
+    // and ranks must equal the fixed-iteration reference.
+    val cyc = edges((1L, 2L), (2L, 1L))
+    val t0 = System.nanoTime()
+    val early = GraphOps.pageRank(cyc, iters = 50, tol = 1e-12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val earlySec = (System.nanoTime() - t0) / 1e9
+    assert(math.abs(early(1L) - 0.5) < 1e-12 && math.abs(early(2L) - 0.5) < 1e-12)
+    // 50 full rounds take many seconds of checkpointed joins; exiting
+    // at round 1 is the only way to land far under that
+    assert(earlySec < 20.0, s"early exit should skip ~49 rounds, took $earlySec s")
+
+    // property: on an asymmetric graph, early-exit ranks are within
+    // tol*d/(1-d) (~5.7x tol) of the run-to-the-cap reference
+    val g = edges((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (4L, 2L), (5L, 4L))
+    val tol = 1e-3
+    val fixed = GraphOps.pageRank(g, iters = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val conv = GraphOps.pageRank(g, iters = 30, tol = tol)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(conv.keySet == fixed.keySet)
+    val bound = tol * 0.85 / 0.15
+    fixed.foreach { case (v, p) =>
+      assert(math.abs(conv(v) - p) < bound,
+        s"vertex $v: |${conv(v)} - $p| >= $bound")
+    }
+    assert(math.abs(conv.values.sum - 1.0) < 1e-9, "mass conserved under early exit")
+    // tol = 0 must preserve the historical fixed-iteration semantics
+    val ten = GraphOps.pageRank(g).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val tenAgain = GraphOps.pageRank(g, iters = 10, tol = 0.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ten == tenAgain)
+  }
+
   test("triangle count: hand graphs, orientation/duplicate tolerance") {
     import spark.implicits._
     def tc(edges: Seq[(Long, Long)]): (Long, Long, Long) = {

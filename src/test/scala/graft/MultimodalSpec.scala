@@ -136,6 +136,77 @@ class MultimodalSpec extends SparkSpec {
     assert(!f.decoded && f.sample_sum == junk.map(_ & 0xff).sum.toLong)
   }
 
+  /** Independent analytic dHash/aHash from text bytes — mirrors the
+    * q117 oracle's arithmetic (32-wide zero-padded byte image, integer
+    * block means, MSB-first bits) without touching the codec path.
+    */
+  private def analyticHashes(text: String): (Long, Long) = {
+    val bytes = text.getBytes("UTF-8")
+    val h = math.max(1, (bytes.length + 31) / 32)
+    def px(y: Int, x: Int): Long = {
+      val i = y * 32 + x
+      if (i < bytes.length) (bytes(i) & 0xff).toLong else 0L
+    }
+    def means(gw: Int): Array[Long] = Array.tabulate(gw * 8) { c =>
+      val gy = c / gw; val gx = c % gw
+      val y0 = gy * h / 8
+      val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+      val x0 = gx * 32 / gw; val x1 = (gx + 1) * 32 / gw
+      var s = 0L
+      for (y <- y0 until y1; x <- x0 until x1) s += px(y, x)
+      s / ((y1 - y0).toLong * (x1 - x0))
+    }
+    val md = means(9)
+    var dh = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8)
+      dh = (dh << 1) | (if (md(gy * 9 + gx + 1) > md(gy * 9 + gx)) 1L else 0L)
+    val ma = means(8)
+    val mean = ma.sum / 64
+    var ah = 0L
+    for (c <- 0 until 64) ah = (ah << 1) | (if (ma(c) > mean) 1L else 0L)
+    (dh, ah)
+  }
+
+  test("perceptual hashes: decoded-domain dHash/aHash match the analytic byte derivation") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 12),
+      (2L, "a completely different document about spark catalyst internals " * 9),
+      (3L, "short"),
+      (4L, ""))
+    val got = Multimodal.perceptualHashes(spark, texts.toDF("doc_id", "text"))
+      .collect().map(p => p.doc_id -> ((p.dhash, p.ahash))).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == analyticHashes(t),
+        s"doc $id: decoded-domain hash must equal the analytic derivation")
+    }
+  }
+
+  test("perceptual near-dup pairs: identical images at hamming 0, small edits close, strangers absent") {
+    import spark.implicits._
+    val base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 10
+    val d = Seq(
+      (1L, base),
+      (2L, base),                              // exact duplicate → hamming 0
+      (3L, base.dropRight(4) + "eli!"),        // tail edit → near
+      (10L, "totally unrelated text with other bytes and rhythm " * 13))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.perceptualNearDupPairs(spark, d, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(pairs.contains((1L, 2L)), s"exact dup must pair, got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) == ((0L, 0L)), "identical images → both distances 0")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"tail-edited doc must pair with both copies, got ${pairs.keySet}")
+    assert(pairs.keys.forall { case (a, b) => a != 10L && b != 10L },
+      "unrelated doc must not pair")
+    // single emission: each pair appears exactly once
+    val all = Multimodal.perceptualNearDupPairs(spark, d, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.distinct.length, "no duplicate pair emissions")
+  }
+
   test("golden image: real resize re-encodes a decodable PNG at target dimensions") {
     import spark.implicits._
     val rgb = (10 << 16) | (20 << 8) | 30

@@ -104,18 +104,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltSpread >= 4, s"hot key only spread over $saltSpread salt values")
   }
 
-  test("spamProof salting spreads 100% exact-duplicate rows; both modes join-equal") {
+  test("indeterminate-salt opt-in spreads 100% exact-duplicate rows; both modes join-equal") {
     // all 500 big rows are IDENTICAL in every column: the content-hash
-    // salt necessarily co-locates them (one reducer), the spamProof
-    // variant must still fan them out
+    // salt necessarily co-locates them (one reducer); the explicit
+    // acceptIndeterminateSalt opt-in must still fan them out
     val big = (1 to 500).map(_ => (7L, "same")).toDF("k", "payload")
     val small = (0L until 10L).map(i => (i, s"dim$i")).toDF("k", "attr")
     val plain = big.join(small, Seq("k"))
       .select("k", "payload", "attr").collect().map(_.toString).sorted
-    for (spamProof <- Seq(false, true)) {
-      val salted = ScaleOps.saltedJoin(big, small, "k", salt = 8, spamProof = spamProof)
+    for (optIn <- Seq(false, true)) {
+      val salted = ScaleOps.saltedJoin(big, small, "k", salt = 8,
+          acceptIndeterminateSalt = optIn)
         .select("k", "payload", "attr").collect().map(_.toString).sorted
-      assert(salted.toSeq == plain.toSeq, s"spamProof=$spamProof must preserve results")
+      assert(salted.toSeq == plain.toSeq,
+        s"acceptIndeterminateSalt=$optIn must preserve results")
     }
     val spread = big.withColumn("__salt",
         pmod(monotonically_increasing_id(), lit(8)).cast("int"))
@@ -125,6 +127,13 @@ class ScaleOpsSpec extends SparkSpec {
         pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(8)).cast("int"))
       .select(countDistinct(col("__salt"))).head.getLong(0)
     assert(contentSpread == 1L, "content salt co-locates identical rows (the documented trade)")
+    // a table WITH a unique id must not be allowed to pick the
+    // indeterminate salt — the flag is for identity-free tables only
+    val withId = (1L to 10L).map(i => (i, 7L)).toDF("row_id", "k")
+    intercept[IllegalArgumentException] {
+      ScaleOps.saltedJoin(withId, small, "k", salt = 8,
+        acceptIndeterminateSalt = true, uniqueCol = Some("row_id"))
+    }
   }
 
   test("uniqueCol salting is determinate AND spreads content-duplicate rows") {

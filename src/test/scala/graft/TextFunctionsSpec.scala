@@ -156,6 +156,43 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("repeated-substring spans: chain extension, boundaries, within-doc repeats") {
+    import graft.operators.TextAnalysis
+    // docs 1 and 2 share a 24-token prefix (positions 0..23) and then
+    // diverge; doc 3 is unrelated; doc 4 repeats its own 20-token
+    // phrase twice back to back (within-doc duplication must count)
+    val shared = (1 to 24).map(i => s"w$i").mkString(" ")
+    val phrase = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " tail1 only here alpha beta gamma delta"),
+      (2L, shared + " tail2 other words epsilon zeta eta theta"),
+      (3L, (1 to 40).map(i => s"u$i").mkString(" ")),
+      (4L, phrase + " " + phrase))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSubstringSpans(docs, n = 8, minSpanTokens = 16)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // shared prefix: duplicated shingle starts are 0..16 (17 shingles),
+    // span covers tokens 0..23 = 24 tokens, in BOTH docs
+    assert(out.count(_._1 == 1L) == 1 && out.count(_._1 == 2L) == 1)
+    assert(out.filter(t => t._1 == 1L || t._1 == 2L)
+      .forall(t => t._2 == 0L && t._3 == 23L && t._4 == 24L),
+      s"shared-prefix span must be tokens 0..23, got ${out.toSeq}")
+    assert(!out.exists(_._1 == 3L), "unrelated doc has no spans")
+    // doc 4: "p1..p20 p1..p20" — shingle starts 0..12 match their +20
+    // twins, but the seam shingles (13..19, spanning the copy boundary)
+    // occur once, so the runs chain into TWO 20-token spans: tokens
+    // 0..19 (the first copy) and 20..39 (the second)
+    val d4 = out.filter(_._1 == 4L)
+    assert(d4.toSeq == Seq((4L, 0L, 19L, 20L), (4L, 20L, 39L, 20L)),
+      s"within-doc repeat must yield both copies' spans, got ${d4.toSeq}")
+    // sub-threshold spans are dropped: with minSpanTokens above the
+    // span length nothing survives
+    val none = TextAnalysis.repeatedSubstringSpans(docs, n = 8,
+      minSpanTokens = 64).collect()
+    assert(none.isEmpty)
+  }
+
   test("unigram LM: common-token docs score lower nll than rare-token docs") {
     val docs = Seq(
       (1L, "the the the and and of"), // all high-frequency tokens
