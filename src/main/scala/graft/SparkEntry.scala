@@ -1419,6 +1419,13 @@ object SparkEntry {
       TextAnalysis.repeatedSubstringSpans(Tables.documents(s, dir))
         .orderBy("doc_id", "span_start")
     }),
+
+    // The actionable half of q118: cut every detected span and rebuild
+    // each document from the survivors (ExactSubstr removal policy).
+    "q119_substring_removal" -> ((s, dir) => {
+      TextAnalysis.removeRepeatedSubstrings(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -3088,6 +3095,46 @@ object SparkEntry {
         |       span_end - span_start + 1 AS span_tokens
         |FROM runs WHERE span_end - span_start + 1 >= 16
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // q119: q118's runs grouped to per-doc span lists, then a 1-based
+    // list_filter((x, i)) mirrors Spark's 0-based filter((x, i)).
+    "q119_substring_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |         unnest(list_transform(range(len(t) - 7),
+        |                i -> array_to_string(t[(i+1)::INT:(i+8)::INT], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 8),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS occ FROM sh)
+        |  WHERE occ >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS island
+        |  FROM dup),
+        |runs AS (
+        |  SELECT doc_id, min(pos)::BIGINT AS ss, (max(pos) + 7)::BIGINT AS se
+        |  FROM isl GROUP BY doc_id, island),
+        |spans AS (
+        |  SELECT doc_id, list(struct_pack(s := ss, e := se)) AS sps
+        |  FROM runs WHERE se - ss + 1 >= 16 GROUP BY doc_id),
+        |rebuilt AS (
+        |  SELECT d.doc_id, len(d.t)::BIGINT AS n_tokens,
+        |         CASE WHEN sp.sps IS NULL THEN d.t
+        |              ELSE list_filter(d.t, (x, i) ->
+        |                len(list_filter(sp.sps,
+        |                    r -> r.s <= i - 1 AND i - 1 <= r.e)) = 0)
+        |         END AS kept
+        |  FROM toks d LEFT JOIN spans sp ON d.doc_id = sp.doc_id)
+        |SELECT doc_id, n_tokens, (n_tokens - len(kept))::BIGINT AS n_removed,
+        |       coalesce(array_to_string(kept, ' '), '') AS rebuilt
+        |FROM rebuilt ORDER BY doc_id""".stripMargin,
 
     // q116: UNION ALL of the four measure branches = Spark's Expand;
     // decimal(18,2) cast both engines makes each cent value exact

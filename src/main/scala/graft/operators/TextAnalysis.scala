@@ -1021,6 +1021,38 @@ object TextAnalysis {
       .filter(col("span_tokens") >= minSpanTokens)
   }
 
+  /** q119 — the actionable half of [[repeatedSubstringSpans]]: cut
+    * every detected span out of its document and rebuild the text
+    * from the surviving tokens (ALL copies are removed — the Lee et
+    * al. ExactSubstr policy; a keep-first variant would anti-join the
+    * spans against a first-occurrence rank instead). Emits every doc
+    * (left join): untouched docs pass through with `n_removed = 0`.
+    *
+    * Scale: the spans frame is tiny relative to the corpus (one row
+    * per detected run), grouped to a per-doc array and joined back on
+    * doc_id — one extra bounded-key shuffle on top of q118; the cut
+    * itself is a per-row HOF filter (position ∉ any span), no explode
+    * of token positions.
+    */
+  def removeRepeatedSubstrings(documents: DataFrame, n: Int = 8,
+                               minSpanTokens: Int = 16): DataFrame = {
+    val spans = repeatedSubstringSpans(documents, n, minSpanTokens)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    val toks = documents.select(col("doc_id"),
+      TextFunctions.wsTokens(col("text")).as("t"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        when(col("spans").isNull, col("t")).otherwise(
+          expr("filter(t, (x, i) -> NOT exists(spans, r -> r.s <= i AND i <= r.e))"))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("rebuilt"))
+  }
+
   def temperatureMixture(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
     val per = documents
       .select(col("source"),

@@ -16,7 +16,8 @@ object GraftPlanBridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     ExpressionUtils.column(e)
 
-  /** Drop the origin statistics a checkpoint carries over.
+  /** Replace the origin statistics a checkpoint carries over with the
+    * MEASURED size of the materialized blocks.
     *
     * `Dataset.localCheckpoint` truncates LINEAGE but copies the
     * optimized plan's estimated `Statistics` onto the resulting
@@ -27,19 +28,28 @@ object GraftPlanBridge {
     * count round over round — by round ~15 the driver spends its time
     * in hundreds-of-MB BigInteger multiplications inside
     * SizeInBytesOnlyStatsPlanVisitor and the job effectively stalls.
-    * Rebuilding the LogicalRDD with `originStats = None` resets each
-    * round to the default estimate and keeps round cost flat; the
-    * RDD/partitioning/ordering (the actual checkpoint) are untouched.
-    * Loops that broadcast their small sides explicitly lose nothing.
+    *
+    * Since the checkpoint is EAGER, the real block sizes are already
+    * known to the block manager — so rather than dropping the stats
+    * (which would also forfeit in-loop broadcast decisions: a small
+    * rank/label table must keep broadcasting), the LogicalRDD is
+    * rebuilt with `sizeInBytes` = the measured storage footprint,
+    * which is both bounded (no compounding) and MORE accurate than
+    * any estimate. Falls back to no stats if the blocks can't be
+    * found (e.g. a non-eager checkpoint).
     */
   def dropCheckpointStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
     import org.apache.spark.sql.execution.LogicalRDD
     df.queryExecution.analyzed match {
       case l: LogicalRDD =>
         val sess = df.sparkSession.asInstanceOf[SparkSession]
+        val measured = sess.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => Statistics(sizeInBytes = BigInt(i.memSize + i.diskSize).max(1)))
         Dataset.ofRows(sess,
           LogicalRDD(l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
-            l.isStreaming, l.stream)(sess, None, None))
+            l.isStreaming, l.stream)(sess, measured, None))
       case _ => df
     }
   }

@@ -191,6 +191,19 @@ class TextFunctionsSpec extends SparkSpec {
     val none = TextAnalysis.repeatedSubstringSpans(docs, n = 8,
       minSpanTokens = 64).collect()
     assert(none.isEmpty)
+
+    // removal rebuild: the shared prefix is cut from BOTH docs (every
+    // copy goes — ExactSubstr policy), tails survive verbatim, the
+    // unrelated doc passes through untouched, doc 4 empties entirely
+    val rb = TextAnalysis.removeRepeatedSubstrings(docs, n = 8,
+        minSpanTokens = 16)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rb(1L) == ((31L, 24L, "tail1 only here alpha beta gamma delta")))
+    assert(rb(2L) == ((31L, 24L, "tail2 other words epsilon zeta eta theta")))
+    assert(rb(3L)._2 == 0L && rb(3L)._3 == (1 to 40).map(i => s"u$i").mkString(" "))
+    assert(rb(4L) == ((40L, 40L, "")), "fully duplicated doc empties")
   }
 
   test("unigram LM: common-token docs score lower nll than rare-token docs") {
