@@ -1426,6 +1426,13 @@ object SparkEntry {
       TextAnalysis.removeRepeatedSubstrings(Tables.documents(s, dir))
         .orderBy("doc_id")
     }),
+
+    // Video frame sampling under the oracle gate: every video-kind
+    // payload through the real 64-byte chunker (stride 2), per-frame
+    // integer stats the oracle derives from the source bytes.
+    "q120_video_frames" -> ((s, dir) => {
+      Multimodal.videoFrameStats(s, Tables.documents(s, dir))
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -3135,6 +3142,25 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, (n_tokens - len(kept))::BIGINT AS n_removed,
         |       coalesce(array_to_string(kept, ' '), '') AS rebuilt
         |FROM rebuilt ORDER BY doc_id""".stripMargin,
+
+    // q120: video kind = doc_id % 3 == 2 (the syntheticMedia
+    // round-robin); frame j covers bytes [64j, min(64(j+1), nb)),
+    // kept when j % 2 = 0; byte sums from the hex dump (q114 pattern).
+    "q120_video_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT AS nb,
+        |         lower(hex(encode(text))) AS hx
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, nb, hx,
+        |         unnest(list_filter(range((nb + 63) // 64), j -> j % 2 = 0)) AS j
+        |  FROM b WHERE nb > 0)
+        |SELECT doc_id, j::BIGINT AS frame_no,
+        |       least(64, nb - 64 * j)::BIGINT AS n_bytes,
+        |       list_sum(list_transform(range(least(64, nb - 64 * j)),
+        |         k -> ('0x' || substr(hx, (2 * (64 * j + k) + 1)::INT, 2))::BIGINT)
+        |         )::BIGINT AS byte_sum
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
     // q116: UNION ALL of the four measure branches = Spark's Expand;
     // decimal(18,2) cast both engines makes each cent value exact

@@ -34,15 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Eager lineage-truncating checkpoint for loop-carried frames, with
-    * the checkpoint's copied statistics DROPPED
-    * ([[org.apache.spark.sql.classic.GraftPlanBridge.dropCheckpointStats]]):
-    * localCheckpoint copies the optimized plan's size estimate onto
+  /** Eager lineage-truncating checkpoint for loop frames, with the
+    * checkpoint's copied statistics replaced by the MEASURED block
+    * size ([[org.apache.spark.sql.classic.GraftPlanBridge.dropCheckpointStats]]):
+    * localCheckpoint copies the optimized plan's size ESTIMATE onto
     * the LogicalRDD, and in a loop the estimates multiply round over
     * round (join estimation is a product of child sizes) until the
-    * driver stalls in BigInteger arithmetic around round ~15. Dropping
-    * them keeps round cost flat; the small sides are broadcast
-    * explicitly, so nothing is lost.
+    * driver stalls in BigInteger arithmetic around round ~15. The
+    * measured size is bounded (no compounding) and better than any
+    * estimate — a small rank/label frame keeps its in-loop broadcast
+    * (plan-verified: eOutd ⋈ pr builds the pr side, so the big edge
+    * frame never re-shuffles per round).
     */
   private def loopCheckpoint(df: DataFrame): DataFrame =
     org.apache.spark.sql.classic.GraftPlanBridge
@@ -63,10 +65,11 @@ object GraphOps {
   private[graft] def ccWithStats(pairs: DataFrame,
                                  maxIter: Int = 50): (DataFrame, Int) = {
     // materialized once; every round re-reads the cached edge list
-    val edges = pairs
+    // (loopCheckpoint: measured stats — the estimate here is already a
+    // multi-join product and every round's plan consumes it)
+    val edges = loopCheckpoint(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
 
     var labels = loopCheckpoint(
       edges.select(col("src").as("v")).distinct()
@@ -216,22 +219,19 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iters: Int = 10,
                damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("v"))
+    val e = loopCheckpoint(edges.select(col("src"), col("dst")).distinct())
+    val nodes = loopCheckpoint(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     val n = nodes.count().toDouble
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outd"))
-      .localCheckpoint(true)
+    val outDeg = loopCheckpoint(e.groupBy("src").agg(count(lit(1)).as("outd")))
     // loop-invariant prework, hoisted: edges pre-joined with out-degree
     // (saves one join per iteration) and the dangling-vertex set (the
     // per-round anti-join becomes a semi-join against this snapshot)
-    val eOutd = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), col("outd")).localCheckpoint(true)
-    val dangV = nodes
-      .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti")
-      .localCheckpoint(true)
+    val eOutd = loopCheckpoint(e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("outd")))
+    val dangV = loopCheckpoint(nodes
+      .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti"))
 
     var pr = loopCheckpoint(nodes.select(col("v"), lit(1.0 / n).as("pr")))
     // the frame holding the round's materialized checkpoint (what we

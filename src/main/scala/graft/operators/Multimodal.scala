@@ -263,7 +263,7 @@ object Multimodal {
     * downsample instead of a resampling filter so the hash is an
     * exact integer function of the decoded pixels).
     */
-  private[operators] def dHash64(img: BufferedImage): Long = {
+  private[graft] def dHash64(img: BufferedImage): Long = {
     val m = blockMeans(img, 9)
     var hsh = 0L
     var gy = 0
@@ -281,7 +281,7 @@ object Multimodal {
   /** aHash: 8×8 grid of block means, bit per cell (1 iff cell > the
     * floor-mean of the 64 cells), MSB-first.
     */
-  private[operators] def aHash64(img: BufferedImage): Long = {
+  private[graft] def aHash64(img: BufferedImage): Long = {
     val m = blockMeans(img, 8)
     var s = 0L; var i = 0
     while (i < 64) { s += m(i); i += 1 }
@@ -352,7 +352,7 @@ object Multimodal {
     * falls back to byte statistics. `setUseCache(false)` keeps ImageIO
     * from spooling through temp files on the executor's local disk.
     */
-  private[operators] def tryDecodeImage(payload: Array[Byte]): Option[BufferedImage] =
+  private[graft] def tryDecodeImage(payload: Array[Byte]): Option[BufferedImage] =
     if (payload == null || payload.length < 8) None
     else try {
       ImageIO.setUseCache(false)
@@ -471,6 +471,33 @@ object Multimodal {
         case (chunk, idx) if idx % stride == 0 => Frame(rec.media_id, idx, chunk)
       }
     }
+  }
+
+  /** Integer stats of one sampled frame (q120's oracle surface). */
+  case class FrameStats(doc_id: Long, frame_no: Long, n_bytes: Long,
+                        byte_sum: Long)
+
+  /** q120 — the video path under the oracle gate, closing the
+    * multimodal triple (q114 image, q115 audio): every `video`-kind
+    * payload flows through the REAL [[sampleFrames]] chunker (one row
+    * in → one row per sampled 64-byte frame out) and each frame
+    * reduces to integers the oracle derives analytically from the
+    * source bytes (frame length, unsigned byte sum). A chunker that
+    * mis-strides, drops the short tail frame, or misaligns offsets
+    * cannot hash-match. Scale: flatMap explode inside the task — no
+    * shuffle before the canonical output sort.
+    */
+  def videoFrameStats(spark: SparkSession, documents: DataFrame,
+                      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    sampleFrames(syntheticMedia(spark, documents), stride)
+      .map { f =>
+        var s = 0L; var i = 0
+        while (i < f.frame_bytes.length) { s += f.frame_bytes(i) & 0xff; i += 1 }
+        FrameStats(f.media_id, f.frame_no.toLong, f.frame_bytes.length.toLong, s)
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_no")
   }
 
   /** A resized media payload: PNG-encoded pixels for decoded images,

@@ -51,6 +51,30 @@ object StreamingDedup {
       tsCol, delay, "sh")
   }
 
+  /** Ingest-time IMAGE near-dup guard: decode each binary `payload`,
+    * drop records whose decoded-domain dHash
+    * ([[graft.operators.Multimodal.dHash64]]) collides exactly within
+    * the watermark horizon — the image sibling of [[bySimhash]] (state
+    * keys on one long per image). Non-decodable payloads pass through
+    * untouched (a corrupt image must not dedup against every other
+    * corrupt image via a shared null key). The full hamming ≤ k image
+    * neighborhood is the batch pass (q117,
+    * `Multimodal.perceptualNearDupPairs`) — same division of labor as
+    * [[bySimhash]] vs the batch q18. The decode sits in a Scala UDF:
+    * this is the sanctioned codec seam (same rationale as the batch
+    * side's mapPartitions — no expression can wrap ImageIO), and the
+    * hash is one long per row on the wire.
+    */
+  def byImageDHash(mediaStream: DataFrame, tsCol: String,
+                   delay: String): DataFrame = {
+    val dhashUdf = udf((payload: Array[Byte]) =>
+      graft.operators.Multimodal.tryDecodeImage(payload)
+        .map(graft.operators.Multimodal.dHash64))
+    val hashed = mediaStream.withColumn("dh", dhashUdf(col("payload")))
+    val images = exact(hashed.filter(col("dh").isNotNull), tsCol, delay, "dh")
+    images.unionByName(hashed.filter(col("dh").isNull))
+  }
+
   /** One doc exploded to one of its four 16-bit simhash chunk buckets. */
   case class ChunkDoc(band: Int, bucket: Long, doc_id: Long, sh: Long,
                       ts: Timestamp, text: String)

@@ -207,6 +207,21 @@ class MultimodalSpec extends SparkSpec {
     assert(all.length == all.distinct.length, "no duplicate pair emissions")
   }
 
+  test("video frame stats: stride sampling, short tail frame, byte sums") {
+    import spark.implicits._
+    // doc_id % 3 == 2 -> kind "video"; 150 bytes -> frames 0..2
+    // (64, 64, 22 bytes), stride 2 keeps frames 0 and 2
+    val text = ("x" * 64) + ("y" * 64) + ("z" * 22)
+    val d = Seq((2L, text), (5L, ""), (1L, "not video " * 20))
+      .toDF("doc_id", "text")
+    val out = Multimodal.videoFrameStats(spark, d, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (2L, 0L, 64L, 64L * 'x'.toLong),
+      (2L, 2L, 22L, 22L * 'z'.toLong)),
+      s"got ${out.toSeq}")
+  }
+
   test("golden image: real resize re-encodes a decodable PNG at target dimensions") {
     import spark.implicits._
     val rgb = (10 << 16) | (20 << 8) | 30

@@ -336,6 +336,70 @@ class PriceAlertsStreamingSpec extends SparkSpec {
     assert(ids.contains(3L))
   }
 
+  case class Media(doc_id: Long, payload: Array[Byte], ts: Timestamp)
+
+  test("streaming image dHash dedup: identical decoded image dropped, corrupt passes through") {
+    def png(text: String): Array[Byte] = {
+      import spark.implicits._
+      graft.operators.Multimodal.syntheticImages(spark,
+          Seq((0L, text)).toDF("doc_id", "text"))
+        .head().payload
+    }
+    val a = png("the very same image content rendered twice " * 4)
+    val b = png("an entirely different picture with other bytes " * 4)
+    val junk = "not an image at all".getBytes("UTF-8")
+    val in = MemoryStream[Media]
+    val deduped = graft.streaming.StreamingDedup.byImageDHash(
+      in.toDF(), "ts", "10 minutes")
+    val out = runQuery(deduped, "append", "imgdedup_out") { q =>
+      in.addData(
+        Media(1L, a, Timestamp.valueOf("2024-01-01 00:00:01")),
+        Media(2L, a.clone(), Timestamp.valueOf("2024-01-01 00:00:02")),
+        Media(3L, b, Timestamp.valueOf("2024-01-01 00:00:03")),
+        Media(4L, junk, Timestamp.valueOf("2024-01-01 00:00:04")),
+        Media(5L, junk.clone(), Timestamp.valueOf("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+    }
+    val ids = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    // one of {1,2} survives; 3 survives; BOTH corrupt records survive
+    // (no shared-null-key dedup)
+    assert(ids.intersect(Set(1L, 2L)).size == 1, s"dup image must drop, got $ids")
+    assert(Set(3L, 4L, 5L).subsetOf(ids), s"distinct + corrupt must pass, got $ids")
+  }
+
+  test("streaming Avro corrupt-frame policy: PERMISSIVE mid-stream surfaces raw bytes") {
+    import graft.sources.KafkaIO
+    graft.functions.GraftFunctions.register(spark)
+    val schema = new org.apache.avro.Schema.Parser().parse(KafkaIO.purchaseAvroSchema)
+    def enc(id: Long): Array[Byte] = {
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("id", id); rec.put("quantity", 2L); rec.put("productid", 3L)
+      val bos = new java.io.ByteArrayOutputStream()
+      val e = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema)
+        .write(rec, e)
+      e.flush()
+      Array[Byte](0, 0, 0, 0, 1) ++ bos.toByteArray
+    }
+    val torn = Array[Byte](0, 0)
+    val in = MemoryStream[Array[Byte]]
+    val decoded = KafkaIO.decodeAvroFrames(in.toDF().toDF("value"),
+      KafkaIO.purchaseAvroSchema, mode = "PERMISSIVE")
+    val out = runQuery(decoded, "append", "avro_stream_out") { q =>
+      in.addData(enc(1L), torn, enc(2L))
+      q.processAllAvailable()
+    }
+    val rows = out.collect()
+    assert(rows.length == 3, "PERMISSIVE keeps every record")
+    val good = rows.filter(!_.isNullAt(rows.head.fieldIndex("decoded")))
+    assert(good.map(_.getStruct(rows.head.fieldIndex("decoded")).getLong(0)).toSet
+      == Set(1L, 2L))
+    val bad = rows.filter(_.isNullAt(rows.head.fieldIndex("decoded")))
+    assert(bad.length == 1 &&
+      bad.head.getAs[Array[Byte]]("_corrupt_record").toSeq == torn.toSeq,
+      "the torn frame's raw bytes must surface in _corrupt_record")
+  }
+
   test("streaming near-dup simhash dedup: NON-identical hamming<=3 pair dropped in-stream") {
     // transformWithState (ListState) needs a multi-column-family store
     val key = "spark.sql.streaming.stateStore.providerClass"

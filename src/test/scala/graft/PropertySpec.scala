@@ -196,6 +196,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repeated-substring spans match a brute-force local model on random corpora") {
+    // small alphabet + short shingles so cross-doc collisions actually
+    // occur; the local model recomputes duplicated positions, islands,
+    // and the min-span filter from first principles
+    val n = 3; val minSpan = 5
+    val corpusGen = for {
+      nDocs <- Gen.choose(3, 7)
+      docs <- Gen.listOfN(nDocs,
+        Gen.choose(0, 30).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c"))))
+    } yield docs.zipWithIndex.map { case (toks, i) =>
+      (i.toLong, toks.mkString(" "))
+    }
+    for (corpus <- samples(corpusGen, 6)) {
+      val toks = corpus.map { case (id, t) =>
+        id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      }.toMap
+      val counts = scala.collection.mutable.Map[String, Int]()
+      for ((_, tt) <- toks; i <- 0 to tt.length - n)
+        counts.updateWith(tt.slice(i, i + n).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+      val expect = (for ((id, tt) <- toks.toSeq) yield {
+        val dup = (0 to tt.length - n)
+          .filter(i => counts(tt.slice(i, i + n).mkString(" ")) >= 2)
+        val runs = scala.collection.mutable.ArrayBuffer[List[Int]]()
+        for (p <- dup) {
+          if (runs.nonEmpty && runs.last.head == p - 1) runs(runs.length - 1) = p :: runs.last
+          else runs += List(p)
+        }
+        runs.map(r => (id, r.min.toLong, (r.max + n - 1).toLong))
+          .filter(s => s._3 - s._2 + 1 >= minSpan)
+      }).flatten.toSet
+      val got = graft.operators.TextAnalysis
+        .repeatedSubstringSpans(corpus.toDF("doc_id", "text"), n, minSpan)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"corpus=$corpus\ngot $got\nexpect $expect")
+    }
+  }
+
+  test("perceptual hashes equal the analytic byte derivation on random texts") {
+    // independent model of the q117 oracle arithmetic: 32-wide
+    // zero-padded byte image, integer block means, MSB-first packing
+    def analytic(text: String): (Long, Long) = {
+      val bytes = text.getBytes("UTF-8")
+      val h = math.max(1, (bytes.length + 31) / 32)
+      def px(y: Int, x: Int): Long = {
+        val i = y * 32 + x
+        if (i < bytes.length) (bytes(i) & 0xff).toLong else 0L
+      }
+      def means(gw: Int): Array[Long] = Array.tabulate(gw * 8) { c =>
+        val gy = c / gw; val gx = c % gw
+        val y0 = gy * h / 8
+        val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+        val x0 = gx * 32 / gw; val x1 = (gx + 1) * 32 / gw
+        var s = 0L
+        for (y <- y0 until y1; x <- x0 until x1) s += px(y, x)
+        s / ((y1 - y0).toLong * (x1 - x0))
+      }
+      val md = means(9)
+      var dh = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        dh = (dh << 1) | (if (md(gy * 9 + gx + 1) > md(gy * 9 + gx)) 1L else 0L)
+      val ma = means(8)
+      val mean = ma.sum / 64
+      var ah = 0L
+      for (c <- 0 until 64) ah = (ah << 1) | (if (ma(c) > mean) 1L else 0L)
+      (dh, ah)
+    }
+    // random printable text with lengths straddling the row boundaries
+    val textGen = for {
+      len <- Gen.oneOf(Gen.choose(0, 40), Gen.oneOf(31, 32, 33, 255, 256, 257))
+      cs <- Gen.listOfN(len, Gen.choose(32, 126).map(_.toChar))
+    } yield cs.mkString
+    val texts = samples(textGen, 12).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.Multimodal
+      .perceptualHashes(spark, texts.toDF("doc_id", "text"))
+      .collect().map(p => p.doc_id -> ((p.dhash, p.ahash))).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == analytic(t),
+        s"len=${t.length}: decoded-domain hash != analytic for doc $id")
+    }
+  }
+
   test("BPE merge fold: concatenating final symbols reproduces each word") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     // run the merges, then re-derive the final symbol table by
