@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Dedup, GraphOps, Multimodal, PriceAlerts, Relational, Similarity, Sketches, TextAnalysis, TimeSeries}
+import graft.operators.{AsOfJoin, Dedup, EntityResolution, GraphOps, Multimodal, PriceAlerts, Relational, Similarity, Sketches, TextAnalysis, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1432,6 +1432,27 @@ object SparkEntry {
     // integer stats the oracle derives from the source bytes.
     "q120_video_frames" -> ((s, dir) => {
       Multimodal.videoFrameStats(s, Tables.documents(s, dir))
+    }),
+
+    // Record linkage: multi-blocked candidate generation (nation +
+    // name-digit suffix), pair dedup, trigram-jaccard + balance-
+    // proximity scoring, one-best assignment per customer.
+    "q121_entity_match" -> ((s, dir) => {
+      EntityResolution.linkCustomersToSuppliers(
+        Tables.customer(s, dir), Tables.supplier(s, dir))
+        .orderBy("c_custkey")
+    }),
+
+    // SCD Type-2 dimension build: per-customer order-status change
+    // points collapsed into validity intervals (valid_from/valid_to,
+    // version, is_current) — two windows over one partitioning.
+    "q122_scd2_history" -> ((s, dir) => {
+      Relational.scd2History(Tables.orders(s, dir))
+        .select(col("o_custkey"), col("status"),
+          tsStr(col("valid_from_ts")).as("valid_from"),
+          tsStr(col("valid_to_ts")).as("valid_to"),
+          col("version"), col("is_current"))
+        .orderBy("o_custkey", "version")
     }),
   )
 
@@ -3175,5 +3196,92 @@ object SparkEntry {
         .mkString("", "\nUNION ALL\n",
           "\nORDER BY l_orderkey, l_linenumber, measure")
     },
+
+    // q121: same multi-blocking (nation / digit-suffix), per-block cap,
+    // pair dedup, trigram-jaccard + balance-proximity score, one-best
+    // row_number assignment. All score arithmetic is the identical IEEE
+    // expression tree on both engines; trigram sets are distinct lists
+    // so intersection/union sizes match Spark's array_intersect exactly.
+    "q121_entity_match" ->
+      """WITH l AS (
+        |  SELECT c_custkey, c_nationkey::BIGINT AS l_nation,
+        |         regexp_extract(c_name, '([0-9]+)', 1) AS l_digits,
+        |         c_acctbal AS l_bal
+        |  FROM customer),
+        |r AS (
+        |  SELECT s_suppkey, s_nationkey::BIGINT AS r_nation,
+        |         regexp_extract(s_name, '([0-9]+)', 1) AS r_digits,
+        |         s_acctbal AS r_bal
+        |  FROM supplier),
+        |lb AS (
+        |  SELECT c_custkey, 'n' || l_nation::VARCHAR AS bkey FROM l
+        |  UNION ALL
+        |  SELECT c_custkey, 's' || right(l_digits, 2) FROM l),
+        |rb AS (
+        |  SELECT s_suppkey, 'n' || r_nation::VARCHAR AS bkey FROM r
+        |  UNION ALL
+        |  SELECT s_suppkey, 's' || right(r_digits, 2) FROM r),
+        |lc AS (SELECT c_custkey, bkey FROM (
+        |         SELECT *, count(*) OVER (PARTITION BY bkey) AS bn FROM lb)
+        |       WHERE bn <= 10000),
+        |rc AS (SELECT s_suppkey, bkey FROM (
+        |         SELECT *, count(*) OVER (PARTITION BY bkey) AS bn FROM rb)
+        |       WHERE bn <= 10000),
+        |cands AS (
+        |  SELECT DISTINCT c_custkey, s_suppkey
+        |  FROM lc JOIN rc USING (bkey)),
+        |scored AS (
+        |  SELECT c.c_custkey, c.s_suppkey, sc.jac, sc.balscore,
+        |         0.7 * sc.jac + 0.3 * sc.balscore AS score
+        |  FROM cands c
+        |  JOIN l ON c.c_custkey = l.c_custkey
+        |  JOIN r ON c.s_suppkey = r.s_suppkey,
+        |  LATERAL (
+        |    SELECT CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END AS jac,
+        |           1.0 / (1.0 + abs(l_bal - r_bal)) AS balscore
+        |    FROM (
+        |      SELECT len(list_filter(ltg, x -> list_contains(rtg, x)))::DOUBLE
+        |               AS inter,
+        |             (len(ltg) + len(rtg))::DOUBLE
+        |               - len(list_filter(ltg, x -> list_contains(rtg, x)))::DOUBLE
+        |               AS uni
+        |      FROM (SELECT
+        |              list_distinct(list_transform(
+        |                range(1, greatest(length(l_digits) - 2, 1) + 1),
+        |                i -> substring(l_digits, i::INT, 3))) AS ltg,
+        |              list_distinct(list_transform(
+        |                range(1, greatest(length(r_digits) - 2, 1) + 1),
+        |                i -> substring(r_digits, i::INT, 3))) AS rtg))) sc)
+        |SELECT c_custkey, s_suppkey,
+        |       floor(score * 1000000 + 0.5) / 1000000 AS score, n_cands
+        |FROM (
+        |  SELECT c_custkey, s_suppkey, score,
+        |         count(*) OVER (PARTITION BY c_custkey) AS n_cands,
+        |         row_number() OVER (PARTITION BY c_custkey
+        |                            ORDER BY score DESC, s_suppkey ASC) AS rk
+        |  FROM scored)
+        |WHERE rk = 1
+        |ORDER BY c_custkey""".stripMargin,
+
+    // q122: change points via lag over (custkey, orderdate, orderkey),
+    // intervals via lead over the FILTERED change-point set.
+    "q122_scd2_history" ->
+      """WITH obs AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |chg AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |  FROM obs WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus AS status,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S')
+        |         AS valid_to,
+        |       row_number() OVER w AS version,
+        |       (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
   )
 }

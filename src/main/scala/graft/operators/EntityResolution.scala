@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record linkage (entity resolution) between two tables that describe
+  * the same real-world entities under different keys — the classic
+  * data-integration step a corpus pipeline runs before dedup can even
+  * start (link crawl records to registry records, user rows to account
+  * rows).
+  *
+  * The scalable shape is the same one every serious ER system
+  * (Dedoop/Magellan-style) uses:
+  *
+  *   1. MULTI-BLOCKING — generate candidate pairs only inside small
+  *      blocks, under SEVERAL independent blocking keys so a single
+  *      noisy attribute can't hide a true match. Each blocking pass is
+  *      one shuffle on its key; pair generation is a per-block
+  *      self/cross join bounded by the block-size cap (skew guard — a
+  *      degenerate key like nationkey=NULL can't go quadratic).
+  *   2. CANDIDATE DEDUP — a pair found by two blocking passes must be
+  *      scored once; `distinct` on the pair key (one shuffle on the
+  *      pair id, which is unique, hence perfectly spread).
+  *   3. SCORING — cheap per-pair features (token-set jaccard, numeric
+  *      proximity) combined linearly; all row-local arithmetic, stays
+  *      inside WholeStageCodegen.
+  *   4. ONE-BEST ASSIGNMENT — per left entity keep the argmax-score
+  *      candidate (deterministic tie-break), a bounded window per
+  *      left key.
+  *
+  * Nothing here is all-pairs: the only joins are block-keyed and
+  * pair-keyed, so at 100 TB the cost is Σ_blocks |L_b|·|R_b| with
+  * |block| capped, exactly like the LSH dedup family (Dedup.scala).
+  *
+  * Reference scope note: the reference (kafka-streams-homework) has no
+  * linkage operator; this belongs to the LLM-pipeline mandate
+  * (SURVEY.md §2.11 extensions).
+  */
+object EntityResolution {
+
+  /** Link each customer to its best-matching supplier.
+    *
+    * Blocking keys: (a) nationkey — the natural domain block; (b) the
+    * last two digits of the entity's numeric name id — a cheap
+    * "same-suffix" key that rescues matches whose nationkey is dirty.
+    * Score = 0.7 · jaccard(digit trigrams of the name ids)
+    *       + 0.3 · 1/(1+|Δacctbal|).
+    *
+    * Output: one row per customer that had any candidate —
+    * (c_custkey, s_suppkey, score, n_cands).
+    */
+  def linkCustomersToSuppliers(
+      customer: DataFrame,
+      supplier: DataFrame,
+      maxBlockSize: Int = 10000): DataFrame = {
+
+    val left = customer.select(
+      col("c_custkey"),
+      col("c_nationkey").cast("long").as("l_nation"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("l_digits"),
+      col("c_acctbal").as("l_bal"))
+    val right = supplier.select(
+      col("s_suppkey"),
+      col("s_nationkey").cast("long").as("r_nation"),
+      regexp_extract(col("s_name"), "([0-9]+)", 1).as("r_digits"),
+      col("s_acctbal").as("r_bal"))
+
+    // One blocking pass: equi-join left and right on blockCol, with a
+    // per-side block-size cap (skew guard) applied BEFORE the join so a
+    // hot block is dropped, not exploded.
+    def pass(lk: DataFrame => DataFrame, rk: DataFrame => DataFrame,
+        l: DataFrame, r: DataFrame): DataFrame = {
+      val lb = lk(l)
+      val rb = rk(r)
+      val lCapped = lb.withColumn("bn",
+          count(lit(1)).over(Window.partitionBy(col("bkey"))))
+        .filter(col("bn") <= maxBlockSize).drop("bn")
+      val rCapped = rb.withColumn("bn",
+          count(lit(1)).over(Window.partitionBy(col("bkey"))))
+        .filter(col("bn") <= maxBlockSize).drop("bn")
+      lCapped.join(rCapped, "bkey")
+        .select(col("c_custkey"), col("s_suppkey"))
+    }
+
+    val byNation = pass(
+      _.withColumn("bkey", concat(lit("n"), col("l_nation"))),
+      _.withColumn("bkey", concat(lit("n"), col("r_nation"))),
+      left, right)
+    val bySuffix = pass(
+      _.withColumn("bkey", concat(lit("s"), substring(col("l_digits"), -2, 2))),
+      _.withColumn("bkey", concat(lit("s"), substring(col("r_digits"), -2, 2))),
+      left, right)
+
+    // Candidate dedup: a pair surfaced by both passes scores once.
+    val cands = byNation.union(bySuffix).distinct()
+
+    // Scoring — digit-trigram jaccard + balance proximity. Trigram sets
+    // are tiny (|digits| − 2 elements), so the set ops are row-local.
+    def trigrams(c: org.apache.spark.sql.Column) =
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(c) - 2, lit(1))),
+        i => c.substr(i, lit(3))))
+
+    val scored = cands
+      .join(left, "c_custkey")
+      .join(right, "s_suppkey")
+      .withColumn("l_tg", trigrams(col("l_digits")))
+      .withColumn("r_tg", trigrams(col("r_digits")))
+      .withColumn("inter",
+        size(array_intersect(col("l_tg"), col("r_tg"))).cast("double"))
+      .withColumn("uni",
+        (size(col("l_tg")) + size(col("r_tg"))).cast("double") - col("inter"))
+      .withColumn("jac",
+        when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
+      .withColumn("balscore", lit(1.0) / (lit(1.0) + abs(col("l_bal") - col("r_bal"))))
+      .withColumn("score", lit(0.7) * col("jac") + lit(0.3) * col("balscore"))
+
+    // One-best assignment per customer; n_cands documents how much work
+    // blocking admitted (the knob you watch at scale).
+    val w = Window.partitionBy(col("c_custkey"))
+    val rankW = w.orderBy(col("score").desc, col("s_suppkey").asc)
+    scored
+      .withColumn("n_cands", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") === 1)
+      .select(col("c_custkey"), col("s_suppkey"),
+        (floor(col("score") * 1000000 + lit(0.5)) / 1000000).as("score"),
+        col("n_cands"))
+  }
+}

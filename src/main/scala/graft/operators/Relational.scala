@@ -360,4 +360,40 @@ object Relational {
         valueColumnName = "value")
       .withColumn("value", col("value").cast("double"))
       .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** SCD Type-2 history build (q122): collapse a change stream into
+    * validity intervals — the canonical warehouse dimension-load
+    * pattern. Per entity, order its observations, keep only CHANGE
+    * POINTS (value differs from the previous observation, detected
+    * with `lag`), then each change point's interval runs to the next
+    * change point's timestamp (`lead` over the filtered set);
+    * `valid_to IS NULL` marks the current version.
+    *
+    * Scale: exactly two window passes over one hash-partitioning on
+    * the entity key (Catalyst reuses the exchange — both windows sort
+    * within the same partitioning), no joins, no data blowup: output
+    * ≤ input, usually ≪.
+    *
+    * Here the tracked attribute is each customer's order status over
+    * o_orderdate (tie-broken by o_orderkey so change detection is
+    * deterministic under same-timestamp observations).
+    */
+  def scd2History(orders: DataFrame): DataFrame = {
+    val obsW = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = orders
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(obsW))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+    val chW = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    changes
+      .withColumn("valid_to_ts", lead(col("o_orderdate"), 1).over(chW))
+      .withColumn("version", row_number().over(chW))
+      .select(col("o_custkey"), col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from_ts"), col("valid_to_ts"),
+        col("version"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
 }
