@@ -1454,6 +1454,36 @@ object SparkEntry {
           col("version"), col("is_current"))
         .orderBy("o_custkey", "version")
     }),
+
+    // JL-style dimensionality reduction with a deterministic ±1
+    // projection over int8-quantized embeddings — integer-exact, so
+    // the projection itself sits under the hash-oracle gate.
+    "q123_random_projection" -> ((s, dir) => {
+      Similarity.randomProjection(Tables.embeddings(s, dir))
+        .orderBy("vec_id")
+    }),
+
+    // Contrastive hard negatives: top-k most-similar vectors with a
+    // DIFFERENT label per anchor (q20's broadcast shape + label
+    // disequality in the join).
+    "q124_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(s, emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), r4(col("cos")).as("cos"))
+        .orderBy("anchor_id", "rank")
+    }),
+
+    // PCA projection: distributed Gram moments (the q65 aggregate) →
+    // driver Jacobi eigen → broadcast top-r eigenvectors as literals.
+    // Float arithmetic on driver constants — rows-only driver check
+    // (no oracleSql entry); the geometry is spec-verified.
+    "q125_pca_project" -> ((s, dir) => {
+      val p = Similarity.pcaProject(s, Tables.embeddings(s, dir), r = 4)
+      p.select(col("vec_id") +:
+        p.columns.filter(_.startsWith("c")).map(c => r4(col(c)).as(c)): _*)
+        .orderBy("vec_id")
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -3283,5 +3313,49 @@ object SparkEntry {
         |FROM chg
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, version""".stripMargin,
+
+    // q123: q47's quantization CTE + the exact ±1 sign lists baked as
+    // literals (Similarity.projSigns is the single source of truth,
+    // like q21's plane constants) — all-integer, hash-exact.
+    "q123_random_projection" -> {
+      val signs = Similarity.projSigns(16, 64)
+      val comps = signs.zipWithIndex.map { case (sj, j) =>
+        val lits = sj.map(_.toString).mkString("[", ",", "]::BIGINT[]")
+        f"list_sum(list_transform(range(64), i -> q[(i+1)::INT] * ($lits)[(i+1)::INT]))::BIGINT AS p$j%02d"
+      }.mkString(",\n       ")
+      s"""WITH s AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale
+         |  FROM s),
+         |qt AS (
+         |  SELECT vec_id,
+         |         CASE WHEN scale > 0
+         |              THEN list_transform(e, x -> floor(x / scale * 127 + 0.5)::BIGINT)
+         |              ELSE list_transform(e, x -> 0::BIGINT) END AS q
+         |  FROM sc)
+         |SELECT vec_id,
+         |       $comps
+         |FROM qt ORDER BY vec_id""".stripMargin
+    },
+
+    // q124: q20's oracle with the label-disequality join condition.
+    "q124_hard_negatives" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id <> c.vec_id AND q.label <> c.label
+        |  WHERE q.vec_id < 5)
+        |SELECT anchor_id, rank, neighbor_id,
+        |       floor((cos) * 10000 + 0.5) / 10000 AS cos
+        |FROM (SELECT anchor_id, neighbor_id, cos,
+        |             row_number() OVER (PARTITION BY anchor_id
+        |                                ORDER BY cos DESC, neighbor_id ASC)
+        |               AS rank
+        |      FROM scored)
+        |WHERE rank <= 10
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -396,4 +396,194 @@ object Similarity {
         abs(col("corr")).desc, col("d1").asc, col("d2").asc)).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  // ── Deterministic sparse random projection (q123) ─────────────────────
+
+  /** The ±1 sign matrix of the projection, derived once on the DRIVER
+    * from the engine's seeded FNV hash (bit 33 of the avalanched value —
+    * well-diffused, unlike FNV's parity-tracking low bit) and baked into
+    * the plan as literals. signs(j)(i) is the sign applied to input
+    * dimension i for output dimension j.
+    */
+  def projSigns(k: Int, d: Int): Seq[Seq[Int]] =
+    (0 until k).map { j =>
+      (0 until d).map { i =>
+        val h = graft.functions.HashImpl.fnv1a64Seeded(
+          j.toLong, org.apache.spark.unsafe.types.UTF8String.fromString(i.toString))
+        if (((h >>> 33) & 1L) == 1L) 1 else -1
+      }
+    }
+
+  /** Johnson–Lindenstrauss-style dimensionality reduction with a
+    * DETERMINISTIC dense ±1 projection (Achlioptas 2003 — a ±1 matrix
+    * preserves pairwise geometry like a Gaussian one, at integer cost):
+    * the d-dim embedding is absmax-int8-quantized (cosine is invariant
+    * to the per-vector scale), then each of the k output components is
+    * Σ_i sign(j,i)·q_i — pure integer arithmetic, which is what puts a
+    * projection under the bit-exact oracle gate at all.
+    *
+    * Scale: row-local HOFs over literal sign arrays — no shuffle, no
+    * per-row hashing (signs are plan constants), embarrassingly
+    * parallel; output is k longs per row (k≪d storage win, the point
+    * of projecting before an ANN index or a near-dup pass).
+    */
+  def randomProjection(embeddings: DataFrame, k: Int = 16, d: Int = 64): DataFrame = {
+    val signs = projSigns(k, d)
+    val q = GraftFunctions.quantizeI8(col("embedding"))
+    val comps = signs.zipWithIndex.map { case (sj, j) =>
+      val sLit = array(sj.map(v => lit(v.toLong)): _*)
+      aggregate(
+        zip_with(col("qv"), sLit, (a, b) => a.cast("long") * b),
+        lit(0L), (acc, x) => acc + x).as(f"p$j%02d")
+    }
+    embeddings.withColumn("qv", q)
+      .select(col("vec_id") +: comps: _*)
+  }
+
+  // ── Hard-negative mining (q124) ───────────────────────────────────────
+
+  /** Contrastive-training hard negatives: for each anchor, the top-k
+    * most similar vectors with a DIFFERENT label — the negatives that
+    * actually teach a metric model something (random negatives are
+    * trivially separable). Same broadcast shape as [[bruteForceTopK]]
+    * with the label disequality folded into the join, so the corpus
+    * never shuffles; swap in [[annTopK]]'s bucketing for the 100 TB
+    * path once anchors stop being broadcastable.
+    */
+  def hardNegatives(spark: SparkSession, embeddings: DataFrame,
+                    anchors: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val a = anchors.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("av"), col("label").as("anchor_label"))
+    val c = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("label").as("neighbor_label"))
+    val scored = c.join(broadcast(a),
+        col("anchor_id") =!= col("neighbor_id") &&
+          col("anchor_label") =!= col("neighbor_label"))
+      .select(col("anchor_id"), col("neighbor_id"),
+        cos(col("av"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ── PCA projection (q125) ─────────────────────────────────────────────
+
+  /** Principal-component projection of the embedding corpus: the d×d
+    * covariance is assembled from the SAME single-pass Gram-moment
+    * aggregate q65 gates (one ObjectHashAggregate over the corpus —
+    * the only distributed work), eigen-decomposed on the driver with
+    * cyclic Jacobi (d ≤ 64, so this is microseconds on KBs of data —
+    * the standard big-data PCA split: moments distributed, eigen
+    * local), and the top-r eigenvectors are broadcast back as plan
+    * literals to project every row. Spec-verified (orthonormality,
+    * eigenvalue ordering, captured-variance dominance); the projection
+    * itself is float arithmetic on driver-computed constants, so it
+    * carries a rows-only driver check rather than a hash oracle.
+    *
+    * Returns (vec_id, c00..c{r-1}) — each row's coordinates in the
+    * top-r principal directions (centered).
+    */
+  def pcaProject(spark: SparkSession, embeddings: DataFrame,
+                 r: Int = 4, dim: Int = 64): DataFrame = {
+    val (eigvals, eigvecs) = pcaEigen(spark, embeddings, dim)
+    val top = eigvecs.take(r)
+    val mean = pcaMean
+    val comps = top.zipWithIndex.map { case (v, j) =>
+      val vLit = array(v.map(x => lit(x)): _*)
+      val mLit = array(mean.map(x => lit(x)): _*)
+      aggregate(
+        zip_with(zip_with(col("embedding").cast("array<double>"), mLit,
+            (x, m) => x - m), vLit, (xc, vv) => xc * vv),
+        lit(0.0), (acc, x) => acc + x).as(f"c$j%02d")
+    }
+    val _ = eigvals
+    embeddings.select(col("vec_id") +: comps: _*)
+  }
+
+  // Driver-side cache of the corpus mean used by the latest pcaEigen
+  // call (the projection needs it; threading it through the return
+  // would complicate the public shape for no caller benefit).
+  @volatile private var pcaMean: Array[Double] = Array.emptyDoubleArray
+
+  /** Covariance eigensystem of the embedding corpus: returns
+    * (eigenvalues descending, matching unit eigenvectors). One
+    * distributed pass (count + per-dim sums + upper-tri Gram) then
+    * local cyclic Jacobi — the orthodox route for d ≤ a few hundred.
+    */
+  def pcaEigen(spark: SparkSession, embeddings: DataFrame,
+               dim: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    import graft.functions.Aggregators
+    val gramAgg = org.apache.spark.sql.functions.udaf(new Aggregators.GramMoments(dim))
+    val e = embeddings.select(col("embedding").cast("array<double>").as("e"))
+    val m = e.agg(gramAgg(col("e")).as("m")).head().getSeq[Double](0).toArray
+    val n = m(0)
+    val sums = m.slice(1, dim + 1)
+    val mean = sums.map(_ / n)
+    pcaMean = mean
+    // upper-tri gram at m(dim+1 + idx), idx over d1<=d2 pairs (d1 asc,
+    // d2 from d1) — same layout dimCorrelation reads.
+    val cov = Array.ofDim[Double](dim, dim)
+    var idx = dim + 1
+    for (d1 <- 0 until dim; d2 <- d1 until dim) {
+      val c = (m(idx) - sums(d1) * sums(d2) / n) / n
+      cov(d1)(d2) = c; cov(d2)(d1) = c
+      idx += 1
+    }
+    jacobiEigen(cov)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix. O(d^3)
+    * per sweep, a handful of sweeps to converge — driver-local by
+    * design (the matrix is d×d, not data-sized). Returns eigenvalues
+    * sorted descending with matching unit eigenvectors (sign fixed:
+    * largest-|component| positive, for determinism).
+    */
+  def jacobiEigen(aIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 50 && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until d; q <- (p + 1) until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+            case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+            case x => x
+          }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col0 = (0 until d).map(r0 => v(r0)(i)).toArray
+      val maxIdx = col0.indices.maxBy(j => math.abs(col0(j)))
+      if (col0(maxIdx) < 0) col0.map(-_) else col0
+    }.toArray
+    (vals, vecs)
+  }
 }

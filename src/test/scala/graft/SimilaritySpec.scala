@@ -216,4 +216,101 @@ class SimilaritySpec extends SparkSpec {
     val r2 = Similarity.annTopK(spark, emb, q, 5).collect().toSeq
     assert(r1.map(_.toString).sorted == r2.map(_.toString).sorted)
   }
+
+  test("q123: random projection preserves cosine geometry (JL property)") {
+    val emb = Tables.embeddings(spark, sf001)
+    def cosv(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val orig = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val ids = orig.keys.toSeq.sorted.take(100)
+    val pairs = ids.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    val xs = pairs.map { case (a, b) => cosv(orig(a), orig(b)) }
+
+    def rmseAt(k: Int): Double = {
+      val proj = Similarity.randomProjection(emb, k = k)
+      val pCols = proj.columns.filter(_.startsWith("p"))
+      val pr = proj.collect()
+        .map(r => r.getLong(0) ->
+          pCols.indices.map(i => r.getLong(i + 1).toDouble).toArray).toMap
+      val ys = pairs.map { case (a, b) => cosv(pr(a), pr(b)) }
+      math.sqrt(xs.zip(ys).map { case (x, y) => (x - y) * (x - y) }.sum / xs.size)
+    }
+    // JL gives an ADDITIVE inner-product error that shrinks as
+    // 1/sqrt(k) — the fixture's pairs are near-orthogonal (true-cosine
+    // std ≈ 0.11), so additive error, not correlation, is the
+    // meaningful contract: ~2/sqrt(k) bounds it comfortably, and more
+    // output dims must tighten it.
+    val e16 = rmseAt(16)
+    val e64 = rmseAt(64)
+    assert(e16 < 2.0 / math.sqrt(16.0), s"cosine RMSE at k=16: $e16")
+    assert(e64 < 2.0 / math.sqrt(64.0), s"cosine RMSE at k=64: $e64")
+    assert(e64 < e16, s"k=64 RMSE $e64 should beat k=16 RMSE $e16")
+  }
+
+  test("q123: sign matrix is balanced and deterministic") {
+    val s1 = Similarity.projSigns(16, 64)
+    val s2 = Similarity.projSigns(16, 64)
+    assert(s1 == s2)
+    // each output dim's sign row is not degenerate (>= 20 of each sign)
+    s1.foreach { row =>
+      val pos = row.count(_ == 1)
+      assert(pos >= 20 && pos <= 44, s"unbalanced sign row: $pos/64 positive")
+    }
+  }
+
+  test("q124: hard negatives never share the anchor's label, ranked desc") {
+    val emb = Tables.embeddings(spark, sf001)
+    val anchors = emb.filter(col("vec_id") < 3)
+    val out = Similarity.hardNegatives(spark, emb, anchors, 5).cache()
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.collect().foreach { r =>
+      val a = r.getLong(0); val nbr = r.getLong(1)
+      assert(labels(a) != labels(nbr))
+    }
+    // per anchor: dense ranks 1..5, scores non-increasing
+    out.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+    out.unpersist()
+  }
+
+  test("q125: Jacobi eigensystem is orthonormal with descending eigenvalues") {
+    val emb = Tables.embeddings(spark, sf001)
+    val (vals, vecs) = Similarity.pcaEigen(spark, emb, dim = 64)
+    // descending, non-negative (covariance is PSD)
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b - 1e-9 })
+    assert(vals.forall(_ >= -1e-9))
+    // orthonormal
+    for (i <- 0 until 8; j <- i until 8) {
+      val dot = vecs(i).zip(vecs(j)).map { case (x, y) => x * y }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-8, s"v${i}.v$j = $dot")
+    }
+  }
+
+  test("q125: per-component sample variance matches its eigenvalue") {
+    val emb = Tables.embeddings(spark, sf001)
+    val (vals, _) = Similarity.pcaEigen(spark, emb, dim = 64)
+    val proj = Similarity.pcaProject(spark, emb, r = 4).cache()
+    val n = proj.count().toDouble
+    for (j <- 0 until 4) {
+      val cName = f"c$j%02d"
+      val stats = proj.agg(sum(col(cName)).as("s"),
+        sum(col(cName) * col(cName)).as("ss")).head()
+      val mean = stats.getDouble(0) / n
+      val variance = stats.getDouble(1) / n - mean * mean
+      assert(math.abs(variance - vals(j)) < 1e-6 * math.max(1.0, vals(j)),
+        s"component $j variance $variance vs eigenvalue ${vals(j)}")
+    }
+    proj.unpersist()
+  }
 }
