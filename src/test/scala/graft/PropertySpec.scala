@@ -336,4 +336,29 @@ class PropertySpec extends SparkSpec {
     assert(back.toSet == rows.map(_.toSeq).toSet,
       "every random union row must round-trip byte-identically")
   }
+
+  test("jacobiEigen reconstructs random symmetric matrices (A = V diag(l) V^T)") {
+    val dimGen = Gen.choose(2, 12)
+    val cellGen = Gen.choose(-5.0, 5.0)
+    for (d <- samples(dimGen, 8)) {
+      val raw = Array.fill(d, d)(samples(cellGen, 1).head)
+      val a = Array.tabulate(d, d)((i, j) => (raw(i)(j) + raw(j)(i)) / 2.0)
+      val (vals, vecs) = graft.operators.Similarity.jacobiEigen(a)
+      // eigenvalues descending
+      assert(vals.zip(vals.tail).forall { case (x, y) => x >= y - 1e-9 })
+      // vecs(k) is the k-th eigenvector (rows of the returned matrix):
+      // reconstruct A_ij = sum_k vals(k) * vecs(k)(i) * vecs(k)(j)
+      for (i <- 0 until d; j <- 0 until d) {
+        val rec = (0 until d).map(k => vals(k) * vecs(k)(i) * vecs(k)(j)).sum
+        assert(math.abs(rec - a(i)(j)) < 1e-7,
+          s"d=$d A($i)($j)=${a(i)(j)} reconstructed $rec")
+      }
+      // orthonormality of eigenvectors
+      for (p <- 0 until d; q <- p until d) {
+        val dot = (0 until d).map(i => vecs(p)(i) * vecs(q)(i)).sum
+        val expect = if (p == q) 1.0 else 0.0
+        assert(math.abs(dot - expect) < 1e-8)
+      }
+    }
+  }
 }
