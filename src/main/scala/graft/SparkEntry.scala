@@ -1474,6 +1474,14 @@ object SparkEntry {
         .orderBy("anchor_id", "rank")
     }),
 
+    // Per-group top-k tokens via the mergeable SpaceSaving sketch —
+    // capacity 64 ≥ the 31-token per-source vocabulary, so the sketch
+    // is exact (err=0) and the DuckDB oracle certifies it; the
+    // approximate regime is property-tested.
+    "q126_spacesaving_topk" -> ((s, dir) => {
+      Sketches.spaceSavingTopTokens(s, Tables.documents(s, dir))
+    }),
+
     // PCA projection: distributed Gram moments (the q65 aggregate) →
     // driver Jacobi eigen → broadcast top-r eigenvectors as literals.
     // Float arithmetic on driver constants — rows-only driver check
@@ -3338,6 +3346,26 @@ object SparkEntry {
          |       $comps
          |FROM qt ORDER BY vec_id""".stripMargin
     },
+
+    // q126: in the exact regime (capacity >= per-group distinct) the
+    // SpaceSaving sketch equals the full groupBy count — top-5 per
+    // source by (cnt desc, token asc), err identically 0.
+    "q126_spacesaving_topk" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |cnts AS (
+        |  SELECT source, tok, count(*)::BIGINT AS cnt
+        |  FROM toks WHERE length(tok) > 0
+        |  GROUP BY source, tok)
+        |SELECT source, rank, tok AS token, cnt, 0::BIGINT AS err
+        |FROM (SELECT source, tok, cnt,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY cnt DESC, tok ASC)::BIGINT
+        |               AS rank
+        |      FROM cnts)
+        |WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
 
     // q124: q20's oracle with the label-disequality join condition.
     "q124_hard_negatives" ->

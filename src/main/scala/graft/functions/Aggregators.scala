@@ -144,4 +144,92 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  /** SpaceSaving (Metwally et al. 2005) top-k sketch as a typed,
+    * MERGEABLE Aggregator — one-pass per-group heavy hitters whose
+    * state is `capacity` counters, never the distinct-value set. The
+    * partial-aggregation contract this buys at scale: each task folds
+    * its partition into ≤ capacity entries per group BEFORE the
+    * exchange, so the shuffle carries O(groups × capacity) rows no
+    * matter how many tokens the corpus holds (contrast a naive
+    * groupBy(group, token) whose shuffle is the full distinct pair
+    * set). Guarantees (any input order, any partitioning):
+    *   - count ≥ true frequency ≥ count − err (per entry),
+    *   - any value with true frequency > n/capacity is present,
+    *   - with capacity ≥ group distinct-count the sketch is EXACT
+    *     (err 0 for all entries) — the configuration q126 runs under
+    *     its DuckDB oracle; the approximate regime is property-tested.
+    *
+    * Replacement and trim tie-breaks are (count asc, token desc) /
+    * (count desc, token asc) — fully deterministic.
+    */
+  case class SSEntry(token: String, cnt: Long, err: Long)
+  case class SSBuf(entries: Seq[SSEntry])
+
+  class SpaceSavingTopK(capacity: Int)
+      extends Aggregator[String, SSBuf, Seq[SSEntry]] {
+    override def zero: SSBuf = SSBuf(Vector.empty)
+
+    override def reduce(b: SSBuf, tok: String): SSBuf = {
+      if (tok == null) return b
+      val es = b.entries
+      val i = es.indexWhere(_.token == tok)
+      if (i >= 0)
+        SSBuf(es.updated(i, es(i).copy(cnt = es(i).cnt + 1)))
+      else if (es.length < capacity)
+        SSBuf(es :+ SSEntry(tok, 1L, 0L))
+      else {
+        // evict the min-count entry (tie: largest token, so the
+        // SMALLEST tokens survive ties deterministically)
+        val j = es.indices.minBy(ix => (es(ix).cnt, reverseOrd(es(ix).token)))
+        val ev = es(j)
+        SSBuf(es.updated(j, SSEntry(tok, ev.cnt + 1, ev.cnt)))
+      }
+    }
+
+    // order-by-descending-string helper: wrap in a value that sorts
+    // reverse-lexicographically via Ordered tuple composition
+    private def reverseOrd(s: String): StringRev = StringRev(s)
+
+    override def merge(a: SSBuf, b: SSBuf): SSBuf = {
+      if (a.entries.isEmpty) return b
+      if (b.entries.isEmpty) return a
+      // standard mergeable-summaries combine: shared tokens add both
+      // (cnt, err); tokens on one side only are offset by the other
+      // side's worst-case miss (its min count, 0 if under capacity)
+      val aMin = if (a.entries.length < capacity) 0L else a.entries.map(_.cnt).min
+      val bMin = if (b.entries.length < capacity) 0L else b.entries.map(_.cnt).min
+      val bm = b.entries.map(e => e.token -> e).toMap
+      val merged = scala.collection.mutable.LinkedHashMap[String, SSEntry]()
+      a.entries.foreach { e =>
+        bm.get(e.token) match {
+          case Some(be) =>
+            merged(e.token) = SSEntry(e.token, e.cnt + be.cnt, e.err + be.err)
+          case None =>
+            merged(e.token) = SSEntry(e.token, e.cnt + bMin, e.err + bMin)
+        }
+      }
+      b.entries.foreach { e =>
+        if (!merged.contains(e.token))
+          merged(e.token) = SSEntry(e.token, e.cnt + aMin, e.err + aMin)
+      }
+      val trimmed = merged.values.toVector
+        .sortBy(e => (-e.cnt, e.token))
+        .take(capacity)
+      SSBuf(trimmed)
+    }
+
+    override def finish(b: SSBuf): Seq[SSEntry] =
+      b.entries.sortBy(e => (-e.cnt, e.token))
+    override def bufferEncoder: Encoder[SSBuf] = Encoders.product[SSBuf]
+    override def outputEncoder: Encoder[Seq[SSEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SSEntry]]()
+  }
+
+  /** Reverse-lexicographic String ordering key (for deterministic
+    * eviction tie-breaks).
+    */
+  case class StringRev(s: String) extends Ordered[StringRev] {
+    override def compare(that: StringRev): Int = that.s.compareTo(s)
+  }
 }

@@ -327,4 +327,32 @@ object Sketches {
           (col("kth").cast("double") / two64 + lit(0.5))).as("est_union"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Per-group top-k tokens via the SpaceSaving sketch (q126) — the
+    * "top domains per language / top terms per source" one-pass
+    * report. Each task folds its partition into ≤ `capacity` counters
+    * PER GROUP before the exchange (typed Aggregator partial
+    * aggregation), so the shuffle carries O(groups × capacity) rows
+    * however large the token stream is — the per-group sibling of
+    * q52's fixed-keyspace CMS. With capacity ≥ the group's distinct
+    * count the result is exact (err = 0) — the regime the DuckDB
+    * oracle certifies; the approximate regime's guarantees
+    * (overcount ≤ err, guaranteed presence above n/capacity) are
+    * property-tested in SketchesSpec.
+    */
+  def spaceSavingTopTokens(spark: SparkSession, documents: DataFrame,
+                           capacity: Int = 64, k: Int = 5): DataFrame = {
+    val ss = udaf(new graft.functions.Aggregators.SpaceSavingTopK(capacity))
+    documents
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source").agg(ss(col("tok")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .filter(col("pos") < k)
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.token").as("token"), col("col.cnt").as("cnt"),
+        col("col.err").as("err"))
+      .orderBy("source", "rank")
+  }
 }

@@ -232,4 +232,66 @@ class SketchesSpec extends SparkSpec {
       Tables.documents(spark, sf001), k = 8).collect()
     assert(out.forall(_.getAs[Long]("kk") <= 8))
   }
+
+  test("SpaceSaving: exact regime equals full counts; approximate regime keeps its bounds") {
+    import graft.functions.Aggregators.{SpaceSavingTopK, SSBuf}
+    // local harness: fold a token stream through reduce, split into
+    // random partitions, merge — the exact path Spark executes
+    val rnd = new scala.util.Random(7)
+    def sketch(tokens: Seq[String], capacity: Int, parts: Int): Seq[(String, Long, Long)] = {
+      val agg = new SpaceSavingTopK(capacity)
+      val partitioned = tokens.grouped(math.max(1, tokens.size / parts)).toSeq
+      val bufs = partitioned.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.reduce(agg.merge)
+      agg.finish(merged).map(e => (e.token, e.cnt, e.err))
+    }
+    // zipfian-ish stream: token i appears ~ 200/i times
+    val stream = rnd.shuffle(
+      (1 to 40).flatMap(i => Seq.fill(200 / i)(s"t$i")).toVector)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    // exact regime: capacity >= distinct — all errors 0, counts exact
+    val exact = sketch(stream, capacity = 64, parts = 4)
+    assert(exact.forall(_._3 == 0L))
+    assert(exact.map(e => e._1 -> e._2).toMap == truth)
+
+    // approximate regime, several partitionings: est in [true, true+err];
+    // every token with freq > n/capacity present
+    for (parts <- Seq(1, 3, 8)) {
+      val approx = sketch(stream, capacity = 8, parts = parts)
+      approx.foreach { case (tok, cnt, err) =>
+        val t = truth.getOrElse(tok, 0L)
+        assert(cnt >= t, s"$tok: est $cnt < true $t")
+        assert(cnt - err <= t, s"$tok: est-err ${cnt - err} > true $t")
+      }
+      val n = stream.size.toLong
+      val mustHave = truth.filter(_._2 > n / 8).keySet
+      val present = approx.map(_._1).toSet
+      assert(mustHave.subsetOf(present),
+        s"heavy hitters ${mustHave -- present} missing at parts=$parts")
+    }
+  }
+
+  test("q126: per-source top tokens through Spark match an exact recount") {
+    val out = Sketches.spaceSavingTopTokens(
+      spark, Tables.documents(spark, sf001)).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Long]("err") == 0L))
+    // rank-1 token per source really is the most frequent
+    val docs = Tables.documents(spark, sf001)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").count().collect()
+      .groupBy(_.getString(0))
+    out.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      val src = r.getString(0)
+      val best = docs(src).map(x => (x.getString(1), x.getAs[Long](2)))
+        .maxBy { case (t, c) => (c, StringRevOrd(t)) }
+      assert(r.getAs[Long]("cnt") == best._2,
+        s"$src: rank-1 cnt ${r.getAs[Long]("cnt")} vs true max ${best._2}")
+    }
+  }
+
+  private case class StringRevOrd(s: String) extends Ordered[StringRevOrd] {
+    override def compare(that: StringRevOrd): Int = that.s.compareTo(s)
+  }
 }
