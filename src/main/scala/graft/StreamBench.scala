@@ -118,6 +118,15 @@ object StreamBench {
           (col("id") % 10000L).as("k"), col("ts"), col("quantity"))
         (StreamJoins.intervalJoin(l, r, "k", "ts",
           watermarkDelay = "5 seconds", within = "10 seconds"), "append")
+      }),
+      "rate_limiter" -> (() => {
+        // 10k tenant keys, event-time token buckets (2-value state/key)
+        val s = purchases(2000000L).select(
+          concat(lit("t"), col("id") % 10000L).as("key"),
+          col("ts"), col("id").cast("string").as("payload"))
+        (graft.streaming.RateLimiter.admit(spark, s,
+          ratePerSec = 5.0, burst = 10.0, watermarkDelay = "5 seconds").toDF(),
+          "append")
       }))
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
