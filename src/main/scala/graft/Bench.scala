@@ -44,7 +44,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Dev loop: SPARK_GRAFT_ONLY=q121,q61 times just those prefixes
+    // (same contract as Verify). Unset for the driver run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to passes; (name, fn) <- queries if !errors.contains(name)) {
       val t0 = System.nanoTime()
