@@ -487,33 +487,31 @@ object Similarity {
     */
   def pcaProject(spark: SparkSession, embeddings: DataFrame,
                  r: Int = 4, dim: Int = 64): DataFrame = {
-    val (eigvals, eigvecs) = pcaEigen(spark, embeddings, dim)
-    val top = eigvecs.take(r)
-    val mean = pcaMean
-    val comps = top.zipWithIndex.map { case (v, j) =>
+    val model = pcaModel(spark, embeddings, dim)
+    val comps = model.eigvecs.take(r).zipWithIndex.map { case (v, j) =>
       val vLit = array(v.map(x => lit(x)): _*)
-      val mLit = array(mean.map(x => lit(x)): _*)
+      val mLit = array(model.mean.map(x => lit(x)): _*)
       aggregate(
         zip_with(zip_with(col("embedding").cast("array<double>"), mLit,
             (x, m) => x - m), vLit, (xc, vv) => xc * vv),
         lit(0.0), (acc, x) => acc + x).as(f"c$j%02d")
     }
-    val _ = eigvals
     embeddings.select(col("vec_id") +: comps: _*)
   }
 
-  // Driver-side cache of the corpus mean used by the latest pcaEigen
-  // call (the projection needs it; threading it through the return
-  // would complicate the public shape for no caller benefit).
-  @volatile private var pcaMean: Array[Double] = Array.emptyDoubleArray
-
-  /** Covariance eigensystem of the embedding corpus: returns
-    * (eigenvalues descending, matching unit eigenvectors). One
-    * distributed pass (count + per-dim sums + upper-tri Gram) then
-    * local cyclic Jacobi — the orthodox route for d ≤ a few hundred.
+  /** Fitted PCA basis: corpus mean, eigenvalues (descending) and
+    * matching unit eigenvectors — everything the projection needs,
+    * returned together (no hidden driver state).
     */
-  def pcaEigen(spark: SparkSession, embeddings: DataFrame,
-               dim: Int = 64): (Array[Double], Array[Array[Double]]) = {
+  case class PcaModel(mean: Array[Double], eigvals: Array[Double],
+                      eigvecs: Array[Array[Double]])
+
+  /** Covariance eigensystem of the embedding corpus: one distributed
+    * pass (count + per-dim sums + upper-tri Gram) then local cyclic
+    * Jacobi — the orthodox route for d ≤ a few hundred.
+    */
+  def pcaModel(spark: SparkSession, embeddings: DataFrame,
+               dim: Int = 64): PcaModel = {
     import graft.functions.Aggregators
     val gramAgg = org.apache.spark.sql.functions.udaf(new Aggregators.GramMoments(dim))
     val e = embeddings.select(col("embedding").cast("array<double>").as("e"))
@@ -521,7 +519,6 @@ object Similarity {
     val n = m(0)
     val sums = m.slice(1, dim + 1)
     val mean = sums.map(_ / n)
-    pcaMean = mean
     // upper-tri gram at m(dim+1 + idx), idx over d1<=d2 pairs (d1 asc,
     // d2 from d1) — same layout dimCorrelation reads.
     val cov = Array.ofDim[Double](dim, dim)
@@ -531,7 +528,15 @@ object Similarity {
       cov(d1)(d2) = c; cov(d2)(d1) = c
       idx += 1
     }
-    jacobiEigen(cov)
+    val (vals, vecs) = jacobiEigen(cov)
+    PcaModel(mean, vals, vecs)
+  }
+
+  /** Eigensystem view of [[pcaModel]] (kept for symmetry with specs). */
+  def pcaEigen(spark: SparkSession, embeddings: DataFrame,
+               dim: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val m = pcaModel(spark, embeddings, dim)
+    (m.eigvals, m.eigvecs)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. O(d^3)
