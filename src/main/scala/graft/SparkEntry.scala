@@ -1492,6 +1492,16 @@ object SparkEntry {
         p.columns.filter(_.startsWith("c")).map(c => r4(col(c)).as(c)): _*)
         .orderBy("vec_id")
     }),
+
+    // EXACT all-pairs shingle-jaccard join via prefix filtering
+    // (AllPairs/PPJoin) — the uncapped exact scale form retiring q16's
+    // capped baseline; the oracle computes plain all-pairs, so the
+    // hash match certifies prefix filtering is result-preserving.
+    "q127_prefix_filter_jaccard" -> ((s, dir) => {
+      Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), 0.5)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -3384,6 +3394,31 @@ object SparkEntry {
         |               AS rank
         |      FROM scored)
         |WHERE rank <= 10
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q127: deliberately does NOT mirror the engine's prefix filter —
+    // plain all-pairs-sharing-a-shingle jaccard, so the hash match
+    // certifies that prefix filtering is result-preserving. Shingling
+    // mirrors q118 (wsTokens + 3-token space-joined), distinct sets.
+    "q127_prefix_filter_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             x -> length(x) > 0) AS t
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+        |           i -> array_to_string(t[(i+1)::INT:(i+3)::INT], ' '))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       floor((len(list_intersect(a.sh, b.sh))::DOUBLE
+        |              / len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5)
+        |         / 10000 AS jaccard
+        |FROM cand JOIN docs a ON doc_a = a.doc_id JOIN docs b ON doc_b = b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
   )
 }

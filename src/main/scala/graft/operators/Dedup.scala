@@ -199,6 +199,74 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT all-pairs shingle-set similarity join via prefix filtering
+    * (AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) —
+    * the uncapped exact scale form: unlike q16 (source-blocked, block
+    * cap) and q36 (LSH candidates, S-curve recall), this returns the
+    * EXACT set of pairs with shingle-set jaccard ≥ t over the whole
+    * corpus, with no cap and no approximation, yet never enumerates
+    * the quadratic pair space.
+    *
+    * Principle: fix a global total order on shingles — ascending
+    * corpus document-frequency, ties by shingle string — and sort each
+    * document's distinct shingles by it. If jaccard(A,B) ≥ t then
+    * |A∩B| ≥ ceil(t·max(|A|,|B|)), and the O-smallest common shingle
+    * provably lies within the first |X| − ceil(t·|X|) + 1 shingles of
+    * BOTH sides (pigeonhole on the sorted suffix: were it in X's
+    * suffix, X would need |X|−ceil(t·|X|)+1 prefix tokens below it
+    * plus ≥ ceil(t·|X|) common tokens at-or-above it — more than |X|).
+    * So joining ONLY prefix shingles finds every qualifying pair, and
+    * because prefixes are the RAREST shingles of each doc, the join
+    * key's bucket population is small by construction: high-df
+    * shingles fall outside prefixes and never become join keys —
+    * the skew that forces q16's cap prunes itself here.
+    *
+    * Pipeline (all bounded-key shuffles): shingle-set per doc → df
+    * aggregation (shingle-keyed) → per-doc (df, shingle) sort window
+    * (doc-keyed) → prefix×prefix self-join (shingle-keyed) + size
+    * compatibility filter (|A|,|B| within [t, 1/t] ratio — necessary
+    * condition, results unchanged) → pair distinct (candidate-keyed,
+    * candidates ≪ pairs) → sorted-merge jaccard rerank ≥ t.
+    *
+    * The oracle deliberately does NOT mirror the prefix filter: it
+    * computes plain all-pairs-sharing-a-shingle jaccard, so the hash
+    * match certifies that prefix filtering is result-preserving.
+    */
+  def prefixFilterJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
+                               shingleSize: Int = 3): DataFrame = {
+    GraftFunctions.register(documents.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val sets = documents
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= shingleSize)
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          HashFunctions.wordShingles(col("t"), shingleSize))).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val df = sets.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    // prefix length p = n − ceil(t·n) + 1 under (df asc, shingle asc)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = sets
+      .select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      .join(df, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("doc_id"), col("n"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        HashFunctions.jaccardPresorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash per doc, bucketed by each of
     * its four 16-bit chunks; pairs sharing a chunk are checked for
     * hamming distance ≤ maxHamming (pigeonhole-complete for ≤ 3).

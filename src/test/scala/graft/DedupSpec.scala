@@ -311,4 +311,40 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)),
       "jaccard>=0.8 should miss the 0.5-jaccard containment pair")
   }
+
+  test("prefix-filter jaccard join equals brute-force all-pairs (exact, uncapped)") {
+    // the whole point of q127: prefix filtering is result-PRESERVING —
+    // identical pair set and jaccard values as the quadratic baseline,
+    // computed without ever enumerating the pair space
+    val d = Tables.documents(spark, sf001)
+    val got = Dedup.prefixFilterJaccardPairs(d, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = d.select(col("doc_id"), array_sort(array_distinct(
+        HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), 3))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        HashFunctions.jaccardPresorted(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty, "fixture must contain near-dup pairs")
+    assert(got == brute, s"prefix filter changed the result: " +
+      s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+  }
+
+  test("prefix-filter jaccard honors the >= threshold boundary exactly") {
+    import spark.implicits._
+    // A has 8 3-shingles; B shares 4 of them among its 10 → j = 4/14 ≈
+    // 0.29 < 0.5, excluded. C = A with the tail token changed: shares
+    // 7 of A's 8 shingles → j = 7/9 ≈ 0.78 ≥ 0.5, included.
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val c = "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"
+    val b = "w1 w2 w3 w4 w5 w6 x1 x2 x3 x4 x5 x6"
+    val out = Dedup.prefixFilterJaccardPairs(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 3L)), "near-identical pair above t must appear")
+    assert(!out.contains((1L, 2L)) && !out.contains((2L, 3L)),
+      "below-threshold pairs must be excluded")
+  }
 }
