@@ -1502,6 +1502,18 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
+
+    // Per-customer order-value quantiles via the MRL mergeable
+    // quantile sketch — bounded groups keep it in the exact regime
+    // (finish ≡ DuckDB quantile_disc), so the oracle certifies sketch
+    // + merge; rank-error bounds are property-tested.
+    "q128_mrl_quantiles" -> ((s, dir) => {
+      val q = Sketches.mrlQuantilesPerCustomer(s, Tables.orders(s, dir))
+      q.select(col("o_custkey"), col("n_orders"),
+        r4(col("p25")).as("p25"), r4(col("p50")).as("p50"),
+        r4(col("p75")).as("p75"), r4(col("p95")).as("p95"))
+        .orderBy("o_custkey")
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -3420,5 +3432,16 @@ object SparkEntry {
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+
+    // q128: bounded per-customer groups keep the MRL sketch exact, so
+    // quantile_disc (index max(0, ceil(q*n)-1) of the sorted values)
+    // is the definitional mirror of the sketch's finish.
+    "q128_mrl_quantiles" ->
+      """SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |       floor(quantile_disc(o_totalprice::DOUBLE, 0.25) * 10000 + 0.5) / 10000 AS p25,
+        |       floor(quantile_disc(o_totalprice::DOUBLE, 0.50) * 10000 + 0.5) / 10000 AS p50,
+        |       floor(quantile_disc(o_totalprice::DOUBLE, 0.75) * 10000 + 0.5) / 10000 AS p75,
+        |       floor(quantile_disc(o_totalprice::DOUBLE, 0.95) * 10000 + 0.5) / 10000 AS p95
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -232,4 +232,96 @@ object Aggregators {
   case class StringRev(s: String) extends Ordered[StringRev] {
     override def compare(that: StringRev): Int = that.s.compareTo(s)
   }
+
+  /** MRL-style multi-level mergeable quantile sketch (Manku,
+    * Rajagopalan & Lindsay, SIGMOD'98 — the deterministic ancestor of
+    * KLL): level i holds ≤ 2k values each standing for 2^i originals;
+    * an overflowing level sorts and keeps every other element
+    * (alternating offset per compaction — the classic bias reducer),
+    * promoting the survivors one level up. State is O(k · log(N/k))
+    * values per group however large the group: the partial-aggregation
+    * contract means each task folds its partition before the exchange,
+    * the same shuffle bound as [[SpaceSavingTopK]].
+    *
+    * Guarantees: with no compaction (group count < 2k) the sketch is
+    * EXACT — `finish` is then precisely DuckDB `quantile_disc`
+    * (index max(0, ceil(q·n) − 1) of the sorted values), the regime
+    * q128 runs under its oracle (per-customer groups are bounded by
+    * construction: ~10 orders/customer at every SF). In the
+    * approximate regime each level-i compaction perturbs any rank by
+    * ≤ 2^i, so total rank error ≤ Σ c_i·2^i ≤ N·L/(2k) for L active
+    * levels — property-tested under adversarial orders/partitionings.
+    */
+  case class QBuf(levels: Seq[Seq[Double]], comps: Seq[Int])
+
+  class MrlQuantiles(k: Int, probs: Seq[Double])
+      extends Aggregator[Double, QBuf, Seq[Double]] {
+    private val cap = 2 * k
+
+    override def zero: QBuf = QBuf(Vector(Vector.empty), Vector(0))
+
+    private def compactUp(levels: Vector[Vector[Double]],
+                          comps: Vector[Int]): QBuf = {
+      var ls = levels; var cs = comps; var i = 0
+      while (i < ls.length) {
+        if (ls(i).length >= cap) {
+          val sorted = ls(i).sorted
+          val offset = cs(i) % 2
+          // survivors at indices offset, offset+2, … (merge can leave
+          // an odd count; the ±1-item weight drift is ≤ one 2^i rank
+          // unit per compaction, inside the error model)
+          val survivors = Vector.tabulate((sorted.length - offset + 1) / 2)(
+            j => sorted(offset + 2 * j))
+          ls = ls.updated(i, Vector.empty[Double])
+          cs = cs.updated(i, cs(i) + 1)
+          if (i + 1 >= ls.length) { ls = ls :+ Vector.empty[Double]; cs = cs :+ 0 }
+          ls = ls.updated(i + 1, ls(i + 1) ++ survivors)
+        }
+        i += 1
+      }
+      QBuf(ls, cs)
+    }
+
+    override def reduce(b: QBuf, x: Double): QBuf = {
+      val ls = b.levels.toVector.map(_.toVector)
+      compactUp(ls.updated(0, ls(0) :+ x), b.comps.toVector)
+    }
+
+    override def merge(a: QBuf, b: QBuf): QBuf = {
+      if (a.levels.forall(_.isEmpty)) return b
+      if (b.levels.forall(_.isEmpty)) return a
+      val n = math.max(a.levels.length, b.levels.length)
+      val ls = Vector.tabulate(n) { i =>
+        (if (i < a.levels.length) a.levels(i).toVector else Vector.empty) ++
+          (if (i < b.levels.length) b.levels(i).toVector else Vector.empty)
+      }
+      val cs = Vector.tabulate(n) { i =>
+        (if (i < a.comps.length) a.comps(i) else 0) +
+          (if (i < b.comps.length) b.comps(i) else 0)
+      }
+      compactUp(ls, cs)
+    }
+
+    override def finish(b: QBuf): Seq[Double] = {
+      val weighted = b.levels.zipWithIndex.flatMap { case (lv, i) =>
+        lv.map(v => (v, 1L << i))
+      }.sortBy(_._1)
+      if (weighted.isEmpty) return Vector.empty
+      val total = weighted.map(_._2).sum
+      probs.toVector.map { q =>
+        val target = math.max(0L, math.ceil(q * total).toLong - 1L)
+        var cum = 0L; var i = 0; var res = weighted.last._1
+        while (i < weighted.length) {
+          cum += weighted(i)._2
+          if (cum > target) { res = weighted(i)._1; i = weighted.length }
+          else i += 1
+        }
+        res
+      }
+    }
+
+    override def bufferEncoder: Encoder[QBuf] = Encoders.product[QBuf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
 }

@@ -340,6 +340,35 @@ object Sketches {
     * (overcount ≤ err, guaranteed presence above n/capacity) are
     * property-tested in SketchesSpec.
     */
+  /** Per-customer order-value quantiles via the MRL mergeable quantile
+    * sketch (q128) — the "per-entity percentile profile" one-pass
+    * report. The typed Aggregator partial-aggregates each task's slice
+    * into an O(k·log(n/k)) sketch BEFORE the exchange, so the shuffle
+    * carries sketches, never the value multiset — the quantile sibling
+    * of q126's SpaceSaving and q63's fixed-width histogram (which
+    * needs a known value range; MRL doesn't). Per-customer groups are
+    * bounded by construction (~10 orders/customer at every SF — group
+    * COUNT stays put while group COUNT OF GROUPS scales), so the
+    * sketch runs in its exact regime and `finish` is DuckDB's
+    * `quantile_disc` index rule bit-for-bit; the approximate regime's
+    * rank-error bound is property-tested in SketchesSpec.
+    */
+  def mrlQuantilesPerCustomer(spark: SparkSession, orders: DataFrame,
+                              k: Int = 64): DataFrame = {
+    val probs = Seq(0.25, 0.5, 0.75, 0.95)
+    val mrl = udaf(new graft.functions.Aggregators.MrlQuantiles(k, probs))
+    orders
+      .select(col("o_custkey"), col("o_totalprice").cast("double").as("v"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), mrl(col("v")).as("qs"))
+      .select(col("o_custkey"), col("n_orders"),
+        element_at(col("qs"), 1).as("p25"),
+        element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p75"),
+        element_at(col("qs"), 4).as("p95"))
+      .orderBy("o_custkey")
+  }
+
   def spaceSavingTopTokens(spark: SparkSession, documents: DataFrame,
                            capacity: Int = 64, k: Int = 5): DataFrame = {
     val ss = udaf(new graft.functions.Aggregators.SpaceSavingTopK(capacity))

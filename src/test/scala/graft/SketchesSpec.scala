@@ -294,4 +294,67 @@ class SketchesSpec extends SparkSpec {
   private case class StringRevOrd(s: String) extends Ordered[StringRevOrd] {
     override def compare(that: StringRevOrd): Int = that.s.compareTo(s)
   }
+
+  test("MRL quantiles: exact regime is quantile_disc; approximate regime bounds rank error") {
+    import graft.functions.Aggregators.MrlQuantiles
+    val probs = Seq(0.25, 0.5, 0.75, 0.95)
+    def sketch(xs: Seq[Double], k: Int, parts: Int): Seq[Double] = {
+      val agg = new MrlQuantiles(k, probs)
+      val partitioned = xs.grouped(math.max(1, xs.size / parts)).toSeq
+      val bufs = partitioned.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(bufs.reduce(agg.merge))
+    }
+    def quantileDisc(sorted: Vector[Double], q: Double): Double =
+      sorted(math.max(0L, math.ceil(q * sorted.length).toLong - 1L).toInt)
+
+    // exact regime: n < 2k, any partitioning → definitional quantile_disc
+    val rnd = new scala.util.Random(11)
+    val small = Vector.fill(100)(rnd.nextDouble() * 1000)
+    val smallSorted = small.sorted
+    for (parts <- Seq(1, 3, 7)) {
+      val got = sketch(small, k = 64, parts = parts)
+      assert(got == probs.map(quantileDisc(smallSorted, _)),
+        s"exact regime diverged at parts=$parts")
+    }
+
+    // approximate regime: N=4096 at k=64 → L ≈ log2(N/k)+1 levels;
+    // assert observed rank error ≤ N·L/(2k) for sorted-asc,
+    // sorted-desc, and shuffled inputs under several partitionings
+    val big = Vector.tabulate(4096)(i => i.toDouble)
+    val bound = {
+      val lvls = (math.log(4096.0 / 64) / math.log(2)).ceil + 1
+      (4096 * lvls / (2 * 64)).toLong   // = 224 ranks ≈ 5.5 %
+    }
+    for (input <- Seq(big, big.reverse, rnd.shuffle(big));
+         parts <- Seq(1, 4, 16)) {
+      val got = sketch(input, k = 64, parts = parts)
+      probs.zip(got).foreach { case (q, v) =>
+        val trueRank = math.max(0L, math.ceil(q * 4096).toLong - 1L)
+        val gotRank = v.toLong // values ARE their ranks by construction
+        assert(math.abs(gotRank - trueRank) <= bound,
+          s"q=$q parts=$parts: rank ${gotRank} vs $trueRank (bound $bound)")
+      }
+    }
+  }
+
+  test("q128: per-customer quantiles through Spark stay in the exact regime") {
+    val out = Sketches.mrlQuantilesPerCustomer(
+      spark, Tables.orders(spark, sf001)).collect()
+    assert(out.nonEmpty)
+    // monotone p25 <= p50 <= p75 <= p95, and all are real order values
+    out.foreach { r =>
+      val (a, b, c, d) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      assert(a <= b && b <= c && c <= d, s"non-monotone quantiles: $r")
+    }
+    // spot-check one customer against a direct sort
+    val ck = out.head.getLong(0)
+    val vals = Tables.orders(spark, sf001)
+      .filter(col("o_custkey") === ck)
+      .select(col("o_totalprice").cast("double")).collect()
+      .map(_.getDouble(0)).sorted.toVector
+    def qd(q: Double) =
+      vals(math.max(0L, math.ceil(q * vals.length).toLong - 1L).toInt)
+    assert(out.head.getDouble(3) == qd(0.5) && out.head.getDouble(5) == qd(0.95))
+  }
 }
