@@ -19,7 +19,28 @@ object StreamJoins {
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    key: String, tsCol: String,
-                   watermarkDelay: String, within: String): DataFrame = {
+                   watermarkDelay: String, within: String): DataFrame =
+    joinWithType(left, right, key, tsCol, watermarkDelay, within, "inner")
+
+  /** Interval LEFT OUTER join: every left event emits — matched rows
+    * as in [[intervalJoin]], unmatched left rows with nulls on the
+    * `r_*` side once the watermark proves no future right event can
+    * still fall inside the interval. This is the "enrich if the
+    * correlated event ever arrives, emit anyway if it doesn't" shape
+    * (click with/without purchase, request with/without response) that
+    * an inner join silently drops. The null-side emission is therefore
+    * DELAYED by (watermark delay + within) past the left event — the
+    * price of a correct "never matched" proof; state stays bounded the
+    * same way as the inner form.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            key: String, tsCol: String,
+                            watermarkDelay: String, within: String): DataFrame =
+    joinWithType(left, right, key, tsCol, watermarkDelay, within, "left_outer")
+
+  private def joinWithType(left: DataFrame, right: DataFrame,
+                           key: String, tsCol: String, watermarkDelay: String,
+                           within: String, joinType: String): DataFrame = {
     val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
     val rPrefixed = right.columns.foldLeft(right) { (df, c) =>
       df.withColumnRenamed(c, s"r_$c")
@@ -28,6 +49,7 @@ object StreamJoins {
     l.join(r,
       col(s"l.$key") === col(s"r.r_$key") &&
         col(s"r.r_$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $within") &&
-        col(s"r.r_$tsCol") <= col(s"l.$tsCol"))
+        col(s"r.r_$tsCol") <= col(s"l.$tsCol"),
+      joinType)
   }
 }

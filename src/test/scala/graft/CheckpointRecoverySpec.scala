@@ -273,6 +273,46 @@ class CheckpointRecoverySpec extends SparkSpec {
       "the post-restart right event must match the RECOVERED left buffer")
   }
 
+  test("stream-stream LEFT OUTER interval join recovers: null-side emission survives restart") {
+    def run(interrupt: Boolean): Seq[String] = {
+      val cp = tmpDir("graft-cp-ssloj")
+      val out = tmpDir("graft-sink-ssloj")
+      val lIn = MemoryStream[L]
+      val rIn = MemoryStream[R]
+      val joined = graft.streaming.StreamJoins.intervalJoinLeftOuter(
+        lIn.toDF(), rIn.toDF(), key = "k", tsCol = "ts",
+        watermarkDelay = "10 seconds", within = "30 seconds")
+      def start() = joined.writeStream.format("parquet")
+        .option("checkpointLocation", cp).option("path", out)
+        .outputMode("append").start()
+      var q = start()
+      try {
+        // phase 1: two left events buffered — one will match, one won't
+        lIn.addData(Seq(L(1L, Timestamp.valueOf("2024-01-01 00:00:20")),
+                        L(2L, Timestamp.valueOf("2024-01-01 00:00:20"))))
+        rIn.addData(Seq.empty[R])
+        q.processAllAvailable()
+        if (interrupt) { q.stop(); q = start() } // kill with both buffered
+        // phase 2: key-1 right arrives (matches recovered buffer); then
+        // watermarks advance far enough to prove key-2 never matches
+        rIn.addData(Seq(R(1L, 42.0, Timestamp.valueOf("2024-01-01 00:00:10"))))
+        q.processAllAvailable()
+        lIn.addData(Seq(L(9L, Timestamp.valueOf("2024-01-01 00:10:00"))))
+        rIn.addData(Seq(R(9L, 0.0, Timestamp.valueOf("2024-01-01 00:10:00"))))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(out).collect().map(_.mkString("|")).sorted.toSeq
+    }
+    val resumed = run(interrupt = true)
+    val straight = run(interrupt = false)
+    assert(resumed == straight,
+      s"joined sets must match:\n$resumed\nvs\n$straight")
+    assert(resumed.exists(r => r.startsWith("1|") && r.contains("42.0")),
+      "matched row must join against the RECOVERED left buffer")
+    assert(resumed.exists(r => r.startsWith("2|") && r.contains("null")),
+      s"unmatched recovered left row must emit its null-side row: $resumed")
+  }
+
   // ---- streaming near-dup dedup (MapState-heavy TWS pipeline) ----------
 
   test("streaming hamming<=3 dedup recovers from checkpoint: same survivor set") {

@@ -216,6 +216,33 @@ class PriceAlertsStreamingSpec extends SparkSpec {
       "only the same-user purchase within 10 minutes must match")
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched left emits nulls after watermark proof") {
+    val clicks = MemoryStream[Doc]
+    val buys = MemoryStream[Doc]
+    val joined = graft.streaming.StreamJoins.intervalJoinLeftOuter(
+      clicks.toDF(), buys.toDF(), key = "doc_id", tsCol = "ts",
+      watermarkDelay = "1 minute", within = "10 MINUTES")
+    val out = runQuery(joined, "append", "ssloj_out") { q =>
+      clicks.addData(
+        Doc(1L, "click-matched", Timestamp.valueOf("2024-01-01 00:20:00")),
+        Doc(2L, "click-alone", Timestamp.valueOf("2024-01-01 00:20:00")))
+      buys.addData(Doc(1L, "buy", Timestamp.valueOf("2024-01-01 00:15:00")))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past 00:20 + within + delay so the
+      // engine can PROVE click-2 will never match and emit its null row
+      clicks.addData(Doc(9L, "wm", Timestamp.valueOf("2024-01-01 02:00:00")))
+      buys.addData(Doc(9L, "wm", Timestamp.valueOf("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+    }
+    val rows = out.collect()
+      .map(r => r.getAs[String]("text") -> Option(r.getAs[String]("r_text")))
+      .toMap
+    assert(rows("click-matched") == Some("buy"),
+      "matched pair must carry the right side")
+    assert(rows.contains("click-alone") && rows("click-alone").isEmpty,
+      s"unmatched left must emit with nulls once provably unmatched: $rows")
+  }
+
   test("streaming session window: gap merge + watermark close") {
     import org.apache.spark.sql.functions.{col, session_window}
     val in = MemoryStream[Doc]
