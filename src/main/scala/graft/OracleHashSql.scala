@@ -1057,4 +1057,99 @@ FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dh, b.dh)) <= $maxHamming
 ORDER BY 1, 2"""
   }
+
+  /** Oracle for q129: PQ-ADC top-k (= Similarity.pqAdcTopK defaults).
+    * Mirrors every double of the engine verbatim: per-subspace Lloyd
+    * training unrolled per iteration over the SAME vec_id-sorted
+    * 256-sample (squared L2 as an in-order left fold of explicit
+    * (x−c)·(x−c) products, ties → lowest code, per-dim means summed in
+    * vec_id order), corpus encoding by the same argmin, per-query
+    * dot-product LUTs, ADC as an in-order fold over subspaces, ADC
+    * top-`topC` by (adc DESC, id ASC), exact-cosine rerank top-`k`.
+    */
+  def q129PqAdc(m: Int = 8, ks: Int = 16, iters: Int = 2,
+                sampleN: Int = 256, topC: Int = 100, k: Int = 10,
+                dim: Int = 64): String = {
+    val ds = dim / m
+    val stride = sampleN / ks
+    def l2(sv: String, cent: String): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, ${ds + 1}), d ->
+               ($sv[d] - $cent[d]) * ($sv[d] - $cent[d]))), (x, y) -> x + y)"""
+    val iterCtes = (1 to iters).map { t =>
+      s"""pa$t AS (
+  SELECT vec_id, j, sv, code FROM (
+    SELECT s.vec_id, s.j, s.sv, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY ${l2("s.sv", "c.cent")} ASC, c.code ASC) AS rn
+    FROM sub s JOIN pq${t - 1} c ON c.j = s.j) WHERE rn = 1),
+pag$t AS (
+  SELECT j, code, count(*) AS n, list(sv ORDER BY vec_id) AS vecs
+  FROM pa$t GROUP BY j, code),
+pq$t AS (
+  SELECT c.j, c.code,
+         CASE WHEN a.code IS NULL THEN c.cent
+              ELSE list_transform(range(1, ${ds + 1}), d ->
+                list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(a.vecs, v -> v[d])), (x, y) -> x + y) / a.n)
+         END AS cent
+  FROM pq${t - 1} c LEFT JOIN pag$t a ON a.j = c.j AND a.code = c.code)"""
+    }.mkString(",\n")
+    s"""WITH sample AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         row_number() OVER (ORDER BY vec_id) - 1 AS rk
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $sampleN)),
+subsp AS (SELECT unnest(range($m)) AS j),
+sub AS (
+  SELECT s.vec_id, sp.j, s.rk,
+         s.emb[(sp.j*$ds+1)::INT:(sp.j*$ds+$ds)::INT] AS sv
+  FROM sample s, subsp sp),
+pq0 AS (
+  SELECT j, (rk // $stride)::INT AS code, sv AS cent
+  FROM sub WHERE rk % $stride = 0 AND rk // $stride < $ks),
+$iterCtes,
+esub AS (
+  SELECT e.vec_id, sp.j,
+         CAST(e.embedding AS DOUBLE[])[(sp.j*$ds+1)::INT:(sp.j*$ds+$ds)::INT] AS sv
+  FROM embeddings e, subsp sp),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY ${l2("s.sv", "c.cent")} ASC, c.code ASC) AS rn
+    FROM esub s JOIN pq$iters c ON c.j = s.j) WHERE rn = 1),
+lut AS (
+  SELECT qs.vec_id AS query_id, qs.j, c.code,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, ${ds + 1}), d -> qs.sv[d] * c.cent[d])),
+           (x, y) -> x + y) AS dp
+  FROM esub qs JOIN pq$iters c ON c.j = qs.j WHERE qs.vec_id < 5),
+adc AS (
+  SELECT l.query_id, en.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(l.dp ORDER BY l.j)),
+           (x, y) -> x + y) AS adc
+  FROM enc en JOIN lut l ON l.j = en.j AND l.code = en.code
+  WHERE l.query_id <> en.vec_id
+  GROUP BY l.query_id, en.vec_id),
+cands AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc DESC, neighbor_id ASC) AS crank
+    FROM adc) WHERE crank <= $topC),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM cands c JOIN embeddings q ON q.vec_id = c.query_id
+               JOIN embeddings e ON e.vec_id = c.neighbor_id)
+SELECT query_id, rank::BIGINT AS rank, neighbor_id,
+       floor(cos * 10000 + 0.5) / 10000 AS cos
+FROM (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= $k
+ORDER BY 1, 2"""
+  }
 }

@@ -1514,6 +1514,20 @@ object SparkEntry {
         r4(col("p75")).as("p75"), r4(col("p95")).as("p95"))
         .orderBy("o_custkey")
     }),
+
+    // PQ-ADC approximate top-k (Jégou et al. product quantization):
+    // per-subspace codebooks trained deterministically over a bounded
+    // sample, corpus encoded to m byte codes per vector, queries score
+    // via LUT folds, exact-cosine rerank — every double mirrored by
+    // the oracle's unrolled per-subspace SQL. The IVF-composed form
+    // (ivfPqTopK) is spec-bounded for recall.
+    "q129_pq_adc_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqAdcTopK(s, emb, emb.filter(col("vec_id") < 5))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          r4(col("cos")).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -3443,5 +3457,7 @@ object SparkEntry {
         |       floor(quantile_disc(o_totalprice::DOUBLE, 0.75) * 10000 + 0.5) / 10000 AS p75,
         |       floor(quantile_disc(o_totalprice::DOUBLE, 0.95) * 10000 + 0.5) / 10000 AS p95
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q129_pq_adc_topk" -> OracleHashSql.q129PqAdc(),
   )
 }

@@ -591,4 +591,220 @@ object Similarity {
     }.toArray
     (vals, vecs)
   }
+
+  // ---- Product quantization (q129) --------------------------------------
+
+  /** Per-subspace PQ codebooks (Jégou et al., PAMI 2011) trained
+    * driver-side over the SAME bounded sorted sample as
+    * [[sampledKmeansCentroids]], with the same determinism contract:
+    * stride init over the vec_id-sorted sample, Lloyd assignment by
+    * squared L2 computed as an in-order left fold of (x−c)·(x−c)
+    * (explicit multiply — never Math.pow, whose rounding the oracle
+    * could not mirror), ties to the lowest code, per-dim means
+    * accumulated in vec_id order, empty codes keep their centroid.
+    * Every double is reproduced verbatim by the oracle's unrolled
+    * per-subspace SQL (OracleHashSql.q129PqAdc).
+    *
+    * Returns m codebooks of ks centroids of dim/m doubles each.
+    */
+  private[graft] def sampledPqCodebooks(spark: SparkSession,
+                                        embeddings: DataFrame, m: Int, ks: Int,
+                                        iters: Int, sampleN: Int,
+                                        dim: Int): Seq[Seq[Seq[Double]]] = {
+    val ds = dim / m
+    require(m * ds == dim, s"dim $dim not divisible into $m subspaces")
+    val rows = embeddings.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.length >= ks, s"sample ${rows.length} < ks $ks")
+    val stride = rows.length / ks
+    (0 until m).map { j =>
+      val subs = rows.map { case (id, v) => (id, v.slice(j * ds, (j + 1) * ds)) }
+      var cents: Array[Array[Double]] =
+        (0 until ks).map(c => subs(c * stride)._2).toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ks)(new Array[Double](ds))
+        val counts = new Array[Long](ks)
+        subs.foreach { case (_, sv) =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < ks) {
+            var acc = 0.0; var d = 0
+            while (d < ds) {
+              val diff = sv(d) - cents(c)(d); acc += diff * diff; d += 1
+            }
+            if (acc < bestD) { best = c; bestD = acc } // strict <: lowest code wins ties
+            c += 1
+          }
+          counts(best) += 1
+          var d = 0
+          while (d < ds) { sums(best)(d) += sv(d); d += 1 }
+        }
+        cents = (0 until ks).map { c =>
+          if (counts(c) == 0) cents(c)
+          else {
+            val mv = new Array[Double](ds)
+            var d = 0
+            while (d < ds) { mv(d) = sums(c)(d) / counts(c); d += 1 }
+            mv
+          }
+        }.toArray
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** PQ-ADC approximate top-k (q129): the codebook-compression ANN
+    * tier — each corpus vector is encoded ONCE into m one-byte codes
+    * (argmin-L2 per subspace against its codebook), and a query scores
+    * a vector by summing m lookup-table entries (asymmetric distance
+    * computation: LUT[j][code_j] = ⟨q_j, c_{j,code_j}⟩) instead of a
+    * dim-wide float op. Top-`topC` ADC candidates per query are then
+    * reranked by EXACT cosine; precision of the final top-k is exact
+    * given the candidates, recall is the PQ approximation (spec-bounded
+    * against brute force).
+    *
+    * Scale: encoding is a per-row codegen HOF against codebook
+    * LITERALS (m·ks·ds doubles ≈ KBs in the plan — the standard
+    * broadcast-model pattern), zero shuffle; the scored stream's
+    * rank-filter runs through WindowGroupLimit (map-side top-topC per
+    * query before the exchange), so the shuffle carries
+    * O(queries × topC) rows. This variant scans all codes per query —
+    * PQ's fast-scan design point; at cell-restricted scale compose
+    * with IVF ([[ivfPqTopK]]). All arithmetic is in-order left folds,
+    * mirrored exactly by OracleHashSql.q129PqAdc.
+    */
+  def pqAdcTopK(spark: SparkSession, embeddings: DataFrame,
+                queries: DataFrame, k: Int = 10, m: Int = 8, ks: Int = 16,
+                iters: Int = 2, sampleN: Int = 256, topC: Int = 100,
+                dim: Int = 64): DataFrame = {
+    GraftFunctions.register(spark)
+    val ds = dim / m
+    val cb = sampledPqCodebooks(spark, embeddings, m, ks, iters, sampleN, dim)
+    val cbLit = typedlit(cb)
+    // squared-L2 distances of every subvector to every centroid of its
+    // subspace: m × ks doubles per row, one codegen pass
+    def subL2s(emb: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(sequence(lit(0), lit(ks - 1)), kk =>
+          aggregate(sequence(lit(1), lit(ds)), lit(0.0), (acc, d) => {
+            val x = element_at(emb, (j * ds + d).cast("int")).cast("double")
+            val c = element_at(element_at(element_at(cbLit, j + 1), kk + 1), d)
+            acc + (x - c) * (x - c)
+          })))
+    val codes = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        subL2s(col("embedding")).as("dists"))
+      // argmin per subspace; array_position returns the FIRST match →
+      // lowest code wins exact ties (oracle: ORDER BY dist, code)
+      .withColumn("codes", expr(
+        "transform(dists, dd -> cast(array_position(dd, array_min(dd)) - 1 as int))"))
+      .drop("dists")
+    // per-query LUT: ⟨q_j, c_{j,k}⟩ for all (j, k) — m × ks doubles
+    def lut(emb: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(sequence(lit(0), lit(ks - 1)), kk =>
+          aggregate(sequence(lit(1), lit(ds)), lit(0.0), (acc, d) => {
+            val x = element_at(emb, (j * ds + d).cast("int")).cast("double")
+            val c = element_at(element_at(element_at(cbLit, j + 1), kk + 1), d)
+            acc + x * c
+          })))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), lut(col("embedding")).as("lut"))
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      // ADC score: in-order fold over subspaces — deterministic sum
+      .withColumn("adc", expr(s"""aggregate(sequence(0, ${m - 1}), 0.0D,
+        (acc, j) -> acc + element_at(element_at(lut, j + 1),
+                                     element_at(codes, j + 1) + 1))"""))
+    val cands = scored
+      .withColumn("crank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").desc, col("neighbor_id").asc)))
+      .filter(col("crank") <= topC)
+    cands
+      .select(col("query_id"), col("neighbor_id"), cos(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
+  /** IVF-PQ (the Faiss/ScaNN production layout): IVF cells restrict
+    * WHICH vectors a query scores (probed-cell candidates only), PQ
+    * codes make each score a LUT fold instead of a dim-wide float op.
+    * Cells come from [[sampledKmeansCentroids]] (cosine), codes/LUT
+    * from [[sampledPqCodebooks]] (L2) — both driver-trained over
+    * bounded samples, both broadcast as literals/small frames. Exact
+    * cosine reranks the ADC top-`topC`. Recall vs brute force is
+    * spec-bounded (SimilaritySpec); the oracle-gated core is
+    * [[pqAdcTopK]] (q129), which is this minus the cell restriction.
+    */
+  def ivfPqTopK(spark: SparkSession, embeddings: DataFrame,
+                queries: DataFrame, k: Int = 10, cells: Int = 16,
+                nProbe: Int = 4, m: Int = 8, ks: Int = 16,
+                iters: Int = 2, sampleN: Int = 256, topC: Int = 100,
+                dim: Int = 64): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val ds = dim / m
+    val cb = sampledPqCodebooks(spark, embeddings, m, ks, iters, sampleN, dim)
+    val cbLit = typedlit(cb)
+    val cents = sampledKmeansCentroids(spark, embeddings, cells, iters, sampleN)
+    val centroids = broadcast(cents.map { case (i, v) => (i, v) }
+      .toDF("cell_id", "centroid"))
+    def subL2s(emb: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(sequence(lit(0), lit(ks - 1)), kk =>
+          aggregate(sequence(lit(1), lit(ds)), lit(0.0), (acc, d) => {
+            val x = element_at(emb, (j * ds + d).cast("int")).cast("double")
+            val c = element_at(element_at(element_at(cbLit, j + 1), kk + 1), d)
+            acc + (x - c) * (x - c)
+          })))
+    def lutCol(emb: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(sequence(lit(0), lit(ks - 1)), kk =>
+          aggregate(sequence(lit(1), lit(ds)), lit(0.0), (acc, d) => {
+            val x = element_at(emb, (j * ds + d).cast("int")).cast("double")
+            val c = element_at(element_at(element_at(cbLit, j + 1), kk + 1), d)
+            acc + x * c
+          })))
+    val wc = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").desc, col("cell_id").asc)
+    val codes = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cos(col("embedding"), col("centroid")).as("cdist"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("cell_id"), subL2s(col("embedding")).as("dists"))
+      .withColumn("codes", expr(
+        "transform(dists, dd -> cast(array_position(dd, array_min(dd)) - 1 as int))"))
+      .drop("dists")
+    val q = queries.select(col("vec_id"), col("embedding"))
+      .crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cos(col("embedding"), col("centroid")).as("cdist"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell_id"), lutCol(col("embedding")).as("lut"))
+    val scored = codes.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", expr(s"""aggregate(sequence(0, ${m - 1}), 0.0D,
+        (acc, j) -> acc + element_at(element_at(lut, j + 1),
+                                     element_at(codes, j + 1) + 1))"""))
+    scored
+      .withColumn("arank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").desc, col("neighbor_id").asc)))
+      .filter(col("arank") <= topC)
+      .select(col("query_id"), col("neighbor_id"), cos(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
 }

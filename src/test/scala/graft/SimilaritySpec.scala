@@ -313,4 +313,37 @@ class SimilaritySpec extends SparkSpec {
     }
     proj.unpersist()
   }
+
+  test("q129: PQ-ADC recall vs brute force >= 60%; codes in range") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val exact = Similarity.bruteForceTopK(spark, emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.pqAdcTopK(spark, emb, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ-ADC recall too low: $recall")
+    // every codebook cell index must be a valid byte code [0, ks)
+    val cb = Similarity.sampledPqCodebooks(spark, emb, m = 8, ks = 16,
+      iters = 2, sampleN = 256, dim = 64)
+    assert(cb.length == 8 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 8)))
+  }
+
+  test("ivfPqTopK: cell restriction costs bounded recall vs full PQ scan") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val exact = Similarity.bruteForceTopK(spark, emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfpq = Similarity.ivfPqTopK(spark, emb, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF-PQ recall too low: $recall")
+    // ranks dense 1..10 per query
+    val byQ = Similarity.ivfPqTopK(spark, emb, queries).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rows.length))
+    }
+  }
 }
