@@ -1152,4 +1152,40 @@ FROM (SELECT query_id, neighbor_id, cos,
 WHERE rank <= $k
 ORDER BY 1, 2"""
   }
+
+  /** Oracle for q130: k-core peeling (= GraphOps.kCore on the q61
+    * customer-supplier graph), unrolled to the same fixed round count.
+    * Each round: degrees over the current canonical undirected edge
+    * set, keep vertices with deg ≥ k, keep edges with both endpoints
+    * kept. Pure integer arithmetic.
+    */
+  def q130KCore(k: Int = 10, rounds: Int = 4): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      s"""kp$t AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT v, count(*) AS deg
+    FROM (SELECT a AS v FROM e${t - 1} UNION ALL SELECT b AS v FROM e${t - 1})
+    GROUP BY v)
+  WHERE deg >= $k),
+e$t AS MATERIALIZED (
+  -- kp is unique on v, so the two inner joins are exact semi joins.
+  -- MATERIALIZED is load-bearing: each e/kp is referenced 3×/2× by
+  -- the next round, and DuckDB's default CTE inlining re-evaluates
+  -- the whole chain exponentially across rounds (the un-hinted form
+  -- filled the disk with spill at sf0.1).
+  SELECT e.a, e.b FROM e${t - 1} e
+  JOIN kp$t x ON e.a = x.v
+  JOIN kp$t y ON e.b = y.v)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(o_custkey, 100000 + l_suppkey) AS a,
+         greatest(o_custkey, 100000 + l_suppkey) AS b
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+  WHERE o_custkey <> 100000 + l_suppkey),
+$roundCtes
+SELECT v AS node_id, count(*)::BIGINT AS deg
+FROM (SELECT a AS v FROM e$rounds UNION ALL SELECT b AS v FROM e$rounds)
+GROUP BY v
+ORDER BY 1"""
+  }
 }

@@ -1528,6 +1528,20 @@ object SparkEntry {
           r4(col("cos")).as("cos"))
         .orderBy("query_id", "rank")
     }),
+
+    // k-core of the customer-supplier graph (q61's edge set) by
+    // fixed-round iterative peeling — rounds pinned so the oracle
+    // unrolls them; converged rounds are provable no-ops.
+    "q130_kcore" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(100000L) + col("l_suppkey")).as("dst"))
+      GraphOps.kCore(edges, k = 10, rounds = 4)
+        .select(col("v").as("node_id"), col("deg"))
+        .orderBy("node_id")
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -3459,5 +3473,6 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q129_pq_adc_topk" -> OracleHashSql.q129PqAdc(),
+    "q130_kcore" -> OracleHashSql.q130KCore(),
   )
 }

@@ -280,4 +280,44 @@ object GraphOps {
     eOutd.unpersist(); dangV.unpersist()
     pr
   }
+
+  /** k-core decomposition by iterative peeling (q130): repeatedly drop
+    * vertices whose CURRENT degree is < k together with their incident
+    * edges, until the fixed point — the maximal subgraph where every
+    * vertex keeps ≥ k neighbors (the standard graph-density filter
+    * before community detection / spam analysis). Runs a FIXED
+    * `rounds` count (oracle-pinned, like q61's fixed-iteration
+    * PageRank): once converged, further rounds are provable no-ops
+    * (the edge set is unchanged, so degrees are unchanged), so any
+    * rounds ≥ the cascade depth yields the true k-core. Returns the
+    * surviving vertices with their core degree.
+    *
+    * Scale: each round is one vertex-keyed degree aggregation + two
+    * vertex-keyed semi joins over the shrinking edge set;
+    * loopCheckpoint truncates lineage (and drops the stats-estimate
+    * blowup) per round, the same loop hygiene as PageRank/CC. Peeling
+    * parallelizes trivially — no per-vertex ordering is needed, unlike
+    * exact coreness numbering.
+    */
+  def kCore(edges: DataFrame, k: Int = 10, rounds: Int = 4): DataFrame = {
+    var cur = loopCheckpoint(edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    for (_ <- 0 until rounds) {
+      val keep = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("v")
+      val next = loopCheckpoint(cur
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      cur.unpersist()
+      cur = next
+    }
+    cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
+  }
 }

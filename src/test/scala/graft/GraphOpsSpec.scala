@@ -142,4 +142,24 @@ class GraphOpsSpec extends SparkSpec {
     val star = (2L to 20L).map(i => (1L, i))
     assert(tc(star) == ((20L, 19L, 0L)))
   }
+
+  test("k-core: pendant chain cascades away, the core survives with core degrees") {
+    import spark.implicits._
+    // K4 {1,2,3,4} (each deg 3) with a pendant chain 4-5-6-7: for k=2
+    // the chain peels one vertex per round (7 first, then 6, then 5) —
+    // a genuine cascade needing 3 rounds — and K4 survives at deg 3.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (k4 ++ chain).toDF("src", "dst")
+    val out = graft.operators.GraphOps.kCore(edges, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 must survive at core degree 3, chain must cascade away: $out")
+    // rounds beyond convergence are no-ops: R=8 equals R=4
+    val out8 = graft.operators.GraphOps.kCore(edges, k = 2, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out8 == out)
+    // k above the max core empties the graph
+    assert(graft.operators.GraphOps.kCore(edges, k = 4, rounds = 6).count() == 0L)
+  }
 }
