@@ -127,6 +127,15 @@ object StreamBench {
         (graft.streaming.RateLimiter.admit(spark, s,
           ratePerSec = 5.0, burst = 10.0, watermarkDelay = "5 seconds").toDF(),
           "append")
+      }),
+      "windowed_topk" -> (() => {
+        // 20 groups × 200 token values; SpaceSaving buffer (≤64
+        // entries) per (window, group) key in the state store
+        val s = purchases(2000000L).select(
+          (col("id") % 20L).as("grp"),
+          concat(lit("p"), col("productid")).as("tok"), col("ts"))
+        (graft.streaming.StreamingHeavyHitters.topTokens(
+          s, "ts", "10 seconds", "5 seconds", "grp", "tok"), "append")
       }))
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()

@@ -216,6 +216,40 @@ class PriceAlertsStreamingSpec extends SparkSpec {
       "only the same-user purchase within 10 minutes must match")
   }
 
+  test("streaming heavy hitters: per-window SpaceSaving top-k matches an exact recount") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val in = MemoryStream[Doc]
+    // token stream: doc_id is the group, words of text are the tokens
+    val toks = in.toDF()
+      .select(col("doc_id").as("grp"), col("ts"),
+        explode(split(col("text"), " ")).as("tok"))
+    val hh = graft.streaming.StreamingHeavyHitters.topTokens(
+      toks, "ts", "1 minute", "30 seconds", "grp", "tok",
+      capacity = 16, k = 3)
+    val out = runQuery(hh, "append", "hh_out") { q =>
+      in.addData(
+        Doc(1L, "a a a b b c", Timestamp.valueOf("2024-01-01 00:00:10")),
+        Doc(1L, "a b d", Timestamp.valueOf("2024-01-01 00:00:40")),
+        Doc(2L, "x y y", Timestamp.valueOf("2024-01-01 00:00:20")))
+      q.processAllAvailable()
+      // close the 00:00 window
+      in.addData(Doc(9L, "z", Timestamp.valueOf("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+    }
+    val rows = out.collect()
+      .filter(_.getAs[Timestamp]("window_start") ==
+        Timestamp.valueOf("2024-01-01 00:00:00"))
+      .map(r => (r.getAs[Long]("grp"), r.getAs[Long]("rank"),
+        r.getAs[String]("token"), r.getAs[Long]("cnt"), r.getAs[Long]("err")))
+    // capacity 16 > distinct tokens → exact regime: counts are true
+    val g1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(g1.map(t => (t._3, t._4, t._5)).toSeq ==
+      Seq(("a", 4L, 0L), ("b", 3L, 0L), ("c", 1L, 0L)),
+      s"group-1 top-3 wrong: ${g1.toSeq}")
+    val g2 = rows.filter(_._1 == 2L).sortBy(_._2)
+    assert(g2.map(t => (t._3, t._4)).toSeq == Seq(("y", 2L), ("x", 1L)))
+  }
+
   test("stream-stream LEFT OUTER interval join: unmatched left emits nulls after watermark proof") {
     val clicks = MemoryStream[Doc]
     val buys = MemoryStream[Doc]
