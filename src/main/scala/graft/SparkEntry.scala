@@ -1529,6 +1529,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Per-user autocorrelation at lags 1..3 — the seasonality /
+    // persistence diagnostic of the time-series family (q86's float
+    // contract: r4-rounded double sums under the oracle).
+    "q131_acf" -> ((s, dir) => {
+      TimeSeries.acf(Tables.events(s, dir))
+        .select(col("user_id"), col("n_events"),
+          r4(col("r1")).as("r1"), r4(col("r2")).as("r2"),
+          r4(col("r3")).as("r3"))
+        .orderBy("user_id")
+    }),
+
     // k-core of the customer-supplier graph (q61's edge set) by
     // fixed-round iterative peeling — rounds pinned so the oracle
     // unrolls them; converged rounds are provable no-ops.
@@ -3474,5 +3485,26 @@ object SparkEntry {
 
     "q129_pq_adc_topk" -> OracleHashSql.q129PqAdc(),
     "q130_kcore" -> OracleHashSql.q130KCore(),
+
+    // q131: ACF mirrors q86's float contract — per-user double sums,
+    // lag over (ts, event_id), zero-variance series → NULL.
+    "q131_acf" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT user_id, avg(value) AS mu, count(*) AS n
+        |      FROM ev GROUP BY 1),
+        |l AS (
+        |  SELECT e.user_id, m.n, (value - mu) AS d,
+        |         lag(value, 1) OVER w - mu AS d1,
+        |         lag(value, 2) OVER w - mu AS d2,
+        |         lag(value, 3) OVER w - mu AS d3
+        |  FROM ev e JOIN m ON e.user_id = m.user_id
+        |  WINDOW w AS (PARTITION BY e.user_id ORDER BY ts, event_id))
+        |SELECT user_id, max(n)::BIGINT AS n_events,
+        |       floor(sum(d * d1) / nullif(sum(d * d), 0) * 10000 + 0.5) / 10000 AS r1,
+        |       floor(sum(d * d2) / nullif(sum(d * d), 0) * 10000 + 0.5) / 10000 AS r2,
+        |       floor(sum(d * d3) / nullif(sum(d * d), 0) * 10000 + 0.5) / 10000 AS r3
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

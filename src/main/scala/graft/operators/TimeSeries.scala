@@ -279,4 +279,37 @@ object TimeSeries {
         (unix_micros(col("g")) - unix_micros(col("asof_ts"))).as("age_us"))
       .orderBy("user_id", "hour_ts", "value_ffill", "age_us")
   }
+
+  /** Per-key autocorrelation function at lags 1..maxLag (q131): the
+    * seasonality/persistence diagnostic of the series family —
+    * r_k = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)² over each key's series
+    * in (ts, event_id) order. High r_1 → momentum (EWMA features are
+    * informative, q68); r_k spiking at a period → seasonality (the
+    * gap-fill grid of q109 is safe to model hourly); all-near-zero →
+    * white noise (q72/q102's outlier bands are the only structure).
+    * Constant series (zero variance) yield NULL, not a division blowup.
+    *
+    * Scale: the mean join, the lag window, and the final aggregate all
+    * key on user_id — one partitioning reused across the chain; lag
+    * state is O(maxLag) per row. Same float contract as q86's OLS
+    * (r4-rounded sums under the oracle).
+    */
+  def acf(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val means = ev.groupBy("user_id")
+      .agg(avg(col("value")).as("mu"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val lagCols = (1 to maxLag).map(k =>
+      (lag(col("value"), k).over(w) - col("mu")).as(s"d$k"))
+    val lagged = ev.join(means, "user_id")
+      .select(Seq(col("user_id"), col("n"),
+        (col("value") - col("mu")).as("d")) ++ lagCols: _*)
+    val den = sum(col("d") * col("d"))
+    val rCols = (1 to maxLag).map(k =>
+      when(den =!= 0.0, sum(col("d") * col(s"d$k")) / den).as(s"r$k"))
+    lagged.groupBy("user_id")
+      .agg(max(col("n")).cast("long").as("n_events"), rCols: _*)
+  }
 }

@@ -184,4 +184,24 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, "1970-01-01 01:00:00", 7.0, 50L * 60L * 1000000L),
       (1L, "1970-01-01 02:00:00", 7.0, 110L * 60L * 1000000L)))
   }
+
+  test("ACF: alternating series anticorrelates at lag 1, correlates at lag 2; constants are NULL") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // user 1: +1,-1,+1,-1,… (mean 0): r1 < 0, r2 > 0
+    // user 2: constant series → zero variance → NULL acf
+    val rows = (0 until 8).map(i =>
+      (i.toLong, 1L, ts(i), if (i % 2 == 0) 1.0 else -1.0)) ++
+      (0 until 5).map(i => (100L + i, 2L, ts(i), 42.0))
+    val ev = rows.toDF("event_id", "user_id", "ts", "value")
+    val out = TimeSeries.acf(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    // exact: Σ d·d1 = -7, Σ d² = 8 → r1 = -0.875; r2 = 6/8 = 0.75
+    assert(math.abs(u1.getDouble(2) - (-0.875)) < 1e-12, s"r1: $u1")
+    assert(math.abs(u1.getDouble(3) - 0.75) < 1e-12, s"r2: $u1")
+    val u2 = out(2L)
+    assert(u2.isNullAt(2) && u2.isNullAt(3) && u2.isNullAt(4),
+      s"constant series must yield NULL acf: $u2")
+  }
 }
