@@ -1006,7 +1006,12 @@ FROM f GROUP BY 1 ORDER BY 1"""
     * sign-folded to match Java's signed long; `bit_count(xor(..))` on
     * BIGINT counts two's-complement bits exactly like Long.bitCount.
     */
-  def q117ImageNearDup(maxHamming: Int = 3): String = {
+  /** The b/px/cells/hashes CTE chain shared by q117 and q132: exact
+    * integer dHash/aHash derived analytically from the document bytes
+    * (the same grid/pack arithmetic the engine computes from the
+    * DECODED PNG raster — the hash match certifies codec + hash).
+    */
+  private def imageHashCtes(): String = {
     // floor-mean of grid cell c (gw columns × 8 rows) over the 32-wide
     // pixel list `p` of an h-row image — same boundaries as the
     // engine's blockMeans: floor(g*dim/grid), degenerate rows widened
@@ -1035,7 +1040,7 @@ FROM f GROUP BY 1 ORDER BY 1"""
     val dhBit = (i: String) =>
       s"md[($i // 8) * 9 + ($i % 8) + 2] > md[($i // 8) * 9 + ($i % 8) + 1]"
     val ahBit = (i: String) => s"ma[$i + 1] > list_sum(ma) // 64"
-    s"""WITH b AS (
+    s"""b AS (
   SELECT doc_id, octet_length(encode(text))::BIGINT AS nb,
          lower(hex(encode(text))) AS hx
   FROM documents),
@@ -1049,14 +1054,45 @@ px AS (
 cells AS MATERIALIZED (
   SELECT doc_id, ${meanCells(9)} AS md, ${meanCells(8)} AS ma FROM px),
 hashes AS MATERIALIZED (
-  SELECT doc_id, ${pack(dhBit)} AS dh, ${pack(ahBit)} AS ah FROM cells)
+  SELECT doc_id, ${pack(dhBit)} AS dh, ${pack(ahBit)} AS ah FROM cells)"""
+  }
+
+  def q117ImageNearDup(maxHamming: Int = 3): String =
+    s"""WITH ${imageHashCtes()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.dh, b.dh))::BIGINT AS dhash_dist,
        bit_count(xor(a.ah, b.ah))::BIGINT AS ahash_dist
 FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dh, b.dh)) <= $maxHamming
 ORDER BY 1, 2"""
-  }
+
+  /** Oracle for q132: q117's pairs → transitive-closure components
+    * (the q49 reach pattern) → keep-largest-payload survivor flag.
+    */
+  def q132ImageDedupSurvivors(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE ${imageHashCtes()},
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dh, b.dh)) <= $maxHamming),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM p),
+v AS (SELECT DISTINCT src AS v FROM e),
+reach(v, r) AS (
+  SELECT v, v FROM v
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN e ON e.src = reach.r),
+comp AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+SELECT cluster_id, doc_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY nb DESC, doc_id ASC)) = 1 AS is_survivor,
+       nb AS n_bytes
+FROM comp JOIN b USING (doc_id)
+ORDER BY 1, 2"""
 
   /** Oracle for q129: PQ-ADC top-k (= Similarity.pqAdcTopK defaults).
     * Mirrors every double of the engine verbatim: per-subspace Lloyd

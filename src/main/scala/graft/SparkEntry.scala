@@ -1529,6 +1529,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Image dedup end-to-end: q117's decoded-domain perceptual pairs →
+    // connected components → keep-largest-payload survivor flag — the
+    // multimodal sibling of q91's text keep-best.
+    "q132_image_dedup_survivors" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val pairs = Multimodal.perceptualNearDupPairs(s, docs)
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = GraphOps.dedupClusters(pairs)
+      val nb = docs.select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      val rk = row_number().over(Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_bytes").desc, col("doc_id").asc))
+      clusters.join(nb, "doc_id")
+        .withColumn("is_survivor", rk === 1)
+        .select(col("cluster_id"), col("doc_id"), col("cluster_size"),
+          col("is_survivor"), col("n_bytes"))
+        .orderBy("cluster_id", "doc_id")
+    }),
+
     // Per-user autocorrelation at lags 1..3 — the seasonality /
     // persistence diagnostic of the time-series family (q86's float
     // contract: r4-rounded double sums under the oracle).
@@ -3485,6 +3505,7 @@ object SparkEntry {
 
     "q129_pq_adc_topk" -> OracleHashSql.q129PqAdc(),
     "q130_kcore" -> OracleHashSql.q130KCore(),
+    "q132_image_dedup_survivors" -> OracleHashSql.q132ImageDedupSurvivors(),
 
     // q131: ACF mirrors q86's float contract — per-user double sums,
     // lag over (ts, event_id), zero-variance series → NULL.

@@ -235,4 +235,28 @@ class MultimodalSpec extends SparkSpec {
     // bilinear resample of a solid color is the same solid color
     assert((back.getRGB(0, 0) & 0xffffff) == rgb)
   }
+
+  test("image dedup survivors (q132 shape): exactly one survivor per cluster, largest payload wins") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val pairs = graft.operators.Multimodal
+      .perceptualNearDupPairs(spark, docs).select(col("doc_a"), col("doc_b"))
+    val clusters = graft.operators.GraphOps.dedupClusters(pairs)
+    val nb = docs.select(col("doc_id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+    val rk = row_number().over(Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_bytes").desc, col("doc_id").asc))
+    val out = clusters.join(nb, "doc_id").withColumn("is_survivor", rk === 1)
+      .collect()
+    assert(out.nonEmpty, "fixture must contain image near-dup clusters")
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, rows) =>
+      val survivors = rows.filter(_.getAs[Boolean]("is_survivor"))
+      assert(survivors.length == 1, s"cluster $cid: ${survivors.length} survivors")
+      val maxBytes = rows.map(_.getAs[Long]("n_bytes")).max
+      assert(survivors.head.getAs[Long]("n_bytes") == maxBytes,
+        s"cluster $cid survivor must carry the largest payload")
+    }
+  }
 }
