@@ -136,6 +136,14 @@ object StreamBench {
           concat(lit("p"), col("productid")).as("tok"), col("ts"))
         (graft.streaming.StreamingHeavyHitters.topTokens(
           s, "ts", "10 seconds", "5 seconds", "grp", "tok"), "append")
+      }),
+      "windowed_pct" -> (() => {
+        // latency-dashboard shape: MRL level buffers as window state
+        val s = purchases(2000000L).select(
+          (col("id") % 20L).as("grp"),
+          (col("id") % 997L).cast("double").as("v"), col("ts"))
+        (graft.streaming.StreamingHeavyHitters.windowPercentiles(
+          s, "ts", "10 seconds", "5 seconds", "grp", "v"), "append")
       }))
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()

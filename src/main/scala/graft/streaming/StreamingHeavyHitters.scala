@@ -40,4 +40,28 @@ object StreamingHeavyHitters {
         col("col.token").as("token"), col("col.cnt").as("cnt"),
         col("col.err").as("err"))
   }
+
+  /** Per-(window, group) value percentiles IN-STREAM — the q128 MRL
+    * sketch under the same composition: the state store holds the
+    * O(k·log(n/k)) level buffer per (window, group) key, merges it
+    * across micro-batches, and append mode emits each closed window's
+    * p50/p95/p99 once — the latency-dashboard aggregation, state
+    * bounded however many events a window sees. Exact below 2k events
+    * per (window, group) (finish ≡ quantile_disc), rank-error-bounded
+    * above (q128's property tests).
+    */
+  def windowPercentiles(events: DataFrame, tsCol: String, windowLen: String,
+                        watermarkDelay: String, groupCol: String,
+                        valCol: String, k: Int = 64): DataFrame = {
+    val mrl = udaf(new graft.functions.Aggregators.MrlQuantiles(
+      k, Seq(0.5, 0.95, 0.99)))
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol))
+      .agg(count(lit(1)).as("n"), mrl(col(valCol)).as("qs"))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        col("n"), element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p95"),
+        element_at(col("qs"), 3).as("p99"))
+  }
 }

@@ -250,6 +250,31 @@ class PriceAlertsStreamingSpec extends SparkSpec {
     assert(g2.map(t => (t._3, t._4)).toSeq == Seq(("y", 2L), ("x", 1L)))
   }
 
+  test("streaming window percentiles: closed window emits exact quantile_disc values") {
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[P]
+    val vals = in.toDF()
+      .select(col("productid").as("grp"), col("ts"),
+        col("quantity").cast("double").as("v"))
+    val pct = graft.streaming.StreamingHeavyHitters.windowPercentiles(
+      vals, "ts", "1 minute", "30 seconds", "grp", "v", k = 64)
+    val out = runQuery(pct, "append", "pct_out") { q =>
+      // group 1: values 1..10 in one window → p50=5, p95=10, p99=10
+      in.addData((1 to 10).map(i =>
+        P(i.toLong, i.toLong, 1L, Timestamp.valueOf("2024-01-01 00:00:30"))): _*)
+      q.processAllAvailable()
+      in.addData(P(99L, 1L, 9L, Timestamp.valueOf("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+    }
+    val rows = out.collect().filter(_.getAs[Long]("grp") == 1L)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n") == 10L)
+    // quantile_disc rule: idx = max(0, ceil(q*n)-1) of sorted values
+    assert(r.getAs[Double]("p50") == 5.0 && r.getAs[Double]("p95") == 10.0 &&
+      r.getAs[Double]("p99") == 10.0, s"percentiles wrong: $r")
+  }
+
   test("stream-stream LEFT OUTER interval join: unmatched left emits nulls after watermark proof") {
     val clicks = MemoryStream[Doc]
     val buys = MemoryStream[Doc]
