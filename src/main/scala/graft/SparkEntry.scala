@@ -1529,6 +1529,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // First/last-touch revenue attribution with a 1-hour lookback —
+    // the marketing-analytics rollup over the event stream (struct
+    // min/max per purchase, no window sort; 'direct' = anti-join).
+    "q133_touch_attribution" -> ((s, dir) => {
+      Relational.touchAttribution(Tables.events(s, dir))
+        .select(col("model"), col("touch_type"), col("n_purchases"),
+          r4(col("revenue")).as("revenue"))
+        .orderBy("model", "touch_type")
+    }),
+
     // Image dedup end-to-end: q117's decoded-domain perceptual pairs →
     // connected components → keep-largest-payload survivor flag — the
     // multimodal sibling of q91's text keep-best.
@@ -3506,6 +3516,53 @@ object SparkEntry {
     "q129_pq_adc_topk" -> OracleHashSql.q129PqAdc(),
     "q130_kcore" -> OracleHashSql.q130KCore(),
     "q132_image_dedup_survivors" -> OracleHashSql.q132ImageDedupSurvivors(),
+
+    // q133: first/last touch per purchase as rank-1 windows over the
+    // user-keyed interval join (≡ the engine's struct min/max because
+    // event_id is unique); 'direct' via NOT EXISTS.
+    "q133_touch_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS t_type
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS p_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS MATERIALIZED (
+        |  SELECT p.p_id, p.value, t.t_ts, t.t_id, t.t_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |   AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR AND t.t_ts < p.p_ts),
+        |mf AS (
+        |  SELECT p_id, value, t_type AS first_touch FROM (
+        |    SELECT p_id, value, t_type,
+        |           row_number() OVER (PARTITION BY p_id
+        |                              ORDER BY t_ts ASC, t_id ASC) AS rn
+        |    FROM j) WHERE rn = 1),
+        |ml AS (
+        |  SELECT p_id, t_type AS last_touch FROM (
+        |    SELECT p_id, t_type,
+        |           row_number() OVER (PARTITION BY p_id
+        |                              ORDER BY t_ts DESC, t_id DESC) AS rn
+        |    FROM j) WHERE rn = 1),
+        |d AS (
+        |  SELECT p_id, value FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM t
+        |    WHERE t.user_id = p.user_id
+        |      AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR AND t.t_ts < p.p_ts)),
+        |per AS (
+        |  SELECT mf.p_id, mf.value, mf.first_touch, ml.last_touch
+        |  FROM mf JOIN ml ON mf.p_id = ml.p_id
+        |  UNION ALL
+        |  SELECT p_id, value, 'direct', 'direct' FROM d)
+        |SELECT model, touch_type, n_purchases, revenue FROM (
+        |  SELECT 'first' AS model, first_touch AS touch_type,
+        |         count(*)::BIGINT AS n_purchases,
+        |         floor(sum(value) * 10000 + 0.5) / 10000 AS revenue
+        |  FROM per GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'last', last_touch, count(*)::BIGINT,
+        |         floor(sum(value) * 10000 + 0.5) / 10000
+        |  FROM per GROUP BY 2)
+        |ORDER BY 1, 2""".stripMargin,
 
     // q131: ACF mirrors q86's float contract — per-user double sums,
     // lag over (ts, event_id), zero-variance series → NULL.

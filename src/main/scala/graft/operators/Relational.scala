@@ -396,4 +396,57 @@ object Relational {
         col("version"),
         col("valid_to_ts").isNull.as("is_current"))
   }
+
+  /** Marketing-style touch attribution (q133): each purchase's value
+    * is credited to the FIRST and to the LAST qualifying touch (click/
+    * view) by the same user within the lookback window [t−w, t);
+    * purchases with no in-window touch credit 'direct'. Emits the long
+    * report (model ∈ {first, last}) × touch_type with purchase counts
+    * and attributed revenue — the standard last-touch dashboard next
+    * to its first-touch counterpart.
+    *
+    * Determinism: the first/last touch per purchase is min/max of
+    * struct(ts, event_id, type) — lexicographic, total, no float
+    * involvement; revenue sums ride q86's float contract (r4 under
+    * the oracle).
+    *
+    * Scale: one user-keyed sort-merge join with the range predicate as
+    * the join residual (touches per purchase bounded by the lookback
+    * window), the per-purchase reduction is a struct min/max (no
+    * window sort), `direct` is the anti-join remainder, and the final
+    * rollup is a 10-row aggregate.
+    */
+  def touchAttribution(events: DataFrame,
+                       lookback: String = "1 hour"): DataFrame = {
+    val touches = events.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("t_type"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+    val cond = col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+      col("t_ts") < col("p_ts")
+    val matched = purchases.join(touches, Seq("user_id"))
+      .filter(cond)
+      .groupBy(col("p_id"), col("value"))
+      .agg(
+        min(struct(col("t_ts"), col("t_id"), col("t_type"))).as("ft"),
+        max(struct(col("t_ts"), col("t_id"), col("t_type"))).as("lt"))
+      .select(col("p_id"), col("value"),
+        col("ft.t_type").as("first_touch"), col("lt.t_type").as("last_touch"))
+    val directP = purchases.as("p").join(touches.as("t"),
+        col("p.user_id") === col("t.user_id") && cond, "left_anti")
+      .select(col("p_id"), col("value"),
+        lit("direct").as("first_touch"), lit("direct").as("last_touch"))
+    val per = matched.unionByName(directP)
+    val first = per.groupBy(col("first_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("value")).as("revenue"))
+      .select(lit("first").as("model"), col("touch_type"),
+        col("n_purchases"), col("revenue"))
+    val last = per.groupBy(col("last_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("value")).as("revenue"))
+      .select(lit("last").as("model"), col("touch_type"),
+        col("n_purchases"), col("revenue"))
+    first.unionByName(last)
+  }
 }

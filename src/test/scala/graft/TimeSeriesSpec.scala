@@ -185,6 +185,31 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, "1970-01-01 02:00:00", 7.0, 110L * 60L * 1000000L)))
   }
 
+  test("touch attribution: first vs last touch disagree; no-touch purchase is direct") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: view(00:05) → click(00:30) → purchase(00:40, $10):
+    //   first=view, last=click (both inside the 1 h lookback)
+    // user 2: purchase(00:10, $5) with no touches → direct
+    // user 3: click at 02:00 AFTER its purchase(01:00, $7) → direct
+    val ev = Seq(
+      (1L, 1L, "view", ts(5), 0.0),
+      (2L, 1L, "click", ts(30), 0.0),
+      (3L, 1L, "purchase", ts(40), 10.0),
+      (4L, 2L, "purchase", ts(10), 5.0),
+      (5L, 3L, "purchase", Timestamp.valueOf("2024-01-01 01:00:00"), 7.0),
+      (6L, 3L, "click", Timestamp.valueOf("2024-01-01 02:00:00"), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = graft.operators.Relational.touchAttribution(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("first", "view")) == ((1L, 10.0)))
+    assert(out(("last", "click")) == ((1L, 10.0)))
+    assert(out(("first", "direct")) == ((2L, 12.0)))
+    assert(out(("last", "direct")) == ((2L, 12.0)))
+    assert(!out.contains(("first", "click")) && !out.contains(("last", "view")))
+  }
+
   test("ACF: alternating series anticorrelates at lag 1, correlates at lag 2; constants are NULL") {
     import java.sql.Timestamp
     def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
