@@ -729,6 +729,48 @@ $steps
 SELECT v AS node_id, pr AS pagerank FROM pr$iters ORDER BY node_id"""
   }
 
+  /** Oracle for q134: personalized PageRank (= GraphOps.
+    * personalizedPageRank on the q61 graph). Same unrolled
+    * MATERIALIZED chain as q61 with the teleport AND dangling mass
+    * confined to the seed set: pr0 is 1/|S| on seeds else 0, and each
+    * step adds (1−d)/|S| + d·dang/|S| only on seeds. Every float op
+    * mirrors the engine term for term.
+    */
+  def q134PersonalizedPageRank(seeds: Seq[Long], iters: Int = 10,
+                               damping: Double = 0.85): String = {
+    val d = damping.toString
+    val sl = seeds.mkString(", ")
+    val nS = s"${seeds.size}.0"
+    val steps = (0 until iters).map { i =>
+      s"""dg$i AS MATERIALIZED (
+  SELECT coalesce(sum(pr), 0) AS dm FROM pr$i
+  WHERE v NOT IN (SELECT src FROM deg)),
+c$i AS MATERIALIZED (
+  SELECT e.dst AS v, sum(p.pr / deg.outd) AS contrib
+  FROM e JOIN pr$i p ON p.v = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst),
+pr${i + 1} AS MATERIALIZED (
+  SELECT nodes.v,
+         (CASE WHEN nodes.v IN ($sl) THEN (1.0 - $d) / $nS ELSE 0.0 END) + $d *
+           (coalesce(c.contrib, 0) +
+            CASE WHEN nodes.v IN ($sl)
+                 THEN (SELECT dm FROM dg$i) / $nS ELSE 0.0 END) AS pr
+  FROM nodes LEFT JOIN c$i c ON c.v = nodes.v)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outd FROM e GROUP BY src),
+pr0 AS MATERIALIZED (
+  SELECT v, CASE WHEN v IN ($sl) THEN 1.0 / $nS ELSE 0.0 END AS pr
+  FROM nodes),
+$steps
+SELECT v AS node_id, pr AS pagerank FROM pr$iters
+WHERE pr > 0.0
+ORDER BY node_id"""
+  }
+
   /** Oracle for q69: HyperLogLog distinct l_orderkey per l_returnflag
     * (= Sketches.hllDistinct(p)). The registers are reproduced
     * bit-exactly: the key's decimal string is FNV-1a folded + splitmix

@@ -1529,6 +1529,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Personalized PageRank from 3 seed customers over the q61 graph —
+    // teleport AND dangling mass confined to the seeds, so ranks
+    // measure proximity to them (recommender primitive). Unreached
+    // vertices (exactly 0.0 on both engines) are filtered out.
+    "q134_personalized_pagerank" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(100000L) + col("l_suppkey")).as("dst"))
+      GraphOps.personalizedPageRank(edges, Seq(1L, 2L, 3L), iters = 10)
+        .filter(col("pr") > 0.0)
+        .select(col("v").as("node_id"), col("pr").as("pagerank"))
+        .orderBy("node_id")
+    }),
+
     // First/last-touch revenue attribution with a 1-hour lookback —
     // the marketing-analytics rollup over the event stream (struct
     // min/max per purchase, no window sort; 'direct' = anti-join).
@@ -3516,6 +3532,8 @@ object SparkEntry {
     "q129_pq_adc_topk" -> OracleHashSql.q129PqAdc(),
     "q130_kcore" -> OracleHashSql.q130KCore(),
     "q132_image_dedup_survivors" -> OracleHashSql.q132ImageDedupSurvivors(),
+    "q134_personalized_pagerank" ->
+      OracleHashSql.q134PersonalizedPageRank(Seq(1L, 2L, 3L)),
 
     // q133: first/last touch per purchase as rank-1 windows over the
     // user-keyed interval join (≡ the engine's struct min/max because

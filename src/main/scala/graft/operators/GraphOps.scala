@@ -281,6 +281,54 @@ object GraphOps {
     pr
   }
 
+  /** Personalized PageRank (q134): PageRank where BOTH the teleport
+    * mass (1−d) and the recycled dangling mass return only to the
+    * `seeds` set (uniformly), not to all vertices — the random walk
+    * restarts at the seeds, so ranks measure proximity TO the seeds
+    * (the recommender / related-entities primitive; Haveliwala 2002).
+    * Init puts all mass on the seeds. Same fixed-iteration loop,
+    * checkpoint hygiene, and float contract as [[pageRank]] (the
+    * oracle unrolls the rounds; every float op mirrored term for
+    * term). Seeds are a bounded literal list — the standard usage is
+    * a handful of query entities.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           iters: Int = 10,
+                           damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs >= 1 seed")
+    val e = loopCheckpoint(edges.select(col("src"), col("dst")).distinct())
+    val nodes = loopCheckpoint(e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .distinct())
+    val outDeg = loopCheckpoint(e.groupBy("src").agg(count(lit(1)).as("outd")))
+    val eOutd = loopCheckpoint(e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("outd")))
+    val dangV = loopCheckpoint(nodes
+      .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti"))
+    val isSeed = col("v").isin(seeds: _*)
+    val nS = seeds.size.toDouble
+    var pr = loopCheckpoint(nodes.select(col("v"),
+      when(isSeed, lit(1.0 / nS)).otherwise(lit(0.0)).as("pr")))
+    for (_ <- 0 until iters) {
+      val dang = pr.join(dangV, Seq("v"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
+      val contrib = eOutd
+        .join(pr.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("pr") / col("outd")).as("contrib"))
+      val next = nodes.join(contrib, Seq("v"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("v"),
+          (when(isSeed, lit((1 - damping) / nS)).otherwise(lit(0.0)) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              when(isSeed, col("dang") / nS).otherwise(lit(0.0)))).as("pr"))
+      val mat = loopCheckpoint(next)
+      pr.unpersist()
+      pr = mat
+    }
+    pr
+  }
+
   /** k-core decomposition by iterative peeling (q130): repeatedly drop
     * vertices whose CURRENT degree is < k together with their incident
     * edges, until the fixed point — the maximal subgraph where every

@@ -143,6 +143,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(tc(star) == ((20L, 19L, 0L)))
   }
 
+  test("personalized pagerank: mass conserved, confined to the seed's reach, symmetric targets tie") {
+    import spark.implicits._
+    // seed 1 → {2, 3}; separate component 8 → 9 must stay at exactly 0
+    val edges = Seq((1L, 2L), (1L, 3L), (8L, 9L)).toDF("src", "dst")
+    val pr = graft.operators.GraphOps
+      .personalizedPageRank(edges, Seq(1L), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9,
+      s"mass must be conserved: ${pr.values.sum}")
+    assert(pr(2L) == pr(3L), "symmetric targets must tie exactly")
+    assert(pr(1L) > pr(2L), "the seed keeps the teleport mass")
+    assert(pr(8L) == 0.0 && pr(9L) == 0.0,
+      s"the other component must hold exactly zero mass: $pr")
+  }
+
   test("k-core: pendant chain cascades away, the core survives with core degrees") {
     import spark.implicits._
     // K4 {1,2,3,4} (each deg 3) with a pendant chain 4-5-6-7: for k=2
