@@ -819,6 +819,52 @@ FROM ex JOIN per USING (grp)
 ORDER BY grp"""
   }
 
+  /** Oracle for q135: q69's register chain plus the 'ALL' union level
+    * — registers max-merged per bucket, both levels estimated from
+    * registers alone (mirroring Sketches.hllDistinctRollup).
+    */
+  def q135HllUnionRollup(p: Int = 8): String = {
+    val m = 1 << p
+    val suffix = 64 - p
+    val powSuffix = java.math.BigInteger.valueOf(2L).pow(suffix)
+    val ladder = (1 to suffix).map { r =>
+      s"WHEN w >= ${java.math.BigInteger.valueOf(2L).pow(suffix - r)}::HUGEINT THEN $r"
+    }.mkString(" ")
+    s"""WITH dk AS (
+  SELECT DISTINCT l_returnflag AS grp, CAST(l_orderkey AS VARCHAR) AS k
+  FROM lineitem),
+mixed AS (
+  SELECT grp, hmix FROM (${mixSubq("SELECT grp, k FROM dk",
+        fnvFold(OFF, strBytes("k")))})),
+rw AS (
+  SELECT grp, hmix // $powSuffix::HUGEINT AS bucket,
+         hmix % $powSuffix::HUGEINT AS w
+  FROM mixed),
+regs AS MATERIALIZED (
+  SELECT grp, bucket,
+         max(CASE WHEN w = 0 THEN ${suffix + 1} $ladder END) AS r
+  FROM rw GROUP BY 1, 2),
+regsu AS (
+  SELECT grp, bucket, r FROM regs
+  UNION ALL
+  SELECT 'ALL' AS grp, bucket, max(r) AS r FROM regs GROUP BY bucket),
+per AS (
+  SELECT grp, count(*)::BIGINT AS nz,
+         sum(($pow2)[64 - r])::HUGEINT AS sp
+  FROM regsu GROUP BY 1),
+ex AS (
+  SELECT l_returnflag AS grp, count(DISTINCT l_orderkey)::BIGINT AS n_exact
+  FROM lineitem GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT l_orderkey)::BIGINT FROM lineitem)
+SELECT grp, n_exact, nz,
+       floor((${dlit(graft.operators.Sketches.hllNumerator(p))} /
+         (sp + ($m - nz)::HUGEINT * 9223372036854775808::HUGEINT)::DOUBLE)
+         * 10000 + 0.5) / 10000 AS hll_est
+FROM ex JOIN per USING (grp)
+ORDER BY grp"""
+  }
+
   /** q76: the k BPE merge rounds unrolled as CTE chains. Each round's
     * greedy left-to-right merge is replayed with list_reduce over a
     * FLAT list accumulator ("merge into the last committed symbol") —

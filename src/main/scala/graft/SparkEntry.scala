@@ -1529,6 +1529,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // HLL rollup FROM SKETCHES: per-flag registers max-merge into the
+    // 'ALL' union level — re-aggregation without revisiting keys, the
+    // property that makes HLL the production distinct counter.
+    "q135_hll_union_rollup" -> ((s, dir) => {
+      Sketches.hllDistinctRollup(Tables.lineitem(s, dir),
+        "l_orderkey", "l_returnflag")
+        .orderBy("grp")
+    }),
+
     // Personalized PageRank from 3 seed customers over the q61 graph —
     // teleport AND dangling mass confined to the seeds, so ranks
     // measure proximity to them (recommender primitive). Unreached
@@ -3534,6 +3543,7 @@ object SparkEntry {
     "q132_image_dedup_survivors" -> OracleHashSql.q132ImageDedupSurvivors(),
     "q134_personalized_pagerank" ->
       OracleHashSql.q134PersonalizedPageRank(Seq(1L, 2L, 3L)),
+    "q135_hll_union_rollup" -> OracleHashSql.q135HllUnionRollup(),
 
     // q133: first/last touch per purchase as rank-1 windows over the
     // user-keyed interval join (≡ the engine's struct min/max because

@@ -94,16 +94,14 @@ object Sketches {
     * 100 TB keeps only the sketch side (one narrow shuffle, no
     * distinct's exact-key exchange).
     */
-  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
-                  p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val spark = df.sparkSession
-    GraftFunctions.register(spark)
-    import org.apache.spark.sql.types.DecimalType
-    val m = 1 << p
+  /** Per-(grp, bucket) max-rho HLL registers — the mergeable core
+    * shared by [[hllDistinct]] and [[hllDistinctRollup]].
+    */
+  private def hllRegisters(df: DataFrame, keyCol: String, groupCol: String,
+                           p: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val suffix = 64 - p
-    val rows = df
-      .select(col(groupCol).as("grp"),
+    df.select(col(groupCol).cast("string").as("grp"),
         GraftFunctions.hash64Seeded(lit(0L), col(keyCol).cast("string")).as("h"))
       .select(col("grp"),
         expr(s"shiftrightunsigned(h, $suffix)").as("bucket"),
@@ -112,17 +110,56 @@ object Sketches {
         when(col("w") === 0L, lit(suffix + 1))
           .otherwise(GraftFunctions.clz64(col("w")) - lit(p) + lit(1))
           .as("rho"))
-    val regs = rows.groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("r"))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("r"))
+  }
+
+  /** (grp, nz, hll_raw) estimates from a register frame. */
+  private def hllEstimates(regs: DataFrame, p: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val m = 1 << p
     val per = regs.groupBy(col("grp")).agg(
       count(lit(1)).as("nz"),
       sum(expr("shiftleft(1L, 63 - r)").cast(DecimalType(38, 0))).as("sp"))
     val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
-    val est = per.select(col("grp"), col("nz"),
+    per.select(col("grp"), col("nz"),
       (lit(hllNumerator(p)) /
         (col("sp") + (lit(m.toLong) - col("nz")).cast(DecimalType(38, 0)) * two63)
           .cast("double")).as("hll_raw"))
+  }
+
+  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val est = hllEstimates(hllRegisters(df, keyCol, groupCol, p), p)
     val exact = df.groupBy(col(groupCol).as("grp"))
       .agg(countDistinct(col(keyCol)).as("n_exact"))
+    exact.join(est, Seq("grp"))
+      .select(col("grp"), col("n_exact"), col("nz"),
+        (floor(col("hll_raw") * 10000 + lit(0.5)) / 10000).as("hll_est"))
+  }
+
+  /** HLL rollup FROM SKETCHES (q135): the per-group registers are
+    * max-merged per bucket into an 'ALL' union sketch, and both
+    * levels are estimated from registers alone — the raw keys are
+    * touched exactly once. This is the property that makes HLL the
+    * production distinct-counter: pre-aggregated per-partition (per
+    * day, per source) sketches re-roll to any coarser grain without
+    * revisiting data, and the merged estimate is BIT-IDENTICAL to the
+    * sketch built directly on the union (max-merge is exactly what
+    * the direct build computes). Exact counts ride along per level
+    * for the oracle.
+    */
+  def hllDistinctRollup(df: DataFrame, keyCol: String, groupCol: String,
+                        p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val regs = hllRegisters(df, keyCol, groupCol, p)
+    val merged = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      .select(lit("ALL").as("grp"), col("bucket"), col("r"))
+    val est = hllEstimates(regs.unionByName(merged), p)
+    val exact = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(countDistinct(col(keyCol)).as("n_exact"))
+      .unionByName(df.agg(countDistinct(col(keyCol)).as("n_exact"))
+        .select(lit("ALL").as("grp"), col("n_exact")))
     exact.join(est, Seq("grp"))
       .select(col("grp"), col("n_exact"), col("nz"),
         (floor(col("hll_raw") * 10000 + lit(0.5)) / 10000).as("hll_est"))

@@ -295,6 +295,23 @@ class SketchesSpec extends SparkSpec {
     override def compare(that: StringRevOrd): Int = that.s.compareTo(s)
   }
 
+  test("HLL rollup: merged-register ALL estimate is bit-identical to the direct union sketch") {
+    val li = Tables.lineitem(spark, sf001)
+    val rolled = Sketches.hllDistinctRollup(li, "l_orderkey", "l_returnflag")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // direct union sketch: same keys under ONE constant group
+    val direct = Sketches.hllDistinct(
+      li.withColumn("g", lit("ALL")), "l_orderkey", "g")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rolled("ALL") == direct("ALL"),
+      s"max-merged registers must reproduce the direct union sketch: " +
+        s"${rolled("ALL")} vs ${direct("ALL")}")
+    // per-group levels match plain hllDistinct
+    val per = Sketches.hllDistinct(li, "l_orderkey", "l_returnflag")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    per.foreach { case (g, v) => assert(rolled(g) == v, s"group $g drifted") }
+  }
+
   test("MRL quantiles: exact regime is quantile_disc; approximate regime bounds rank error") {
     import graft.functions.Aggregators.MrlQuantiles
     val probs = Seq(0.25, 0.5, 0.75, 0.95)
