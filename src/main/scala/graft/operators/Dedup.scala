@@ -236,6 +236,17 @@ object Dedup {
                                shingleSize: Int = 3): DataFrame = {
     GraftFunctions.register(documents.sparkSession)
     import org.apache.spark.sql.expressions.Window
+    // float-robustness epsilon for the two NECESSARY-condition bounds
+    // below: ceil(t·n) in doubles can overshoot the mathematical
+    // ceiling (0.07·100 = 7.000000000000001 → ceil 8, true 7), which
+    // would SHORTEN the prefix and silently drop qualifying pairs.
+    // Slacking both bounds by ε only admits extra candidates — the
+    // exact rerank keeps the result identical (exactness verified by
+    // the plain-all-pairs oracle).
+    val eps = 1e-9
+    // the shingle-set frame is referenced four times (df aggregation,
+    // prefix build, both rerank sides); checkpoint the one expensive
+    // pass (tokenize→shingle→sort→distinct) instead of recomputing it
     val sets = documents
       .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("t"))
       .filter(size(col("t")) >= shingleSize)
@@ -243,6 +254,7 @@ object Dedup {
         array_sort(array_distinct(
           HashFunctions.wordShingles(col("t"), shingleSize))).as("sh"))
       .withColumn("n", size(col("sh")))
+      .localCheckpoint(true)
     val df = sets.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
     // prefix length p = n − ceil(t·n) + 1 under (df asc, shingle asc)
@@ -251,12 +263,12 @@ object Dedup {
       .select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
       .join(df, "s")
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold - eps) + 1)
       .select(col("doc_id"), col("n"), col("s"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
-            greatest(col("a.n"), col("b.n")) * threshold)
+            greatest(col("a.n"), col("b.n")) * threshold - eps)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand

@@ -326,6 +326,8 @@ object GraphOps {
       pr.unpersist()
       pr = mat
     }
+    eOutd.unpersist(); dangV.unpersist()
+    outDeg.unpersist(); nodes.unpersist(); e.unpersist()
     pr
   }
 
@@ -347,7 +349,8 @@ object GraphOps {
     * parallelizes trivially — no per-vertex ordering is needed, unlike
     * exact coreness numbering.
     */
-  def kCore(edges: DataFrame, k: Int = 10, rounds: Int = 4): DataFrame = {
+  def kCore(edges: DataFrame, k: Int = 10, rounds: Int = 4,
+            requireConverged: Boolean = true): DataFrame = {
     var cur = loopCheckpoint(edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -365,7 +368,18 @@ object GraphOps {
       cur.unpersist()
       cur = next
     }
-    cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
+    val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
+    if (requireConverged) {
+      // a deeper-than-`rounds` cascade would silently return sub-k
+      // vertices and break the "maximal subgraph with min degree k"
+      // contract; one cheap aggregate makes the truncation loud. The
+      // check rides the checkpointed edge frame, not a recompute.
+      val below = deg.filter(col("deg") < k).count()
+      require(below == 0L,
+        s"kCore(k=$k) did not converge in $rounds rounds: $below vertices " +
+          s"below degree $k remain — raise `rounds` (cascade is deeper)")
+    }
+    deg
   }
 }

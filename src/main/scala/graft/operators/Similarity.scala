@@ -676,6 +676,32 @@ object Similarity {
     * with IVF ([[ivfPqTopK]]). All arithmetic is in-order left folds,
     * mirrored exactly by OracleHashSql.q129PqAdc.
     */
+  /** m × ks per-row tables against the codebook literal, shared by
+    * [[pqAdcTopK]] and [[ivfPqTopK]] so the fold order the oracle
+    * mirrors term-for-term exists in exactly one place: squared-L2
+    * distances (explicit (x−c)·(x−c), in-order over dims) and
+    * dot-product LUT entries.
+    */
+  private def pqSubL2s(cbLit: Column, emb: Column,
+                       m: Int, ks: Int, ds: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(ks - 1)), kk =>
+        aggregate(sequence(lit(1), lit(ds)), lit(0.0), (acc, d) => {
+          val x = element_at(emb, (j * ds + d).cast("int")).cast("double")
+          val c = element_at(element_at(element_at(cbLit, j + 1), kk + 1), d)
+          acc + (x - c) * (x - c)
+        })))
+
+  private def pqLut(cbLit: Column, emb: Column,
+                    m: Int, ks: Int, ds: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(ks - 1)), kk =>
+        aggregate(sequence(lit(1), lit(ds)), lit(0.0), (acc, d) => {
+          val x = element_at(emb, (j * ds + d).cast("int")).cast("double")
+          val c = element_at(element_at(element_at(cbLit, j + 1), kk + 1), d)
+          acc + x * c
+        })))
+
   def pqAdcTopK(spark: SparkSession, embeddings: DataFrame,
                 queries: DataFrame, k: Int = 10, m: Int = 8, ks: Int = 16,
                 iters: Int = 2, sampleN: Int = 256, topC: Int = 100,
@@ -686,33 +712,18 @@ object Similarity {
     val cbLit = typedlit(cb)
     // squared-L2 distances of every subvector to every centroid of its
     // subspace: m × ks doubles per row, one codegen pass
-    def subL2s(emb: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), j =>
-        transform(sequence(lit(0), lit(ks - 1)), kk =>
-          aggregate(sequence(lit(1), lit(ds)), lit(0.0), (acc, d) => {
-            val x = element_at(emb, (j * ds + d).cast("int")).cast("double")
-            val c = element_at(element_at(element_at(cbLit, j + 1), kk + 1), d)
-            acc + (x - c) * (x - c)
-          })))
     val codes = embeddings
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-        subL2s(col("embedding")).as("dists"))
+        pqSubL2s(cbLit, col("embedding"), m, ks, ds).as("dists"))
       // argmin per subspace; array_position returns the FIRST match →
       // lowest code wins exact ties (oracle: ORDER BY dist, code)
       .withColumn("codes", expr(
         "transform(dists, dd -> cast(array_position(dd, array_min(dd)) - 1 as int))"))
       .drop("dists")
     // per-query LUT: ⟨q_j, c_{j,k}⟩ for all (j, k) — m × ks doubles
-    def lut(emb: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), j =>
-        transform(sequence(lit(0), lit(ks - 1)), kk =>
-          aggregate(sequence(lit(1), lit(ds)), lit(0.0), (acc, d) => {
-            val x = element_at(emb, (j * ds + d).cast("int")).cast("double")
-            val c = element_at(element_at(element_at(cbLit, j + 1), kk + 1), d)
-            acc + x * c
-          })))
     val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"), lut(col("embedding")).as("lut"))
+      col("embedding").as("qv"),
+      pqLut(cbLit, col("embedding"), m, ks, ds).as("lut"))
     val scored = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       // ADC score: in-order fold over subspaces — deterministic sum
       .withColumn("adc", expr(s"""aggregate(sequence(0, ${m - 1}), 0.0D,
@@ -752,24 +763,7 @@ object Similarity {
     val cb = sampledPqCodebooks(spark, embeddings, m, ks, iters, sampleN, dim)
     val cbLit = typedlit(cb)
     val cents = sampledKmeansCentroids(spark, embeddings, cells, iters, sampleN)
-    val centroids = broadcast(cents.map { case (i, v) => (i, v) }
-      .toDF("cell_id", "centroid"))
-    def subL2s(emb: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), j =>
-        transform(sequence(lit(0), lit(ks - 1)), kk =>
-          aggregate(sequence(lit(1), lit(ds)), lit(0.0), (acc, d) => {
-            val x = element_at(emb, (j * ds + d).cast("int")).cast("double")
-            val c = element_at(element_at(element_at(cbLit, j + 1), kk + 1), d)
-            acc + (x - c) * (x - c)
-          })))
-    def lutCol(emb: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), j =>
-        transform(sequence(lit(0), lit(ks - 1)), kk =>
-          aggregate(sequence(lit(1), lit(ds)), lit(0.0), (acc, d) => {
-            val x = element_at(emb, (j * ds + d).cast("int")).cast("double")
-            val c = element_at(element_at(element_at(cbLit, j + 1), kk + 1), d)
-            acc + x * c
-          })))
+    val centroids = broadcast(cents.toDF("cell_id", "centroid"))
     val wc = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdist").desc, col("cell_id").asc)
     val codes = embeddings.select(col("vec_id"), col("embedding"))
@@ -779,7 +773,7 @@ object Similarity {
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-        col("cell_id"), subL2s(col("embedding")).as("dists"))
+        col("cell_id"), pqSubL2s(cbLit, col("embedding"), m, ks, ds).as("dists"))
       .withColumn("codes", expr(
         "transform(dists, dd -> cast(array_position(dd, array_min(dd)) - 1 as int))"))
       .drop("dists")
@@ -790,7 +784,7 @@ object Similarity {
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("cell_id"), lutCol(col("embedding")).as("lut"))
+        col("cell_id"), pqLut(cbLit, col("embedding"), m, ks, ds).as("lut"))
     val scored = codes.join(broadcast(q), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", expr(s"""aggregate(sequence(0, ${m - 1}), 0.0D,

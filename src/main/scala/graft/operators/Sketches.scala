@@ -95,13 +95,16 @@ object Sketches {
     * distinct's exact-key exchange).
     */
   /** Per-(grp, bucket) max-rho HLL registers — the mergeable core
-    * shared by [[hllDistinct]] and [[hllDistinctRollup]].
+    * shared by [[hllDistinct]] and [[hllDistinctRollup]]. `groupExpr`
+    * is taken as-is so hllDistinct keeps the caller's group type;
+    * only the rollup casts to string (its 'ALL' level needs one).
     */
-  private def hllRegisters(df: DataFrame, keyCol: String, groupCol: String,
+  private def hllRegisters(df: DataFrame, keyCol: String,
+                           groupExpr: org.apache.spark.sql.Column,
                            p: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val suffix = 64 - p
-    df.select(col(groupCol).cast("string").as("grp"),
+    df.select(groupExpr.as("grp"),
         GraftFunctions.hash64Seeded(lit(0L), col(keyCol).cast("string")).as("h"))
       .select(col("grp"),
         expr(s"shiftrightunsigned(h, $suffix)").as("bucket"),
@@ -130,7 +133,7 @@ object Sketches {
   def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
                   p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val est = hllEstimates(hllRegisters(df, keyCol, groupCol, p), p)
+    val est = hllEstimates(hllRegisters(df, keyCol, col(groupCol), p), p)
     val exact = df.groupBy(col(groupCol).as("grp"))
       .agg(countDistinct(col(keyCol)).as("n_exact"))
     exact.join(est, Seq("grp"))
@@ -139,27 +142,34 @@ object Sketches {
   }
 
   /** HLL rollup FROM SKETCHES (q135): the per-group registers are
-    * max-merged per bucket into an 'ALL' union sketch, and both
-    * levels are estimated from registers alone — the raw keys are
-    * touched exactly once. This is the property that makes HLL the
+    * max-merged per bucket into a `rollupLabel` union sketch, and
+    * both levels are estimated from registers alone — the raw keys
+    * are touched exactly once (the register frame is checkpointed:
+    * groups × 2^p rows, KBs). This is the property that makes HLL the
     * production distinct-counter: pre-aggregated per-partition (per
     * day, per source) sketches re-roll to any coarser grain without
     * revisiting data, and the merged estimate is BIT-IDENTICAL to the
     * sketch built directly on the union (max-merge is exactly what
     * the direct build computes). Exact counts ride along per level
-    * for the oracle.
+    * for the oracle. `rollupLabel` must not collide with a real group
+    * value (groups are compared as strings for the shared label
+    * column) — pick a sentinel outside the domain.
     */
   def hllDistinctRollup(df: DataFrame, keyCol: String, groupCol: String,
-                        p: Int = 8): DataFrame = {
+                        p: Int = 8, rollupLabel: String = "ALL"): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val regs = hllRegisters(df, keyCol, groupCol, p)
+    // tiny frame (groups × occupied buckets); checkpointing it keeps
+    // the full-table register build single-pass even though the union
+    // below references it twice
+    val regs = hllRegisters(df, keyCol, col(groupCol).cast("string"), p)
+      .localCheckpoint(true)
     val merged = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
-      .select(lit("ALL").as("grp"), col("bucket"), col("r"))
+      .select(lit(rollupLabel).as("grp"), col("bucket"), col("r"))
     val est = hllEstimates(regs.unionByName(merged), p)
     val exact = df.groupBy(col(groupCol).cast("string").as("grp"))
       .agg(countDistinct(col(keyCol)).as("n_exact"))
       .unionByName(df.agg(countDistinct(col(keyCol)).as("n_exact"))
-        .select(lit("ALL").as("grp"), col("n_exact")))
+        .select(lit(rollupLabel).as("grp"), col("n_exact")))
     exact.join(est, Seq("grp"))
       .select(col("grp"), col("n_exact"), col("nz"),
         (floor(col("hll_raw") * 10000 + lit(0.5)) / 10000).as("hll_est"))

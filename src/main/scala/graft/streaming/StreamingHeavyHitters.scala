@@ -58,7 +58,9 @@ object StreamingHeavyHitters {
     events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLen), col(groupCol))
-      .agg(count(lit(1)).as("n"), mrl(col(valCol)).as("qs"))
+      // count(valCol), not count(*): the sketch skips null values, so
+      // n must describe the sketched population
+      .agg(count(col(valCol)).as("n"), mrl(col(valCol)).as("qs"))
       .select(col("window.start").as("window_start"), col(groupCol),
         col("n"), element_at(col("qs"), 1).as("p50"),
         element_at(col("qs"), 2).as("p95"),
