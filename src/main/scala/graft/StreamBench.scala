@@ -144,6 +144,14 @@ object StreamBench {
           (col("id") % 997L).cast("double").as("v"), col("ts"))
         (graft.streaming.StreamingHeavyHitters.windowPercentiles(
           s, "ts", "10 seconds", "5 seconds", "grp", "v"), "append")
+      }),
+      "anomaly_welford" -> (() => {
+        // per-key running stats, one verdict row per input row
+        val s = purchases(2000000L).select(
+          concat(lit("k"), col("id") % 10000L).as("key"), col("ts"),
+          col("id").as("event_id"),
+          (col("id") % 1013L).cast("double").as("value"))
+        (graft.streaming.StreamingAnomaly.detect(spark, s).toDF(), "append")
       }))
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()

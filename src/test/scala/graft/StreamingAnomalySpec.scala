@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingAnomaly
+import graft.streaming.StreamingAnomaly.Pt
+
+class StreamingAnomalySpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+  private def tmp(p: String) = Files.createTempDirectory(p).toFile.getAbsolutePath
+
+  private def run(phases: Seq[Seq[Seq[Pt]]], interrupt: Boolean,
+                  z: Double, minSamples: Int): Map[Long, Boolean] = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cp = tmp("graft-an-cp"); val out = tmp("graft-an-out")
+      val in = MemoryStream[Pt]
+      val df = StreamingAnomaly.detect(spark, in.toDF(), z, minSamples).toDF()
+      def start() = df.writeStream.format("parquet")
+        .option("checkpointLocation", cp).option("path", out)
+        .outputMode("append").start()
+      var q = start()
+      try {
+        phases.zipWithIndex.foreach { case (batches, i) =>
+          if (i > 0 && interrupt) { q.stop(); q = start() }
+          batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_anomaly"))
+        .toMap
+    } finally spark.conf.unset(providerKey)
+  }
+
+  test("streaming anomaly: wild point flagged against pre-update stats; warm-up never flags") {
+    // key A: 10 calm points around 10.0, then a wild 1000.0, then calm
+    val calm = (0 until 10).map(i =>
+      Pt("A", t(i), i.toLong, 10.0 + (i % 3) * 0.5))
+    val wild = Pt("A", t(10), 100L, 1000.0)
+    val after = Pt("A", t(11), 101L, 10.5)
+    val got = run(Seq(Seq(calm, Seq(wild, after))),
+      interrupt = false, z = 3.0, minSamples = 8)
+    assert(got(100L), "the wild point must be flagged")
+    assert(calm.forall(p => !got(p.event_id)),
+      "warm-up and calm points must not be flagged")
+    // the point AFTER the wild one is judged against stats that now
+    // include the outlier — sigma exploded, so it must NOT be flagged
+    assert(!got(101L))
+  }
+
+  test("streaming anomaly: decisions survive kill/resume (Welford state recovered)") {
+    val calm = (0 until 10).map(i =>
+      Pt("A", t(i), i.toLong, 10.0 + (i % 3) * 0.5))
+    val phase2 = Seq(Pt("A", t(10), 100L, 1000.0), Pt("A", t(11), 101L, 10.5))
+    val phases = Seq(Seq(calm), Seq(phase2))
+    val resumed = run(phases, interrupt = true, z = 3.0, minSamples = 8)
+    val straight = run(phases, interrupt = false, z = 3.0, minSamples = 8)
+    assert(resumed == straight,
+      s"verdicts must match:\n$resumed\nvs\n$straight")
+    assert(resumed(100L), "recovered stats must still flag the wild point")
+  }
+
+  test("streaming anomaly: keys are independent") {
+    val a = (0 until 10).map(i => Pt("A", t(i), i.toLong, 10.0 + (i % 2) * 0.5))
+    // key B's scale is 100x A's — B's points are normal FOR B
+    val b = (0 until 10).map(i => Pt("B", t(i), 200L + i, 1000.0 + (i % 2) * 50))
+    val probe = Seq(Pt("A", t(10), 100L, 1000.0), Pt("B", t(10), 300L, 1050.0))
+    val got = run(Seq(Seq(a ++ b, probe)), interrupt = false,
+      z = 3.0, minSamples = 8)
+    assert(got(100L), "1000 is anomalous for key A")
+    assert(!got(300L), "1050 is normal for key B")
+  }
+}
