@@ -729,6 +729,36 @@ $steps
 SELECT v AS node_id, pr AS pagerank FROM pr$iters ORDER BY node_id"""
   }
 
+  /** Oracle for q136: q49's reach components with a singleton
+    * fallback (docs outside every pair cluster as themselves), split
+    * by the md5-prefix rule on the cluster id string.
+    */
+  def q136ClusterSafeSplit: String =
+    s"""WITH RECURSIVE $minhashCtes,
+p49 AS (
+  SELECT doc_a, doc_b FROM est WHERE e >= 0.5),
+e49 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p49
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM p49),
+v49 AS (
+  SELECT DISTINCT src AS v FROM e49),
+reach(v, r) AS (
+  SELECT v, v FROM v49
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN e49 e ON e.src = reach.r),
+comp AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+alld AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+SELECT doc_id, cluster_id,
+       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                 IN ('0', '1', '2', '3')
+            THEN 'val' ELSE 'train' END AS split
+FROM alld
+ORDER BY doc_id"""
+
   /** Oracle for q134: personalized PageRank (= GraphOps.
     * personalizedPageRank on the q61 graph). Same unrolled
     * MATERIALIZED chain as q61 with the teleport AND dangling mass

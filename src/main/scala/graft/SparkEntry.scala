@@ -1529,6 +1529,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Cluster-safe train/val split: the split key is the NEAR-DUP
+    // CLUSTER, not the document, so near-duplicates can never straddle
+    // train and val — closing the leakage trap q41/q93 only DETECT
+    // (a near-copy of a training doc sitting in the eval split).
+    // Singletons fall back to their own doc_id as cluster id; the
+    // same md5-prefix rule as q30 keeps the split content-addressed
+    // and reshuffle-stable.
+    "q136_cluster_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(s, docs)
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = GraphOps.dedupClusters(pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      val firstHex = substring(md5(col("cluster_id").cast("string")), 1, 1)
+      docs.select(col("doc_id")).join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("cluster_id"),
+          when(firstHex.isin("0", "1", "2", "3"), "val")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // HLL rollup FROM SKETCHES: per-flag registers max-merge into the
     // 'ALL' union level — re-aggregation without revisiting keys, the
     // property that makes HLL the production distinct counter.
@@ -3544,6 +3566,7 @@ object SparkEntry {
     "q134_personalized_pagerank" ->
       OracleHashSql.q134PersonalizedPageRank(Seq(1L, 2L, 3L)),
     "q135_hll_union_rollup" -> OracleHashSql.q135HllUnionRollup(),
+    "q136_cluster_safe_split" -> OracleHashSql.q136ClusterSafeSplit,
 
     // q133: first/last touch per purchase as rank-1 windows over the
     // user-keyed interval join (≡ the engine's struct min/max because

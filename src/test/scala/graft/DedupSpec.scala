@@ -332,6 +332,30 @@ class DedupSpec extends SparkSpec {
       s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
   }
 
+  test("cluster-safe split (q136 shape): near-dup cluster members never straddle train/val") {
+    val d = Tables.documents(spark, sf001)
+    val pairs = Dedup.minhashLshPairs(spark, d).select(col("doc_a"), col("doc_b"))
+    val clusters = graft.operators.GraphOps.dedupClusters(pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val firstHex = substring(md5(col("cluster_id").cast("string")), 1, 1)
+    val split = d.select(col("doc_id")).join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        when(firstHex.isin("0", "1", "2", "3"), "val")
+          .otherwise("train").as("split"))
+    // the invariant the query exists for: one split per cluster
+    val mixed = split.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1)
+      .count()
+    assert(mixed == 0L, s"$mixed clusters straddle train/val")
+    // every document is assigned exactly once
+    assert(split.count() == d.count())
+    // both splits are non-empty on the fixture
+    val sides = split.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(sides == Set("train", "val"))
+  }
+
   test("prefix-filter jaccard honors the >= threshold boundary exactly") {
     import spark.implicits._
     // A has 8 3-shingles; B shares 4 of them among its 10 → j = 4/14 ≈
