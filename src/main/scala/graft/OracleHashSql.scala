@@ -1342,4 +1342,83 @@ FROM (SELECT a AS v FROM e$rounds UNION ALL SELECT b AS v FROM e$rounds)
 GROUP BY v
 ORDER BY 1"""
   }
+
+  /** Oracle for q125: fixed-round power-iteration PCA projection
+    * (= Similarity.pcaProject via pcaPowerModel defaults), unrolled
+    * like q61's PageRank and q129's k-means. Mirrors
+    * Similarity.covarianceMoments / powerBasis / the projection fold
+    * ORDER-EXACTLY: covariance entry `(Σxy − ΣxΣy/n)/n` over d1≤d2
+    * pairs, init v=1/√d, each round w=Cv as a 0.0-seeded ascending-j
+    * left fold then v=w/‖w‖ (the norm the same fold over w²), Rayleigh
+    * λ=v·Cv, deflation C−λvvᵀ with the RAW iterate, output sign fixed
+    * at the first max-|component| (list_position finds the first
+    * occurrence, matching Scala maxBy), projection
+    * Σᵢ(eᵢ−meanᵢ)·uᵢ left-folded from 0.0, r4-rounded. Every CTE in
+    * the 4×60 iteration chain is MATERIALIZED — DuckDB's default
+    * inlining would re-expand the whole chain (q130's lesson).
+    */
+  def q125PcaPower(r: Int = 4, iters: Int = 60, dim: Int = 64): String = {
+    def fold(listExpr: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, $listExpr), (acc, el) -> acc + el)"
+    def matvec(mRef: String, vRef: String): String =
+      s"""list_transform(range(1, ${dim + 1}), i ->
+        ${fold(s"list_transform(range(1, ${dim + 1}), j -> $mRef[i] [j] * $vRef[j])")})"""
+    val compCtes = (0 until r).map { c =>
+      val iterCtes = (1 to iters).map { t =>
+        s"""p${c}i$t AS MATERIALIZED (
+  SELECT list_transform(w, z -> z / nrm) AS v FROM (
+    SELECT w, sqrt(${fold("list_transform(w, z -> z * z)")}) AS nrm FROM (
+      SELECT ${matvec("m.m", "p.v")} AS w FROM mat$c m, p${c}i${t - 1} p)))"""
+      }.mkString(",\n")
+      s"""p${c}i0 AS (SELECT list_transform(range($dim), i -> 1.0 / sqrt(${dim}.0)) AS v),
+$iterCtes,
+fin$c AS MATERIALIZED (
+  SELECT p.v AS v, ${matvec("m.m", "p.v")} AS w FROM mat$c m, p${c}i$iters p),
+eig$c AS MATERIALIZED (
+  SELECT v, ${fold(s"list_transform(range(1, ${dim + 1}), i -> v[i] * w[i])")} AS lam
+  FROM fin$c),
+mat${c + 1} AS MATERIALIZED (
+  SELECT list_transform(range(1, ${dim + 1}), i ->
+           list_transform(range(1, ${dim + 1}), j ->
+             m.m[i] [j] - e.lam * e.v[i] * e.v[j])) AS m
+  FROM mat$c m, eig$c e),
+u$c AS MATERIALIZED (
+  SELECT CASE WHEN v[list_position(list_transform(v, z -> abs(z)),
+                      list_aggregate(list_transform(v, z -> abs(z)), 'max'))] < 0
+              THEN list_transform(v, z -> -z) ELSE v END AS u
+  FROM eig$c)"""
+    }.mkString(",\n")
+    def proj(c: Int): String =
+      fold(s"list_transform(range(1, ${dim + 1}), i -> (x.e[i] - mv.mean[i]) * u$c.u[i])")
+    val projCols = (0 until r).map(c =>
+      s"floor((${proj(c)}) * 10000 + 0.5) / 10000 AS c0$c").mkString(",\n       ")
+    s"""WITH x AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dims AS MATERIALIZED (
+  SELECT vec_id, s.d AS d, s.v AS v FROM (
+    SELECT vec_id, unnest(list_transform(range($dim), j ->
+      {'d': j, 'v': e[(j+1)::INT]})) AS s FROM x)),
+nr AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM x),
+sums AS MATERIALIZED (SELECT d, sum(v) AS s FROM dims GROUP BY d),
+prods AS MATERIALIZED (
+  SELECT a.d AS d1, b.d AS d2, sum(a.v * b.v) AS sxy
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.d <= b.d
+  GROUP BY 1, 2),
+ent AS MATERIALIZED (
+  SELECT p.d1, p.d2, (p.sxy - sa.s * sb.s / nr.n) / nr.n AS c
+  FROM prods p JOIN sums sa ON sa.d = p.d1
+  JOIN sums sb ON sb.d = p.d2, nr),
+mat0 AS MATERIALIZED (
+  SELECT list(rw ORDER BY d1) AS m FROM (
+    SELECT d1, list(c ORDER BY d2) AS rw FROM (
+      SELECT d1, d2, c FROM ent
+      UNION ALL SELECT d2 AS d1, d1 AS d2, c FROM ent WHERE d1 < d2)
+    GROUP BY d1)),
+mv AS MATERIALIZED (SELECT list(s / n ORDER BY d) AS mean FROM sums, nr),
+$compCtes
+SELECT x.vec_id,
+       $projCols
+FROM x, mv${(0 until r).map(c => s", u$c").mkString}
+ORDER BY vec_id"""
+  }
 }

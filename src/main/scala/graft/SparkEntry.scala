@@ -1483,9 +1483,11 @@ object SparkEntry {
     }),
 
     // PCA projection: distributed Gram moments (the q65 aggregate) →
-    // driver Jacobi eigen → broadcast top-r eigenvectors as literals.
-    // Float arithmetic on driver constants — rows-only driver check
-    // (no oracleSql entry); the geometry is spec-verified.
+    // driver FIXED-ROUND power iteration + deflation → broadcast
+    // top-r basis vectors as literals. The oracle unrolls the same
+    // rounds in DuckDB list folds (q61/q129 technique), so the whole
+    // pipeline is hash-certified; eigen GEOMETRY (orthonormality,
+    // Jacobi cross-check, captured variance) is spec-verified.
     "q125_pca_project" -> ((s, dir) => {
       val p = Similarity.pcaProject(s, Tables.embeddings(s, dir), r = 4)
       p.select(col("vec_id") +:
@@ -3560,6 +3562,7 @@ object SparkEntry {
         |       floor(quantile_disc(o_totalprice::DOUBLE, 0.95) * 10000 + 0.5) / 10000 AS p95
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q125_pca_project" -> OracleHashSql.q125PcaPower(),
     "q129_pq_adc_topk" -> OracleHashSql.q129PqAdc(),
     "q130_kcore" -> OracleHashSql.q130KCore(),
     "q132_image_dedup_survivors" -> OracleHashSql.q132ImageDedupSurvivors(),

@@ -255,7 +255,7 @@ object Aggregators {
   case class QBuf(levels: Seq[Seq[Double]], comps: Seq[Int])
 
   class MrlQuantiles(k: Int, probs: Seq[Double])
-      extends Aggregator[Double, QBuf, Seq[Double]] {
+      extends Aggregator[java.lang.Double, QBuf, Seq[Double]] {
     private val cap = 2 * k
 
     override def zero: QBuf = QBuf(Vector(Vector.empty), Vector(0))
@@ -282,9 +282,18 @@ object Aggregators {
       QBuf(ls, cs)
     }
 
-    override def reduce(b: QBuf, x: Double): QBuf = {
-      val ls = b.levels.toVector.map(_.toVector)
-      compactUp(ls.updated(0, ls(0) :+ x), b.comps.toVector)
+    override def reduce(b: QBuf, x: java.lang.Double): QBuf = {
+      // null-safe like SpaceSavingTopK: skipped values keep `n =
+      // count(valCol)` and the sketched population in agreement
+      if (x == null) return b
+      // copy-on-compaction: the common row only touches level 0 (the
+      // buffer object persists between reduce calls, so level 0 stays a
+      // Vector and :+ is effectively O(1)); upper levels are only
+      // rebuilt on the 1-in-cap row that triggers a compaction
+      val l0 = b.levels.head.toVector :+ x.doubleValue()
+      if (l0.length < cap) QBuf(b.levels.updated(0, l0), b.comps)
+      else compactUp(
+        b.levels.toVector.map(_.toVector).updated(0, l0), b.comps.toVector)
     }
 
     override def merge(a: QBuf, b: QBuf): QBuf = {

@@ -474,20 +474,28 @@ object Similarity {
     * covariance is assembled from the SAME single-pass Gram-moment
     * aggregate q65 gates (one ObjectHashAggregate over the corpus —
     * the only distributed work), eigen-decomposed on the driver with
-    * cyclic Jacobi (d ≤ 64, so this is microseconds on KBs of data —
-    * the standard big-data PCA split: moments distributed, eigen
-    * local), and the top-r eigenvectors are broadcast back as plan
-    * literals to project every row. Spec-verified (orthonormality,
-    * eigenvalue ordering, captured-variance dominance); the projection
-    * itself is float arithmetic on driver-computed constants, so it
-    * carries a rows-only driver check rather than a hash oracle.
+    * FIXED-ROUND power iteration + deflation (d ≤ 64, so this is
+    * microseconds on KBs of data — the standard big-data PCA split:
+    * moments distributed, eigen local), and the top-r eigenvectors are
+    * broadcast back as plan literals to project every row.
+    *
+    * Power iteration (not Jacobi) is what puts this query under the
+    * hash-oracle gate: every step is a fixed count of matrix-vector
+    * folds in a pinned left-to-right order, so the DuckDB oracle
+    * (OracleHashSql.q125PcaPower) unrolls the identical rounds over
+    * the identical covariance formula — the same unrolled-loop oracle
+    * technique as q61's PageRank and q129's k-means. [[jacobiEigen]]
+    * stays as the independent cross-check: specs assert the power
+    * basis spans the same subspace (orthonormality, eigenvalue match,
+    * captured variance).
     *
     * Returns (vec_id, c00..c{r-1}) — each row's coordinates in the
     * top-r principal directions (centered).
     */
   def pcaProject(spark: SparkSession, embeddings: DataFrame,
-                 r: Int = 4, dim: Int = 64): DataFrame = {
-    val model = pcaModel(spark, embeddings, dim)
+                 r: Int = 4, dim: Int = 64,
+                 iters: Int = PcaPowerIters): DataFrame = {
+    val model = pcaPowerModel(spark, embeddings, r, dim, iters)
     val comps = model.eigvecs.take(r).zipWithIndex.map { case (v, j) =>
       val vLit = array(v.map(x => lit(x)): _*)
       val mLit = array(model.mean.map(x => lit(x)): _*)
@@ -506,12 +514,89 @@ object Similarity {
   case class PcaModel(mean: Array[Double], eigvals: Array[Double],
                       eigvecs: Array[Array[Double]])
 
+  /** Fixed round count for the oracle-mirrored power iteration: enough
+    * that the basis is converged well past the r4 output rounding on
+    * any spectrum the specs admit, small enough that the unrolled
+    * DuckDB CTE chain stays trivial (r·iters single-row matvecs).
+    */
+  val PcaPowerIters: Int = 60
+
+  /** Top-r eigenpairs of a symmetric PSD matrix by FIXED-ROUND power
+    * iteration with deflation — the oracle-mirrorable eigen: every
+    * operation is a pinned-order left fold (init = all-ones/√d, w=Cv
+    * with j ascending from 0.0, 2-norm the same way, Rayleigh λ=v·Cv,
+    * deflation C−λvvᵀ elementwise), so OracleHashSql.q125PcaPower can
+    * replay the identical arithmetic in DuckDB list folds and the
+    * driver hash certifies the whole pipeline, not just its geometry.
+    * Sign is fixed for OUTPUT only (first max-|component| positive);
+    * deflation uses the raw iterate (vvᵀ is sign-invariant), so both
+    * engines' iterates track bit-for-bit up to the covariance's own
+    * summation noise.
+    */
+  def powerBasis(covIn: Array[Array[Double]], r: Int,
+                 iters: Int): (Array[Double], Array[Array[Double]]) = {
+    val d = covIn.length
+    val m = covIn.map(_.clone())
+    def matvec(v: Array[Double]): Array[Double] = {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += m(i)(j) * v(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      w
+    }
+    val vals = new Array[Double](r)
+    val vecs = new Array[Array[Double]](r)
+    for (c <- 0 until r) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 0 until iters) {
+        val w = matvec(v)
+        var nsq = 0.0; var i = 0
+        while (i < d) { nsq += w(i) * w(i); i += 1 }
+        val nrm = math.sqrt(nsq)
+        v = w.map(_ / nrm)
+      }
+      val w = matvec(v)
+      var lam = 0.0
+      locally { var i = 0; while (i < d) { lam += v(i) * w(i); i += 1 } }
+      vals(c) = lam
+      val mi = v.indices.maxBy(i => math.abs(v(i)))
+      vecs(c) = if (v(mi) < 0) v.map(x => -x) else v
+      for (i <- 0 until d; j <- 0 until d)
+        m(i)(j) = m(i)(j) - lam * v(i) * v(j)
+    }
+    (vals, vecs)
+  }
+
+  /** [[pcaModel]]'s covariance + mean, eigen-solved by [[powerBasis]]
+    * instead of Jacobi — the hash-certifiable variant q125 declares.
+    */
+  def pcaPowerModel(spark: SparkSession, embeddings: DataFrame, r: Int,
+                    dim: Int = 64, iters: Int = PcaPowerIters): PcaModel = {
+    val (mean, cov) = covarianceMoments(spark, embeddings, dim)
+    val (vals, vecs) = powerBasis(cov, r, iters)
+    PcaModel(mean, vals, vecs)
+  }
+
   /** Covariance eigensystem of the embedding corpus: one distributed
     * pass (count + per-dim sums + upper-tri Gram) then local cyclic
     * Jacobi — the orthodox route for d ≤ a few hundred.
     */
   def pcaModel(spark: SparkSession, embeddings: DataFrame,
                dim: Int = 64): PcaModel = {
+    val (mean, cov) = covarianceMoments(spark, embeddings, dim)
+    val (vals, vecs) = jacobiEigen(cov)
+    PcaModel(mean, vals, vecs)
+  }
+
+  /** One distributed Gram-moment pass → (mean, covariance). The cov
+    * entry formula `(Σxy − ΣxΣy/n)/n` is pinned — the q125 oracle
+    * mirrors it verbatim, so keep the algebraic form stable.
+    */
+  private[graft] def covarianceMoments(spark: SparkSession,
+      embeddings: DataFrame, dim: Int): (Array[Double], Array[Array[Double]]) = {
     import graft.functions.Aggregators
     val gramAgg = org.apache.spark.sql.functions.udaf(new Aggregators.GramMoments(dim))
     val e = embeddings.select(col("embedding").cast("array<double>").as("e"))
@@ -528,8 +613,7 @@ object Similarity {
       cov(d1)(d2) = c; cov(d2)(d1) = c
       idx += 1
     }
-    val (vals, vecs) = jacobiEigen(cov)
-    PcaModel(mean, vals, vecs)
+    (mean, cov)
   }
 
   /** Eigensystem view of [[pcaModel]] (kept for symmetry with specs). */
@@ -618,7 +702,12 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    require(rows.length >= ks, s"sample ${rows.length} < ks $ks")
+    // The oracle (OracleHashSql.q129PqAdc) hardcodes stride = sampleN / ks;
+    // a short table would silently diverge the init centroids, so fail loudly
+    // instead of letting the hash check mismatch confusingly.
+    require(rows.length == sampleN,
+      s"embeddings sample has ${rows.length} rows, expected exactly $sampleN " +
+        "(oracle derives init stride from sampleN — table too small for this config)")
     val stride = rows.length / ks
     (0 until m).map { j =>
       val subs = rows.map { case (id, v) => (id, v.slice(j * ds, (j + 1) * ds)) }

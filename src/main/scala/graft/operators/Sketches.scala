@@ -163,6 +163,12 @@ object Sketches {
     // below references it twice
     val regs = hllRegisters(df, keyCol, col(groupCol).cast("string"), p)
       .localCheckpoint(true)
+    // a real group equal to the sentinel would fan out the exact/est
+    // join and silently corrupt the rollup — fail loudly instead; the
+    // scan is over the tiny checkpointed register frame, not the data
+    require(regs.filter(col("grp") === lit(rollupLabel)).isEmpty,
+      s"rollupLabel '$rollupLabel' collides with a real value of " +
+        s"$groupCol — pick a sentinel outside the group domain")
     val merged = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
       .select(lit(rollupLabel).as("grp"), col("bucket"), col("r"))
     val est = hllEstimates(regs.unionByName(merged), p)

@@ -45,16 +45,18 @@ object StreamingAnomaly {
       val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.event_id))
       var s = Option(stats.get()).getOrElse(Stats(0L, 0.0, 0.0))
       val out = sorted.map { p =>
-        // judge against the PRE-update state
+        // judge against the PRE-update state; emit mean/sigma from that
+        // same epoch so a consumer can reproduce the judgment from the row
+        val mean0 = s.mean
         val sigma = if (s.n >= 2) math.sqrt(s.m2 / s.n) else 0.0
         val anomalous =
-          s.n >= minSamples && sigma > 0.0 && math.abs(p.value - s.mean) > z * sigma
+          s.n >= minSamples && sigma > 0.0 && math.abs(p.value - mean0) > z * sigma
         // Welford fold
         val n1 = s.n + 1
-        val d = p.value - s.mean
-        val mean1 = s.mean + d / n1
+        val d = p.value - mean0
+        val mean1 = mean0 + d / n1
         s = Stats(n1, mean1, s.m2 + d * (p.value - mean1))
-        Verdict(p.key, p.ts, p.event_id, p.value, s.mean, sigma, anomalous)
+        Verdict(p.key, p.ts, p.event_id, p.value, mean0, sigma, anomalous)
       }
       stats.update(s)
       out.iterator

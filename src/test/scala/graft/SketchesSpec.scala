@@ -318,7 +318,8 @@ class SketchesSpec extends SparkSpec {
     def sketch(xs: Seq[Double], k: Int, parts: Int): Seq[Double] = {
       val agg = new MrlQuantiles(k, probs)
       val partitioned = xs.grouped(math.max(1, xs.size / parts)).toSeq
-      val bufs = partitioned.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val bufs = partitioned.map(p =>
+        p.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)))
       agg.finish(bufs.reduce(agg.merge))
     }
     def quantileDisc(sorted: Vector[Double], q: Double): Double =

@@ -68,6 +68,44 @@ class StreamingAnomalySpec extends SparkSpec {
     assert(resumed(100L), "recovered stats must still flag the wild point")
   }
 
+  test("streaming anomaly: emitted mean/sigma are the pre-update pair that reproduces the verdict") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cp = tmp("graft-an2-cp"); val out = tmp("graft-an2-out")
+      val calm = (0 until 10).map(i =>
+        Pt("A", t(i), i.toLong, 10.0 + (i % 3) * 0.5))
+      val wild = Pt("A", t(10), 100L, 1000.0)
+      val in = MemoryStream[Pt]
+      val df = StreamingAnomaly.detect(spark, in.toDF(), 3.0, 8).toDF()
+      val q = df.writeStream.format("parquet")
+        .option("checkpointLocation", cp).option("path", out)
+        .outputMode("append").start()
+      try {
+        in.addData(calm); q.processAllAvailable()
+        in.addData(Seq(wild)); q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Double]("value"), r.getAs[Double]("mean"),
+            r.getAs[Double]("sigma"), r.getAs[Boolean]("is_anomaly"))))
+        .toMap
+      // the wild row's emitted mean is the PRE-update mean of the 10
+      // calm points (104.5/10), not the post-fold mean polluted by 1000
+      val (_, wMean, wSigma, wFlag) = rows(100L)
+      assert(math.abs(wMean - 10.45) < 1e-9,
+        s"mean must be pre-update (10.45), got $wMean")
+      assert(wFlag && wSigma > 0.0)
+      // every flagged row is reproducible from its own emitted fields:
+      // |value - mean| > z * sigma — mean and sigma from ONE epoch
+      rows.values.foreach { case (v, m, s, flag) =>
+        if (flag) assert(s > 0.0 && math.abs(v - m) > 3.0 * s,
+          s"verdict not reproducible from emitted fields: v=$v m=$m s=$s")
+      }
+    } finally spark.conf.unset(providerKey)
+  }
+
   test("streaming anomaly: keys are independent") {
     val a = (0 until 10).map(i => Pt("A", t(i), i.toLong, 10.0 + (i % 2) * 0.5))
     // key B's scale is 100x A's — B's points are normal FOR B
