@@ -48,7 +48,10 @@ object Bench {
     // (same contract as Verify). Unset for the driver run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // benchQueries: production-path twins (e.g. tol-mode PageRank)
+    // timed here but excluded from the declared correctness surface
+    val queries = (SparkEntry.queries ++ SparkEntry.benchQueries)
+      .toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to passes; (name, fn) <- queries if !errors.contains(name)) {

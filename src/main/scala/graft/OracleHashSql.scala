@@ -1343,6 +1343,39 @@ GROUP BY v
 ORDER BY 1"""
   }
 
+  /** Oracle for q137: core-number decomposition (= GraphOps.coreNumbers
+    * on the q61 customer-supplier graph), unrolled to the same fixed
+    * round count. est0 = degree; each round est(v) = H-index of
+    * neighbors' estimates = max(least(rank, est)) over neighbors
+    * ranked est-desc. Pure integer arithmetic — bit-exact by
+    * construction.
+    */
+  def q137CoreNumbers(rounds: Int = 8): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      s"""est$t AS MATERIALIZED (
+  SELECT v, max(least(rn, est)) AS est FROM (
+    SELECT a.v, s.est,
+           row_number() OVER (PARTITION BY a.v
+                              ORDER BY s.est DESC, a.nbr ASC) AS rn
+    FROM adj a JOIN est${t - 1} s ON s.v = a.nbr)
+  GROUP BY v)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(o_custkey, 100000 + l_suppkey) AS a,
+         greatest(o_custkey, 100000 + l_suppkey) AS b
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+  WHERE o_custkey <> 100000 + l_suppkey),
+adj AS MATERIALIZED (
+  SELECT a AS v, b AS nbr FROM e0
+  UNION ALL SELECT b AS v, a AS nbr FROM e0),
+est0 AS MATERIALIZED (
+  SELECT v, count(*) AS est FROM adj GROUP BY v),
+$roundCtes
+SELECT v AS node_id, est::BIGINT AS coreness
+FROM est$rounds
+ORDER BY 1"""
+  }
+
   /** Oracle for q125: fixed-round power-iteration PCA projection
     * (= Similarity.pcaProject via pcaPowerModel defaults), unrolled
     * like q61's PageRank and q129's k-means. Mirrors

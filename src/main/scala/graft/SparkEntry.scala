@@ -1632,6 +1632,47 @@ object SparkEntry {
         .select(col("v").as("node_id"), col("deg"))
         .orderBy("node_id")
     }),
+
+    // Exact core NUMBER per vertex (the full decomposition q130's
+    // single-k membership only bounds) via the h-index iteration —
+    // rounds follow estimate-propagation depth (~6), not the
+    // degeneracy (~60 a peel-per-k would pay). Integer-exact oracle
+    // unrolls the same rounds.
+    "q137_core_numbers" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(100000L) + col("l_suppkey")).as("dst"))
+      GraphOps.coreNumbers(edges, rounds = 8)
+        .orderBy("node_id")
+    }),
+  )
+
+  /** Bench-only twins: timed by [[Bench]] alongside `queries` but
+    * NEVER part of the declared correctness surface — each exercises a
+    * production path whose accuracy contract lives in the spec tier,
+    * so the invariant "every `queries` entry is hash-certified" stays
+    * intact while the path still gets a round-over-round wall-time
+    * number in BENCH_r{N}.json.
+    */
+  val benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q61's PRODUCTION stopping rule: tol early-exit instead of the
+    // oracle-pinned 10 rounds (the fixed count exists only because the
+    // DuckDB oracle unrolls exactly 10). tol=3e-4 exits at round ~6 on
+    // the sf0.1 graph (measured delta decay ~0.8/round), and the
+    // ε·d/(1−d) distance bound vs the run-to-cap reference is
+    // property-tested in GraphOpsSpec.
+    "q61_pagerank_tol" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(100000L) + col("l_suppkey")).as("dst"))
+      GraphOps.pageRank(edges, iters = 10, tol = 3e-4)
+        .select(col("v").as("node_id"), col("pr").as("pagerank"))
+        .orderBy("node_id")
+    }),
   )
 
   /** q98's fixed retrieval workload (mirrored as a VALUES clause in the
@@ -3565,6 +3606,7 @@ object SparkEntry {
     "q125_pca_project" -> OracleHashSql.q125PcaPower(),
     "q129_pq_adc_topk" -> OracleHashSql.q129PqAdc(),
     "q130_kcore" -> OracleHashSql.q130KCore(),
+    "q137_core_numbers" -> OracleHashSql.q137CoreNumbers(),
     "q132_image_dedup_survivors" -> OracleHashSql.q132ImageDedupSurvivors(),
     "q134_personalized_pagerank" ->
       OracleHashSql.q134PersonalizedPageRank(Seq(1L, 2L, 3L)),

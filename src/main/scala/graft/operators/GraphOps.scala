@@ -382,4 +382,72 @@ object GraphOps {
     }
     deg
   }
+
+  /** Exact core-NUMBER decomposition (q137) — the full coreness per
+    * vertex that [[kCore]]'s single-k membership filter only bounds —
+    * via the h-index iteration (Montresor, De Pellegrini & Miorandi,
+    * "Distributed k-Core Decomposition", IEEE TPDS 2013; also Lü et
+    * al., Nature Comms 2016): every vertex starts at its degree and
+    * each round replaces its estimate with the H-INDEX of its
+    * neighbors' estimates (the largest h with ≥ h neighbors at ≥ h).
+    * Estimates are monotone non-increasing and the fixed point is
+    * exactly the core number. This beats peeling k=1,2,3… at scale:
+    * rounds are bounded by the estimate-propagation depth (4–6 on the
+    * fixture graph, O(log-ish) in practice) instead of the degeneracy
+    * (≈60 here), and every round is the same two vertex-keyed
+    * exchanges (neighbor-estimate join + per-vertex window) over a
+    * frame that never grows past 2|E| rows. Pure integer arithmetic —
+    * the oracle (OracleHashSql.q137CoreNumbers) unrolls the identical
+    * fixed rounds bit-exactly.
+    *
+    * The per-vertex H-index is `array_max(least(rank, est))` over the
+    * desc-sorted neighbor-estimate list — a hash aggregate + small
+    * in-group array sort (avg degree elements), NOT a window: the
+    * per-round plan is one broadcast join of the KB-scale estimate
+    * frame into the edge scan plus ONE exchange into the hash agg, no
+    * global per-partition sort. Order-invariant across ties, so
+    * partitioning cannot change the result. With `requireConverged`
+    * the LAST TWO rounds are compared (two vertex-frame joins, no
+    * extra update): est unchanged over a round ⇔ fixed point, so
+    * truncation fails loudly at no extra H-update cost — same
+    * contract as [[kCore]].
+    */
+  def coreNumbers(edges: DataFrame, rounds: Int = 8,
+                  requireConverged: Boolean = true): DataFrame = {
+    require(rounds >= 1, "coreNumbers needs at least one round")
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = loopCheckpoint(
+      e.select(col("a").as("v"), col("b").as("nbr"))
+        .union(e.select(col("b").as("v"), col("a").as("nbr"))))
+    def hIndexUpdate(est: DataFrame): DataFrame =
+      adj.join(broadcast(est.select(col("v").as("nbr"), col("est"))), Seq("nbr"))
+        .groupBy("v")
+        .agg(sort_array(collect_list(col("est")), asc = false).as("ests"))
+        .select(col("v"), array_max(zip_with(col("ests"),
+          sequence(lit(1L), size(col("ests")).cast("long")),
+          (e2, r) => least(e2, r))).as("est"))
+    var prev: DataFrame = null
+    var est = loopCheckpoint(
+      adj.groupBy("v").agg(count(lit(1)).cast("long").as("est")))
+    for (_ <- 0 until rounds) {
+      val next = loopCheckpoint(hIndexUpdate(est))
+      if (prev != null) prev.unpersist()
+      prev = est
+      est = next
+    }
+    if (requireConverged) {
+      val changed = est.select(col("v"), col("est").as("est2"))
+        .join(prev, Seq("v"))
+        .filter(col("est2") =!= col("est")).count()
+      require(changed == 0L,
+        s"coreNumbers did not converge in $rounds rounds: $changed vertex " +
+          "estimates moved in the final round — raise `rounds`")
+    }
+    prev.unpersist()
+    est.select(col("v").as("node_id"), col("est").cast("long").as("coreness"))
+  }
 }

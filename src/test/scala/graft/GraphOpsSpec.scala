@@ -177,4 +177,31 @@ class GraphOpsSpec extends SparkSpec {
     // k above the max core empties the graph
     assert(graft.operators.GraphOps.kCore(edges, k = 4, rounds = 6).count() == 0L)
   }
+
+  test("core numbers: h-index iteration yields exact coreness; consistent with kCore membership") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + pendant chain 4-5-6-7: coreness 3 on the clique,
+    // 1 along the chain (known closed form). The chain forces several
+    // propagation rounds (estimates cascade inward).
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (k4 ++ chain).toDF("src", "dst")
+    val core = graft.operators.GraphOps.coreNumbers(edges, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L), s"wrong coreness: $core")
+    // membership consistency: {coreness >= k} must equal kCore(k)'s
+    // vertex set for every k
+    for (k <- 2 to 3) {
+      val fromCore = core.filter(_._2 >= k).keySet
+      val fromPeel = graft.operators.GraphOps.kCore(edges, k = k, rounds = 6)
+        .collect().map(_.getLong(0)).toSet
+      assert(fromCore == fromPeel, s"k=$k: $fromCore vs $fromPeel")
+    }
+    // truncated rounds fail loudly instead of returning stale estimates
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.GraphOps.coreNumbers(edges, rounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
