@@ -1376,6 +1376,72 @@ FROM est$rounds
 ORDER BY 1"""
   }
 
+  /** Oracle for q138: synchronous label-propagation communities
+    * (= GraphOps.labelPropagation on the q61 customer-supplier graph),
+    * unrolled to the same fixed round count. Each round every vertex
+    * takes the most frequent neighbor label, ties to the smallest
+    * label. Pure integer arithmetic — bit-exact by construction.
+    */
+  def q138LabelPropagation(rounds: Int = 5): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      s"""lab$t AS MATERIALIZED (
+  SELECT v, label FROM (
+    SELECT v, label, row_number() OVER (PARTITION BY v
+             ORDER BY c DESC, label ASC) AS rn
+    FROM (SELECT a.v, s.label, count(*) AS c
+          FROM adj a JOIN lab${t - 1} s ON s.v = a.nbr
+          GROUP BY a.v, s.label))
+  WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(o_custkey, 100000 + l_suppkey) AS a,
+         greatest(o_custkey, 100000 + l_suppkey) AS b
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+  WHERE o_custkey <> 100000 + l_suppkey),
+adj AS MATERIALIZED (
+  SELECT a AS v, b AS nbr FROM e0
+  UNION ALL SELECT b AS v, a AS nbr FROM e0),
+lab0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM adj),
+$roundCtes
+SELECT v AS node_id, label::BIGINT AS community
+FROM lab$rounds
+ORDER BY 1"""
+  }
+
+  /** Oracle for q139: HITS hubs & authorities (= GraphOps.hits on the
+    * DIRECTED customer→supplier graph), unrolled to the same fixed
+    * round count. The loop runs UNNORMALIZED (scaling commutes
+    * through the linear maps; iterates stay far below double
+    * overflow) and L2-normalizes once at the end, mirroring the
+    * engine exactly — the q61 float precedent (aggregate-sum noise
+    * ~1e-15, r4-rounded output).
+    */
+  def q139Hits(iters: Int = 10): String = {
+    val roundCtes = (1 to iters).map { t =>
+      s"""a$t AS MATERIALIZED (
+  SELECT e.dst AS v, sum(h.h) AS a
+  FROM e JOIN h${t - 1} h ON h.v = e.src GROUP BY e.dst),
+h$t AS MATERIALIZED (
+  SELECT e.src AS v, sum(a.a) AS h
+  FROM e JOIN a$t a ON a.v = e.dst GROUP BY e.src)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
+n AS MATERIALIZED (
+  SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+h0 AS MATERIALIZED (SELECT DISTINCT src AS v, 1.0::DOUBLE AS h FROM e),
+$roundCtes
+SELECT n.v AS node_id,
+       floor((coalesce(h.h, 0.0) / (SELECT sqrt(sum(h * h)) FROM h$iters))
+             * 10000 + 0.5) / 10000 AS hub,
+       floor((coalesce(a.a, 0.0) / (SELECT sqrt(sum(a * a)) FROM a$iters))
+             * 10000 + 0.5) / 10000 AS authority
+FROM n LEFT JOIN a$iters a ON a.v = n.v
+LEFT JOIN h$iters h ON h.v = n.v
+ORDER BY 1"""
+  }
+
   /** Oracle for q125: fixed-round power-iteration PCA projection
     * (= Similarity.pcaProject via pcaPowerModel defaults), unrolled
     * like q61's PageRank and q129's k-means. Mirrors

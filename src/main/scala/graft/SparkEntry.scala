@@ -1647,6 +1647,62 @@ object SparkEntry {
       GraphOps.coreNumbers(edges, rounds = 8)
         .orderBy("node_id")
     }),
+
+    // Synchronous label-propagation communities: most-frequent
+    // neighbor label, ties to the smallest — the deterministic LPA
+    // form (pure integers, fixed rounds, bit-exact unrolled oracle).
+    "q138_label_propagation" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(100000L) + col("l_suppkey")).as("dst"))
+      GraphOps.labelPropagation(edges, rounds = 5)
+        .orderBy("node_id")
+    }),
+
+    // HITS hubs & authorities on the DIRECTED customer→supplier graph
+    // — q61's loop anatomy (fixed rounds, broadcast 1-row norms,
+    // unrolled oracle, r4-rounded floats).
+    "q139_hits" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(100000L) + col("l_suppkey")).as("dst"))
+      GraphOps.hits(edges, iters = 10)
+        .select(col("node_id"), r4(col("hub")).as("hub"),
+          r4(col("authority")).as("authority"))
+        .orderBy("node_id")
+    }),
+
+    // Holt linear-trend smoothing + 3-step forecast per user: the
+    // exact per-key recurrence as ONE codegen aggregate fold over the
+    // sorted series (α=β=1/2 → exact binary coefficients, oracle
+    // replays the fold with list_reduce verbatim).
+    "q140_holt_forecast" -> ((s, dir) => {
+      val f = TimeSeries.holtForecast(Tables.events(s, dir))
+      f.select(col("user_id"), col("n"),
+        r4(col("level")).as("level"), r4(col("trend")).as("trend"),
+        r4(col("f1")).as("f1"), r4(col("f2")).as("f2"),
+        r4(col("f3")).as("f3"))
+        .orderBy("user_id")
+    }),
+
+    // ORC round-trip: parquet -> ORC on disk -> schema'd read ->
+    // per-source aggregate (q67's contract on the second columnar
+    // format; the oracle reads the parquet truth directly).
+    "q141_orc_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_q141_${math.abs(dir.hashCode)}"
+      graft.sources.OrcIO.writeOrc(docs, path)
+      graft.sources.OrcIO.readOrc(s, path, docs.schema)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .orderBy("source")
+    }),
   )
 
   /** Bench-only twins: timed by [[Bench]] alongside `queries` but
@@ -3607,6 +3663,43 @@ object SparkEntry {
     "q129_pq_adc_topk" -> OracleHashSql.q129PqAdc(),
     "q130_kcore" -> OracleHashSql.q130KCore(),
     "q137_core_numbers" -> OracleHashSql.q137CoreNumbers(),
+    "q138_label_propagation" -> OracleHashSql.q138LabelPropagation(),
+    "q139_hits" -> OracleHashSql.q139Hits(),
+
+    // q140: the identical [level, trend, count] list fold, replayed by
+    // list_reduce over the (ts, event_id)-ordered series; α=β=1/2 are
+    // exact binary doubles so the recurrence matches bit-for-bit.
+    "q140_holt_forecast" ->
+      """WITH s AS MATERIALIZED (
+        |  SELECT user_id, list(value::DOUBLE ORDER BY ts, event_id) AS xs
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, len(xs)::BIGINT AS n,
+        |    list_reduce(
+        |      list_prepend([0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
+        |        list_transform(xs, x -> [x, 0.0::DOUBLE, 0.0::DOUBLE])),
+        |      (acc, xx) -> CASE WHEN acc[3] = 0.0
+        |        THEN [xx[1], 0.0::DOUBLE, 1.0::DOUBLE]
+        |        ELSE [0.5 * xx[1] + 0.5 * (acc[1] + acc[2]),
+        |              0.5 * ((0.5 * xx[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+        |                + 0.5 * acc[2],
+        |              acc[3] + 1.0] END) AS st
+        |  FROM s)
+        |SELECT user_id, n,
+        |       floor(st[1] * 10000 + 0.5) / 10000 AS level,
+        |       floor(st[2] * 10000 + 0.5) / 10000 AS trend,
+        |       floor((st[1] + 1.0 * st[2]) * 10000 + 0.5) / 10000 AS f1,
+        |       floor((st[1] + 2.0 * st[2]) * 10000 + 0.5) / 10000 AS f2,
+        |       floor((st[1] + 3.0 * st[2]) * 10000 + 0.5) / 10000 AS f3
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    // q141: the ORC round-trip must reproduce the parquet truth
+    // exactly (q67's contract, second columnar format).
+    "q141_orc_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_chars,
+        |       count(DISTINCT md5(text))::BIGINT AS n_distinct_texts
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q132_image_dedup_survivors" -> OracleHashSql.q132ImageDedupSurvivors(),
     "q134_personalized_pagerank" ->
       OracleHashSql.q134PersonalizedPageRank(Seq(1L, 2L, 3L)),

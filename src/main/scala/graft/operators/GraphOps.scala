@@ -450,4 +450,99 @@ object GraphOps {
     prev.unpersist()
     est.select(col("v").as("node_id"), col("est").cast("long").as("coreness"))
   }
+
+  /** Synchronous label propagation communities (q138) — Raghavan et
+    * al., Phys. Rev. E 2007, in its deterministic fixed-round form:
+    * labels start as vertex ids; each round every vertex adopts the
+    * most frequent label among its neighbors, ties to the SMALLEST
+    * label (the rule that makes the algorithm order- and
+    * partitioning-independent, where the paper's random tie-break is
+    * not reproducible). Synchronous rounds + fixed count make the
+    * output a pure integer function of the edge set — bit-exact
+    * against the unrolled oracle — and sidestep the classic
+    * bipartite-oscillation nondeterminism (both engines compute the
+    * same round-`rounds` snapshot).
+    *
+    * Scale: each round is one broadcast-able label join against the
+    * static adjacency + a (v, label) count + a per-vertex top-1
+    * (WindowGroupLimit caps the heap at 1), all keyed on v; lineage
+    * truncated per round like every GraphOps loop.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = loopCheckpoint(
+      e.select(col("a").as("v"), col("b").as("nbr"))
+        .union(e.select(col("b").as("v"), col("a").as("nbr"))))
+    var labels = loopCheckpoint(
+      adj.select(col("v")).distinct().withColumn("label", col("v")))
+    for (_ <- 0 until rounds) {
+      val w = Window.partitionBy("v")
+        .orderBy(col("c").desc, col("label").asc)
+      val next = loopCheckpoint(
+        adj.join(broadcast(labels.select(col("v").as("nbr"), col("label"))),
+            Seq("nbr"))
+          .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("v"), col("label")))
+      labels.unpersist()
+      labels = next
+    }
+    labels.select(col("v").as("node_id"), col("label").cast("long").as("community"))
+  }
+
+  /** HITS hubs & authorities (q139) — Kleinberg, JACM 1999 — with
+    * fixed rounds, the same oracle-mirrorable loop anatomy as
+    * [[pageRank]]: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v).
+    * Normalization happens ONCE at the end (the L2 division is pure
+    * cosmetics mid-loop — the iterate direction is what converges):
+    * that removes a 1-row norm aggregate + broadcast exchange from
+    * every half-step, making each round exactly two score-keyed
+    * join+aggs over the checkpointed edge frame, and it is safe in
+    * doubles — iterates grow ~(σ₁)²ᵗ per round, ≤ 1e(2·d)·t in the
+    * exponent for degree ~1eD graphs, nowhere near 1e308 at 10
+    * rounds for any realistic degree. Zero-score vertices (no
+    * in-links / no out-links) drop out of the loop frames entirely
+    * (they contribute nothing to either sum) and re-enter as exact
+    * 0.0 via the final left join against the vertex set. Floats
+    * follow the q61 precedent: aggregate-sum noise ~1e-15, declared
+    * query rounds to r4.
+    */
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val e = loopCheckpoint(edges.select(col("src"), col("dst")).distinct())
+    val nodes = loopCheckpoint(e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .distinct())
+    var hub = loopCheckpoint(e.select(col("src").as("v")).distinct()
+      .withColumn("h", lit(1.0)))
+    var auth: DataFrame = null
+    for (_ <- 0 until iters) {
+      val aNext = loopCheckpoint(
+        e.join(hub.select(col("v").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("v")).agg(sum(col("h")).as("a")))
+      if (auth != null) auth.unpersist()
+      auth = aNext
+      val hNext = loopCheckpoint(
+        e.join(auth.select(col("v").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("v")).agg(sum(col("a")).as("h")))
+      hub.unpersist()
+      hub = hNext
+    }
+    val aNrm = auth.agg(sqrt(sum(col("a") * col("a"))).as("an"))
+    val hNrm = hub.agg(sqrt(sum(col("h") * col("h"))).as("hn"))
+    val out = nodes
+      .join(auth, Seq("v"), "left")
+      .join(hub, Seq("v"), "left")
+      .crossJoin(broadcast(aNrm)).crossJoin(broadcast(hNrm))
+      .select(col("v").as("node_id"),
+        (coalesce(col("h"), lit(0.0)) / col("hn")).as("hub"),
+        (coalesce(col("a"), lit(0.0)) / col("an")).as("authority"))
+    e.unpersist(); nodes.unpersist()
+    out
+  }
 }

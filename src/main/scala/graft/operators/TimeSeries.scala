@@ -312,4 +312,50 @@ object TimeSeries {
     lagged.groupBy("user_id")
       .agg(max(col("n")).cast("long").as("n_events"), rCols: _*)
   }
+
+  /** Holt linear-trend exponential smoothing + h-step forecast per key
+    * (q140) — the level/trend recurrence (Holt 1957; Hyndman &
+    * Athanasopoulos FPP §8.2):
+    *   l₁ = x₁, b₁ = 0;
+    *   lₜ = α·xₜ + (1−α)(lₜ₋₁ + bₜ₋₁),  bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁
+    * and forecast x̂(n+h) = lₙ + h·bₙ. A per-key RECURSIVE fold is
+    * inherently sequential, so it runs as ONE codegen `aggregate` HOF
+    * over the (ts, event_id)-sorted collected series — the q68-EWMA
+    * tradeoff taken the other way: exact recursion, bounded per-key
+    * history (the fixture keyspace grows with SF, per-key counts
+    * don't). α=β=1/2 default: every coefficient is an exact binary
+    * double, so the fold is bit-identical on any IEEE engine and the
+    * DuckDB oracle replays it with `list_reduce` verbatim (the q68
+    * determinism argument).
+    *
+    * Output per key: n, final level/trend, forecasts for h=1..horizon.
+    */
+  def holtForecast(events: DataFrame, alpha: Double = 0.5,
+                   beta: Double = 0.5, horizon: Int = 3): DataFrame = {
+    val series = events.filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("xs"))
+    // fold state rides as [level, trend, count] — same 3-slot DOUBLE
+    // list the oracle folds
+    val st = aggregate(col("xs"),
+      array(lit(0.0), lit(0.0), lit(0.0)),
+      (acc, x) => {
+        val v = x.getField("value")
+        val l = element_at(acc, 1)
+        val b = element_at(acc, 2)
+        val n = element_at(acc, 3)
+        val l1 = lit(alpha) * v + lit(1 - alpha) * (l + b)
+        val b1 = lit(beta) * (l1 - l) + lit(1 - beta) * b
+        when(n === 0.0, array(v, lit(0.0), lit(1.0)))
+          .otherwise(array(l1, b1, n + lit(1.0)))
+      })
+    val fCols = (1 to horizon).map(h =>
+      (element_at(col("st"), 1) + lit(h.toDouble) * element_at(col("st"), 2))
+        .as(s"f$h"))
+    series.select(col("user_id"), size(col("xs")).cast("long").as("n"), st.as("st"))
+      .select(Seq(col("user_id"), col("n"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend")) ++ fCols: _*)
+  }
 }

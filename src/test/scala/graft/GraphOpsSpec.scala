@@ -204,4 +204,43 @@ class GraphOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  test("label propagation: two cliques joined by a bridge split into two communities") {
+    import spark.implicits._
+    // K4 {1..4} and K4 {11..14} joined by one bridge edge 4-11: LPA
+    // with min tie-break labels each clique by its minimum vertex
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = k4a.map { case (a, b) => (a + 10L, b + 10L) }
+    val edges = (k4a ++ k4b :+ (4L, 11L)).toDF("src", "dst")
+    val out = graft.operators.GraphOps.labelPropagation(edges, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(out).toSet.size == 1,
+      s"first clique must agree on one community: $out")
+    assert(Seq(11L, 12L, 13L, 14L).map(out).toSet.size == 1,
+      s"second clique must agree on one community: $out")
+    assert(out(1L) != out(12L), s"cliques must separate: $out")
+    // deterministic under repartition
+    val out2 = graft.operators.GraphOps.labelPropagation(
+      edges.repartition(7), rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
+
+  test("hits: star hub has top hub score, its targets share authority; scores L2-normalized") {
+    import spark.implicits._
+    // hub 1 → {2,3,4}; plus 5 → 2 (2 gets extra authority)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L)).toDF("src", "dst")
+    val out = graft.operators.GraphOps.hits(edges, iters = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val hub = out.map(t => t._1 -> t._2).toMap
+    val auth = out.map(t => t._1 -> t._3).toMap
+    assert(hub(1L) > hub(5L) && hub(5L) > 0.0, s"1 links more: $hub")
+    assert(hub(2L) == 0.0 && auth(1L) == 0.0 && auth(5L) == 0.0)
+    assert(auth(2L) > auth(3L), s"2 has an extra in-link: $auth")
+    assert(auth(3L) == auth(4L), "symmetric targets tie exactly")
+    val hNorm = out.map(t => t._2 * t._2).sum
+    val aNorm = out.map(t => t._3 * t._3).sum
+    assert(math.abs(hNorm - 1.0) < 1e-9 && math.abs(aNorm - 1.0) < 1e-9,
+      s"L2 norms must be 1: $hNorm, $aNorm")
+  }
 }

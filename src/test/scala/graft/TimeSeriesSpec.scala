@@ -229,4 +229,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(u2.isNullAt(2) && u2.isNullAt(3) && u2.isNullAt(4),
       s"constant series must yield NULL acf: $u2")
   }
+
+  test("Holt forecast: hand-folded recurrence; linear series extrapolates exactly") {
+    // series 1, 2, 3 with α=β=1/2:
+    //   x=1: l=1, b=0
+    //   x=2: l=.5·2+.5·1=1.5,  b=.5·.5+0=.25
+    //   x=3: l=.5·3+.5·1.75=2.375, b=.5·.875+.125=.5625
+    val out = TimeSeries.holtForecast(ev(
+      (1L, 1L, 10L, 1.0), (2L, 1L, 20L, 2.0), (3L, 1L, 30L, 3.0)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u = out(1L)
+    assert(u.getLong(1) == 3L)
+    assert(u.getDouble(2) == 2.375 && u.getDouble(3) == 0.5625,
+      s"level/trend wrong: $u")
+    assert(u.getDouble(4) == 2.375 + 0.5625 &&
+      u.getDouble(6) == 2.375 + 3 * 0.5625, s"forecasts wrong: $u")
+    // the fold is order-defined, not input-order-defined: shuffled
+    // input rows give the identical result
+    val shuffled = TimeSeries.holtForecast(ev(
+      (3L, 1L, 30L, 3.0), (1L, 1L, 10L, 1.0), (2L, 1L, 20L, 2.0))
+      .repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(shuffled(1L) == 2.375)
+  }
 }
