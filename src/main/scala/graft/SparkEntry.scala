@@ -1689,6 +1689,44 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Funnel stage-transition latency: strictly-after first-touch
+    // chaining with per-transition converting-user counts and p50/p90
+    // conversion delays in integer microseconds (quantile_disc rule —
+    // integer-exact under the oracle).
+    "q142_funnel_latency" -> ((s, dir) => {
+      Relational.funnelLatency(Tables.events(s, dir),
+        Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    }),
+
+    // Length-distribution-matched resampling: per-source acceptance
+    // weights that reshape every source's length histogram to the
+    // corpus-wide one; content-addressed accept/reject (q30/q43
+    // convention), weights derived from identical integer counts on
+    // both engines so even the boundary is deterministic.
+    "q143_length_matched_resample" -> ((s, dir) => {
+      val r = TextAnalysis.lengthMatchedResample(Tables.documents(s, dir))
+      r.select(col("doc_id"), col("source"), col("bucket"),
+        r4(col("keep_frac")).as("keep_frac"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scan + redaction: emails/IPs/SSNs/phones counted and
+    // replaced by placeholder tokens; deterministic PII injected on
+    // doc_id % 97 == 0 so the oracle (RE2) cross-checks Java-regex
+    // match semantics on real matches, not an empty corpus.
+    "q144_pii_scrub" -> ((s, dir) => {
+      TextAnalysis.piiScrub(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    }),
+
+    // Blocklist gate (C4-style wordlist filter): occurrence counts +
+    // integer-arithmetic keep decision (n_hits·100 < n_tokens·pct).
+    "q145_blocklist_filter" -> ((s, dir) => {
+      TextAnalysis.blocklistFilter(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    }),
+
     // ORC round-trip: parquet -> ORC on disk -> schema'd read ->
     // per-source aggregate (q67's contract on the second columnar
     // format; the oracle reads the parquet truth directly).
@@ -3700,6 +3738,97 @@ object SparkEntry {
         |       sum(n_chars)::BIGINT AS sum_chars,
         |       count(DISTINCT md5(text))::BIGINT AS n_distinct_texts
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // q142: q78's strictly-after first-touch chain, plus integer-
+    // microsecond deltas and quantile_disc percentiles.
+    "q142_funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |d2 AS (
+        |  SELECT epoch_us(s2.t) - epoch_us(s1.t) AS delta
+        |  FROM s2 JOIN s1 ON s2.user_id = s1.user_id),
+        |d3 AS (
+        |  SELECT epoch_us(s3.t) - epoch_us(s2.t) AS delta
+        |  FROM s3 JOIN s2 ON s3.user_id = s2.user_id)
+        |SELECT * FROM (
+        |  SELECT 2::BIGINT AS stage_idx, 'click' AS stage,
+        |         count(*)::BIGINT AS n_users,
+        |         quantile_disc(delta, 0.5)::BIGINT AS p50_us,
+        |         quantile_disc(delta, 0.9)::BIGINT AS p90_us
+        |  FROM d2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*),
+        |         quantile_disc(delta, 0.5), quantile_disc(delta, 0.9)
+        |  FROM d3)
+        |ORDER BY stage_idx""".stripMargin,
+
+    // q143: identical integer counts → identical double weights →
+    // identical floor(w·65536) threshold on both engines.
+    "q143_length_matched_resample" ->
+      """WITH docs AS MATERIALIZED (
+        |  SELECT doc_id, source, text, (n_chars // 100) AS bucket
+        |  FROM documents),
+        |sb AS (SELECT source, bucket, count(*) AS n_sb FROM docs GROUP BY 1, 2),
+        |bt AS (SELECT bucket, count(*) AS n_b FROM docs GROUP BY 1),
+        |st AS (SELECT source, count(*) AS n_s FROM docs GROUP BY 1),
+        |tt AS (SELECT count(*) AS n FROM docs)
+        |SELECT d.doc_id, d.source, d.bucket,
+        |       floor(least(1.0, (n_b / n) / (n_sb / n_s)) * 10000 + 0.5)
+        |         / 10000 AS keep_frac,
+        |       (('0x' || substr(md5(d.text), 1, 4))::BIGINT <
+        |        CAST(floor(least(1.0, (n_b / n) / (n_sb / n_s)) * 65536)
+        |             AS BIGINT)) AS kept
+        |FROM docs d
+        |JOIN sb ON sb.source = d.source AND sb.bucket = d.bucket
+        |JOIN bt ON bt.bucket = d.bucket
+        |JOIN st ON st.source = d.source, tt
+        |ORDER BY doc_id""".stripMargin,
+
+    // q144: same deterministic PII injection, RE2 counterparts of the
+    // Java regexes (fixed-shape patterns, no backrefs/lookaround →
+    // identical match sets), 'g' for replace-all parity.
+    "q144_pii_scrub" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN text || ' contact user' ||
+        |      doc_id::VARCHAR || '@example.com call 415-555-' ||
+        |      lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |      ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7 ssn 123-45-' ||
+        |      lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |    ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9]+\.[a-z]{2,4}', 0))::BIGINT AS n_email,
+        |  len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}', 0))::BIGINT AS n_ip,
+        |  len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}', 0))::BIGINT AS n_ssn,
+        |  len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}', 0))::BIGINT AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9.]+@[a-z0-9]+\.[a-z]{2,4}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    // q145: list_filter membership + the same integer keep rule.
+    "q145_blocklist_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+        |         len(list_filter(string_split(lower(text), ' '),
+        |             x -> x IN ('slow', 'error', 'crash')))::BIGINT AS n_hits
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens, n_hits,
+        |       (n_hits * 100 < n_tokens * 3) AS kept
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q132_image_dedup_survivors" -> OracleHashSql.q132ImageDedupSurvivors(),
     "q134_personalized_pagerank" ->
       OracleHashSql.q134PersonalizedPageRank(Seq(1L, 2L, 3L)),

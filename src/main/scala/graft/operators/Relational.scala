@@ -173,6 +173,55 @@ object Relational {
     * hint). The fact stream is scanned once per stage with column
     * pruning to (user_id, ts); only per-stage counts reach the driver.
     */
+  /** Funnel stage-transition latency (q142): [[funnel]]'s strictly-
+    * after first-touch chaining, but keeping each user's first-touch
+    * TIME per stage and reporting, per transition, how many users
+    * converted and the p50/p90 of their conversion delay. Deltas are
+    * integer MICROSECONDS and the percentiles use the discrete
+    * quantile rule (index max(0, ceil(q·n)−1) of the sorted deltas —
+    * DuckDB `quantile_disc` bit-for-bit, the q128 convention), so the
+    * whole output is integer-exact under the oracle.
+    *
+    * Scale: per-stage first-touch frames are user-keyed aggregates
+    * (users-sized, not events-sized); each transition's delta list is
+    * collected only at the final 1-row-per-transition reduction —
+    * bounded by converting users. The checkpoint per stage truncates
+    * the chain like [[funnel]].
+    */
+  def funnelLatency(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.length >= 2, "funnelLatency needs at least two stages")
+    var reached: DataFrame = null // (user_id, t_prev)
+    val transitions = stages.zipWithIndex.flatMap { case (stage, i) =>
+      val hits = events.filter(col("event_type") === stage)
+        .select(col("user_id"), col("ts"))
+      val qualified =
+        if (reached == null) hits
+        else hits.join(reached, "user_id")
+          .filter(col("ts") > col("t_prev"))
+          .select(col("user_id"), col("ts"))
+      val firstTouch = qualified.groupBy("user_id")
+        .agg(min(col("ts")).as("t_cur"))
+        .localCheckpoint(true)
+      val out = if (reached == null) None else {
+        val deltas = firstTouch.join(reached, "user_id")
+          .select((unix_micros(col("t_cur")) - unix_micros(col("t_prev")))
+            .as("delta_us"))
+        def qd(q: Double) = element_at(col("ds"),
+          greatest(lit(0), ceil(lit(q) * size(col("ds"))).cast("int") - 1) + 1)
+        Some(deltas
+          .agg(count(lit(1)).as("n_users"),
+            sort_array(collect_list(col("delta_us"))).as("ds"))
+          .select(lit(i.toLong + 1).as("stage_idx"), lit(stage).as("stage"),
+            col("n_users"),
+            when(col("n_users") > 0, qd(0.5)).as("p50_us"),
+            when(col("n_users") > 0, qd(0.9)).as("p90_us")))
+      }
+      reached = firstTouch.withColumnRenamed("t_cur", "t_prev")
+      out
+    }
+    transitions.reduce(_ unionByName _)
+  }
+
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -1072,4 +1072,98 @@ object TextAnalysis {
         col("p_temp"), (col("p_temp") / col("p_raw")).as("upsample"))
       .orderBy("source")
   }
+
+  /** PII patterns shared by [[piiScrub]] and its oracle: each is a
+    * fixed-shape regex valid in BOTH Java regex (Spark) and RE2
+    * (DuckDB) — no backrefs, no lookaround, so the two engines agree
+    * on every match. Redaction applies in this exact order.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9.]+@[a-z0-9]+\\.[a-z]{2,4}", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** PII detection + redaction (q144) — the scrubbing pass every
+    * training-data pipeline runs before release (emails, phones, IPs,
+    * id numbers → placeholder tokens). The synthetic corpus carries no
+    * organic PII, so docs with doc_id % 97 == 0 get a deterministic
+    * PII suffix appended first (same construction in the oracle): the
+    * query then proves detection counts AND the redacted text against
+    * an independent regex engine — a cross-engine regex-semantics
+    * check, not just a hash echo. Per-row projections only; at scale
+    * this runs at scan speed like the quality metrics.
+    */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val suffix = concat(lit(" contact user"), col("doc_id"),
+      lit("@example.com call 415-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7 ssn 123-45-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val withPii = documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(97)) === 0, concat(col("text"), suffix))
+        .otherwise(col("text")).as("t"))
+    val counted = PiiPatterns.foldLeft(withPii) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_$name", regexp_count(col("t"), lit(pat)).cast("long"))
+    }
+    val redacted = PiiPatterns.foldLeft(col("t")) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    counted.select(col("doc_id"), col("n_email"), col("n_ip"), col("n_ssn"),
+      col("n_phone"), md5(redacted).as("redacted_md5"))
+  }
+
+  /** Blocklist filtering (q145) — the C4-style wordlist gate: count
+    * blocklisted token occurrences per document and keep documents
+    * whose hit share stays under `pctThreshold` percent (the
+    * comparison is pure integer arithmetic — n_hits·100 < n_tokens·pct
+    * — so the keep decision is boundary-exact on any engine). The
+    * list rides as an expression literal: scan-speed, no join.
+    */
+  def blocklistFilter(documents: DataFrame,
+                      blocklist: Seq[String] = Seq("slow", "error", "crash"),
+                      pctThreshold: Int = 3): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val hits = size(filter(toks, t => t.isInCollection(blocklist)))
+    documents.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        hits.cast("long").as("n_hits"))
+      .withColumn("kept",
+        col("n_hits") * 100 < col("n_tokens") * pctThreshold)
+  }
+
+  /** Length-distribution-matched resampling (q143) — reweight each
+    * source so its document-LENGTH histogram matches the corpus-wide
+    * histogram (the mixture-rebalancing sibling of q43's per-source
+    * rates): per (source, bucket) the acceptance weight is
+    * min(1, corpus_share(bucket) / source_share(bucket)), and a
+    * document survives iff its md5-uniform draw falls under the
+    * weight (content-addressed like q30/q43 — reshuffle-stable).
+    * Both engines derive the weight from IDENTICAL integer counts
+    * with the same expression, so even the accept/reject boundary is
+    * bit-deterministic. Counts come from four tiny aggregates
+    * broadcast back onto the scan — no global window, no second
+    * corpus pass.
+    */
+  def lengthMatchedResample(documents: DataFrame,
+                            bucketWidth: Int = 100): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("source"), col("text"),
+      floor(col("n_chars") / lit(bucketWidth)).cast("long").as("bucket"))
+    val sb = docs.groupBy("source", "bucket").agg(count(lit(1)).as("n_sb"))
+    val bTot = docs.groupBy("bucket").agg(count(lit(1)).as("n_b"))
+    val sTot = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val u = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+    docs
+      .join(broadcast(sb), Seq("source", "bucket"))
+      .join(broadcast(bTot), Seq("bucket"))
+      .join(broadcast(sTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        least(lit(1.0), (col("n_b") / col("n")) / (col("n_sb") / col("n_s")))
+          .as("keep_frac"),
+        (u < floor(least(lit(1.0),
+          (col("n_b") / col("n")) / (col("n_sb") / col("n_s")))
+          * 65536).cast("long")).as("kept"))
+  }
 }

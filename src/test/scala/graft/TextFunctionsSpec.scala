@@ -582,4 +582,68 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(4L) == ((1.0, 0.75)))
     assert(out(5L) == ((0.0, 1.0)))
   }
+
+  test("q144 PII scrub: injected doc counts each type once; redaction rewrites; clean docs untouched") {
+    import graft.operators.TextAnalysis
+    // doc_id 0 gets the deterministic injection (0 % 97 == 0), 5 not
+    val docs = Seq((0L, "hello world", "web", 11L),
+      (5L, "clean text here", "web", 15L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .withColumnRenamed("lang", "source")
+    val out = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val injected = out(0L)
+    assert((1 to 4).forall(i => injected.getLong(i) == 1L),
+      s"each PII type injected exactly once: $injected")
+    val clean = out(5L)
+    assert((1 to 4).forall(i => clean.getLong(i) == 0L), s"clean: $clean")
+    // redacted md5 equals the md5 of the hand-redacted string
+    val expect = "hello world contact <EMAIL> call <PHONE> from <IP> ssn <SSN>"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(expect.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(injected.getString(5) == hex,
+      s"redaction mismatch: ${injected.getString(5)} vs $hex")
+    // clean doc's redaction is the identity
+    val cleanHex = java.security.MessageDigest.getInstance("MD5")
+      .digest("clean text here".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(clean.getString(5) == cleanHex)
+  }
+
+  test("q145 blocklist: hit counts and integer keep rule") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "fast table scan", "a"),             // 0/3 hits -> kept
+      (2L, "slow slow query", "a"),             // 2/3 -> 66% -> dropped
+      (3L, ("ok " * 99) + "slow", "a"))         // 1/100 = 1% < 3% -> kept
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.blocklistFilter(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((0L, true)))
+    assert(out(2L) == ((2L, false)))
+    assert(out(3L) == ((1L, true)), s"1% must stay under 3%: $out")
+  }
+
+  test("q143 length-matched resample: identical distributions give weight 1; skewed source is down-weighted") {
+    import graft.operators.TextAnalysis
+    // source A: 3 docs in bucket 0, 1 in bucket 1; source B mirrors
+    // the corpus exactly after pooling — construct A=B so every
+    // (source,bucket) share equals the corpus share → all weights 1
+    val uniform = Seq(
+      (1L, "t1", "A", 50L), (2L, "t2", "A", 150L),
+      (3L, "t3", "B", 50L), (4L, "t4", "B", 150L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val w1 = TextAnalysis.lengthMatchedResample(uniform).collect()
+    assert(w1.forall(_.getDouble(3) == 1.0), s"uniform → weight 1: ${w1.toSeq}")
+    assert(w1.forall(_.getBoolean(4)), "weight 1 keeps everything")
+    // source A all-short, B all-long: corpus share of bucket 0 is 1/2,
+    // A's own share is 1 → weight 1/2 for A docs (and B symmetric)
+    val skew = Seq(
+      (1L, "t1", "A", 50L), (2L, "t2", "A", 60L),
+      (3L, "t3", "B", 150L), (4L, "t4", "B", 160L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val w2 = TextAnalysis.lengthMatchedResample(skew).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(w2.values.forall(_ == 0.5), s"skewed halves: $w2")
+  }
 }

@@ -85,6 +85,30 @@ class TimeSeriesSpec extends SparkSpec {
       Seq(("view", 4L), ("click", 1L), ("purchase", 1L)))
   }
 
+  test("funnel latency: deltas from first-touch chain, quantile_disc rule") {
+    val ev = Seq(
+      // user 1 converts view→click in 10 s, click→purchase in 20 s
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 40L),
+      // user 2 converts view→click in 30 s, never purchases
+      (2L, "view", 10L), (2L, "click", 40L),
+      // user 3: click before view — never qualifies past stage 1
+      (3L, "click", 5L), (3L, "view", 10L))
+      .map { case (u, t, sec) => (u, t, new Timestamp(sec * 1000L)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Relational
+      .funnelLatency(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+    val click = out(0); val purch = out(1)
+    assert(click.getLong(0) == 2L && click.getString(1) == "click")
+    assert(click.getLong(2) == 2L, s"2 users convert to click: $click")
+    // deltas {10s, 30s}: p50 = ceil(.5·2)-1 = idx 0 → 10 s; p90 → 30 s
+    assert(click.getLong(3) == 10000000L && click.getLong(4) == 30000000L,
+      s"click deltas wrong: $click")
+    assert(purch.getLong(2) == 1L &&
+      purch.getLong(3) == 20000000L && purch.getLong(4) == 20000000L,
+      s"purchase deltas wrong: $purch")
+  }
+
   test("top journeys: session split, ordered path, length cap") {
     val m = 60L
     val ev = Seq(
