@@ -464,9 +464,11 @@ object GraphOps {
     * same round-`rounds` snapshot).
     *
     * Scale: each round is one broadcast-able label join against the
-    * static adjacency + a (v, label) count + a per-vertex top-1
-    * (WindowGroupLimit caps the heap at 1), all keyed on v; lineage
-    * truncated per round like every GraphOps loop.
+    * static adjacency + TWO mergeable aggregates — (v, label) counts,
+    * then an argmax as `max(struct(c, −label))` per vertex. Both
+    * partial-aggregate map-side (no window sort anywhere: the
+    * struct-max encodes the count-desc/label-asc tie rule), and both
+    * key on v; lineage truncated per round like every GraphOps loop.
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
     val e = edges
@@ -480,15 +482,14 @@ object GraphOps {
     var labels = loopCheckpoint(
       adj.select(col("v")).distinct().withColumn("label", col("v")))
     for (_ <- 0 until rounds) {
-      val w = Window.partitionBy("v")
-        .orderBy(col("c").desc, col("label").asc)
       val next = loopCheckpoint(
         adj.join(broadcast(labels.select(col("v").as("nbr"), col("label"))),
             Seq("nbr"))
           .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("v"), col("label")))
+          // argmax by (count desc, label asc) as a mergeable struct-max
+          .groupBy(col("v"))
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("top"))
+          .select(col("v"), (-col("top.nl")).as("label")))
       labels.unpersist()
       labels = next
     }

@@ -1141,18 +1141,21 @@ object TextAnalysis {
     * weight (content-addressed like q30/q43 — reshuffle-stable).
     * Both engines derive the weight from IDENTICAL integer counts
     * with the same expression, so even the accept/reject boundary is
-    * bit-deterministic. Counts come from four tiny aggregates
-    * broadcast back onto the scan — no global window, no second
-    * corpus pass.
+    * bit-deterministic. The corpus is aggregated ONCE at the finest
+    * (source × bucket) grain — a checkpointed KB-scale frame — and
+    * every coarser total (per bucket, per source, global) re-sums
+    * that frame, so the histogram costs one scan however large the
+    * corpus; all four tiny frames broadcast back onto the doc scan.
     */
   def lengthMatchedResample(documents: DataFrame,
                             bucketWidth: Int = 100): DataFrame = {
     val docs = documents.select(col("doc_id"), col("source"), col("text"),
       floor(col("n_chars") / lit(bucketWidth)).cast("long").as("bucket"))
     val sb = docs.groupBy("source", "bucket").agg(count(lit(1)).as("n_sb"))
-    val bTot = docs.groupBy("bucket").agg(count(lit(1)).as("n_b"))
-    val sTot = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
-    val tot = docs.agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val bTot = sb.groupBy("bucket").agg(sum(col("n_sb")).as("n_b"))
+    val sTot = sb.groupBy("source").agg(sum(col("n_sb")).as("n_s"))
+    val tot = sb.agg(sum(col("n_sb")).as("n"))
     val u = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
     docs
       .join(broadcast(sb), Seq("source", "bucket"))
