@@ -1727,6 +1727,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Golden-record consolidation: deterministic dirty variants →
+    // equality-blocked pairs → pointer-jumping CC → field-level
+    // survivorship (min-id canonical, min_by name, max balance,
+    // mode segment with struct-max tie rule).
+    "q146_golden_records" -> ((s, dir) => {
+      EntityResolution.goldenRecords(Tables.customer(s, dir))
+        .select(col("golden_id"), col("name"),
+          r2(col("best_bal")).as("best_bal"), col("seg"), col("n_members"))
+        .orderBy("golden_id")
+    }),
+
+    // Hybrid retrieval: BM25 ranks ⊕ embedding-cosine ranks fused by
+    // reciprocal-rank fusion — integer ranks make the fused scores
+    // bit-identical across engines; BM25 ranking keys on the
+    // r4-floored score so float noise can't flip a rank.
+    "q147_hybrid_rrf" -> ((s, dir) => {
+      TextAnalysis.hybridRrf(s, Tables.documents(s, dir),
+        Tables.embeddings(s, dir), bm25Queries)
+        .orderBy("query_id", "rank")
+    }),
+
     // ORC round-trip: parquet -> ORC on disk -> schema'd read ->
     // per-source aggregate (q67's contract on the second columnar
     // format; the oracle reads the parquet truth directly).
@@ -3015,6 +3036,78 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
+    // q147: q98's BM25 CTEs + a q20-style cosine ranking, fused by
+    // RRF. Ranks are integers (BM25 ranking keys on the r4-floored
+    // score), so 1/(60+rank) sums are bit-identical across engines.
+    "q147_hybrid_rrf" -> {
+      val values = bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      val qids = bm25Queries.map(_._1).mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $values),
+        |dd AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM dd),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs,
+        |                 SUM(dl)::BIGINT AS sum_dl FROM d),
+        |dfs AS (
+        |  SELECT term, count(*)::BIGINT AS df
+        |  FROM d CROSS JOIN (SELECT DISTINCT term FROM q) t
+        |  WHERE list_contains(toks, term) GROUP BY 1),
+        |cand AS (
+        |  SELECT query_id, q.term, doc_id, dl,
+        |         len(list_filter(toks, x -> x = q.term))::BIGINT AS tf
+        |  FROM d CROSS JOIN q),
+        |bm AS (
+        |  SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+        |         SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |             * (tf * (1.2 + 1.0))
+        |             / (tf + 1.2 * (1.0 - 0.75
+        |                            + 0.75 * dl / (sum_dl::DOUBLE / n_docs))))
+        |           AS score
+        |  FROM cand JOIN dfs USING (term), stats
+        |  WHERE tf > 0 GROUP BY 1, 2),
+        |bmr AS (
+        |  SELECT query_id, doc_id, r_bm FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id
+        |      ORDER BY floor(score * 10000 + 0.5) / 10000 DESC,
+        |               doc_id ASC)::BIGINT AS r_bm
+        |    FROM bm)
+        |  WHERE r_bm <= 20),
+        |em AS (
+        |  SELECT qe.vec_id AS query_id, e.vec_id AS doc_id,
+        |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings qe JOIN embeddings e ON e.vec_id <> qe.vec_id
+        |  WHERE qe.vec_id IN ($qids)),
+        |emr AS (
+        |  SELECT query_id, doc_id, r_em FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id ASC)::BIGINT AS r_em
+        |    FROM em)
+        |  WHERE r_em <= 20),
+        |fused AS (
+        |  SELECT coalesce(b.query_id, e2.query_id) AS query_id,
+        |         coalesce(b.doc_id, e2.doc_id) AS doc_id,
+        |         b.r_bm, e2.r_em,
+        |         coalesce(1.0 / (60.0 + b.r_bm), 0.0) +
+        |         coalesce(1.0 / (60.0 + e2.r_em), 0.0) AS rrf
+        |  FROM bmr b FULL JOIN emr e2
+        |    ON b.query_id = e2.query_id AND b.doc_id = e2.doc_id)
+        |SELECT query_id, rank, doc_id, r_bm, r_em, rrf FROM (
+        |  SELECT query_id, doc_id, r_bm, r_em, rrf,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY rrf DESC, doc_id ASC)::BIGINT AS rank
+        |  FROM fused)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+    },
+
     // q99: integer/string chunking — truncating and floor division
     // agree because dl > 0 is enforced on both sides.
     "q99_passage_chunks" ->
@@ -3817,6 +3910,62 @@ object SparkEntry {
         |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // q146: same deterministic variant injection; pairs via the same
+    // equality blocking; clusters via the q49 recursive-reach pattern;
+    // survivorship with arg_min / max / mode-with-seg-desc-tie.
+    "q146_golden_records" ->
+      """WITH RECURSIVE dirty AS MATERIALIZED (
+        |  SELECT c_custkey::BIGINT AS rec_id, c_name AS name,
+        |         c_nationkey::BIGINT AS nation, c_acctbal AS bal,
+        |         c_mktsegment AS seg
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT (c_custkey + 1000000)::BIGINT, lower(c_name),
+        |         c_nationkey::BIGINT, c_acctbal + 0.17, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT (c_custkey + 2000000)::BIGINT,
+        |         'CUST#' || regexp_extract(c_name, '([0-9]+)', 1),
+        |         c_nationkey::BIGINT, c_acctbal - 5.25, 'UNKNOWN'
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |keyed AS MATERIALIZED (
+        |  SELECT rec_id, name, nation, bal, seg,
+        |         regexp_extract(name, '([0-9]+)', 1) AS digits
+        |  FROM dirty),
+        |p AS (
+        |  SELECT a.rec_id AS src, b.rec_id AS dst
+        |  FROM keyed a JOIN keyed b
+        |    ON a.digits = b.digits AND a.nation = b.nation
+        |   AND a.rec_id < b.rec_id),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |v AS (SELECT DISTINCT src AS v FROM e),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM v
+        |  UNION
+        |  SELECT reach.v, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |comp AS (SELECT v AS rec_id, min(r) AS cluster_id FROM reach GROUP BY v),
+        |members AS MATERIALIZED (
+        |  SELECT k.rec_id, k.name, k.bal, k.seg,
+        |         coalesce(c.cluster_id, k.rec_id) AS cluster_id
+        |  FROM keyed k LEFT JOIN comp c ON c.rec_id = k.rec_id),
+        |golden AS (
+        |  SELECT cluster_id, min(rec_id) AS golden_id,
+        |         arg_min(name, rec_id) AS name,
+        |         max(bal) AS best_bal, count(*)::BIGINT AS n_members
+        |  FROM members GROUP BY 1),
+        |segc AS (SELECT cluster_id, seg, count(*) AS c FROM members GROUP BY 1, 2),
+        |segp AS (
+        |  SELECT cluster_id, seg FROM (
+        |    SELECT cluster_id, seg, row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY c DESC, seg DESC) AS rn
+        |    FROM segc)
+        |  WHERE rn = 1)
+        |SELECT g.golden_id, g.name,
+        |       floor(g.best_bal * 100 + 0.5) / 100 AS best_bal,
+        |       s.seg, g.n_members
+        |FROM golden g JOIN segp s ON s.cluster_id = g.cluster_id
+        |ORDER BY golden_id""".stripMargin,
 
     // q145: list_filter membership + the same integer keep rule.
     "q145_blocklist_filter" ->

