@@ -1748,6 +1748,46 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers ×
+    // date-windowed orders × late-shipping lineitems → top-10 orders
+    // by revenue. Top-k orders by the ROUNDED revenue with an id
+    // tiebreak, so the limit membership is deterministic on both
+    // engines (the q147 rank convention).
+    "q148_shipping_priority" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+        .select(col("l_orderkey"), r2(col("rev")).as("revenue"),
+          tsStr(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): revenue lost to
+    // returns per customer with nation context — top-20 by rounded
+    // revenue, id tiebreak.
+    "q149_returned_items" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      l.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+        .select(col("c_custkey"), col("c_name"), r2(col("rev")).as("revenue"),
+          r2(col("c_acctbal")).as("acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // ORC round-trip: parquet -> ORC on disk -> schema'd read ->
     // per-source aggregate (q67's contract on the second columnar
     // format; the oracle reads the parquet truth directly).
@@ -3966,6 +4006,37 @@ object SparkEntry {
         |       s.seg, g.n_members
         |FROM golden g JOIN segp s ON s.cluster_id = g.cluster_id
         |ORDER BY golden_id""".stripMargin,
+
+    // q148/q149: classic TPC-H Q3/Q10 shapes; top-k membership is
+    // deterministic because both engines rank the ROUNDED revenue
+    // with an id tiebreak.
+    "q148_shipping_priority" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey,
+        |         floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+        |           / 100 AS revenue,
+        |         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |         o_orderpriority
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |  GROUP BY l_orderkey, 3, o_orderpriority)
+        |SELECT l_orderkey, revenue, o_orderdate, o_orderpriority
+        |FROM rev ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q149_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |       floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+        |         / 100 AS revenue,
+        |       floor(c_acctbal * 100 + 0.5) / 100 AS acctbal, n_name
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     // q145: list_filter membership + the same integer keep rule.
     "q145_blocklist_filter" ->

@@ -261,6 +261,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a.getAs[Double]("sum_v") == 12.75)
   }
 
+  test("runtime bloom filter: a selective dim filter injects a bloom probe into the fact side") {
+    // Catalyst's InjectRuntimeFilter: when a shuffle join's small side
+    // is selectively filtered, the big side's scan gets a
+    // bloom-might-contain probe built from the small side — the
+    // runtime semi-join reduction that matters at 100 TB (rows that
+    // can't match die at the scan, before the exchange). Thresholds
+    // are floored to force it at fixture scale; broadcast is disabled
+    // so the join actually shuffles.
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creationSideThreshold is a MAX (creation side must be small);
+      // applicationSideScanSizeThreshold is a MIN (probe side must be
+      // big — floor it so the fixture-scale fact side qualifies)
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = graft.sources.Tables.lineitem(spark, sf001)
+      val urgent = graft.sources.Tables.orders(spark, sf001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") ||
+        optimized.contains("bloom_filter"),
+        s"no bloom runtime filter injected:\n${optimized.take(3000)}")
+      val withBloom = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // semantics unchanged vs the un-filtered plan
+      withSQLConf("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        val plain = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(withBloom == plain, s"$withBloom vs $plain")
+      }
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
