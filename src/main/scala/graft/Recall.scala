@@ -37,6 +37,8 @@ object Recall {
       .select(col("query_id"), col("neighbor_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Similarity.bruteForceTopK(spark, emb, queries, k))
+    // derived, not assumed: a short fixture reports its real query count
+    val nQueries = truth.map(_._1).toSet.size
     // same parameterizations as the oracle-gated queries (q21/q29/q44/
     // q129) plus the spec-only IVF-PQ composition
     val methods = Seq[(String, () => DataFrame)](
@@ -53,7 +55,7 @@ object Recall {
       "\"" + n + "\":" + f"$r%.4f"
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"recall_at_$k","truth_pairs":${truth.size},"n_queries":100,"recalls":$rj,"sf":"$sfDir"}"""
+      s"""{"metric":"recall_at_$k","truth_pairs":${truth.size},"n_queries":$nQueries,"recalls":$rj,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL.json")
     try Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }

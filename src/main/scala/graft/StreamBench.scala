@@ -95,19 +95,24 @@ object StreamBench {
       val steadyP = progress.drop(progress.length / 3)
       val steady = steadyP
         .map(_.processedRowsPerSecond).filter(d => !d.isNaN && d > 0)
-      // OUTPUT rows/s: for join shapes the work is output-dominated
-      // (fan-out > 1), so input rows/s alone under-reports by the
-      // match multiplicity — r5 read the interval join as "81 k rows/s"
-      // when the engine was emitting ~24 M joined pairs/s
-      val outRate = steadyP.flatMap { p =>
+      // OUTPUT rows/s: join shapes do more row-work than their input
+      // rate shows (match multiplicity), and append-mode aggs emit in
+      // BURSTS (a window closes in one trigger, the rest emit zero) —
+      // so the rate is total output rows over total trigger time
+      // across the steady window, not a per-trigger average that
+      // idle triggers would deflate.
+      val outPairs = steadyP.flatMap { p =>
         val ms = Option(p.durationMs.get("triggerExecution"))
           .map(_.longValue).getOrElse(0L)
         val n = Option(p.sink).map(_.numOutputRows).getOrElse(-1L)
-        if (ms > 0 && n >= 0) Some(n.toDouble * 1000.0 / ms) else None
+        if (ms > 0 && n >= 0) Some((n, ms)) else None
       }
+      val outRate =
+        if (outPairs.isEmpty || outPairs.map(_._2).sum == 0) 0.0
+        else outPairs.map(_._1).sum.toDouble * 1000.0 / outPairs.map(_._2).sum
       (if (steady.nonEmpty) steady.sum / steady.length else 0.0,
         if (steady.nonEmpty) steady.max else 0.0,
-        if (outRate.nonEmpty) outRate.sum / outRate.length else 0.0)
+        outRate)
     }
 
     // offered rates sit above each shape's measured ceiling (agg
@@ -131,11 +136,14 @@ object StreamBench {
         (StreamingDedup.exact(s, "ts", "5 seconds", "k"), "append")
       }),
       "interval_join" -> (() => {
-        // realistic correlation density: 200 k keys at 300 k rows/s
-        // over a 10 s interval ≈ 15 matches per row. r5's 10 k-key
-        // config packed ~300 matches per row — its "81 k rows/s" was
-        // ~24 M OUTPUT pairs/s, an output-volume artifact, not a slow
-        // operator (see out_rows_per_sec, now reported per shape).
+        // moderate correlation density: 200 k keys at an offered
+        // 300 k rows/s over a 10 s interval. MEASURED (not offered)
+        // behavior: the engine admits ~120 k rows/s and emits ~1.9
+        // output pairs per input row — in the overloaded regime the
+        // catch-up micro-batches span far more event time than the
+        // join interval, so realized match multiplicity sits well
+        // below the offered-rate fan-out; read rows_per_sec together
+        // with out_rows_per_sec for the work actually done.
         val l = purchases(300000L).select(col("id"),
           (col("id") % 200000L).as("k"), col("ts"))
         val r = purchases(300000L).select(
@@ -144,8 +152,9 @@ object StreamBench {
           watermarkDelay = "5 seconds", within = "10 seconds"), "append")
       }),
       "interval_join_dense" -> (() => {
-        // the r5 config kept for continuity: 10 k keys → ~300 matches
-        // per input row; input rows/s is output-bound here by design
+        // the r5 config kept for continuity: 10 k keys → much denser
+        // key collisions (measured ~6 output pairs per input row:
+        // ~70 k in + ~410 k out rows/s)
         val l = purchases(300000L).select(col("id"),
           (col("id") % 10000L).as("k"), col("ts"))
         val r = purchases(300000L).select(

@@ -403,9 +403,11 @@ object GraphOps {
     * The per-vertex H-index is `array_max(least(rank, est))` over the
     * desc-sorted neighbor-estimate list — a hash aggregate + small
     * in-group array sort (avg degree elements), NOT a window: the
-    * per-round plan is one broadcast join of the KB-scale estimate
-    * frame into the edge scan plus ONE exchange into the hash agg, no
-    * global per-partition sort. Order-invariant across ties, so
+    * per-round plan joins the vertex-sized estimate frame into the
+    * edge scan (the PLANNER picks broadcast at small |V| from the
+    * checkpoint's measured stats and a vertex-keyed shuffle join at
+    * billions of vertices — no forced hint) plus ONE exchange into
+    * the hash agg, no global per-partition sort. Order-invariant across ties, so
     * partitioning cannot change the result. With `requireConverged`
     * the LAST TWO rounds are compared (two vertex-frame joins, no
     * extra update): est unchanged over a round ⇔ fixed point, so
@@ -424,7 +426,7 @@ object GraphOps {
       e.select(col("a").as("v"), col("b").as("nbr"))
         .union(e.select(col("b").as("v"), col("a").as("nbr"))))
     def hIndexUpdate(est: DataFrame): DataFrame =
-      adj.join(broadcast(est.select(col("v").as("nbr"), col("est"))), Seq("nbr"))
+      adj.join(est.select(col("v").as("nbr"), col("est")), Seq("nbr"))
         .groupBy("v")
         .agg(sort_array(collect_list(col("est")), asc = false).as("ests"))
         .select(col("v"), array_max(zip_with(col("ests"),
@@ -463,8 +465,9 @@ object GraphOps {
     * bipartite-oscillation nondeterminism (both engines compute the
     * same round-`rounds` snapshot).
     *
-    * Scale: each round is one broadcast-able label join against the
-    * static adjacency + TWO mergeable aggregates — (v, label) counts,
+    * Scale: each round is one label join against the static
+    * adjacency (planner-chosen broadcast at small |V|, vertex-keyed
+    * shuffle at scale — no forced hint) + TWO mergeable aggregates — (v, label) counts,
     * then an argmax as `max(struct(c, −label))` per vertex. Both
     * partial-aggregate map-side (no window sort anywhere: the
     * struct-max encodes the count-desc/label-asc tie rule), and both
@@ -483,8 +486,7 @@ object GraphOps {
       adj.select(col("v")).distinct().withColumn("label", col("v")))
     for (_ <- 0 until rounds) {
       val next = loopCheckpoint(
-        adj.join(broadcast(labels.select(col("v").as("nbr"), col("label"))),
-            Seq("nbr"))
+        adj.join(labels.select(col("v").as("nbr"), col("label")), Seq("nbr"))
           .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
           // argmax by (count desc, label asc) as a mergeable struct-max
           .groupBy(col("v"))

@@ -190,43 +190,36 @@ object Relational {
     */
   def funnelLatency(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.length >= 2, "funnelLatency needs at least two stages")
-    var reached: DataFrame = null // (user_id, t_prev)
-    val transitions = stages.zipWithIndex.flatMap { case (stage, i) =>
-      val hits = events.filter(col("event_type") === stage)
-        .select(col("user_id"), col("ts"))
-      val qualified =
-        if (reached == null) hits
-        else hits.join(reached, "user_id")
-          .filter(col("ts") > col("t_prev"))
-          .select(col("user_id"), col("ts"))
-      val firstTouch = qualified.groupBy("user_id")
-        .agg(min(col("ts")).as("t_cur"))
-        .localCheckpoint(true)
-      val out = if (reached == null) None else {
-        val deltas = firstTouch.join(reached, "user_id")
-          .select((unix_micros(col("t_cur")) - unix_micros(col("t_prev")))
-            .as("delta_us"))
-        def qd(q: Double) = element_at(col("ds"),
-          greatest(lit(0), ceil(lit(q) * size(col("ds"))).cast("int") - 1) + 1)
-        Some(deltas
-          .agg(count(lit(1)).as("n_users"),
-            sort_array(collect_list(col("delta_us"))).as("ds"))
-          .select(lit(i.toLong + 1).as("stage_idx"), lit(stage).as("stage"),
-            col("n_users"),
-            when(col("n_users") > 0, qd(0.5)).as("p50_us"),
-            when(col("n_users") > 0, qd(0.9)).as("p90_us")))
-      }
-      reached = firstTouch.withColumnRenamed("t_cur", "t_prev")
-      out
+    val frames = firstTouchFrames(events, stages)
+    val transitions = (1 until stages.length).map { i =>
+      val deltas = frames(i).select(col("user_id"), col("t_prev").as("t_cur"))
+        .join(frames(i - 1), "user_id")
+        .select((unix_micros(col("t_cur")) - unix_micros(col("t_prev")))
+          .as("delta_us"))
+      def qd(q: Double) = element_at(col("ds"),
+        greatest(lit(0), ceil(lit(q) * size(col("ds"))).cast("int") - 1) + 1)
+      deltas
+        .agg(count(lit(1)).as("n_users"),
+          sort_array(collect_list(col("delta_us"))).as("ds"))
+        .select(lit(i.toLong + 1).as("stage_idx"), lit(stages(i)).as("stage"),
+          col("n_users"),
+          when(col("n_users") > 0, qd(0.5)).as("p50_us"),
+          when(col("n_users") > 0, qd(0.9)).as("p90_us"))
     }
     transitions.reduce(_ unionByName _)
   }
 
-  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
+  /** Per-stage strictly-after first-touch frames — the ONE chaining
+    * rule behind [[funnel]] and [[funnelLatency]] (stage i admits a
+    * user's event only strictly after their stage-(i−1) first touch):
+    * frame i holds (user_id, t_prev = first touch of stage i) for
+    * every user that reached stage i. Each frame is a users-sized
+    * checkpointed aggregate.
+    */
+  private def firstTouchFrames(events: DataFrame,
+                               stages: Seq[String]): Seq[DataFrame] = {
     var reached: DataFrame = null
-    val counts = stages.zipWithIndex.map { case (stage, i) =>
+    stages.map { stage =>
       val hits = events.filter(col("event_type") === stage)
         .select(col("user_id"), col("ts"))
       val qualified =
@@ -237,8 +230,15 @@ object Relational {
       reached = qualified.groupBy("user_id")
         .agg(min(col("ts")).as("t_prev"))
         .localCheckpoint(true)
-      val n = reached.count()
-      (i.toLong + 1, stage, n)
+      reached
+    }
+  }
+
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = firstTouchFrames(events, stages).zipWithIndex.map {
+      case (frame, i) => (i.toLong + 1, stages(i), frame.count())
     }
     counts.toDF("stage_idx", "stage", "n_users")
   }

@@ -87,8 +87,11 @@ class KafkaIntegrationSpec extends SparkSpec {
     val q = KafkaIO.alertsSink(alerts, bs, outTopic, cp)
       .outputMode("update").start()
     try {
-      // produce AFTER the stream starts (startingOffsets=latest)
-      Thread.sleep(2000L)
+      // produce AFTER the source has fixed its starting offsets: an
+      // empty processAllAvailable forces the first micro-batch to plan
+      // (resolving startingOffsets=latest) — no sleep race on a slow
+      // broker / topic auto-creation
+      q.processAllAvailable()
       Seq((1L, 5L, 7L)).toDF("id", "quantity", "productid")
         .select(lit(null).cast("string").as("key"),
           graft.functions.GraftFunctions.toAvro(
