@@ -228,6 +228,89 @@ object StreamEquiv {
       record("window_percentiles", got.size.toLong, got == want)
     }
 
+    // ── shape 6: session windows (30-min gap) — q28's batch operator
+    // IS the twin: Spark's session_window works identically in batch
+    locally {
+      val outDir = tmp("se-sess-out")
+      val in = MemoryStream[Ev]
+      val sess = in.toDF().withWatermark("ts", "5 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .select(col("session_window.start").as("ss"), col("user_id"),
+          col("n"), col("sv"))
+      val q = sess.writeStream.format("parquet")
+        .option("checkpointLocation", tmp("se-sess-cp"))
+        .option("path", outDir).outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 3)).foreach { c =>
+          in.addData(c.toIndexedSeq); q.processAllAvailable()
+        }
+        in.addData(sent1); q.processAllAvailable()
+        in.addData(sent2); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(outDir)
+        .filter(col("user_id") =!= -1L)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val want = events
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .select(col("session_window.start"), col("user_id"),
+          col("n"), col("sv"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val ok = got.keySet == want.keySet && got.forall { case (k, (n, sv)) =>
+        want(k)._1 == n && math.abs(want(k)._2 - sv) < 1e-6
+      }
+      record("session_windows", got.size.toLong, ok)
+    }
+
+    // ── shape 7: windowed heavy hitters in the EXACT regime (5 event
+    // types ≪ capacity 16) — batch twin is a plain count + rank
+    locally {
+      val outDir = tmp("se-hh-out")
+      val in = MemoryStream[Ev]
+      val toks = in.toDF()
+        .select(col("user_id").as("grp"), col("ts"),
+          col("event_type").as("tok"))
+      val hh = graft.streaming.StreamingHeavyHitters.topTokens(
+        toks, "ts", "60 minutes", "5 minutes", "grp", "tok",
+        capacity = 16, k = 3)
+      val q = hh.writeStream.format("parquet")
+        .option("checkpointLocation", tmp("se-hh-cp"))
+        .option("path", outDir).outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 3)).foreach { c =>
+          in.addData(c.toIndexedSeq); q.processAllAvailable()
+        }
+        in.addData(sent1); q.processAllAvailable()
+        in.addData(sent2); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(outDir)
+        .filter(col("grp") =!= -1L)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)) ->
+          (r.getString(3), r.getLong(4), r.getLong(5))).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ws"), col("grp"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+      val want = events
+        .select(window(col("ts"), "60 minutes").getField("start").as("ws"),
+          col("user_id").as("grp"), col("event_type").as("tok"))
+        .groupBy("ws", "grp", "tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getAs[Long]("rank")) ->
+          (r.getString(2), r.getLong(3), 0L)).toMap
+      val ok = got.keySet == want.keySet && got.forall { case (k, (t, c, e)) =>
+        want(k)._1 == t && want(k)._2 == c && e == 0L
+      }
+      record("windowed_heavy_hitters", got.size.toLong, ok)
+    }
+
     val shapes = results.map { case (n, (r, ok)) =>
       s""""$n":{"rows":$r,"match":$ok}"""
     }.mkString("{", ",", "}")
