@@ -78,11 +78,26 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    try Files.write(Paths.get(outPath), (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // file write is best-effort; stdout is canonical
+    // The harness that collects this run keeps only a ~2000-byte tail of
+    // stdout; a 150-query map (~5 KB) never fits, so its JSON parse of
+    // the final line always failed (BENCH_r05–r07: parsed=null). The
+    // final stdout line is therefore a COMPACT summary — true total, the
+    // top-slowest per-query timings (the fast tail is uniform ~0.1-0.4 s
+    // noise), error count, and a pointer to the full map on disk.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val topN = 20
+    val top = results.sortBy(-_._2).take(topN)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val errHead = errors.take(3)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.take(60) + "\"" }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"queries_note":"top $topN slowest; full map in queries_file","n_errors":${errors.size},"errors":$errHead,"sf":"$sfDir","queries_file":"$outPath"}"""
     spark.stop()
     // Print last, after Spark shutdown, so no executor/log lines follow it.
     System.out.println(line)
