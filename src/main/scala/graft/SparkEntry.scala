@@ -1727,6 +1727,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Two-sided CUSUM change-point detection per key: Page's
+    // s± accumulators vs the key's own mean, alarm + reset at the
+    // threshold — the exact sequential recurrence as one codegen
+    // aggregate fold over the sorted series (q140's technique).
+    "q151_cusum_changepoints" -> ((s, dir) => {
+      TimeSeries.cusum(Tables.events(s, dir)).orderBy("user_id")
+    }),
+
     // Golden-record consolidation: deterministic dirty variants →
     // equality-blocked pairs → pointer-jumping CC → field-level
     // survivorship (min-id canonical, min_by name, max balance,
@@ -1786,6 +1794,33 @@ object SparkEntry {
           r2(col("c_acctbal")).as("acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): region-filtered 6-table
+    // join with the dual nation-key condition (customer and supplier
+    // in the SAME nation) — the classic join-order/broadcast stress.
+    // region/nation broadcast; customer×orders and lineitem×supplier
+    // shuffle on their natural keys; the c_nationkey = s_nationkey
+    // equality rides the join condition, never a post-filter.
+    "q150_local_supplier_volume" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      Tables.lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"), count(lit(1)).as("n_items"))
+        .select(col("n_name"), r2(col("rev")).as("revenue"), col("n_items"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
     // ORC round-trip: parquet -> ORC on disk -> schema'd read ->
@@ -4037,6 +4072,65 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // q150: TPC-H Q5 shape — the dual nation-key condition makes the
+    // customer and supplier sides meet in the SAME nation.
+    "q150_local_supplier_volume" ->
+      """SELECT n_name,
+        |       floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+        |         / 100 AS revenue,
+        |       count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // q151: the identical [s_pos, s_neg, n_alarms, max_stat] list
+    // fold replayed by list_reduce over the (ts, event_id)-ordered
+    // series; μ comes from the same sorted fold, k=25 / h=200 are
+    // exact binary doubles, so the recurrence matches bit-for-bit.
+    "q151_cusum_changepoints" ->
+      """WITH s AS MATERIALIZED (
+        |  SELECT user_id, list(value::DOUBLE ORDER BY ts, event_id) AS xs
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, xs, len(xs)::BIGINT AS n,
+        |         list_reduce(list_prepend(0.0::DOUBLE, xs), (a, x) -> a + x)
+        |           / len(xs)::DOUBLE AS mu
+        |  FROM s),
+        |f AS (
+        |  SELECT user_id, n, mu,
+        |    list_reduce(
+        |      list_prepend([0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
+        |        list_transform(xs, x ->
+        |          [x, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE])),
+        |      (acc, xx) -> [
+        |        CASE WHEN greatest(0.0, acc[1] + (xx[1] - mu - 25.0)) > 200.0
+        |             THEN 0.0
+        |             ELSE greatest(0.0, acc[1] + (xx[1] - mu - 25.0)) END,
+        |        CASE WHEN greatest(0.0, acc[2] + (mu - xx[1] - 25.0)) > 200.0
+        |             THEN 0.0
+        |             ELSE greatest(0.0, acc[2] + (mu - xx[1] - 25.0)) END,
+        |        acc[3] + CASE WHEN
+        |            greatest(0.0, acc[1] + (xx[1] - mu - 25.0)) > 200.0
+        |            OR greatest(0.0, acc[2] + (mu - xx[1] - 25.0)) > 200.0
+        |          THEN 1.0 ELSE 0.0 END,
+        |        greatest(acc[4],
+        |                 greatest(0.0, acc[1] + (xx[1] - mu - 25.0)),
+        |                 greatest(0.0, acc[2] + (mu - xx[1] - 25.0)))]) AS st
+        |  FROM m)
+        |SELECT user_id, n,
+        |       floor(mu * 10000 + 0.5) / 10000 AS mean,
+        |       st[3]::BIGINT AS n_alarms,
+        |       floor(st[4] * 10000 + 0.5) / 10000 AS max_stat
+        |FROM f ORDER BY user_id""".stripMargin,
 
     // q145: list_filter membership + the same integer keep rule.
     "q145_blocklist_filter" ->

@@ -330,6 +330,61 @@ object TimeSeries {
     *
     * Output per key: n, final level/trend, forecasts for h=1..horizon.
     */
+  /** Two-sided CUSUM change-point detection per key (q151) — Page
+    * (1954): against the key's own mean μ, track
+    *   s⁺ₜ = max(0, s⁺ₜ₋₁ + (xₜ − μ − k)),
+    *   s⁻ₜ = max(0, s⁻ₜ₋₁ + (μ − xₜ − k));
+    * an ALARM fires when either side exceeds h, and the breaching
+    * accumulator resets to 0 (classic restart-after-detection). Like
+    * [[holtForecast]] the recurrence is inherently sequential per key,
+    * so it runs as ONE codegen `aggregate` HOF over the
+    * (ts, event_id)-sorted collected series; μ comes from the SAME
+    * sorted fold (sum-then-divide in a fixed order), so every double
+    * op — add, subtract, max, one division — is bit-identical on any
+    * IEEE engine and the DuckDB oracle replays the fold verbatim.
+    * k/h are exact binary constants sized to the feed (~σ/2 and ~4σ);
+    * production would derive them from a trailing calibration window.
+    *
+    * Scale: one shuffle on the key; per-key history is collected once
+    * (the fixture keyspace grows with SF, per-key counts don't — the
+    * q140 contract). Output is one row per key: n, mean, the alarm
+    * count, and the peak statistic.
+    */
+  def cusum(events: DataFrame, slack: Double = 25.0,
+            threshold: Double = 200.0): DataFrame = {
+    val series = events.filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("xs"))
+      .withColumn("n", size(col("xs")).cast("long"))
+      .withColumn("mu",
+        aggregate(col("xs"), lit(0.0), (acc, x) => acc + x.getField("value"))
+          / col("n").cast("double"))
+    // fold state rides as [s_pos, s_neg, n_alarms, max_stat] — the
+    // same 4-slot DOUBLE list the oracle folds
+    val st = aggregate(col("xs"),
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+      (acc, x) => {
+        val v = x.getField("value")
+        val sp = greatest(lit(0.0),
+          element_at(acc, 1) + (v - col("mu") - lit(slack)))
+        val sn = greatest(lit(0.0),
+          element_at(acc, 2) + (col("mu") - v - lit(slack)))
+        val alarm = sp > lit(threshold) || sn > lit(threshold)
+        array(
+          when(sp > lit(threshold), lit(0.0)).otherwise(sp),
+          when(sn > lit(threshold), lit(0.0)).otherwise(sn),
+          element_at(acc, 3) + when(alarm, lit(1.0)).otherwise(lit(0.0)),
+          greatest(element_at(acc, 4), sp, sn))
+      })
+    series.select(col("user_id"), col("n"), col("mu"), st.as("st"))
+      .select(col("user_id"), col("n"),
+        (floor(col("mu") * 10000 + lit(0.5)) / 10000).as("mean"),
+        element_at(col("st"), 3).cast("long").as("n_alarms"),
+        (floor(element_at(col("st"), 4) * 10000 + lit(0.5)) / 10000)
+          .as("max_stat"))
+  }
+
   def holtForecast(events: DataFrame, alpha: Double = 0.5,
                    beta: Double = 0.5, horizon: Int = 3): DataFrame = {
     val series = events.filter(col("value").isNotNull)
