@@ -1456,6 +1456,48 @@ ORDER BY 1"""
     * the 4×60 iteration chain is MATERIALIZED — DuckDB's default
     * inlining would re-expand the whole chain (q130's lesson).
     */
+  /** Oracle for q152: DSIR importance selection. Same seed-1 token
+    * hashing as q96; per-bucket weights are HUGEINT-exact quantized
+    * target/raw ratios, per-source quota by window rank.
+    */
+  def q152Dsir(buckets: Int = 4096, targetLang: String = "en",
+               keepDen: Int = 4): String =
+    s"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, source, lang,
+         unnest(list_filter(string_split(lower(text),' '),
+                            x -> length(x) > 0)) AS token
+  FROM documents),
+tokb AS (
+  SELECT token, (hmix % $buckets)::BIGINT AS bucket FROM (${mixSubq(
+        "SELECT DISTINCT token FROM toks",
+        fnvFold(xor64(OFF, mulMod("1::HUGEINT", GOLD)), strBytes("token")))})),
+tb AS MATERIALIZED (
+  SELECT t.doc_id, t.source, t.lang, b.bucket
+  FROM toks t JOIN tokb b USING (token)),
+cr AS (SELECT bucket, count(*)::HUGEINT AS cnt_r FROM tb GROUP BY 1),
+ct AS (SELECT bucket, count(*)::HUGEINT AS cnt_t FROM tb
+       WHERE lang = '$targetLang' GROUP BY 1),
+tr AS (SELECT sum(cnt_r)::HUGEINT AS big_r FROM cr),
+tt AS (SELECT sum(cnt_t)::HUGEINT AS big_t FROM ct),
+w AS (
+  SELECT cr.bucket,
+         (((COALESCE(ct.cnt_t, 0::HUGEINT) + 1)
+             * (tr.big_r + $buckets) * 65536)
+          // ((cr.cnt_r + 1) * (tt.big_t + $buckets)))::BIGINT AS w
+  FROM cr LEFT JOIN ct USING (bucket), tr, tt),
+sc AS (
+  SELECT tb.doc_id, tb.source, count(*)::BIGINT AS n_tokens,
+         sum(w.w)::BIGINT AS score
+  FROM tb JOIN w USING (bucket) GROUP BY 1, 2),
+r AS (
+  SELECT doc_id, source, n_tokens, score,
+         floor(score::DOUBLE / n_tokens::DOUBLE)::BIGINT AS norm
+  FROM sc)
+SELECT doc_id, source, n_tokens, score, norm,
+       (row_number() OVER (PARTITION BY source ORDER BY norm DESC, doc_id)
+          * $keepDen <= count(*) OVER (PARTITION BY source)) AS kept
+FROM r ORDER BY doc_id"""
+
   def q125PcaPower(r: Int = 4, iters: Int = 60, dim: Int = 64): String = {
     def fold(listExpr: String): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, $listExpr), (acc, el) -> acc + el)"

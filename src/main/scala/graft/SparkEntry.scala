@@ -1727,6 +1727,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style importance selection: hashed-unigram target/raw
+    // probability ratios (integer-quantized — see the operator's
+    // determinism note), per-source top-quarter quota.
+    "q152_dsir_selection" -> ((s, dir) => {
+      TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
     // Two-sided CUSUM change-point detection per key: Page's
     // s± accumulators vs the key's own mean, alarm + reset at the
     // threshold — the exact sequential recurrence as one codegen
@@ -4143,6 +4150,7 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, n_hits,
         |       (n_hits * 100 < n_tokens * 3) AS kept
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q152_dsir_selection" -> OracleHashSql.q152Dsir(),
     "q132_image_dedup_survivors" -> OracleHashSql.q132ImageDedupSurvivors(),
     "q134_personalized_pagerank" ->
       OracleHashSql.q134PersonalizedPageRank(Seq(1L, 2L, 3L)),

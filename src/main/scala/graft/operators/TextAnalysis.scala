@@ -1177,6 +1177,84 @@ object TextAnalysis {
         col("r_bm"), col("r_em"), col("rrf"))
   }
 
+  /** DSIR-style importance selection (q152) — Data Selection via
+    * Importance Resampling (Xie et al., NeurIPS 2023): score every raw
+    * document by how target-like its HASHED n-gram features are, then
+    * keep the most target-like slice per source. Features are hashed
+    * word unigrams in `buckets` power-of-two buckets (the q96 seed-1
+    * hash, so the oracle's bucket CTE is shared); the per-bucket
+    * importance is the smoothed target/raw probability ratio
+    *   ŵ_b = (cnt_t(b)+1)/(T+B) ÷ (cnt_r(b)+1)/(R+B).
+    * DEVIATION for determinism: the paper's per-token log-ratio sum is
+    * replaced by the sum of INTEGER-quantized ratios
+    * floor(ŵ_b · 65536) — cross-engine libm `ln` differs in the last
+    * ulp, an integer quantization doesn't; the ranking this produces is
+    * monotone in the arithmetic-mean importance instead of the
+    * geometric-mean one, which preserves the "most target-like first"
+    * contract the selection needs. The quantized products ride in
+    * DECIMAL(38,0) (HUGEINT on the oracle side), so the arithmetic is
+    * exact up to corpus sizes of ~10³⁰ tokens.
+    *
+    * Selection: per-source top-1/`keepDen` by (mean importance desc,
+    * doc_id) — a per-source window rank, never a global sort.
+    *
+    * Scale: the bucket-count aggregates collapse to ≤ B rows via
+    * map-side combine; the B-row weight frame broadcasts back onto the
+    * token explode (a doc's tokens stay row-local, so the per-doc sum
+    * also map-side-combines to one row per doc before the shuffle).
+    */
+  def dsirSelect(documents: DataFrame, buckets: Int = 4096,
+                 targetLang: String = "en", keepDen: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    GraftFunctions.register(spark)
+    require((buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    val toks = documents.select(col("doc_id"), col("source"), col("lang"),
+      explode(TextFunctions.wsTokens(col("text"))).as("token"))
+      .withColumn("bucket",
+        pmod(GraftFunctions.hash64Seeded(lit(1L), col("token")),
+          lit(buckets.toLong)))
+    val cntR = toks.groupBy("bucket").agg(count(lit(1)).as("cnt_r"))
+    val cntT = toks.filter(col("lang") === targetLang)
+      .groupBy("bucket").agg(count(lit(1)).as("cnt_t"))
+    val totR = cntR.agg(sum(col("cnt_r")).as("big_r"))
+    val totT = cntT.agg(sum(col("cnt_t")).as("big_t"))
+    val dec = "decimal(38,0)"
+    val w = cntR.join(cntT, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cnt_t"))
+      .crossJoin(broadcast(totR))
+      .crossJoin(broadcast(totT))
+      .select(col("bucket"),
+        floor_div_dec(
+          (col("cnt_t") + 1).cast(dec) * (col("big_r") + buckets).cast(dec)
+            * lit(65536).cast(dec),
+          (col("cnt_r") + 1).cast(dec) * (col("big_t") + buckets).cast(dec))
+          .cast("long").as("w"))
+    val scored = toks.join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("w")).cast("long").as("score"))
+      .withColumn("norm", floor(col("score") / col("n_tokens")).cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("norm").desc, col("doc_id").asc)
+    val nSrc = Window.partitionBy(col("source"))
+    scored
+      .withColumn("rank", row_number().over(bySrc).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(nSrc).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("score"),
+        col("norm"),
+        (col("rank") * keepDen <= col("n_src")).as("kept"))
+  }
+
+  /** Exact floor division on decimals: decimal `/` rounds HALF_UP, so
+    * derive the floor from the quotient×divisor remainder instead.
+    */
+  private def floor_div_dec(a: org.apache.spark.sql.Column,
+                            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val q = (a / b).cast("decimal(38,0)")
+    when(q * b > a, q - 1).otherwise(q)
+  }
+
   /** Length-distribution-matched resampling (q143) — reweight each
     * source so its document-LENGTH histogram matches the corpus-wide
     * histogram (the mixture-rebalancing sibling of q43's per-source
