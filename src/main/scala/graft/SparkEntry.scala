@@ -1734,6 +1734,14 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // URL canonicalization dedup: authority lowercase, default-port /
+    // utm_* / fragment strip, min-id survivor per canonical URL
+    // (deterministic messy-URL injection, q144/q146 convention).
+    "q153_url_canonical_dedup" -> ((s, dir) => {
+      TextAnalysis.urlCanonicalDedup(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    }),
+
     // Two-sided CUSUM change-point detection per key: Page's
     // s± accumulators vs the key's own mean, alarm + reset at the
     // threshold — the exact sequential recurrence as one codegen
@@ -4151,6 +4159,50 @@ object SparkEntry {
         |       (n_hits * 100 < n_tokens * 3) AS kept
         |FROM t ORDER BY doc_id""".stripMargin,
     "q152_dsir_selection" -> OracleHashSql.q152Dsir(),
+
+    // q153: identical injection + canonicalization chain; RE2 ('g'
+    // flag, \1 backrefs) vs Java regex ($1) is the cross-check.
+    "q153_url_canonical_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN upper('www.site' || ((doc_id % 120) % 30)::VARCHAR
+        |                    || '.example.com')
+        |         ELSE 'www.site' || ((doc_id % 120) % 30)::VARCHAR
+        |              || '.example.com' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ':80'
+        |         WHEN doc_id % 10 = 7 THEN ':8080' ELSE '' END ||
+        |    '/articles/' || (doc_id % 120)::VARCHAR ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN '?utm_source=feed&id=' || ((doc_id % 120) % 5)::VARCHAR
+        |              || '&utm_campaign=c'
+        |         ELSE '?id=' || ((doc_id % 120) % 5)::VARCHAR END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END AS raw_url
+        |  FROM documents),
+        |c0 AS (SELECT doc_id, raw_url,
+        |              regexp_replace(raw_url, '#.*$', '') AS v FROM u),
+        |c1 AS (SELECT doc_id, raw_url,
+        |              lower(regexp_extract(v, '^(https?://[^/?]*)', 1)) ||
+        |              regexp_replace(v, '^https?://[^/?]*', '') AS v FROM c0),
+        |c2 AS (SELECT doc_id, raw_url,
+        |              regexp_replace(v, ':80(/|\?|$)', '\1') AS v FROM c1),
+        |c3 AS (SELECT doc_id, raw_url,
+        |              regexp_replace(v, '&utm_[a-z]+=[^&]*', '', 'g') AS v
+        |       FROM c2),
+        |c4 AS (SELECT doc_id, raw_url,
+        |              regexp_replace(v, '\?utm_[a-z]+=[^&]*&', '?') AS v
+        |       FROM c3),
+        |c5 AS (SELECT doc_id, raw_url,
+        |              regexp_replace(v, '\?utm_[a-z]+=[^&]*$', '')
+        |                AS canonical_url
+        |       FROM c4)
+        |SELECT doc_id, raw_url, canonical_url,
+        |       count(*) OVER (PARTITION BY canonical_url)::BIGINT
+        |         AS n_variants,
+        |       (doc_id = min(doc_id) OVER (PARTITION BY canonical_url))
+        |         AS kept
+        |FROM c5 ORDER BY doc_id""".stripMargin,
     "q132_image_dedup_survivors" -> OracleHashSql.q132ImageDedupSurvivors(),
     "q134_personalized_pagerank" ->
       OracleHashSql.q134PersonalizedPageRank(Seq(1L, 2L, 3L)),

@@ -1177,6 +1177,56 @@ object TextAnalysis {
         col("r_bm"), col("r_em"), col("rrf"))
   }
 
+  /** URL canonicalization dedup (q153) — the CommonCrawl-style
+    * "same page, many spellings" collapse: lowercase the
+    * scheme://host[:port] authority, strip a default :80 port, strip
+    * `utm_*` tracking params (healing the ?/& separators), strip the
+    * fragment — then keep the min-doc_id fetch per canonical URL.
+    * Deterministic messy URLs are INJECTED from doc_id (the
+    * q144/q146 convention: variants exist, and the oracle becomes a
+    * Java-regex-vs-RE2 cross-check on real matches): per ~120-doc
+    * group the same logical page appears with upper-cased host,
+    * explicit :80, an occasional real :8080 (which must NOT collapse),
+    * tracking params, and fragments.
+    *
+    * Scale: canonicalization is per-row regex at scan speed; the
+    * min/count ride one window over the canonical-url hash partition
+    * (groups are page-fetch sized). No joins.
+    */
+  def urlCanonicalDedup(documents: DataFrame): DataFrame = {
+    val g = pmod(col("doc_id"), lit(120))
+    val base = concat(lit("www.site"), pmod(g, lit(30)).cast("string"),
+      lit(".example.com"))
+    val host = when(pmod(col("doc_id"), lit(3)) === 0, upper(base))
+      .otherwise(base)
+    val port = when(pmod(col("doc_id"), lit(4)) === 0, lit(":80"))
+      .when(pmod(col("doc_id"), lit(10)) === 7, lit(":8080"))
+      .otherwise(lit(""))
+    val path = concat(lit("/articles/"), g.cast("string"))
+    val query = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("?utm_source=feed&id="), pmod(g, lit(5)).cast("string"),
+        lit("&utm_campaign=c")))
+      .otherwise(concat(lit("?id="), pmod(g, lit(5)).cast("string")))
+    val frag = when(pmod(col("doc_id"), lit(5)) === 0, lit("#section2"))
+      .otherwise(lit(""))
+    val url = concat(lit("https://"), host, port, path, query, frag)
+    val c0 = regexp_replace(url, "#.*$", "")
+    val auth = regexp_extract(c0, "^(https?://[^/?]*)", 1)
+    val c1 = concat(lower(auth), regexp_replace(c0, "^https?://[^/?]*", ""))
+    val c2 = regexp_replace(c1, ":80(/|\\?|$)", "$1")
+    val c3 = regexp_replace(c2, "&utm_[a-z]+=[^&]*", "")
+    val c4 = regexp_replace(c3, "\\?utm_[a-z]+=[^&]*&", "?")
+    val c5 = regexp_replace(c4, "\\?utm_[a-z]+=[^&]*$", "")
+    import org.apache.spark.sql.expressions.Window
+    val byCanon = Window.partitionBy(col("canonical_url"))
+    documents
+      .select(col("doc_id"), url.as("raw_url"), c5.as("canonical_url"))
+      .withColumn("n_variants", count(lit(1)).over(byCanon).cast("long"))
+      .withColumn("kept", col("doc_id") === min(col("doc_id")).over(byCanon))
+      .select(col("doc_id"), col("raw_url"), col("canonical_url"),
+        col("n_variants"), col("kept"))
+  }
+
   /** DSIR-style importance selection (q152) — Data Selection via
     * Importance Resampling (Xie et al., NeurIPS 2023): score every raw
     * document by how target-like its HASHED n-gram features are, then
