@@ -1734,6 +1734,13 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // Peak concurrency per day: interval sweep partitioned by day
+    // with exact carry-in (bounded session durations ⇒ one-midnight
+    // crossings), half-open [start,end) tie rule. All integer µs.
+    "q154_peak_concurrency" -> ((s, dir) => {
+      Relational.peakConcurrency(Tables.events(s, dir)).orderBy("day")
+    }),
+
     // URL canonicalization dedup: authority lowercase, default-port /
     // utm_* / fragment strip, min-id survivor per canonical URL
     // (deterministic messy-URL injection, q144/q146 convention).
@@ -4159,6 +4166,41 @@ object SparkEntry {
         |       (n_hits * 100 < n_tokens * 3) AS kept
         |FROM t ORDER BY doc_id""".stripMargin,
     "q152_dsir_selection" -> OracleHashSql.q152Dsir(),
+
+    // q154: identical boundary bookkeeping — ends-before-starts at a
+    // shared instant, clipped midnight ends, carry-in cancellation.
+    "q154_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_id,
+        |         epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + ((event_id % 7200) + 60) * 1000000 AS e_us,
+        |         epoch_us(date_trunc('day', ts)) AS d_us,
+        |         epoch_us(date_trunc('day', ts)) + 86400000000 AS nd_us
+        |  FROM events),
+        |deltas AS (
+        |  SELECT d_us, s_us AS t_us, 1::BIGINT AS delta, event_id FROM iv
+        |  UNION ALL
+        |  SELECT d_us, e_us, -1, event_id FROM iv WHERE e_us < nd_us
+        |  UNION ALL
+        |  SELECT nd_us, e_us, -1, event_id FROM iv WHERE e_us > nd_us),
+        |carry AS (
+        |  SELECT nd_us AS d_us, count(*)::BIGINT AS carry_in FROM iv
+        |  WHERE e_us > nd_us GROUP BY 1),
+        |run AS (
+        |  SELECT d.d_us, COALESCE(c.carry_in, 0) AS carry_in, d.delta,
+        |         COALESCE(c.carry_in, 0) + sum(d.delta) OVER (
+        |           PARTITION BY d.d_us
+        |           ORDER BY d.t_us, d.delta, d.event_id
+        |           ROWS UNBOUNDED PRECEDING) AS running
+        |  FROM deltas d LEFT JOIN carry c USING (d_us))
+        |SELECT strftime(make_timestamp(d_us), '%Y-%m-%d') AS day,
+        |       carry_in::BIGINT AS carry_in,
+        |       sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_starts,
+        |       sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_ends,
+        |       greatest(max(running), carry_in)::BIGINT AS peak
+        |FROM run GROUP BY d_us, carry_in ORDER BY day""".stripMargin,
 
     // q153: identical injection + canonicalization chain; RE2 ('g'
     // flag, \1 backrefs) vs Java regex ($1) is the cross-check.

@@ -465,6 +465,64 @@ object Relational {
     * window sort), `direct` is the anti-join remainder, and the final
     * rollup is a 10-row aggregate.
     */
+  /** Peak concurrency per day (q154) — the classic interval sweep
+    * (+1 at start, −1 at end, running max), made cluster-safe: a
+    * GLOBAL sweep needs a total order over all boundaries, so instead
+    * the sweep is PARTITIONED BY DAY with an exact carry-in — the
+    * count of intervals that started before the day and are still
+    * open at its first instant. Durations are bounded (here ≤ ~2 h,
+    * derived deterministically from event_id: sessions are capped in
+    * any real tracker), so an interval crosses at most one midnight
+    * and the carry is a single previous-day aggregate, not a scan of
+    * all history. Intervals are half-open [start, end): at a shared
+    * instant, ends sort before starts (delta ASC), so back-to-back
+    * sessions never double-count.
+    *
+    * Boundary bookkeeping (all integer µs — bit-exact on any engine):
+    *   end < next midnight  → −1 in the start's day at end;
+    *   end > next midnight  → −1 in the NEXT day at end, +1 carry
+    *                          there (they cancel at day close);
+    *   end = next midnight  → nothing (open-until-midnight exactly).
+    * peak(d) = max(carry_in, running max) — a day of only ends never
+    * reports below its opening count.
+    */
+  def peakConcurrency(events: DataFrame): DataFrame = {
+    val dayUs = unix_micros(date_trunc("day", col("ts")))
+    val iv = events.select(
+      col("event_id"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) +
+        (pmod(col("event_id"), lit(7200L)) + 60L) * 1000000L).as("e_us"),
+      dayUs.as("d_us"),
+      (dayUs + 86400000000L).as("nd_us"))
+    val starts = iv.select(col("d_us"), col("s_us").as("t_us"),
+      lit(1L).as("delta"), col("event_id"))
+    val endsSame = iv.filter(col("e_us") < col("nd_us"))
+      .select(col("d_us"), col("e_us").as("t_us"),
+        lit(-1L).as("delta"), col("event_id"))
+    val endsNext = iv.filter(col("e_us") > col("nd_us"))
+      .select(col("nd_us").as("d_us"), col("e_us").as("t_us"),
+        lit(-1L).as("delta"), col("event_id"))
+    val carry = iv.filter(col("e_us") > col("nd_us"))
+      .groupBy(col("nd_us").as("d_us"))
+      .agg(count(lit(1)).as("carry_in"))
+    val deltas = starts.unionByName(endsSame).unionByName(endsNext)
+    val w = Window.partitionBy(col("d_us"))
+      .orderBy(col("t_us"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .join(carry, Seq("d_us"), "left").na.fill(0L, Seq("carry_in"))
+      .withColumn("running", col("carry_in") + sum(col("delta")).over(w))
+      .groupBy(col("d_us"), col("carry_in"))
+      .agg(
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"),
+        greatest(max(col("running")), first(col("carry_in"))).as("peak"))
+      .select(
+        date_format(timestamp_micros(col("d_us")), "yyyy-MM-dd").as("day"),
+        col("carry_in"), col("n_starts"), col("n_ends"), col("peak"))
+  }
+
   def touchAttribution(events: DataFrame,
                        lookback: String = "1 hour"): DataFrame = {
     val touches = events.filter(col("event_type").isin("click", "view"))
