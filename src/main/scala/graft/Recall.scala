@@ -46,7 +46,9 @@ object Recall {
       "q29_ivf_firstN" -> (() => Similarity.ivfTopK(spark, emb, queries, k)),
       "q44_ivf_kmeans" -> (() => Similarity.ivfTopKTrained(spark, emb, queries, k)),
       "q129_pq_adc" -> (() => Similarity.pqAdcTopK(spark, emb, queries, k)),
-      "ivf_pq" -> (() => Similarity.ivfPqTopK(spark, emb, queries, k)))
+      "ivf_pq" -> (() => Similarity.ivfPqTopK(spark, emb, queries, k)),
+      "q155_binary_hamming" ->
+        (() => Similarity.binaryHammingTopK(spark, emb, queries, k = k)))
     val recalls = methods.map { case (name, fn) =>
       val got = pairs(fn())
       name -> (truth & got).size.toDouble / truth.size

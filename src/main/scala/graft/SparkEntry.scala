@@ -1734,6 +1734,17 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // Binary sign-quantized ANN: 2×64-bit sign words per vector,
+    // xor+popcount Hamming candidates, exact cosine rerank on the
+    // capped candidate set (the 1-bit tier after int8 q47 / PQ q129).
+    "q155_binary_hamming_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.binaryHammingTopK(s, emb, emb.filter(col("vec_id") < 5))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("hamming"), r4(col("cos")).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Peak concurrency per day: interval sweep partitioned by day
     // with exact carry-in (bounded session durations ⇒ one-midnight
     // crossings), half-open [start,end) tie rule. All integer µs.
@@ -4166,6 +4177,44 @@ object SparkEntry {
         |       (n_hits * 100 < n_tokens * 3) AS kept
         |FROM t ORDER BY doc_id""".stripMargin,
     "q152_dsir_selection" -> OracleHashSql.q152Dsir(),
+
+    // q155: identical sign packing (two BIGINT words), xor+bit_count
+    // Hamming, integer candidate cut, then the q20 cosine contract.
+    "q155_binary_hamming_ann" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32),
+        |      i -> CASE WHEN embedding[(i+1)::INT] > 0
+        |                THEN (1::BIGINT << i::INT) ELSE 0::BIGINT END)),
+        |      (a, x) -> a + x) AS w0,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(range(32, 64),
+        |      i -> CASE WHEN embedding[(i+1)::INT] > 0
+        |                THEN (1::BIGINT << (i-32)::INT) ELSE 0::BIGINT END)),
+        |      (a, x) -> a + x) AS w1
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         (bit_count(xor(q.w0, c.w0)) +
+        |          bit_count(xor(q.w1, c.w1)))::BIGINT AS hamming,
+        |         CAST(q.embedding AS DOUBLE[]) AS qe,
+        |         CAST(c.embedding AS DOUBLE[]) AS ce
+        |  FROM b q JOIN b c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5),
+        |cand AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                 ORDER BY hamming, neighbor_id) AS crank
+        |    FROM sc) WHERE crank <= 40),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |         list_cosine_similarity(qe, ce) AS cos
+        |  FROM cand)
+        |SELECT query_id, rank, neighbor_id, hamming,
+        |       floor(cos * 10000 + 0.5) / 10000 AS cos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM rr)
+        |WHERE rank <= 10 ORDER BY 1, 2""".stripMargin,
 
     // q154: identical boundary bookkeeping — ends-before-starts at a
     // shared instant, clipped midnight ends, carry-in cancellation.

@@ -427,6 +427,52 @@ object Similarity {
     * parallel; output is k longs per row (k≪d storage win, the point
     * of projecting before an ANN index or a near-dup pass).
     */
+  /** Binary sign-quantized ANN (q155) — the 1-bit tier of the
+    * quantization ladder (int8 q47 → PQ q129 → sign bits here, the
+    * Hamming-rerank pattern of Indyk–Motwani SimHash retrieval):
+    * each 64-dim vector packs to TWO 64-bit words of sign bits (32×
+    * smaller than float32), candidate generation is xor+popcount —
+    * pure integer whole-stage-codegen at scan speed — and only the
+    * `cand` Hamming-nearest per query pay the exact float cosine
+    * rerank. Candidate and final cuts rank on (integer hamming, id)
+    * and (cos, id) — the q20 determinism contract.
+    *
+    * Scale: the corpus-side scan reads 16 bytes/vector instead of
+    * 256; the per-query cap is a WindowGroupLimit before any float
+    * work, so rerank cost is |queries|·cand, not |queries|·|corpus|.
+    */
+  def binaryHammingTopK(spark: SparkSession, embeddings: DataFrame,
+                        queries: DataFrame, cand: Int = 40,
+                        k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    def signWord(emb: Column, lo: Int): Column =
+      (0 until 32).map { i =>
+        when(element_at(emb, lo + i + 1).cast("double") > 0.0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    def packed(df: DataFrame, idAs: String, vecAs: String, p: String) =
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+        signWord(col("embedding"), 0).as(s"${p}w0"),
+        signWord(col("embedding"), 32).as(s"${p}w1"))
+    val c = packed(embeddings, "neighbor_id", "cv", "c")
+    val q = packed(queries, "query_id", "qv", "q")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        (bit_count(col("qw0").bitwiseXOR(col("cw0"))) +
+          bit_count(col("qw1").bitwiseXOR(col("cw1")))).cast("long"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("crank", row_number().over(wH))
+      .filter(col("crank") <= cand)
+      .withColumn("cos", cos(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("hamming"), col("cos"))
+  }
+
   def randomProjection(embeddings: DataFrame, k: Int = 16, d: Int = 64): DataFrame = {
     val signs = projSigns(k, d)
     val q = GraftFunctions.quantizeI8(col("embedding"))
