@@ -385,4 +385,35 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rows.length))
     }
   }
+
+  test("q155 binary Hamming ANN: identical vector is rank 1 at hamming 0; sign-flip is maximal") {
+    val a = Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)
+    val flipped = a.map(-_)
+    val near = a.clone(); near(0) = -near(0) // one sign bit differs
+    val emb = Seq((0L, a), (1L, a.clone), (2L, flipped), (3L, near))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.binaryHammingTopK(spark, emb,
+      emb.filter(col("vec_id") === 0L), cand = 4, k = 3)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    val top = out.head
+    assert(top.getAs[Long]("neighbor_id") == 1L &&
+      top.getAs[Long]("hamming") == 0L &&
+      math.abs(top.getAs[Double]("cos") - 1.0) < 1e-12, s"$top")
+    val byN = out.map(r => r.getAs[Long]("neighbor_id") ->
+      r.getAs[Long]("hamming")).toMap
+    assert(byN(2L) == 64L, "full sign flip = 64 differing bits")
+    assert(byN(3L) == 1L, "single flipped dimension = hamming 1")
+    // recall floor on the fixture: binary tier finds a decent share
+    // of brute-force truth even at a tight candidate budget
+    val fix = Tables.embeddings(spark, sf001)
+    val q = fix.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(spark, fix, q, 10))
+    val got = pairs(Similarity.binaryHammingTopK(spark, fix, q))
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.35, s"binary-tier recall floor: $recall")
+  }
 }

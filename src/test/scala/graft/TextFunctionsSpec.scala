@@ -646,4 +646,49 @@ class TextFunctionsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(w2.values.forall(_ == 0.5), s"skewed halves: $w2")
   }
+
+  test("q153 URL canonicalization: variants collapse, :8080 survives, min-id wins") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(0L, 120L, 7L, 3L).map(id => (id, "t", "en", "A"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.urlCanonicalDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: upper host + :80 + utm params + fragment, all stripped
+    assert(out(0L).getString(2) ==
+      "https://www.site0.example.com/articles/0?id=0", s"${out(0L)}")
+    // doc 120 is the same logical page (g=0): collapses onto doc 0
+    assert(out(120L).getString(2) == out(0L).getString(2))
+    assert(out(0L).getLong(3) == 2L && out(0L).getBoolean(4))
+    assert(!out(120L).getBoolean(4), "min-id survivor only")
+    // doc 7: non-default :8080 must NOT be stripped
+    assert(out(7L).getString(2) ==
+      "https://www.site7.example.com:8080/articles/7?id=2", s"${out(7L)}")
+    // doc 3: canonicalization = authority lowercasing only
+    assert(out(3L).getString(1).startsWith("https://WWW.SITE3"))
+    assert(out(3L).getString(2) ==
+      "https://www.site3.example.com/articles/3?id=3")
+  }
+
+  test("q152 DSIR: target-exclusive vocabulary outranks raw-only; per-source quota keeps the top") {
+    import graft.operators.TextAnalysis
+    // en docs carry alpha/beta; the de docs carry gamma. beta is
+    // target-only AND rare in raw => highest ratio; gamma is raw-only
+    // => lowest. Expected norm order: d2 > d1 > d4 > d3; quota
+    // |A|/4 = 1 keeps exactly the top doc.
+    val docs = Seq(
+      (1L, "alpha alpha alpha", "en", "A"),
+      (2L, "alpha alpha beta", "en", "A"),
+      (3L, "gamma gamma gamma", "de", "A"),
+      (4L, "alpha gamma gamma", "de", "A"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.dsirSelect(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.values.forall(_.getLong(2) == 3L), "n_tokens")
+    val norm = out.map { case (id, r) => id -> r.getLong(4) }
+    assert(norm(2L) > norm(1L) && norm(1L) > norm(4L) && norm(4L) > norm(3L),
+      s"importance order: $norm")
+    assert(out(2L).getBoolean(5) &&
+      Seq(1L, 3L, 4L).forall(id => !out(id).getBoolean(5)),
+      s"quota keeps only the top: $out")
+  }
 }

@@ -276,4 +276,51 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(shuffled(1L) == 2.375)
   }
+
+  test("q151 CUSUM: hand-folded alarms, reset semantics, per-user independence") {
+    import graft.operators.Relational
+    // user 2: [0,0,0,0,1000], mean 200, k=25, h=200:
+    //   sn walks 175 -> 350 (alarm, reset) -> 175 -> 350 (alarm, reset);
+    //   the 1000 sends sp to 775 (alarm). 3 alarms, peak 775.
+    // user 1: constant series, both sides pinned at 0.
+    val out = TimeSeries.cusum(ev(
+      (1L, 1L, 10L, 100.0), (2L, 1L, 20L, 100.0), (3L, 1L, 30L, 100.0),
+      (4L, 2L, 10L, 0.0), (5L, 2L, 20L, 0.0), (6L, 2L, 30L, 0.0),
+      (7L, 2L, 40L, 0.0), (8L, 2L, 50L, 1000.0)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val flat = out(1L)
+    assert(flat.getLong(3) == 0L && flat.getDouble(4) == 0.0, s"flat: $flat")
+    val spiky = out(2L)
+    assert(spiky.getDouble(2) == 200.0, s"mean: $spiky")
+    assert(spiky.getLong(3) == 3L, s"alarms: $spiky")
+    assert(spiky.getDouble(4) == 775.0, s"peak stat: $spiky")
+    // fold is order-defined, not input-order-defined
+    val shuffled = TimeSeries.cusum(ev(
+      (8L, 2L, 50L, 1000.0), (5L, 2L, 20L, 0.0), (4L, 2L, 10L, 0.0),
+      (7L, 2L, 40L, 0.0), (6L, 2L, 30L, 0.0)).repartition(3))
+      .collect().head
+    assert(shuffled.getLong(3) == 3L && shuffled.getDouble(4) == 775.0)
+  }
+
+  test("q154 peak concurrency: half-open tie rule, midnight carry, day partitioning") {
+    import graft.operators.Relational
+    // durations are event_id-derived: dur = (event_id % 7200) + 60 s.
+    //   A id=240 ts=100  -> [100,400)
+    //   B id=540 ts=200  -> [200,800)    overlap with A => 2
+    //   C id=60  ts=400  -> [400,520)    starts AT A's end: half-open
+    //                                    keeps concurrency at 2, not 3
+    //   D id=7100 ts=82800 -> [82800,89960) crosses midnight => carry 1
+    val out = Relational.peakConcurrency(ev(
+      (240L, 1L, 100L, 0.0), (540L, 1L, 200L, 0.0),
+      (60L, 1L, 400L, 0.0), (7100L, 1L, 82800L, 0.0)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val d1 = out("1970-01-01")
+    assert(d1.getLong(1) == 0L && d1.getLong(2) == 4L &&
+      d1.getLong(3) == 3L && d1.getLong(4) == 2L,
+      s"day1 carry/starts/ends/peak: $d1")
+    val d2 = out("1970-01-02")
+    assert(d2.getLong(1) == 1L && d2.getLong(2) == 0L &&
+      d2.getLong(3) == 1L && d2.getLong(4) == 1L,
+      s"day2 is carry-only: $d2")
+  }
 }
