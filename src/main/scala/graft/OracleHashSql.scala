@@ -1456,6 +1456,66 @@ ORDER BY 1"""
     * the 4×60 iteration chain is MATERIALIZED — DuckDB's default
     * inlining would re-expand the whole chain (q130's lesson).
     */
+  /** Oracle for q157: shard manifest. Seed-7 hash of the decimal
+    * doc_id string (q97 machinery), signed pmod shards, HUGEINT
+    * fingerprint sums.
+    */
+  def q157ShardManifest(nShards: Int = 16): String =
+    s"""WITH h AS (
+  SELECT doc_id, n_chars, text, ${toS("hmix")} AS hv FROM (${mixSubq(
+        "SELECT doc_id, n_chars, text FROM documents",
+        fnvFold(xor64(OFF, mulMod("7::HUGEINT", GOLD)),
+          strBytes("doc_id::VARCHAR")))})),
+s AS (
+  SELECT (((hv % $nShards) + $nShards) % $nShards)::BIGINT AS shard_id,
+         doc_id, n_chars,
+         ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+  FROM h),
+t AS (SELECT sum(n_chars)::BIGINT AS total_bytes FROM s),
+g AS (
+  SELECT shard_id, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS sum_bytes,
+         min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         sum(fp::HUGEINT) AS fpsum
+  FROM s GROUP BY 1)
+SELECT shard_id, n_docs, sum_bytes,
+       floor(sum_bytes * 1000 / t.total_bytes)::BIGINT AS permille,
+       min_doc, max_doc, fpsum::VARCHAR AS fingerprint
+FROM g, t ORDER BY shard_id"""
+
+  /** Oracle for q156: Gonzalez farthest-first k-center coreset.
+    * Rounds are unrolled (the q44/q129 trainer technique): each adds
+    * the argmin-over-max-cosine vector with id tiebreak.
+    */
+  def q156KCenter(k: Int = 8): String = {
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS (
+  SELECT x.vec_id, max(list_cosine_similarity(x.e, s.e)) AS mc
+  FROM x, s${r - 1} s
+  WHERE x.vec_id NOT IN (SELECT vec_id FROM s${r - 1})
+  GROUP BY x.vec_id),
+p$r AS (
+  SELECT x.vec_id, x.e FROM m$r JOIN x USING (vec_id)
+  ORDER BY m$r.mc ASC, vec_id ASC LIMIT 1),
+s$r AS (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM p$r)"""
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s1 AS (SELECT vec_id, e FROM x ORDER BY vec_id LIMIT 1),
+$rounds,
+a AS (
+  SELECT x.vec_id, s.vec_id AS center_id,
+         list_cosine_similarity(x.e, s.e) AS cos
+  FROM x, s$k s),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, center_id) AS rn
+  FROM a)
+SELECT vec_id, center_id, floor(cos * 10000 + 0.5) / 10000 AS cos,
+       (vec_id IN (SELECT vec_id FROM s$k)) AS is_center
+FROM r WHERE rn = 1 ORDER BY vec_id"""
+  }
+
   /** Oracle for q152: DSIR importance selection. Same seed-1 token
     * hashing as q96; per-bucket weights are HUGEINT-exact quantized
     * target/raw ratios, per-source quota by window rank.

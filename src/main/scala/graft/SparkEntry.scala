@@ -1734,6 +1734,23 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // Deterministic training-shard manifest: content-addressed shard
+    // assignment + per-shard byte budget, balance per-mille, id range
+    // and order-independent integrity fingerprint.
+    "q157_shard_manifest" -> ((s, dir) => {
+      TextAnalysis.shardManifest(Tables.documents(s, dir))
+        .orderBy("shard_id")
+    }),
+
+    // k-center greedy coreset: Gonzalez farthest-first exemplars +
+    // nearest-center assignment (diversity sampling for curation).
+    "q156_kcenter_coreset" -> ((s, dir) => {
+      Similarity.kCenterCoreset(s, Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("center_id"),
+          r4(col("cos")).as("cos"), col("is_center"))
+        .orderBy("vec_id")
+    }),
+
     // Binary sign-quantized ANN: 2×64-bit sign words per vector,
     // xor+popcount Hamming candidates, exact cosine rerank on the
     // capped candidate set (the 1-bit tier after int8 q47 / PQ q129).
@@ -4177,6 +4194,8 @@ object SparkEntry {
         |       (n_hits * 100 < n_tokens * 3) AS kept
         |FROM t ORDER BY doc_id""".stripMargin,
     "q152_dsir_selection" -> OracleHashSql.q152Dsir(),
+    "q156_kcenter_coreset" -> OracleHashSql.q156KCenter(),
+    "q157_shard_manifest" -> OracleHashSql.q157ShardManifest(),
 
     // q155: identical sign packing (two BIGINT words), xor+bit_count
     // Hamming, integer candidate cut, then the q20 cosine contract.

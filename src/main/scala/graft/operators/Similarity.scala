@@ -427,6 +427,52 @@ object Similarity {
     * parallel; output is k longs per row (k≪d storage win, the point
     * of projecting before an ANN index or a near-dup pass).
     */
+  /** k-center greedy coreset (q156) — Gonzalez (1985) farthest-first
+    * traversal, the diversity-sampling tier of training-data curation
+    * (pick k maximally-spread exemplars, then assign every vector to
+    * its nearest): seed with the min-id vector, then k−1 rounds of
+    * "add the point whose nearest selected center is farthest"
+    * (argmin over max-cosine-to-selected, id tiebreak). Each round is
+    * one distributed max-cos aggregate against the ≤k-row broadcast
+    * center frame followed by a 1-ROW driver collect — the bounded
+    * driver-artifact pattern of the IVF/PQ trainers (the centers ARE
+    * the product). Final assignment is one broadcast nearest-center
+    * pass over the corpus.
+    *
+    * Scale: k·|corpus| cosine folds total, no corpus shuffle (the
+    * per-round argmin ships k candidate rows per partition after a
+    * partial sort — Spark's TakeOrdered); center state on the driver
+    * is k vectors by construction.
+    */
+  def kCenterCoreset(spark: SparkSession, embeddings: DataFrame,
+                     k: Int = 8): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val x = embeddings.select(col("vec_id"), col("embedding"))
+    val seed = x.orderBy(col("vec_id").asc).limit(1).collect().head
+    var centers = Seq[(Long, Seq[Float])](
+      seed.getLong(0) -> seed.getSeq[Float](1))
+    for (_ <- 2 to k) {
+      val selDf = centers.toDF("c_id", "c_emb")
+      val next = x.filter(!col("vec_id").isInCollection(centers.map(_._1)))
+        .crossJoin(broadcast(selDf))
+        .groupBy(col("vec_id"))
+        .agg(max(cos(col("embedding"), col("c_emb"))).as("mc"))
+        .orderBy(col("mc").asc, col("vec_id").asc)
+        .limit(1).join(x, "vec_id").collect().head
+      centers = centers :+ (next.getLong(0) -> next.getSeq[Float](2))
+    }
+    val selDf = centers.toDF("c_id", "c_emb")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    x.crossJoin(broadcast(selDf))
+      .withColumn("cos", cos(col("embedding"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("center_id"), col("cos"),
+        col("vec_id").isInCollection(centers.map(_._1)).as("is_center"))
+  }
+
   /** Binary sign-quantized ANN (q155) — the 1-bit tier of the
     * quantization ladder (int8 q47 → PQ q129 → sign bits here, the
     * Hamming-rerank pattern of Indyk–Motwani SimHash retrieval):

@@ -1177,6 +1177,43 @@ object TextAnalysis {
         col("r_bm"), col("r_em"), col("rrf"))
   }
 
+  /** Deterministic training-shard manifest (q157) — the last step of
+    * every corpus build: assign each document to one of `nShards`
+    * output shards by a CONTENT-ADDRESSED key (seeded hash of the
+    * doc id — reshuffle-stable, rerun-stable, no round-robin
+    * coordination), and emit the per-shard manifest a trainer
+    * checks before reading: doc count, byte budget, per-mille share
+    * of the corpus (the balance check), id range, and an
+    * order-independent integrity fingerprint (sum of 60-bit md5
+    * prefixes in DECIMAL(38,0) — commutative, so shard writers can
+    * emit partials in any order; HUGEINT-exact on the oracle side).
+    *
+    * Scale: one scan; the groupBy carries `nShards` rows; the total
+    * is a 1-row broadcast. The manifest IS the driver artifact.
+    */
+  def shardManifest(documents: DataFrame, nShards: Int = 16): DataFrame = {
+    val spark = documents.sparkSession
+    GraftFunctions.register(spark)
+    val sharded = documents.select(col("doc_id"), col("n_chars"),
+      pmod(GraftFunctions.hash64Seeded(lit(7L), col("doc_id").cast("string")),
+        lit(nShards.toLong)).as("shard_id"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast("decimal(38,0)").as("fp"))
+    val tot = sharded.agg(sum(col("n_chars")).as("total_bytes"))
+    sharded.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_bytes"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("fp")).as("fpsum"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard_id"), col("n_docs"), col("sum_bytes"),
+        floor(col("sum_bytes") * 1000 / col("total_bytes")).cast("long")
+          .as("permille"),
+        col("min_doc"), col("max_doc"),
+        col("fpsum").cast("decimal(38,0)").cast("string").as("fingerprint"))
+  }
+
   /** URL canonicalization dedup (q153) — the CommonCrawl-style
     * "same page, many spellings" collapse: lowercase the
     * scheme://host[:port] authority, strip a default :80 port, strip

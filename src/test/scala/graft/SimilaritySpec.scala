@@ -416,4 +416,26 @@ class SimilaritySpec extends SparkSpec {
     val recall = (truth & got).size.toDouble / truth.size
     assert(recall >= 0.35, s"binary-tier recall floor: $recall")
   }
+
+  test("q156 k-center coreset: one exemplar per well-separated cluster, all assigned home") {
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    // 3 tight clusters x 3 members (tiny jitter keeps direction)
+    val emb = (for {
+      (d, c) <- dirs.zipWithIndex; j <- 0 until 3
+    } yield {
+      val v = d.clone(); v(3) = 0.01f * (j + 1)
+      ((c * 3 + j).toLong, v)
+    }).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(spark, emb, k = 3).collect()
+    val centers = out.filter(_.getAs[Boolean]("is_center"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    // farthest-first must take one exemplar from each cluster
+    assert(centers.map(_ / 3) == Set(0L, 1L, 2L), s"centers: $centers")
+    // every vector's nearest center is its own cluster's exemplar
+    out.foreach { r =>
+      assert(r.getAs[Long]("center_id") / 3 == r.getAs[Long]("vec_id") / 3,
+        s"cross-cluster assignment: $r")
+    }
+  }
 }

@@ -691,4 +691,22 @@ class TextFunctionsSpec extends SparkSpec {
       Seq(1L, 3L, 4L).forall(id => !out(id).getBoolean(5)),
       s"quota keeps only the top: $out")
   }
+
+  test("q157 shard manifest: totals conserve, balance per-mille, order-independent fingerprint") {
+    import graft.operators.TextAnalysis
+    val docs = (0L until 64L).map(i => (i, s"doc body $i", "en", "A", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.shardManifest(docs).collect()
+    assert(out.map(_.getAs[Long]("shard_id")).forall(s => s >= 0 && s < 16))
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 64L)
+    assert(out.map(_.getAs[Long]("sum_bytes")).sum ==
+      (0L until 64L).map(10L + _).sum)
+    val pm = out.map(_.getAs[Long]("permille")).sum
+    assert(pm <= 1000L && pm >= 1000L - 16L, s"per-mille floor sum: $pm")
+    // fingerprints are commutative sums: a reshuffled input matches
+    val again = TextAnalysis.shardManifest(docs.repartition(7)).collect()
+    def fps(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getAs[Long]("shard_id") -> r.getAs[String]("fingerprint")).toMap
+    assert(fps(out) == fps(again))
+  }
 }
