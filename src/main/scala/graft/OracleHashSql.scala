@@ -1483,6 +1483,51 @@ SELECT shard_id, n_docs, sum_bytes,
        min_doc, max_doc, fpsum::VARCHAR AS fingerprint
 FROM g, t ORDER BY shard_id"""
 
+  /** Oracle for q158: MMR diverse rerank — unrolled greedy rounds
+    * over the capped per-query candidate pool (q156 technique,
+    * per-query). λ=1/2 exact binary.
+    */
+  def q158Mmr(k: Int = 5, cand: Int = 20, nQueries: Int = 5): String = {
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS (
+  SELECT c.query_id, c.cid,
+         0.5 * c.rel - 0.5 * max(list_cosine_similarity(c.e, s.e)) AS mmr
+  FROM cand c JOIN sel${r - 1} s USING (query_id)
+  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+                    WHERE s2.query_id = c.query_id AND s2.cid = c.cid)
+  GROUP BY c.query_id, c.cid, c.rel),
+p$r AS (
+  SELECT m.query_id, m.cid, c.e, c.rel, $r::BIGINT AS rank, m.mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY mmr DESC, cid) AS rn
+    FROM m$r) m
+  JOIN cand c ON c.query_id = m.query_id AND c.cid = m.cid
+  WHERE m.rn = 1),
+sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r)"""
+    }.mkString(",\n")
+    s"""WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < $nQueries),
+x AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings),
+relscan AS (
+  SELECT q.query_id, x.cid, x.e,
+         list_cosine_similarity(q.qe, x.e) AS rel
+  FROM q, x WHERE q.query_id <> x.cid),
+cand AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, cid) AS cr
+    FROM relscan) WHERE cr <= $cand),
+sel1 AS (SELECT query_id, cid, e, rel, 1::BIGINT AS rank, rel AS mmr
+         FROM cand WHERE cr = 1),
+$rounds
+SELECT query_id, rank, cid AS doc_id,
+       floor(rel * 10000 + 0.5) / 10000 AS rel,
+       floor(mmr * 10000 + 0.5) / 10000 AS mmr
+FROM sel$k ORDER BY query_id, rank"""
+  }
+
   /** Oracle for q156: Gonzalez farthest-first k-center coreset.
     * Rounds are unrolled (the q44/q129 trainer technique): each adds
     * the argmin-over-max-cosine vector with id tiebreak.

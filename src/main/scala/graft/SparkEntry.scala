@@ -1734,6 +1734,24 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // Token-budget prefix fill: cut each source to a fixed token
+    // budget in content-addressed priority order (shard-writer fill
+    // semantics; any scoring column drops into the priority slot).
+    "q159_token_budget_fill" -> ((s, dir) => {
+      TextAnalysis.tokenBudgetFill(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    }),
+
+    // MMR diverse rerank: λ·relevance − (1−λ)·max-sim-to-selected,
+    // greedy rounds unrolled per query over the capped candidate pool.
+    "q158_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrRerank(s, emb, emb.filter(col("vec_id") < 5))
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          r4(col("rel")).as("rel"), r4(col("mmr")).as("mmr"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Deterministic training-shard manifest: content-addressed shard
     // assignment + per-shard byte budget, balance per-mille, id range
     // and order-independent integrity fingerprint.
@@ -4196,6 +4214,26 @@ object SparkEntry {
     "q152_dsir_selection" -> OracleHashSql.q152Dsir(),
     "q156_kcenter_coreset" -> OracleHashSql.q156KCenter(),
     "q157_shard_manifest" -> OracleHashSql.q157ShardManifest(),
+    "q158_mmr_rerank" -> OracleHashSql.q158Mmr(),
+
+    // q159: identical window cumsum over the (priority, doc_id)
+    // order; md5-prefix priority parses hex on both engines.
+    "q159_token_budget_fill" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split(lower(text), ' '),
+        |             x -> length(x) > 0))::BIGINT AS n_tokens,
+        |         ('0x' || substring(md5(text), 1, 8))::BIGINT AS priority
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens, priority,
+        |         sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY priority, doc_id
+        |           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, priority, cum_tokens,
+        |       (cum_tokens <= 800) AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // q155: identical sign packing (two BIGINT words), xor+bit_count
     // Hamming, integer candidate cut, then the q20 cosine contract.

@@ -473,6 +473,68 @@ object Similarity {
         col("vec_id").isInCollection(centers.map(_._1)).as("is_center"))
   }
 
+  /** MMR diverse reranking (q158) — maximal marginal relevance
+    * (Carbonell & Goldstein, SIGIR'98), the anti-redundancy rerank
+    * every retrieval stack bolts onto plain top-k: start from the
+    * most relevant candidate, then greedily add
+    *   argmax_c [ λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) ].
+    * λ=1/2 is an exact binary double. The greedy is inherently
+    * sequential in k, so the k−1 rounds are UNROLLED as dataframe
+    * stages (the q156 farthest-first anatomy, per query): each round
+    * is an anti-join off the accumulated picks, one per-query max-sim
+    * aggregate against the ≤k-row pick set, and a rank-1 window cut
+    * with (score, id) tiebreak — all partitioned by query, so rounds
+    * never see more than |queries|·`cand` rows.
+    *
+    * Scale: the candidate pool is WindowGroupLimit-capped to `cand`
+    * per query BEFORE any pairwise work; each round's pairwise stage
+    * is |queries|·cand·(round) cosines. The corpus is touched once,
+    * by the relevance scan.
+    */
+  def mmrRerank(spark: SparkSession, embeddings: DataFrame,
+                queries: DataFrame, k: Int = 5, cand: Int = 20,
+                lambda: Double = 0.5): DataFrame = {
+    GraftFunctions.register(spark)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val c = embeddings.select(col("vec_id").as("cid"),
+      col("embedding").as("cv"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cid").asc)
+    val candPool = c.join(broadcast(q), col("query_id") =!= col("cid"))
+      .withColumn("rel", cos(col("qv"), col("cv")))
+      .withColumn("crank", row_number().over(wRel))
+      .filter(col("crank") <= cand)
+      .select(col("query_id"), col("cid"), col("cv"), col("rel"))
+      .localCheckpoint(true)
+    var sel = candPool.withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cid"), col("cv"), col("rel"),
+        lit(1L).as("rank"), col("rel").as("mmr"))
+    for (r <- 2 to k) {
+      val picks = sel.select(col("query_id"), col("cid").as("sid"),
+        col("cv").as("sv"))
+      val rem = candPool.join(picks.select(col("query_id"),
+          col("sid").as("cid")), Seq("query_id", "cid"), "left_anti")
+      val wMmr = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("cid").asc)
+      val next = rem.join(picks, Seq("query_id"))
+        .withColumn("sim", cos(col("cv"), col("sv")))
+        .groupBy(col("query_id"), col("cid"))
+        .agg(first(col("cv")).as("cv"), first(col("rel")).as("rel"),
+          max(col("sim")).as("max_sim"))
+        .withColumn("mmr",
+          lit(lambda) * col("rel") - lit(1 - lambda) * col("max_sim"))
+        .withColumn("rn", row_number().over(wMmr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cid"), col("cv"), col("rel"),
+          lit(r.toLong).as("rank"), col("mmr"))
+      sel = sel.unionByName(next)
+    }
+    sel.select(col("query_id"), col("rank"), col("cid").as("doc_id"),
+      col("rel"), col("mmr"))
+  }
+
   /** Binary sign-quantized ANN (q155) — the 1-bit tier of the
     * quantization ladder (int8 q47 → PQ q129 → sign bits here, the
     * Hamming-rerank pattern of Indyk–Motwani SimHash retrieval):

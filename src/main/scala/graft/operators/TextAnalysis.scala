@@ -1177,6 +1177,37 @@ object TextAnalysis {
         col("r_bm"), col("r_em"), col("rrf"))
   }
 
+  /** Token-budget prefix fill per source (q159) — "cut each source to
+    * N tokens": walk the source's documents in a deterministic
+    * priority order and keep the prefix whose cumulative token count
+    * stays within the budget (shard-writer fill semantics — the first
+    * overflowing document and everything after it is cut; this is the
+    * streaming-fill rule, not a knapsack repack). The priority here is
+    * the content-addressed md5 order (an unbiased shuffle, stable
+    * under recomputation); any scoring column — quality rank,
+    * curriculum difficulty, recency — drops in the same slot.
+    *
+    * Scale: one window cumsum per source partition; no joins, no
+    * global sort. A mega-source serializes its partition — pre-split
+    * by (source, md5-range) if one source exceeds a task.
+    */
+  def tokenBudgetFill(documents: DataFrame,
+                      budget: Long = 800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.wsTokens(col("text"))
+    val pr = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"), pr.as("priority"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("priority"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("kept"))
+  }
+
   /** Deterministic training-shard manifest (q157) — the last step of
     * every corpus build: assign each document to one of `nShards`
     * output shards by a CONTENT-ADDRESSED key (seeded hash of the

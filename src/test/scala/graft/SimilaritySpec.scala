@@ -438,4 +438,23 @@ class SimilaritySpec extends SparkSpec {
         s"cross-cluster assignment: $r")
     }
   }
+
+  test("q158 MMR: near-duplicate of the first pick is deferred behind a diverse candidate") {
+    // q=(1,1,0,0): a'=(1,.01,0,0) wins rank 1 (closest), its near-dup
+    // a=(1,0,0,0) gets mmr ~ -0.15, while orthogonal-to-picks
+    // b=(0,1,0,0) scores ~ +0.35 => diversity must outrank raw rel.
+    val emb = Seq(
+      (0L, Array(1f, 1f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0.01f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(spark, emb,
+      emb.filter(col("vec_id") === 0L), k = 3, cand = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 3L, 1L),
+      s"MMR order: ${out.toSeq}")
+    // plain relevance order would have been 2, 1, 3
+    assert(out(1).getAs[Double]("mmr") > out(2).getAs[Double]("mmr"))
+  }
 }

@@ -709,4 +709,23 @@ class TextFunctionsSpec extends SparkSpec {
       rs.map(r => r.getAs[Long]("shard_id") -> r.getAs[String]("fingerprint")).toMap
     assert(fps(out) == fps(again))
   }
+
+  test("q159 token-budget fill: cumsum follows priority order, prefix rule cuts at the boundary") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "one two", "A"), (2L, "three four", "A"), (3L, "five six", "A"),
+      (4L, "seven eight", "B"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.tokenBudgetFill(docs, budget = 5L).collect()
+    val a = out.filter(_.getString(1) == "A")
+      .sortBy(r => (r.getLong(3), r.getLong(0)))
+    // cumulative sums accumulate in (priority, doc_id) order
+    assert(a.map(_.getLong(4)).toSeq == Seq(2L, 4L, 6L), s"${a.toSeq}")
+    // prefix rule: 2 and 4 fit the 5-token budget, 6 does not
+    assert(a.map(_.getBoolean(5)).toSeq == Seq(true, true, false))
+    // sources fill independently
+    val b = out.filter(_.getString(1) == "B").head
+    assert(b.getLong(4) == 2L && b.getBoolean(5))
+  }
 }
