@@ -1483,6 +1483,46 @@ SELECT shard_id, n_docs, sum_bytes,
        min_doc, max_doc, fpsum::VARCHAR AS fingerprint
 FROM g, t ORDER BY shard_id"""
 
+  /** Oracle for q160: hour-of-day seasonal Holt-Winters — the same
+    * 27-lane [l, b, s0..s23, n] list fold (q140 technique), slot
+    * update via dynamic-index list_transform(range) rebuild.
+    */
+  def q160HoltWinters: String = {
+    val sj = "acc[(xx[2]::INT + 3)]"
+    val l1 = s"(0.5 * (xx[1] - $sj) + 0.5 * (acc[1] + acc[2]))"
+    val b1 = s"(0.5 * ($l1 - acc[1]) + 0.5 * acc[2])"
+    val sj1 = s"(0.5 * (xx[1] - $l1) + 0.5 * $sj)"
+    s"""WITH s AS MATERIALIZED (
+  SELECT user_id,
+         list([value::DOUBLE, hour(ts)::DOUBLE] ORDER BY ts, event_id) AS xs
+  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+f AS (
+  SELECT user_id, len(xs)::BIGINT AS n,
+    list_reduce(
+      list_prepend(list_transform(range(1, 28), k -> 0.0::DOUBLE), xs),
+      (acc, xx) -> CASE WHEN acc[27] = 0.0
+        THEN list_transform(range(1, 28), k ->
+               CASE WHEN k = 1 THEN xx[1]
+                    WHEN k = 27 THEN 1.0::DOUBLE
+                    ELSE 0.0::DOUBLE END)
+        ELSE list_transform(range(1, 28), k ->
+               CASE WHEN k = 1 THEN $l1
+                    WHEN k = 2 THEN $b1
+                    WHEN k = 27 THEN acc[27] + 1.0
+                    WHEN k = (xx[2]::INT + 3) THEN $sj1
+                    ELSE acc[k] END)
+        END) AS st
+  FROM s)
+SELECT user_id, n,
+       floor(st[1] * 10000 + 0.5) / 10000 AS level,
+       floor(st[2] * 10000 + 0.5) / 10000 AS trend,
+       floor(st[3] * 10000 + 0.5) / 10000 AS s0,
+       floor(st[9] * 10000 + 0.5) / 10000 AS s6,
+       floor(st[15] * 10000 + 0.5) / 10000 AS s12,
+       floor(st[21] * 10000 + 0.5) / 10000 AS s18
+FROM f ORDER BY user_id"""
+  }
+
   /** Oracle for q158: MMR diverse rerank — unrolled greedy rounds
     * over the capped per-query candidate pool (q156 technique,
     * per-query). λ=1/2 exact binary.

@@ -1734,6 +1734,14 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // Holt-Winters seasonal smoothing: 24-slot hour-of-day additive
+    // profile per key, seasonal index = the observation's own hour
+    // (gap-immune), 27-lane fold (q140's technique, seasonally).
+    "q160_holt_winters_hourly" -> ((s, dir) => {
+      TimeSeries.holtWintersHourly(Tables.events(s, dir))
+        .orderBy("user_id")
+    }),
+
     // Token-budget prefix fill: cut each source to a fixed token
     // budget in content-addressed priority order (shard-writer fill
     // semantics; any scoring column drops into the priority slot).
@@ -4215,6 +4223,7 @@ object SparkEntry {
     "q156_kcenter_coreset" -> OracleHashSql.q156KCenter(),
     "q157_shard_manifest" -> OracleHashSql.q157ShardManifest(),
     "q158_mmr_rerank" -> OracleHashSql.q158Mmr(),
+    "q160_holt_winters_hourly" -> OracleHashSql.q160HoltWinters,
 
     // q159: identical window cumsum over the (priority, doc_id)
     // order; md5-prefix priority parses hex on both engines.

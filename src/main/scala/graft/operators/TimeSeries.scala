@@ -385,6 +385,63 @@ object TimeSeries {
           .as("max_stat"))
   }
 
+  /** Holt-Winters-style seasonal smoothing per key (q160) — the
+    * seasonal completion of the q68→q140 smoothing family. The
+    * seasonal index is the observation's OWN hour-of-day (a 24-slot
+    * additive profile), not position-mod-m: event streams have gaps,
+    * and positional indexing would misalign the season after every
+    * gap, while calendar-slot indexing (the ops-monitoring form of
+    * HW) updates exactly the slot the observation belongs to:
+    *   l' = α(x − s_h) + (1−α)(l + b)
+    *   b' = β(l' − l) + (1−β)b
+    *   s_h' = γ(x − l') + (1−γ)s_h        (h = hour(ts))
+    * α=β=γ=1/2 exact binary; the 27-slot state [l, b, s0..s23, n]
+    * folds once over the (ts, event_id)-sorted series (the
+    * q140/q151 sequential-recurrence contract), with the slot update
+    * expressed as a dynamic-index rebuild — `transform(sequence)`
+    * here, `list_transform(range)` in the oracle — so both engines
+    * run the same 27-lane CASE.
+    *
+    * Output: final level/trend + the learned seasonal profile at
+    * 0/6/12/18h, the one-step forecast for each of those hours being
+    * l + b + s_h.
+    */
+  def holtWintersHourly(events: DataFrame, alpha: Double = 0.5,
+                        beta: Double = 0.5, gamma: Double = 0.5): DataFrame = {
+    val series = events.filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value"), hour(col("ts")).cast("double").as("hr")))).as("xs"))
+    val init = array(Seq.fill(27)(lit(0.0)): _*)
+    val st = aggregate(col("xs"), init, (acc, x) => {
+      val v = x.getField("value")
+      val jIdx = x.getField("hr").cast("int") + lit(3)
+      val l = element_at(acc, 1)
+      val b = element_at(acc, 2)
+      val n = element_at(acc, 27)
+      val sj = element_at(acc, jIdx)
+      val l1 = lit(alpha) * (v - sj) + lit(1 - alpha) * (l + b)
+      val b1 = lit(beta) * (l1 - l) + lit(1 - beta) * b
+      val sj1 = lit(gamma) * (v - l1) + lit(1 - gamma) * sj
+      val stepped = transform(sequence(lit(1), lit(27)), k =>
+        when(k === 1, l1).when(k === 2, b1)
+          .when(k === 27, n + lit(1.0))
+          .when(k === jIdx, sj1)
+          .otherwise(element_at(acc, k)))
+      val first = transform(sequence(lit(1), lit(27)), k =>
+        when(k === 1, v).when(k === 27, lit(1.0)).otherwise(lit(0.0)))
+      when(n === 0.0, first).otherwise(stepped)
+    })
+    def r4c(c: org.apache.spark.sql.Column) = floor(c * 10000 + lit(0.5)) / 10000
+    series.select(col("user_id"), size(col("xs")).cast("long").as("n"),
+      st.as("st"))
+      .select(Seq(col("user_id"), col("n"),
+        r4c(element_at(col("st"), 1)).as("level"),
+        r4c(element_at(col("st"), 2)).as("trend")) ++
+        Seq(0, 6, 12, 18).map(h =>
+          r4c(element_at(col("st"), h + 3)).as(s"s$h")): _*)
+  }
+
   def holtForecast(events: DataFrame, alpha: Double = 0.5,
                    beta: Double = 0.5, horizon: Int = 3): DataFrame = {
     val series = events.filter(col("value").isNotNull)

@@ -323,4 +323,27 @@ class TimeSeriesSpec extends SparkSpec {
       d2.getLong(3) == 1L && d2.getLong(4) == 1L,
       s"day2 is carry-only: $d2")
   }
+
+  test("q160 Holt-Winters hourly: hand-folded seasonal recurrence, slot isolation") {
+    // user 1: three hour-0 observations 1,2,3 (one per day):
+    //   x=1: l=1, b=0, s0=0
+    //   x=2: l=.5(2-0)+.5(1+0)=1.5, b=.25, s0=.5(2-1.5)+0=.25
+    //   x=3: l=.5(3-.25)+.5(1.75)=2.25, b=.5, s0=.5(3-2.25)+.5(.25)=.5
+    // hour-6/12/18 slots stay untouched at 0.
+    val out = TimeSeries.holtWintersHourly(ev(
+      (1L, 1L, 0L, 1.0), (2L, 1L, 86400L, 2.0), (3L, 1L, 172800L, 3.0),
+      (4L, 2L, 6L * 3600L, 7.0)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getLong(1) == 3L)
+    assert(u1.getDouble(2) == 2.25 && u1.getDouble(3) == 0.5, s"$u1")
+    assert(u1.getDouble(4) == 0.5, s"s0: $u1")
+    assert(u1.getDouble(5) == 0.0 && u1.getDouble(6) == 0.0 &&
+      u1.getDouble(7) == 0.0, s"untouched slots: $u1")
+    // user 2: single observation initializes level only; its hour-6
+    // slot stays 0 (init rule), trend 0
+    val u2 = out(2L)
+    assert(u2.getDouble(2) == 7.0 && u2.getDouble(3) == 0.0 &&
+      u2.getDouble(5) == 0.0, s"$u2")
+  }
 }
