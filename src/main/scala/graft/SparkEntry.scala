@@ -1734,6 +1734,29 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // Incremental sessionization with state handoff: two chunks
+    // sessionized independently + boundary carry + stitch; the
+    // ORACLE is the GLOBAL sessionization — hash equality proves the
+    // handoff lossless.
+    "q162_incremental_sessions" -> ((s, dir) => {
+      Relational.incrementalSessions(Tables.events(s, dir),
+          "2024-01-12 15:45:00")
+        .select(col("user_id"),
+          tsStr(col("s_start")).as("session_start"),
+          tsStr(col("s_end")).as("session_end"),
+          col("n_events"), r2(col("total")).as("total"))
+        .orderBy("user_id", "session_start", "session_end", "n_events",
+          "total")
+    }),
+
+    // k-anonymity / l-diversity audit: QI-group sizes + distinct
+    // sensitive values, k<5 / l<2 risk flags (privacy governance).
+    "q161_k_anonymity" -> ((s, dir) => {
+      Relational.kAnonymityAudit(Tables.customer(s, dir),
+          Tables.orders(s, dir))
+        .orderBy("nation", "segment", "bal_bucket")
+    }),
+
     // Holt-Winters seasonal smoothing: 24-slot hour-of-day additive
     // profile per key, seasonal index = the observation's own hour
     // (gap-immune), 27-lane fold (q140's technique, seasonally).
@@ -4224,6 +4247,55 @@ object SparkEntry {
     "q157_shard_manifest" -> OracleHashSql.q157ShardManifest(),
     "q158_mmr_rerank" -> OracleHashSql.q158Mmr(),
     "q160_holt_winters_hourly" -> OracleHashSql.q160HoltWinters,
+
+    // q161: identical QI grouping, first-order sensitive value,
+    // integer risk rules.
+    "q161_k_anonymity" ->
+      """WITH fp AS (
+        |  SELECT o_custkey,
+        |         min_by(o_orderpriority,
+        |                strftime(o_orderdate, '%Y%m%d%H%M%S') ||
+        |                lpad(o_orderkey::VARCHAR, 12, '0')) AS sensitive
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT c_nationkey::BIGINT AS nation,
+        |         c_mktsegment AS segment,
+        |         floor(c_acctbal / 5000)::BIGINT AS bal_bucket,
+        |         COALESCE(fp.sensitive, 'NONE') AS sensitive
+        |  FROM customer LEFT JOIN fp ON c_custkey = o_custkey)
+        |SELECT nation, segment, bal_bucket,
+        |       count(*)::BIGINT AS n,
+        |       count(DISTINCT sensitive)::BIGINT AS l_distinct,
+        |       (count(*) < 5) AS at_risk_k,
+        |       (count(DISTINCT sensitive) < 2) AS at_risk_l
+        |FROM t GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q162: the oracle is the GLOBAL gaps-and-islands sessionization
+    // (q28's shape + session_end + event_id tiebreak) — no split, no
+    // carry. Matching hashes certify the incremental stitch.
+    "q162_incremental_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(brk) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       COUNT(*)::BIGINT AS n_events,
+        |       floor((SUM(value)) * 100 + 0.5) / 100 AS total
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
     // q159: identical window cumsum over the (priority, doc_id)
     // order; md5-prefix priority parses hex on both engines.

@@ -465,6 +465,117 @@ object Relational {
     * window sort), `direct` is the anti-join remainder, and the final
     * rollup is a 10-row aggregate.
     */
+  /** Incremental sessionization with state handoff (q162) — the
+    * batch-boundary form of q28's session windows, and the IVM
+    * pattern (q105) applied to gaps-and-islands: sessionize each
+    * ingest chunk INDEPENDENTLY, carry the per-user sessions still
+    * open at the boundary (s_end within `gapMin` of the split), and
+    * stitch: a chunk-B first session merges into the carried session
+    * iff its first event falls within the gap of the carried end —
+    * closed-A sessions can never merge because closure already
+    * implies a ≥gap distance to anything at or past the split.
+    * CORRECTNESS IS PROVEN BY THE ORACLE CHOICE: the DuckDB oracle
+    * sessionizes the WHOLE stream globally — hash equality certifies
+    * the handoff is lossless, chunk by chunk.
+    *
+    * Scale: this is how 100 TB of history sessionizes at all — one
+    * bounded chunk per run plus an O(users) carry frame, instead of
+    * re-sorting all history; each chunk's windows partition by user.
+    */
+  def incrementalSessions(events: DataFrame, splitTs: String,
+                          gapMin: Int = 30): DataFrame = {
+    val gapUs = gapMin * 60000000L
+    def sessionize(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(w)
+      val brk = when(prev.isNull ||
+        unix_micros(col("ts")) - unix_micros(prev) > gapUs, 1L)
+        .otherwise(0L)
+      df.withColumn("brk", brk)
+        .withColumn("sid", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"),
+          count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+        .drop("sid")
+    }
+    val split = to_timestamp(lit(splitTs))
+    val a = sessionize(events.filter(col("ts") < split))
+    val b = sessionize(events.filter(col("ts") >= split))
+    val open = unix_micros(col("s_end")) + gapUs >= unix_micros(split)
+    val carryA = a.filter(open)
+    val closedA = a.filter(!open)
+    val wB = Window.partitionBy(col("user_id"))
+      .orderBy(col("s_start"), col("s_end"))
+    val bRanked = b.withColumn("rn", row_number().over(wB))
+    val firstB = bRanked.filter(col("rn") === 1).drop("rn")
+    val restB = bRanked.filter(col("rn") > 1).drop("rn")
+    val j = carryA.select(col("user_id"), col("s_start").as("a_start"),
+        col("s_end").as("a_end"), col("n_events").as("a_n"),
+        col("total").as("a_total"))
+      .join(firstB.select(col("user_id"), col("s_start").as("b_start"),
+        col("s_end").as("b_end"), col("n_events").as("b_n"),
+        col("total").as("b_total")), Seq("user_id"), "full_outer")
+    def sess(s: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column,
+             n: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+      struct(s.as("s_start"), e.as("s_end"), n.as("n_events"), t.as("total"))
+    val aS = sess(col("a_start"), col("a_end"), col("a_n"), col("a_total"))
+    val bS = sess(col("b_start"), col("b_end"), col("b_n"), col("b_total"))
+    val mergeCond = col("a_end").isNotNull && col("b_start").isNotNull &&
+      (unix_micros(col("b_start")) - unix_micros(col("a_end")) <= gapUs)
+    val stitched = j.select(col("user_id"), explode(
+        when(mergeCond, array(sess(col("a_start"), col("b_end"),
+          col("a_n") + col("b_n"), col("a_total") + col("b_total"))))
+          .when(col("a_end").isNull, array(bS))
+          .when(col("b_start").isNull, array(aS))
+          .otherwise(array(aS, bS))).as("s"))
+      .select(col("user_id"), col("s.s_start").as("s_start"),
+        col("s.s_end").as("s_end"), col("s.n_events").as("n_events"),
+        col("s.total").as("total"))
+    closedA.unionByName(stitched).unionByName(restB)
+  }
+
+  /** k-anonymity / l-diversity audit (q161) — the privacy-governance
+    * side of the PII family (q38/q90/q144 find identifiers; this
+    * finds RE-identification risk): group individuals by their
+    * quasi-identifier tuple (nation, market segment, balance band)
+    * and flag groups smaller than k (re-identifiable, Sweeney 2002)
+    * or with fewer than l distinct sensitive values (attribute
+    * disclosure, Machanavajjhala 2007 — here the binary "in debt"
+    * flag: an l=1 group tells you every member's status).
+    *
+    * Scale: one groupBy on the QI tuple (map-side combined), one
+    * distinct-count; the report is |QI-space| rows. No joins.
+    */
+  def kAnonymityAudit(customer: DataFrame, orders: DataFrame,
+                      k: Int = 5, l: Int = 2): DataFrame = {
+    // sensitive value per individual: FIRST order's priority —
+    // independent of the QI tuple (a sensitive attribute the QI can
+    // derive is l=1 by construction and audits nothing)
+    // min_by key is a lexicographic (date, orderkey) string: DuckDB's
+    // min_by has no struct-key overload, strings order identically
+    val firstPrio = orders
+      .groupBy(col("o_custkey"))
+      .agg(min_by(col("o_orderpriority"),
+        concat(date_format(col("o_orderdate"), "yyyyMMddHHmmss"),
+          lpad(col("o_orderkey").cast("string"), 12, "0"))).as("sensitive"))
+    val bucket = floor(col("c_acctbal") / 5000).cast("long")
+    customer
+      .join(firstPrio, col("c_custkey") === col("o_custkey"), "left")
+      .na.fill("NONE", Seq("sensitive"))
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"), bucket.as("bal_bucket"),
+        col("sensitive"))
+      .groupBy("nation", "segment", "bal_bucket")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("sensitive")).as("l_distinct"))
+      .select(col("nation"), col("segment"), col("bal_bucket"), col("n"),
+        col("l_distinct"),
+        (col("n") < k).as("at_risk_k"),
+        (col("l_distinct") < l).as("at_risk_l"))
+  }
+
   /** Peak concurrency per day (q154) — the classic interval sweep
     * (+1 at start, −1 at end, running max), made cluster-safe: a
     * GLOBAL sweep needs a total order over all boundaries, so instead

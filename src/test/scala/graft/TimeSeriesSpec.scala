@@ -346,4 +346,60 @@ class TimeSeriesSpec extends SparkSpec {
     assert(u2.getDouble(2) == 7.0 && u2.getDouble(3) == 0.0 &&
       u2.getDouble(5) == 0.0, s"$u2")
   }
+
+  test("q162 incremental sessions: merge, no-merge, carry-only, and B-only all stitch to the global answer") {
+    import graft.operators.Relational
+    // split at t=7200s. gap 30 min (1800 s).
+    //   user 1: 7000, 7300  -> one session SPANNING the split (merge)
+    //   user 2: 6000, 9000  -> two sessions (gap 3000 > 1800): carry
+    //                          emitted unmerged + B session separate
+    //   user 3: 100         -> closed in A long before the split
+    //   user 4: 9999        -> B-only
+    val out = Relational.incrementalSessions(ev(
+      (1L, 1L, 7000L, 1.0), (2L, 1L, 7300L, 2.0),
+      (3L, 2L, 6000L, 1.0), (4L, 2L, 9000L, 1.0),
+      (5L, 3L, 100L, 1.0), (6L, 4L, 9999L, 1.0)),
+      "1970-01-01 02:00:00")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L,
+        r.getTimestamp(2).getTime / 1000L, r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 7000L, 7300L, 2L),   // merged across the boundary
+      (2L, 6000L, 6000L, 1L),   // carried but NOT merged (gap too big)
+      (2L, 9000L, 9000L, 1L),
+      (3L, 100L, 100L, 1L),     // closed-A
+      (4L, 9999L, 9999L, 1L)),  // B-only
+      s"stitched sessions: ${out.toSeq}")
+  }
+
+  test("q161 k-anonymity: group sizes, sensitive diversity, and both risk flags") {
+    import graft.operators.Relational
+    import java.sql.Timestamp
+    // group (nation 1, AUTO, bucket 0): 2 members, sensitive values
+    // {1-URGENT, 2-HIGH} -> at_risk_k (n<5) but diverse (l=2).
+    // group (2, BUILD, 0): 1 member, no orders -> sensitive NONE,
+    // n=1 and l=1 -> both flags.
+    val cust = Seq(
+      (10L, "a", 1, 100.0, "AUTO"), (11L, "b", 1, 200.0, "AUTO"),
+      (12L, "c", 2, 300.0, "BUILD"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    val ords = Seq(
+      (100L, 10L, "O", 1.0, 1000L, "1-URGENT"),  // later date: ignored
+      (101L, 10L, "O", 1.0, 500L, "3-MEDIUM"),   // first order: wins
+      (102L, 11L, "O", 1.0, 2000L, "2-HIGH"))
+      .map { case (ok, ck, st, tp, sec, pr) =>
+        (ok, ck, st, tp, new Timestamp(sec * 1000L), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Relational.kAnonymityAudit(cust, ords).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val g1 = out((1L, "AUTO"))
+    assert(g1.getLong(3) == 2L && g1.getLong(4) == 2L)
+    assert(g1.getBoolean(5) && !g1.getBoolean(6), s"$g1")
+    val g2 = out((2L, "BUILD"))
+    assert(g2.getLong(3) == 1L && g2.getLong(4) == 1L)
+    assert(g2.getBoolean(5) && g2.getBoolean(6), s"$g2")
+  }
 }
