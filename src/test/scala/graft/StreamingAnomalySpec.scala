@@ -116,4 +116,65 @@ class StreamingAnomalySpec extends SparkSpec {
     assert(got(100L), "1000 is anomalous for key A")
     assert(!got(300L), "1050 is normal for key B")
   }
+
+  private def runCusum(phases: Seq[Seq[Seq[graft.streaming.StreamingCusum.CPt]]],
+                       interrupt: Boolean): Map[Long, Boolean] = {
+    import graft.streaming.StreamingCusum
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cp = tmp("graft-cu-cp"); val out = tmp("graft-cu-out")
+      val in = MemoryStream[StreamingCusum.CPt]
+      val df = StreamingCusum.detect(spark, in.toDF()).toDF()
+      def start() = df.writeStream.format("parquet")
+        .option("checkpointLocation", cp).option("path", out)
+        .outputMode("append").start()
+      var q = start()
+      try {
+        phases.zipWithIndex.foreach { case (batches, i) =>
+          if (i > 0 && interrupt) { q.stop(); q = start() }
+          batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("alarm"))
+        .toMap
+    } finally spark.conf.unset(providerKey)
+  }
+
+  test("streaming CUSUM: alarm-for-alarm equality with the q151 batch fold") {
+    import graft.streaming.StreamingCusum.CPt
+    import graft.operators.TimeSeries
+    // the q151 spec series: user 2 = [0,0,0,0,1000] vs mean 200
+    // (alarms at the 2nd, 4th and 5th points), user 1 calm at mean 100
+    val pts = Seq(
+      CPt("1", t(10), 1L, 100.0, 100.0), CPt("1", t(20), 2L, 100.0, 100.0),
+      CPt("1", t(30), 3L, 100.0, 100.0),
+      CPt("2", t(10), 4L, 0.0, 200.0), CPt("2", t(20), 5L, 0.0, 200.0),
+      CPt("2", t(30), 6L, 0.0, 200.0), CPt("2", t(40), 7L, 0.0, 200.0),
+      CPt("2", t(50), 8L, 1000.0, 200.0))
+    val got = runCusum(Seq(Seq(pts)), interrupt = false)
+    assert(got.filter(_._2).keySet == Set(5L, 7L, 8L), s"alarms: $got")
+    // equality with the batch operator: same alarm COUNT per key when
+    // the calibrated mean equals the full-series mean q151 derives
+    val batch = TimeSeries.cusum(
+      pts.map(p => (p.event_id, p.key.toLong, p.ts, p.value))
+        .toDF("event_id", "user_id", "ts", "value")).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(batch(1L) == 0L &&
+      batch(2L) == got.count { case (id, a) => a && id >= 4L })
+  }
+
+  test("streaming CUSUM: kill/resume mid-series reproduces the straight run") {
+    import graft.streaming.StreamingCusum.CPt
+    val p1 = Seq(CPt("2", t(10), 4L, 0.0, 200.0), CPt("2", t(20), 5L, 0.0, 200.0))
+    val p2 = Seq(CPt("2", t(30), 6L, 0.0, 200.0), CPt("2", t(40), 7L, 0.0, 200.0),
+      CPt("2", t(50), 8L, 1000.0, 200.0))
+    val phases = Seq(Seq(p1), Seq(p2))
+    val resumed = runCusum(phases, interrupt = true)
+    val straight = runCusum(phases, interrupt = false)
+    assert(resumed == straight, s"$resumed vs $straight")
+    assert(resumed.filter(_._2).keySet == Set(5L, 7L, 8L))
+  }
 }
