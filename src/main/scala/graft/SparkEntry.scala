@@ -1734,6 +1734,35 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // TPC-H Q7 shape (cross-nation volume shipping): the OR'd
+    // nation-pair predicate sits on the broadcast n1×n2 pair frame,
+    // by-year rollup of bilateral trade.
+    "q163_volume_shipping" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val pairs = n1.crossJoin(n2).filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(pairs),
+          col("s_nationkey") === col("s_nk") &&
+            col("c_nationkey") === col("c_nk"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("vol"), count(lit(1)).as("n_items"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          r2(col("vol")).as("volume"), col("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // Incremental sessionization with state handoff: two chunks
     // sessionized independently + boundary carry + stitch; the
     // ORACLE is the GLOBAL sessionization — hash equality proves the
@@ -4269,6 +4298,26 @@ object SparkEntry {
         |       (count(*) < 5) AS at_risk_k,
         |       (count(DISTINCT sensitive) < 2) AS at_risk_l
         |FROM t GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q163: identical nation-pair OR predicate and by-year rollup.
+    "q163_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate)::BIGINT AS l_year,
+        |       floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+        |         / 100 AS volume,
+        |       count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
 
     // q162: the oracle is the GLOBAL gaps-and-islands sessionization
