@@ -195,6 +195,15 @@ object StreamBench {
           col("id").as("event_id"),
           (col("id") % 1013L).cast("double").as("value"))
         (graft.streaming.StreamingAnomaly.detect(spark, s).toDF(), "append")
+      }),
+      "cusum_changepoint" -> (() => {
+        // q151's streaming twin: two doubles of state per key
+        val s = purchases(2000000L).select(
+          concat(lit("k"), col("id") % 10000L).as("key"), col("ts"),
+          col("id").as("event_id"),
+          (col("id") % 1013L).cast("double").as("value"),
+          lit(506.0).as("mean"))
+        (graft.streaming.StreamingCusum.detect(spark, s).toDF(), "append")
       }))
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()

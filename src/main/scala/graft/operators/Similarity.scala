@@ -529,7 +529,10 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cid"), col("cv"), col("rel"),
           lit(r.toLong).as("rank"), col("mmr"))
-      sel = sel.unionByName(next)
+      // truncate lineage each round: sel is ≤ |queries|·r rows, and
+      // without this every later round re-derives the whole union
+      // chain (quadratic stage growth across the k rounds)
+      sel = sel.unionByName(next).localCheckpoint(true)
     }
     sel.select(col("query_id"), col("rank"), col("cid").as("doc_id"),
       col("rel"), col("mmr"))
