@@ -1734,6 +1734,21 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // Join fan-out audit: exact output-cardinality histogram by
+    // (ml, mr) multiplicity class, computed WITHOUT running the join.
+    "q164_join_fanout_audit" -> ((s, dir) => {
+      Relational.joinFanoutAudit(Tables.customer(s, dir),
+          Tables.orders(s, dir), "c_custkey", "o_custkey")
+        .orderBy("ml", "mr")
+    }),
+
+    // Market-basket pair mining: within-order part co-occurrence,
+    // support + lift, top-k by support with id tiebreaks.
+    "q165_market_basket" -> ((s, dir) => {
+      Relational.marketBasketPairs(Tables.lineitem(s, dir))
+        .orderBy("rank")
+    }),
+
     // TPC-H Q7 shape (cross-nation volume shipping): the OR'd
     // nation-pair predicate sits on the broadcast n1×n2 pair frame,
     // by-year rollup of bilateral trade.
@@ -4299,6 +4314,47 @@ object SparkEntry {
         |       (count(DISTINCT sensitive) < 2) AS at_risk_l
         |FROM t GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q164: same two keyed counts + full-outer multiplicity classes.
+    "q164_join_fanout_audit" ->
+      """WITH l AS (SELECT c_custkey AS k, count(*) AS ml
+        |           FROM customer GROUP BY 1),
+        |r AS (SELECT o_custkey AS k, count(*) AS mr
+        |      FROM orders GROUP BY 1),
+        |j AS (SELECT COALESCE(l.k, r.k) AS k,
+        |             COALESCE(ml, 0) AS ml, COALESCE(mr, 0) AS mr
+        |      FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT ml::BIGINT AS ml, mr::BIGINT AS mr,
+        |       count(*)::BIGINT AS n_keys,
+        |       (count(*) * ml * mr)::BIGINT AS out_rows,
+        |       min(k) AS example_key
+        |FROM j GROUP BY ml, mr ORDER BY 1, 2""".stripMargin,
+
+    // q165: identical pair space (distinct within-order items,
+    // a.part < b.part), support floor, lift as one IEEE division.
+    "q165_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS oid, l_partkey AS part
+        |  FROM lineitem),
+        |n AS (SELECT count(DISTINCT oid) AS n_orders FROM items),
+        |freq AS (SELECT part, count(*) AS cnt FROM items GROUP BY 1),
+        |p AS (
+        |  SELECT a.part AS part_a, b.part AS part_b,
+        |         count(*)::BIGINT AS support
+        |  FROM items a JOIN items b ON a.oid = b.oid AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |s AS (
+        |  SELECT p.part_a, p.part_b, p.support,
+        |         fa.cnt::BIGINT AS cnt_a, fb.cnt::BIGINT AS cnt_b,
+        |         p.support * n.n_orders / (fa.cnt * fb.cnt) AS lift
+        |  FROM p JOIN freq fa ON fa.part = p.part_a
+        |  JOIN freq fb ON fb.part = p.part_b, n)
+        |SELECT rank, part_a, part_b, support, cnt_a, cnt_b,
+        |       floor(lift * 10000 + 0.5) / 10000 AS lift
+        |FROM (SELECT *, row_number() OVER (
+        |        ORDER BY support DESC, part_a, part_b)::BIGINT AS rank
+        |      FROM s)
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // q163: identical nation-pair OR predicate and by-year rollup.
     "q163_volume_shipping" ->

@@ -465,6 +465,72 @@ object Relational {
     * window sort), `direct` is the anti-join remainder, and the final
     * rollup is a 10-row aggregate.
     */
+  /** Join fan-out audit (q164) — the pre-flight a 100 TB join should
+    * always run: per-key multiplicities on BOTH sides collapse to a
+    * (multiplicity-left × multiplicity-right) histogram whose
+    * Σ n_keys·ml·mr IS the exact join output cardinality, and whose
+    * tail rows are the skew keys AQE or salting must handle. The
+    * histogram is computed from two keyed counts (map-side combined)
+    * joined full-outer — never from the join itself, which is the
+    * point: you learn the blow-up factor without paying it.
+    * Emits one row per (ml, mr) multiplicity class: key count, the
+    * exact output rows that class contributes, plus each class's
+    * min key as the skew exemplar.
+    */
+  def joinFanoutAudit(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("k"))
+      .agg(count(lit(1)).as("ml"))
+    val r = right.groupBy(col(rightKey).as("k"))
+      .agg(count(lit(1)).as("mr"))
+    l.join(r, Seq("k"), "full_outer")
+      .na.fill(0L, Seq("ml", "mr"))
+      .groupBy(col("ml"), col("mr"))
+      .agg(count(lit(1)).as("n_keys"), min(col("k")).as("example_key"),
+        (count(lit(1)) * first(col("ml")) * first(col("mr")))
+          .as("out_rows"))
+      .select(col("ml"), col("mr"), col("n_keys"), col("out_rows"),
+        col("example_key"))
+  }
+
+  /** Market-basket pair mining (q165) — co-occurrence of parts within
+    * an order: pair support counts and lift
+    * (support·N / (cnt_a·cnt_b)). The pair space is bounded by the
+    * per-basket line count (C(lines,2) per order — baskets are small
+    * by business construction), NOT by the catalog; the self-join is
+    * keyed on the basket id so pairs never leave their partition
+    * until the (a,b) support aggregate.
+    */
+  def marketBasketPairs(lineitem: DataFrame, minSupport: Long = 3,
+                        topK: Int = 50): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("oid"),
+      col("l_partkey").as("part")).distinct()
+    val nOrders = items.select(col("oid")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val freq = items.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.oid") === col("b.oid") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val scored = pairs
+      .join(freq.select(col("part").as("part_a"), col("cnt").as("cnt_a")),
+        "part_a")
+      .join(freq.select(col("part").as("part_b"), col("cnt").as("cnt_b")),
+        "part_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift",
+        col("support") * col("n_orders") / (col("cnt_a") * col("cnt_b")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("support").desc, col("part_a").asc,
+      col("part_b").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("part_a"), col("part_b"), col("support"),
+        col("cnt_a"), col("cnt_b"),
+        (floor(col("lift") * 10000 + lit(0.5)) / 10000).as("lift"))
+  }
+
   /** Incremental sessionization with state handoff (q162) — the
     * batch-boundary form of q28's session windows, and the IVM
     * pattern (q105) applied to gaps-and-islands: sessionize each
