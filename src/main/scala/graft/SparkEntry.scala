@@ -1734,6 +1734,12 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // Kaplan-Meier survival: first-view -> first-purchase durations
+    // with right-censoring at observation end; ascending-t product.
+    "q166_kaplan_meier" -> ((s, dir) => {
+      Relational.kaplanMeier(Tables.events(s, dir)).orderBy("t_days")
+    }),
+
     // Join fan-out audit: exact output-cardinality histogram by
     // (ml, mr) multiplicity class, computed WITHOUT running the join.
     "q164_join_fanout_audit" -> ((s, dir) => {
@@ -4314,6 +4320,35 @@ object SparkEntry {
         |       (count(DISTINCT sensitive) < 2) AS at_risk_l
         |FROM t GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q166: same duration/censoring bookkeeping; the survival product
+    // is DuckDB's sequential window product() vs the engine's
+    // ascending-t fold — the same multiply sequence.
+    "q166_kaplan_meier" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS te
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.t0 GROUP BY 1),
+        |mx AS (SELECT max(ts) AS t_max FROM events),
+        |dur AS (
+        |  SELECT v.user_id,
+        |         floor((epoch_us(COALESCE(p.te, mx.t_max)) -
+        |                epoch_us(v.t0)) / 86400000000)::BIGINT AS dur,
+        |         (p.te IS NOT NULL) AS observed
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id, mx),
+        |deaths AS (SELECT dur AS t, count(*)::BIGINT AS d
+        |           FROM dur WHERE observed GROUP BY 1),
+        |risk AS (SELECT deaths.t, count(*)::BIGINT AS n_risk
+        |         FROM dur, deaths WHERE dur.dur >= deaths.t GROUP BY 1),
+        |c AS (SELECT t, n_risk, d FROM deaths JOIN risk USING (t))
+        |SELECT t AS t_days, n_risk, d AS d_events,
+        |       floor(product(1.0 - d::DOUBLE / n_risk::DOUBLE)
+        |               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |             * 10000 + 0.5) / 10000 AS survival
+        |FROM c ORDER BY t_days""".stripMargin,
 
     // q164: same two keyed counts + full-outer multiplicity classes.
     "q164_join_fanout_audit" ->

@@ -531,6 +531,68 @@ object Relational {
         (floor(col("lift") * 10000 + lit(0.5)) / 10000).as("lift"))
   }
 
+  /** Kaplan–Meier survival curve (q166) — time-to-event analytics
+    * over the funnel: duration = days from a user's first 'view' to
+    * their first subsequent 'purchase'; users who never purchase are
+    * RIGHT-CENSORED at the observation end (global max ts — the
+    * estimator's whole point is that censored users still count in
+    * the at-risk denominator until they drop out). At each distinct
+    * event day t: n_t = |{duration ≥ t}| (events + censored),
+    * d_t = events at t, Ŝ(t) = Π_{s≤t} (1 − d_s/n_s).
+    *
+    * Determinism: counts are integers; the survival product folds in
+    * ascending-t order on both engines (a per-curve `aggregate` over
+    * the ≤|window-days| day list here, DuckDB's sequential window
+    * `product()` there) — the same IEEE multiply sequence.
+    *
+    * Scale: per-user firsts are two keyed min-aggregates; the at-risk
+    * counts join users against the ≤|days| broadcast day frame; the
+    * curve fold touches one bounded list. Nothing scans history
+    * twice.
+    */
+  def kaplanMeier(events: DataFrame, startType: String = "view",
+                  eventType: String = "purchase"): DataFrame = {
+    val v = events.filter(col("event_type") === startType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val p = events.filter(col("event_type") === eventType).as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id"))
+      .filter(col("e.ts") > col("t0"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts")).as("te"))
+    val obsEnd = events.agg(max(col("ts")).as("t_max"))
+    val durations = v.join(p, Seq("user_id"), "left")
+      .crossJoin(broadcast(obsEnd))
+      .select(col("user_id"),
+        floor((unix_micros(coalesce(col("te"), col("t_max"))) -
+          unix_micros(col("t0"))) / 86400000000L).cast("long").as("dur"),
+        col("te").isNotNull.as("observed"))
+    val deaths = durations.filter(col("observed"))
+      .groupBy(col("dur").as("t")).agg(count(lit(1)).as("d"))
+    val atRisk = durations.crossJoin(broadcast(deaths.select(col("t"))))
+      .filter(col("dur") >= col("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_risk"))
+    val curveIn = deaths.join(atRisk, Seq("t"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("t"), col("n_risk"),
+        col("d")))).as("xs"))
+    val folded = aggregate(col("xs"),
+      expr("CAST(array() AS ARRAY<STRUCT<t: BIGINT, n_risk: BIGINT," +
+        " d: BIGINT, s: DOUBLE>>)"),
+      (acc, x) => {
+        val prev = when(size(acc) === 0, lit(1.0))
+          .otherwise(element_at(acc, size(acc)).getField("s"))
+        concat(acc, array(struct(
+          x.getField("t").as("t"), x.getField("n_risk").as("n_risk"),
+          x.getField("d").as("d"),
+          (prev * (lit(1.0) - x.getField("d").cast("double") /
+            x.getField("n_risk").cast("double"))).as("s"))))
+      })
+    curveIn.select(explode(folded).as("r"))
+      .select(col("r.t").as("t_days"), col("r.n_risk").as("n_risk"),
+        col("r.d").as("d_events"),
+        (floor(col("r.s") * 10000 + lit(0.5)) / 10000).as("survival"))
+  }
+
   /** Incremental sessionization with state handoff (q162) — the
     * batch-boundary form of q28's session windows, and the IVM
     * pattern (q105) applied to gaps-and-islands: sessionize each

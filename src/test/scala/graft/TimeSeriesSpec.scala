@@ -402,4 +402,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(g2.getLong(3) == 1L && g2.getLong(4) == 1L)
     assert(g2.getBoolean(5) && g2.getBoolean(6), s"$g2")
   }
+
+  test("q166 Kaplan-Meier: censored users stay in the at-risk denominator") {
+    import graft.operators.Relational
+    // A and C: view day0 -> purchase day2. B: view day0, never
+    // purchases; a day-5 click pins the observation end, so B is
+    // censored at dur 5 and must count as at-risk at t=2.
+    val d = 86400L
+    val evs = Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, 2 * d, "purchase"),
+      (3L, 2L, 0L, "view"),
+      (4L, 3L, 0L, "view"), (5L, 3L, 2 * d, "purchase"),
+      (6L, 2L, 5 * d, "click"))
+      .map { case (id, u, sec, tp) =>
+        (id, u, new Timestamp(sec * 1000L), tp, 1.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Relational.kaplanMeier(evs).collect()
+    assert(out.length == 1, s"one event day: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L && r.getLong(2) == 2L,
+      s"t/n_risk/d: $r")
+    assert(r.getDouble(3) == 0.3333, s"S(2) = 1 - 2/3 r4-floored: $r")
+  }
 }
