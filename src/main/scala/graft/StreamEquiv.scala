@@ -311,6 +311,40 @@ object StreamEquiv {
       record("windowed_heavy_hitters", got.size.toLong, ok)
     }
 
+    // ── shape 8: CUSUM change-point alarms (q151's streaming twin) ─────
+    locally {
+      import graft.streaming.StreamingCusum.CPt
+      val outDir = tmp("se-cusum-out")
+      // calibration: the per-key mean q151's batch job derives — fed
+      // identically to both forms (stream-static join in production)
+      val means = events.filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg((sum(col("value")) / count(lit(1))).as("mean"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val in = MemoryStream[CPt]
+      val det = graft.streaming.StreamingCusum.detect(spark, in.toDF())
+      val q = det.toDF().writeStream.format("parquet")
+        .option("checkpointLocation", tmp("se-cusum-cp"))
+        .option("path", outDir).outputMode("append").start()
+      val pts = rows.filter(r => means.contains(r.user_id)).map(r =>
+        CPt(r.user_id.toString, r.ts, r.event_id, r.value,
+          means(r.user_id)))
+      try {
+        pts.grouped(math.max(1, pts.length / 3)).foreach { c =>
+          in.addData(c.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.read.parquet(outDir)
+        .filter(col("alarm")).groupBy(col("key"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0).toLong -> r.getLong(1)).toMap
+      val want = graft.operators.TimeSeries.cusum(events)
+        .select(col("user_id"), col("n_alarms")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .filter(_._2 > 0)
+      record("cusum_alarms", got.values.sum, got == want)
+    }
+
     val shapes = results.map { case (n, (r, ok)) =>
       s""""$n":{"rows":$r,"match":$ok}"""
     }.mkString("{", ",", "}")
