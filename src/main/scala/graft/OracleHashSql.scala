@@ -1483,6 +1483,45 @@ SELECT shard_id, n_docs, sum_bytes,
        min_doc, max_doc, fpsum::VARCHAR AS fingerprint
 FROM g, t ORDER BY shard_id"""
 
+  /** Oracle for q167: CUPED A/B readout. Seed-11 hash arms (q97
+    * machinery), cent-integer HUGEINT moments, the identical five-op
+    * IEEE adjustment formula.
+    */
+  def q167AbCuped(splitTs: String = "2024-01-16 00:00:00"): String =
+    s"""WITH u AS MATERIALIZED (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '$splitTs'
+                  THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END) AS x_c,
+         sum(CASE WHEN ts >= TIMESTAMP '$splitTs'
+                  THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END) AS y_c
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+a AS (
+  SELECT user_id, x_c, y_c, (((hv % 2) + 2) % 2)::BIGINT AS arm
+  FROM (SELECT user_id, x_c, y_c, ${toS("hmix")} AS hv FROM (${mixSubq(
+        "SELECT user_id, x_c, y_c FROM u",
+        fnvFold(xor64(OFF, mulMod("11::HUGEINT", GOLD)),
+          strBytes("user_id::VARCHAR")))}))),
+m AS (
+  SELECT count(*)::HUGEINT AS n, sum(x_c)::HUGEINT AS sx,
+         sum(y_c)::HUGEINT AS sy,
+         sum(x_c::HUGEINT * y_c::HUGEINT) AS sxy,
+         sum(x_c::HUGEINT * x_c::HUGEINT) AS sxx
+  FROM a),
+t AS (
+  SELECT (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+           AS theta,
+         sx::DOUBLE / n::DOUBLE AS xbar
+  FROM m)
+SELECT arm, count(*)::BIGINT AS n_users,
+       floor((sum(y_c)::DOUBLE / count(*)::DOUBLE / 100.0) * 10000 + 0.5)
+         / 10000 AS mean_y,
+       floor((sum(y_c)::DOUBLE / count(*)::DOUBLE / 100.0 -
+              t.theta * (sum(x_c)::DOUBLE / count(*)::DOUBLE / 100.0 -
+                         t.xbar / 100.0)) * 10000 + 0.5) / 10000
+         AS mean_y_adj,
+       floor(t.theta * 10000 + 0.5) / 10000 AS theta
+FROM a, t GROUP BY arm, t.theta, t.xbar ORDER BY arm"""
+
   /** Oracle for q160: hour-of-day seasonal Holt-Winters — the same
     * 27-lane [l, b, s0..s23, n] list fold (q140 technique), slot
     * update via dynamic-index list_transform(range) rebuild.

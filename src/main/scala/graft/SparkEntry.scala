@@ -1734,6 +1734,12 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // CUPED A/B readout: hash-assigned arms, pre-period covariate,
+    // variance-reduced adjusted means (cent-exact integer moments).
+    "q167_ab_cuped" -> ((s, dir) => {
+      Relational.abCuped(Tables.events(s, dir)).orderBy("arm")
+    }),
+
     // Kaplan-Meier survival: first-view -> first-purchase durations
     // with right-censoring at observation end; ascending-t product.
     "q166_kaplan_meier" -> ((s, dir) => {
@@ -4297,6 +4303,7 @@ object SparkEntry {
     "q157_shard_manifest" -> OracleHashSql.q157ShardManifest(),
     "q158_mmr_rerank" -> OracleHashSql.q158Mmr(),
     "q160_holt_winters_hourly" -> OracleHashSql.q160HoltWinters,
+    "q167_ab_cuped" -> OracleHashSql.q167AbCuped(),
 
     // q161: identical QI grouping, first-order sensitive value,
     // integer risk rules.

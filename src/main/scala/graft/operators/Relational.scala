@@ -531,6 +531,69 @@ object Relational {
         (floor(col("lift") * 10000 + lit(0.5)) / 10000).as("lift"))
   }
 
+  /** A/B experiment readout with CUPED (q167) — Deng et al., WSDM'13:
+    * hash-assign users to arms (content-addressed, the q30/q157
+    * convention), take each user's PRE-period metric as the
+    * covariate, and report per-arm means of both the raw post-period
+    * metric and the CUPED-adjusted one
+    *   y* = y − θ·(x − x̄),  θ = cov(x,y)/var(x)
+    * which strips the pre-existing between-user variance out of the
+    * readout. DETERMINISM: per-user metrics are CENT-INTEGER sums
+    * (exact longs), so every corpus-level Σx, Σy, Σxy, Σx² is exact
+    * in DECIMAL(38,0)/HUGEINT; θ, x̄ and the arm means are then a
+    * FIXED five-op IEEE formula over those exact integers —
+    * bit-identical cross-engine, no order-dependent double folds.
+    *
+    * Scale: one scan to per-user cents (map-side combined), one
+    * KB-scale moment aggregate, one broadcast back. The experiment
+    * readout is a 2-row frame.
+    */
+  def abCuped(events: DataFrame, splitTs: String = "2024-01-16 00:00:00")
+      : DataFrame = {
+    val spark = events.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val split = to_timestamp(lit(splitTs))
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val perUser = events.filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < split, cents).otherwise(0L)).as("x_c"),
+        sum(when(col("ts") >= split, cents).otherwise(0L)).as("y_c"))
+      .withColumn("arm",
+        pmod(graft.functions.GraftFunctions.hash64Seeded(lit(11L),
+          col("user_id").cast("string")), lit(2L)))
+    val dec = "decimal(38,0)"
+    val mom = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x_c")).cast(dec).as("sx"),
+      sum(col("y_c")).cast(dec).as("sy"),
+      sum(col("x_c").cast(dec) * col("y_c").cast(dec)).as("sxy"),
+      sum(col("x_c").cast(dec) * col("x_c").cast(dec)).as("sxx"))
+    // θ = (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²): one division over exact
+    // integers; x̄ likewise. Both engines read the same decimals.
+    val withTheta = perUser.crossJoin(broadcast(mom))
+      .withColumn("theta",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("xbar", col("sx").cast("double") / col("n").cast("double"))
+    withTheta
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y_c")).cast(dec).as("sy_a"),
+        sum(col("x_c")).cast(dec).as("sx_a"),
+        first(col("theta")).as("theta"), first(col("xbar")).as("xbar"))
+      .select(col("arm"), col("n_users"),
+        (floor((col("sy_a").cast("double") / col("n_users").cast("double")
+          / 100.0) * 10000 + lit(0.5)) / 10000).as("mean_y"),
+        (floor((col("sy_a").cast("double") / col("n_users").cast("double")
+          / 100.0 -
+          col("theta") * (col("sx_a").cast("double")
+            / col("n_users").cast("double") / 100.0
+            - col("xbar") / 100.0)) * 10000 + lit(0.5)) / 10000)
+          .as("mean_y_adj"),
+        (floor(col("theta") * 10000 + lit(0.5)) / 10000).as("theta"))
+  }
+
   /** Kaplan–Meier survival curve (q166) — time-to-event analytics
     * over the funnel: duration = days from a user's first 'view' to
     * their first subsequent 'purchase'; users who never purchase are

@@ -424,4 +424,28 @@ class TimeSeriesSpec extends SparkSpec {
       s"t/n_risk/d: $r")
     assert(r.getDouble(3) == 0.3333, s"S(2) = 1 - 2/3 r4-floored: $r")
   }
+
+  test("q167 CUPED: perfect covariate (y=x) collapses both arms to the global mean, theta=1") {
+    import graft.operators.Relational
+    // each user's pre value equals their post value -> cov(x,y)=var(x)
+    // -> theta=1 and y* = xbar for EVERY user: adjusted arm means must
+    // be identical even though raw means differ by arm.
+    val pre = 100L    // epoch seconds: well before the split
+    val post = 1800000000L
+    val evs = (1L to 20L).flatMap { u =>
+      val v = u.toDouble * 10.0
+      Seq((u * 2, u, pre, v), (u * 2 + 1, u, post, v))
+    }
+    val df = evs.map { case (id, u, sec, v) =>
+      (id, u, new Timestamp(sec * 1000L), v) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Relational.abCuped(df, "2024-01-01 00:00:00").collect()
+    assert(out.length == 2, s"${out.toSeq}")
+    val thetas = out.map(_.getDouble(4)).distinct
+    assert(thetas.toSeq == Seq(1.0), s"theta: ${thetas.toSeq}")
+    val adj = out.map(_.getDouble(3)).distinct
+    assert(adj.length == 1, s"adjusted means must coincide: ${out.toSeq}")
+    val raw = out.map(_.getDouble(2)).distinct
+    assert(raw.length == 2, "raw means differ by arm on this fixture")
+  }
 }
