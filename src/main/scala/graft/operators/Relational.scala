@@ -524,8 +524,14 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("support").desc, col("part_a").asc,
       col("part_b").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
+    // global top-k as TakeOrderedAndProject (per-partition partial
+    // top-k, no global sort — Spark never WindowGroupLimits an
+    // UNpartitioned rank window), then number the 50 survivors with
+    // the trivial window
+    scored.orderBy(col("support").desc, col("part_a").asc,
+        col("part_b").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("part_a"), col("part_b"), col("support"),
         col("cnt_a"), col("cnt_b"),
         (floor(col("lift") * 10000 + lit(0.5)) / 10000).as("lift"))
