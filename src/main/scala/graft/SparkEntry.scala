@@ -1981,6 +1981,22 @@ object SparkEntry {
     // ORC round-trip: parquet -> ORC on disk -> schema'd read ->
     // per-source aggregate (q67's contract on the second columnar
     // format; the oracle reads the parquet truth directly).
+    // Avro OCF round-trip: parquet -> one container file per
+    // partition -> schema-gated decode -> per-source aggregate
+    // (q141's contract on the third ROW format; oracle reads the
+    // parquet truth).
+    "q168_avro_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_q168_${math.abs(dir.hashCode)}"
+      graft.sources.AvroFileIO.writeOcf(docs, path)
+      graft.sources.AvroFileIO.readOcf(s, path, docs.schema)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .orderBy("source")
+    }),
+
     "q141_orc_roundtrip" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = s"${System.getProperty("java.io.tmpdir")}" +
@@ -4053,6 +4069,14 @@ object SparkEntry {
         |       floor((st[1] + 2.0 * st[2]) * 10000 + 0.5) / 10000 AS f2,
         |       floor((st[1] + 3.0 * st[2]) * 10000 + 0.5) / 10000 AS f3
         |FROM f ORDER BY user_id""".stripMargin,
+
+    // q168: the Avro-OCF round-trip must reproduce the parquet truth
+    // exactly (q141's contract, third row format).
+    "q168_avro_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_chars,
+        |       count(DISTINCT md5(text))::BIGINT AS n_distinct_texts
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // q141: the ORC round-trip must reproduce the parquet truth
     // exactly (q67's contract, second columnar format).

@@ -131,4 +131,31 @@ class ApproxAndSourcesSpec extends SparkSpec {
     val agg = ev.groupBy(window(col("ts"), "1 minute")).count()
     assert(agg.isStreaming)
   }
+
+  test("q168 Avro OCF round-trip: values, nulls, and per-partition containers preserved") {
+    import graft.sources.AvroFileIO
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType),
+      StructField("score", DoubleType), StructField("ok", BooleanType)))
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, true),
+      Row(2L, null, 2.5, false),
+      Row(3L, "gamma", null, true))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-avro-ocf").toFile.getAbsolutePath
+    AvroFileIO.writeOcf(df, path)
+    // one container per partition
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".avro")) == 2)
+    val back = AvroFileIO.readOcf(spark, path, schema)
+      .collect().sortBy(_.getLong(0))
+    assert(back.length == 3)
+    assert(back(0) == Row(1L, "alpha", 1.5, true))
+    assert(back(1).isNullAt(1) && back(1).getDouble(2) == 2.5)
+    assert(back(2).getString(1) == "gamma" && back(2).isNullAt(2))
+  }
 }
