@@ -1483,6 +1483,40 @@ SELECT shard_id, n_docs, sum_bytes,
        min_doc, max_doc, fpsum::VARCHAR AS fingerprint
 FROM g, t ORDER BY shard_id"""
 
+  /** Oracle for q169: erasure-cascade audit. Seed-13 hash cohort,
+    * the same FK cascade, HUGEINT key-sum fingerprints.
+    */
+  def q169ErasureAudit(modulus: Int = 37): String =
+    s"""WITH cohort AS MATERIALIZED (
+  SELECT c_custkey FROM (
+    SELECT c_custkey, ${toS("hmix")} AS hv FROM (${mixSubq(
+        "SELECT c_custkey FROM customer",
+        fnvFold(xor64(OFF, mulMod("13::HUGEINT", GOLD)),
+          strBytes("c_custkey::VARCHAR")))}))
+  WHERE ((hv % $modulus) + $modulus) % $modulus = 0),
+ords AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey FROM orders
+  JOIN cohort ON o_custkey = c_custkey),
+lines AS (
+  SELECT l_orderkey, l_linenumber, o_custkey FROM lineitem
+  JOIN ords ON l_orderkey = o_orderkey)
+SELECT * FROM (
+  SELECT 'customer' AS table_name, count(*)::BIGINT AS n_rows,
+         count(DISTINCT c_custkey)::BIGINT AS n_subjects,
+         sum(c_custkey::HUGEINT)::VARCHAR AS key_fingerprint
+  FROM cohort
+  UNION ALL
+  SELECT 'lineitem', count(*),
+         count(DISTINCT o_custkey),
+         sum((l_orderkey * 10 + l_linenumber)::HUGEINT)::VARCHAR
+  FROM lines
+  UNION ALL
+  SELECT 'orders', count(*),
+         count(DISTINCT o_custkey),
+         sum(o_orderkey::HUGEINT)::VARCHAR
+  FROM ords)
+ORDER BY table_name"""
+
   /** Oracle for q167: CUPED A/B readout. Seed-11 hash arms (q97
     * machinery), cent-integer HUGEINT moments, the identical five-op
     * IEEE adjustment formula.

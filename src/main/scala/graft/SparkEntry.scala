@@ -1734,6 +1734,15 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // GDPR erasure-cascade audit: hash-selected deletion cohort,
+    // per-table purge counts down the FK chain + tombstone
+    // fingerprints the deletion job must reproduce.
+    "q169_erasure_audit" -> ((s, dir) => {
+      Relational.erasureAudit(Tables.customer(s, dir),
+          Tables.orders(s, dir), Tables.lineitem(s, dir))
+        .orderBy("table_name")
+    }),
+
     // CUPED A/B readout: hash-assigned arms, pre-period covariate,
     // variance-reduced adjusted means (cent-exact integer moments).
     "q167_ab_cuped" -> ((s, dir) => {
@@ -4328,6 +4337,7 @@ object SparkEntry {
     "q158_mmr_rerank" -> OracleHashSql.q158Mmr(),
     "q160_holt_winters_hourly" -> OracleHashSql.q160HoltWinters,
     "q167_ab_cuped" -> OracleHashSql.q167AbCuped(),
+    "q169_erasure_audit" -> OracleHashSql.q169ErasureAudit(),
 
     // q161: identical QI grouping, first-order sensitive value,
     // integer risk rules.

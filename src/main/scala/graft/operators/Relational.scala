@@ -537,6 +537,50 @@ object Relational {
         (floor(col("lift") * 10000 + lit(0.5)) / 10000).as("lift"))
   }
 
+  /** GDPR erasure-cascade audit (q169) — the right-to-be-forgotten
+    * pre-flight: given a deletion cohort (here hash-selected, the
+    * q157 content-addressed convention — in production the DSR
+    * queue), report what a cascading delete would touch BEFORE
+    * running it: direct customer rows, orders via the FK, lineitems
+    * via the order FK — per table the purged row count, the distinct
+    * root subjects implicated, and a tombstone-manifest fingerprint
+    * (commutative key sum, q157's integrity convention) the actual
+    * deletion job must reproduce.
+    *
+    * Scale: the cohort derives from a scan predicate (no list
+    * shipping); each cascade level is one semi-join down the FK
+    * chain — the same joins the delete itself would run, minus the
+    * writes.
+    */
+  def erasureAudit(customer: DataFrame, orders: DataFrame,
+                   lineitem: DataFrame, modulus: Int = 37): DataFrame = {
+    val spark = customer.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cohort = customer.filter(
+      pmod(graft.functions.GraftFunctions.hash64Seeded(lit(13L),
+        col("c_custkey").cast("string")), lit(modulus.toLong)) === 0L)
+      .select(col("c_custkey"))
+    val ords = orders.join(cohort, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lines = lineitem.join(ords,
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"))
+    def manifest(df: DataFrame, table: String,
+                 keyExpr: org.apache.spark.sql.Column,
+                 subject: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(subject).as("n_subjects"),
+        sum(keyExpr.cast("decimal(38,0)")).cast("decimal(38,0)")
+          .cast("string").as("key_fingerprint"))
+        .select(lit(table).as("table_name"), col("n_rows"),
+          col("n_subjects"), col("key_fingerprint"))
+    manifest(cohort, "customer", col("c_custkey"), col("c_custkey"))
+      .unionByName(manifest(ords, "orders", col("o_orderkey"),
+        col("o_custkey")))
+      .unionByName(manifest(lines, "lineitem",
+        col("l_orderkey") * 10 + col("l_linenumber"), col("o_custkey")))
+  }
+
   /** A/B experiment readout with CUPED (q167) — Deng et al., WSDM'13:
     * hash-assign users to arms (content-addressed, the q30/q157
     * convention), take each user's PRE-period metric as the
