@@ -593,6 +593,56 @@ ORDER BY cluster_id"""
     * positions where the window hash ≡ 0 mod 64 become chunk
     * boundaries via a sorted boundary list.
     */
+  /** Oracle for q176: robust winnowing fingerprints
+    * (= TextAnalysis.winnowFingerprints, k-gram polyhash64 folded to
+    * 32 bits, window w, min-rightmost selection). The engine's
+    * lag/lead chain criterion (L+R+1 ≥ w) is mirrored verbatim — the
+    * chain⇔argmin equivalence itself is property-tested against a
+    * sequential textbook scan in WinnowingSpec, and the k-gram hash is
+    * the same direct polynomial fold q54's oracle uses.
+    */
+  def q176Winnow(k: Int = 8, w: Int = 4): String = {
+    val lagCols = (1 until w).map(i => s"lag(hv, $i) OVER win AS l$i")
+    val leadCols = (1 until w).map(i => s"lead(hv, $i) OVER win AS r$i")
+    // nested-CASE chain length: stops at the first failing (or null)
+    // neighbor comparison, exactly like the engine's foldRight of whens
+    def chainExpr(name: Int => String, op: String): String = {
+      def go(i: Int): String =
+        if (i == w) (w - 1).toString
+        else s"CASE WHEN ${name(i)} $op hv THEN ${
+          if (i == w - 1) i.toString else go(i + 1)
+        } ELSE ${i - 1} END"
+      go(1)
+    }
+    val lExpr = chainExpr(i => s"l$i", ">=")
+    val rExpr = chainExpr(i => s"r$i", ">")
+    s"""WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT) AS b,
+         length(text)::BIGINT AS n
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(range(1, n - $k + 2)) AS pos, b
+  FROM t WHERE n >= $k),
+h AS (
+  SELECT doc_id, pos::BIGINT AS pos,
+         ((${polyFold(s"b[pos:pos+${k - 1}]")}) % 4294967296)::BIGINT AS hv
+  FROM g),
+nb AS (
+  SELECT doc_id, pos, hv, ${(lagCols ++ leadCols).mkString(", ")}
+  FROM h WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (
+  SELECT doc_id, hv,
+         (($lExpr) + ($rExpr) + 1 >= $w) AS sel
+  FROM nb)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN sel THEN 1 ELSE 0 END)::BIGINT AS n_fps,
+       sum(CASE WHEN sel THEN hv END)::BIGINT AS fp_sum,
+       min(CASE WHEN sel THEN hv END)::BIGINT AS fp_min,
+       max(CASE WHEN sel THEN hv END)::BIGINT AS fp_max
+FROM s GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   def q54CdcChunks: String =
     s"""WITH t AS (
   SELECT doc_id, text,

@@ -2017,6 +2017,155 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_distinct_texts"))
         .orderBy("source")
     }),
+
+    // Grouped 2-D skyline: per market segment, the Pareto frontier of
+    // customers maximizing account balance while minimizing lifetime
+    // spend (churn-risk review list: money parked, little bought).
+    // Both objectives are exact integer cents; the oracle is the
+    // textbook NOT-EXISTS dominance test, certifying the
+    // window-reduction in Relational.skyline2d.
+    "q170_skyline_customers" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val spend = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_mktsegment"), col("c_custkey"), col("c_name"),
+          col("c_acctbal"))
+        .agg(coalesce(sum(cents), lit(0L)).as("spend_c"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_c"),
+          col("spend_c"))
+      Relational.skyline2d(spend, "c_mktsegment", "bal_c", "spend_c")
+        .select("c_mktsegment", "c_custkey", "c_name", "bal_c", "spend_c")
+        .orderBy(col("c_mktsegment"), col("bal_c").desc, col("spend_c"),
+          col("c_custkey"))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): the left
+    // join carries the priority filter IN THE JOIN CONDITION (a WHERE
+    // would turn it inner and drop zero-order customers), then two
+    // cascading aggregations — the second runs on the tiny
+    // (count, custdist) domain.
+    "q171_order_count_distribution" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("o_custkey") === col("c_custkey") &&
+            col("o_orderpriority") =!= lit("1-URGENT"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): the classic correlated
+    // per-part average decorrelated into a WINDOW over l_partkey — the
+    // shuffle for the brand-filtered join on l_partkey is the SAME
+    // hash partitioning the window needs, so Catalyst reuses one
+    // exchange instead of the textbook self-join's two. Quantities are
+    // integral doubles, so the per-part mean is an exact-sum/count
+    // division on both engines; revenue folds integer cents.
+    "q172_small_qty_revenue" -> ((s, dir) => {
+      val brands = Seq("Brand#1", "Brand#2", "Brand#3")
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_brand").isin(brands: _*)),
+          col("p_partkey") === col("l_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      li.withColumn("aq", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < lit(0.5) * col("aq"))
+        .groupBy(col("p_brand"))
+        .agg(
+          r2(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+            / 100.0 / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+        .orderBy("p_brand")
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting), re-keyed to
+    // this schema: in 'F' orders with ≥2 distinct suppliers, the ONE
+    // supplier whose lines were returned when nobody else's were. The
+    // EXISTS / NOT-EXISTS pair becomes one per-order aggregate (two
+    // distinct-counts) joined back — both shuffles share the orderkey
+    // partitioning; supplier is broadcast.
+    "q173_waiting_suppliers" -> ((s, dir) => {
+      val fLines = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      val perOrder = fLines
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_ret"))
+        .filter(col("n_supps") >= 2 && col("n_ret") === 1)
+      val blamed = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      blamed
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(25)
+    }),
+
+    // TPC-H Q22 shape (rich-but-inactive customers): global
+    // positive-balance average as a broadcast scalar, an anti-join
+    // against urgent orders, nation rollup. The threshold compare is
+    // exact integer cross-multiplication (bal_c·n > Σbal_c) — no
+    // division, no float-order sensitivity in the average.
+    "q174_inactive_rich_customers" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val c = Tables.customer(s, dir)
+        .withColumn("bal_c",
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long"))
+      val mom = c.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("bal_c")).cast(dec).as("s_c"), count(lit(1)).as("n"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(mom))
+        .filter(col("bal_c").cast(dec) * col("n") > col("s_c"))
+        .join(urgent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"),
+          (sum(col("bal_c")) / 100.0).as("total_bal"))
+        .orderBy("n_name")
+    }),
+
+    // Benford first-digit forensic audit of order amounts per
+    // priority class (this synthetic feed is uniform, so dev_micro is
+    // large everywhere — exactly what the audit should report).
+    "q175_benford_audit" -> ((s, dir) => {
+      Relational.benfordAudit(Tables.orders(s, dir), "o_orderpriority",
+          "o_totalprice")
+        .select(col("o_orderpriority").as("prio"), col("digit"),
+          col("obs"), col("n"), col("dev_micro"))
+        .orderBy("prio", "digit")
+    }),
+
+    // Robust winnowing (MOSS) fingerprints per document — the
+    // plagiarism-detection fingerprint family member q25 (full-doc
+    // rolling hash) and q15 (shingle set) bracket; certified as the
+    // full selected SET per doc (count+sum+min+max).
+    "q176_winnow_fingerprints" -> ((s, dir) => {
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    }),
+
+    // Matryoshka truncation audit: recall@10 of prefix-16-dim cosine
+    // retrieval vs the full 64-dim ranking, per query.
+    "q177_matryoshka_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.matryoshkaRecall(s, emb,
+          emb.filter(col("vec_id") < 20), 10, 16)
+        .orderBy("query_id")
+    }),
   )
 
   /** Bench-only twins: timed by [[Bench]] alongside `queries` but
@@ -4686,5 +4835,163 @@ object SparkEntry {
         |       floor(sum(d * d2) / nullif(sum(d * d), 0) * 10000 + 0.5) / 10000 AS r2,
         |       floor(sum(d * d3) / nullif(sum(d * d), 0) * 10000 + 0.5) / 10000 AS r3
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q170: the TEXTBOOK dominance definition (NOT EXISTS a strictly
+    // better row) — deliberately independent of the engine's
+    // window-reduction, so the hash match certifies the reduction.
+    "q170_skyline_customers" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, c_custkey, c_name,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+        |         coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+        |                  0)::BIGINT AS spend_c
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT c_mktsegment, c_custkey, c_name, bal_c, spend_c
+        |FROM spend p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM spend q
+        |  WHERE q.c_mktsegment = p.c_mktsegment
+        |    AND q.bal_c >= p.bal_c AND q.spend_c <= p.spend_c
+        |    AND (q.bal_c > p.bal_c OR q.spend_c < p.spend_c))
+        |ORDER BY 1, bal_c DESC, spend_c, c_custkey""".stripMargin,
+
+    // q171: TPC-H Q13 — the priority filter must ride the LEFT JOIN
+    // condition so zero-order customers stay.
+    "q171_order_count_distribution" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // q172: TPC-H Q17 — the oracle keeps the textbook correlated
+    // per-part average as a grouped CTE; quantities are integral
+    // doubles so the mean is exact-sum/count on both engines, and
+    // revenue folds integer cents before the /7 annualization.
+    "q172_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice, p_brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+        |pa AS (
+        |  SELECT l_partkey AS pk, avg(l_quantity) AS aq
+        |  FROM li GROUP BY 1)
+        |SELECT p_brand,
+        |       floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |             / 100.0 / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
+        |       count(*)::BIGINT AS n_small
+        |FROM li JOIN pa ON pk = l_partkey
+        |WHERE l_quantity < 0.5 * aq
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    // q173: TPC-H Q21 shape — the EXISTS/NOT-EXISTS pair expressed as
+    // one per-order distinct-count aggregate, identically on both
+    // engines (the equivalence is definitional: "some other supplier
+    // in the order" = n_supps ≥ 2; "no other supplier returned" =
+    // exactly one distinct returned supplier).
+    "q173_waiting_suppliers" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey AS ok,
+        |         count(DISTINCT l_suppkey)::BIGINT AS n_supps,
+        |         count(DISTINCT CASE WHEN l_returnflag = 'R'
+        |                             THEN l_suppkey END)::BIGINT AS n_ret
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1),
+        |blamed AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN per_order ON ok = l.l_orderkey
+        |  WHERE l.l_returnflag = 'R' AND n_supps >= 2 AND n_ret = 1)
+        |SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 25""".stripMargin,
+
+    // q174: TPC-H Q22 shape — the above-average test is the exact
+    // integer cross-multiplication bal_c·n > Σbal_c (no float
+    // average anywhere near the comparison).
+    "q174_inactive_rich_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |m AS (
+        |  SELECT sum(bal_c)::HUGEINT AS s_c, count(*)::BIGINT AS n
+        |  FROM c WHERE c_acctbal > 0.0)
+        |SELECT n_name, count(*)::BIGINT AS n_custs,
+        |       (sum(bal_c) / 100.0)::DOUBLE AS total_bal
+        |FROM c, m
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE bal_c::HUGEINT * n > s_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    // q175: first digit from the integer-cents decimal string;
+    // expected micro-probabilities are the same fixed literals the
+    // engine broadcasts (Relational.benfordMicro).
+    "q175_benford_audit" ->
+      s"""WITH d AS (
+        |  SELECT o_orderpriority AS prio,
+        |         substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                     AS VARCHAR), 1, 1)::INT AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |cnt AS (SELECT prio, digit, count(*)::BIGINT AS obs
+        |        FROM d GROUP BY 1, 2),
+        |tot AS (SELECT prio, sum(obs)::BIGINT AS n FROM cnt GROUP BY 1),
+        |exp AS (SELECT * FROM (VALUES ${
+          graft.operators.Relational.benfordMicro
+            .map { case (d, p) => s"($d, ${p}::BIGINT)" }.mkString(", ")
+        }) e(digit, p_micro))
+        |SELECT c.prio, c.digit, c.obs, t.n,
+        |       (c.obs * 1000000 - t.n * e.p_micro)::BIGINT AS dev_micro
+        |FROM cnt c JOIN tot t ON t.prio = c.prio
+        |JOIN exp e ON e.digit = c.digit
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q176_winnow_fingerprints" -> OracleHashSql.q176Winnow(),
+
+    // q177: both rankings are the q20 brute-force contract; the
+    // truncated side slices the list before the cosine.
+    "q177_matryoshka_recall" ->
+      """WITH qs AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |full_r AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(
+        |               CAST(q.embedding AS DOUBLE[]),
+        |               CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |    FROM qs q JOIN embeddings c ON q.vec_id <> c.vec_id)
+        |  WHERE rnk <= 10),
+        |trunc_r AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(
+        |               CAST(q.embedding[1:16] AS DOUBLE[]),
+        |               CAST(c.embedding[1:16] AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |    FROM qs q JOIN embeddings c ON q.vec_id <> c.vec_id)
+        |  WHERE rnk <= 10),
+        |ov AS (
+        |  SELECT f.query_id, count(*)::BIGINT AS n_overlap
+        |  FROM full_r f JOIN trunc_r t
+        |    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+        |  GROUP BY 1)
+        |SELECT f.query_id, count(*)::BIGINT AS k_full,
+        |       coalesce(max(ov.n_overlap), 0)::BIGINT AS n_overlap,
+        |       (coalesce(max(ov.n_overlap), 0) * 1000
+        |          // count(*))::BIGINT AS recall_permille
+        |FROM full_r f LEFT JOIN ov ON ov.query_id = f.query_id
+        |GROUP BY f.query_id
+        |ORDER BY f.query_id""".stripMargin,
   )
 }

@@ -908,4 +908,95 @@ object Relational {
         col("n_purchases"), col("revenue"))
     first.unionByName(last)
   }
+
+  /** Grouped 2-D skyline / Pareto frontier (q170) — within each group,
+    * the rows not DOMINATED by any other row, where maximizing `xCol`
+    * and minimizing `yCol` are the two objectives (a dominates b iff
+    * a.x ≥ b.x ∧ a.y ≤ b.y with at least one strict; equal points
+    * never dominate each other, so exact duplicates all survive).
+    *
+    * Spark-first reduction instead of the NOT-EXISTS self-join the
+    * textbook definition suggests: (1) collapse to one candidate per
+    * (group, x) — min y, since any same-x larger-y row is dominated;
+    * (2) over each group's DISTINCT x values, descending, take the
+    * running min of y STRICTLY ABOVE the current row (frame ends at
+    * -1 preceding) — a frontier x is one whose min-y beats every
+    * larger x's; (3) join the surviving (group, x, y) points back to
+    * recover full rows (ties at the exact frontier point all kept).
+    *
+    * Scale: step 1 is one map-side-combined shuffle; step 2's window
+    * runs over ≤|distinct x per group| CANDIDATE POINTS, not rows —
+    * the per-group sort is the O(n log n) lower bound for 2-D skyline
+    * but its input is already collapsed; step 3 is a join on
+    * (group, x) that reuses step 1's partitioning. Both objective
+    * columns must be exact integers (cents, counts) so cross-engine
+    * comparisons are bit-exact.
+    */
+  def skyline2d(df: DataFrame, groupCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    val perX = df.groupBy(col(groupCol), col(xCol))
+      .agg(min(col(yCol)).as("__y_min"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("__y_gt", min(col("__y_min")).over(w))
+      // strictly-better-y than every strictly-larger x (ties in y at a
+      // larger x dominate too, hence <, not <=)
+      .filter(col("__y_gt").isNull || col("__y_min") < col("__y_gt"))
+      // fresh names: frontier derives from df, so joining on df(...)
+      // attributes would be an ambiguous self-join
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col("__y_min"))
+    df.join(frontier,
+        col(groupCol) <=> col("__g") && col(xCol) <=> col("__x") &&
+          col(yCol) <=> col("__y_min"))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Benford first-digit audit (q175) — financial-forensics data
+    * quality: per group, the distribution of the FIRST SIGNIFICANT
+    * DIGIT of a positive amount column vs Benford's law
+    * P(d) = log10(1 + 1/d). Fabricated or truncated feeds show up as
+    * large deviations (Nigrini 2012); a synthetic uniform feed (like
+    * this test data) deviates everywhere — the audit's whole point is
+    * the dev column, not a pass/fail.
+    *
+    * Determinism: the amount becomes exact integer cents
+    * (floor(x·100+0.5)), the first digit comes from the integer's
+    * decimal string (integer→string is engine-independent, unlike
+    * float→string or log10 at boundaries), and the expected
+    * probabilities are fixed micro-unit literals, so
+    * dev_micro = obs·10⁶ − n·p_micro is pure BIGINT arithmetic.
+    *
+    * Scale: one scan, one (group, digit) map-side-combined aggregate
+    * (≤ 9·|groups| cells), one broadcast of the 9-row expectation
+    * table. No joins against data-sized frames.
+    */
+  def benfordAudit(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = benfordMicro.toDF("digit", "p_micro")
+    val cents = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    val counts = df.filter(col(valueCol) > 0)
+      .select(col(groupCol),
+        substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("obs"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("obs")).as("n"))
+    counts
+      .join(totals, Seq(groupCol))
+      .join(broadcast(expected), Seq("digit"))
+      .select(col(groupCol), col("digit"), col("obs"), col("n"),
+        (col("obs") * 1000000L - col("n") * col("p_micro")).as("dev_micro"))
+  }
+
+  /** round(10⁶·log10(1+1/d)) for d = 1..9 — fixed literals shared with
+    * the DuckDB oracle's VALUES clause so no libm log10 enters the
+    * correctness gate.
+    */
+  private[graft] val benfordMicro: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
 }

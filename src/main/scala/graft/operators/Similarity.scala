@@ -1047,4 +1047,40 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos"))
   }
+
+  /** Matryoshka truncation audit (q177) — Kusupati et al., NeurIPS'22:
+    * MRL-trained embeddings promise that the FIRST dPrefix dimensions
+    * alone retrieve almost as well as the full vector, which is what
+    * makes cheap two-stage retrieval (coarse search on the prefix,
+    * rerank on the full vector) safe to deploy. This measures that
+    * promise on the actual corpus: per query, exact top-k under full-
+    * dimension cosine vs top-k under prefix-only cosine, reporting the
+    * overlap and recall (the deploy/don't-deploy number for dimension-
+    * truncated indexes; these synthetic embeddings are NOT MRL-trained,
+    * so expect visible degradation — which is the audit working).
+    *
+    * Both rankings are the q20 brute-force contract (broadcast queries,
+    * per-partition scoring, tie-break by neighbor_id); the overlap is
+    * one |queries|·k-sized join. recall_permille is integer arithmetic.
+    */
+  def matryoshkaRecall(spark: SparkSession, embeddings: DataFrame,
+                       queries: DataFrame, k: Int,
+                       dPrefix: Int): DataFrame = {
+    val full = bruteForceTopK(spark, embeddings, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val embT = embeddings.withColumn("embedding",
+      slice(col("embedding"), 1, dPrefix))
+    val qT = queries.withColumn("embedding",
+      slice(col("embedding"), 1, dPrefix))
+    val trunc = bruteForceTopK(spark, embT, qT, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = full.join(trunc, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    full.groupBy(col("query_id")).agg(count(lit(1)).as("k_full"))
+      .join(overlap, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .select(col("query_id"), col("k_full"), col("n_overlap"),
+        (col("n_overlap") * 1000L / col("k_full")).cast("long")
+          .as("recall_permille"))
+  }
 }

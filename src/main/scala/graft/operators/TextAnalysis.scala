@@ -1410,4 +1410,62 @@ object TextAnalysis {
           (col("n_b") / col("n")) / (col("n_sb") / col("n_s")))
           * 65536).cast("long")).as("kept"))
   }
+
+  /** Robust winnowing fingerprints (q176) — Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 (the MOSS algorithm): hash every character k-gram, then
+    * over each window of `w` consecutive k-gram hashes select the
+    * minimum, RIGHTMOST on ties; the distinct selected positions are
+    * the document's fingerprints. Guarantees: any shared substring of
+    * length ≥ w+k−1 yields a shared fingerprint (detection), and every
+    * window selects something (density ≥ 1/w — gaps between selected
+    * positions never exceed w).
+    *
+    * Spark-first formulation: the textbook per-window argmin is a
+    * sequential scan, but "j is the rightmost min of SOME window" has
+    * an exact local characterization — with L = how many consecutive
+    * predecessors have hash ≥ h(j) (ties allowed, array-bounded) and
+    * R = how many consecutive successors have hash > h(j) (strict),
+    * position j is selected iff L + R + 1 ≥ w: a window [p, p+w−1]
+    * fits around j (left extent ≤ L keeps j minimal, right extent ≤ R
+    * keeps it rightmost-minimal), and in-bounds-ness falls out of
+    * lag/lead nulls stopping the chains. For w = 4 that is three lags
+    * + three leads over one (doc_id, pos) window — O(1) per row, one
+    * shuffle on doc_id, no self-join over the pair space. Equivalence
+    * to the textbook scan is property-tested (WinnowingSpec).
+    *
+    * Hashes are polyhash64 folded to 32 bits (nonneg in a BIGINT) so
+    * the DuckDB oracle's HUGEINT fold compares identically; per-doc
+    * output certifies the full selected SET (count + sum + min + max),
+    * not just a sample.
+    */
+  def winnowFingerprints(documents: DataFrame, k: Int = 8,
+                         w: Int = 4): DataFrame = {
+    require(w >= 2, s"winnow window must be >= 2, got $w")
+    val spark = documents.sparkSession
+    GraftFunctions.register(spark)
+    val grams = documents
+      .select(col("doc_id"),
+        posexplode(HashFunctions.charShingles(col("text"), k))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        pmod(GraftFunctions.polyhash64(col("gram")), lit(4294967296L))
+          .as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // consecutive-neighbor chains, both stopped by the first failing
+    // (or out-of-bounds ⇒ null ⇒ false) comparison
+    val lChain = (1 until w).map(i => lag(col("h"), i).over(win) >= col("h"))
+    val rChain = (1 until w).map(i => lead(col("h"), i).over(win) > col("h"))
+    def chainLen(cs: Seq[org.apache.spark.sql.Column]) =
+      cs.foldRight(lit(0))((c, acc) => when(c, acc + 1).otherwise(0))
+    val sel = grams
+      .withColumn("sel",
+        chainLen(lChain) + chainLen(rChain) + 1 >= w)
+    sel.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_fps"),
+        sum(when(col("sel"), col("h"))).as("fp_sum"),
+        min(when(col("sel"), col("h"))).as("fp_min"),
+        max(when(col("sel"), col("h"))).as("fp_max"))
+  }
 }
