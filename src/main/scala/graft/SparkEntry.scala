@@ -2035,6 +2035,10 @@ object SparkEntry {
         .select(col("c_mktsegment"), col("c_custkey"), col("c_name"),
           floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_c"),
           col("spend_c"))
+        // skyline2d traverses its input twice (candidates + join-back);
+        // materialize the O(customers) frame so the customer×orders
+        // aggregation doesn't run twice
+        .localCheckpoint(true)
       Relational.skyline2d(spend, "c_mktsegment", "bal_c", "spend_c")
         .select("c_mktsegment", "c_custkey", "c_name", "bal_c", "spend_c")
         .orderBy(col("c_mktsegment"), col("bal_c").desc, col("spend_c"),

@@ -931,6 +931,10 @@ object Relational {
     * (group, x) that reuses step 1's partitioning. Both objective
     * columns must be exact integers (cents, counts) so cross-engine
     * comparisons are bit-exact.
+    *
+    * The input is traversed TWICE (candidate collapse + join-back);
+    * if df carries an expensive lineage (joins/aggregations), the
+    * caller should localCheckpoint it first — see q170.
     */
   def skyline2d(df: DataFrame, groupCol: String, xCol: String,
                 yCol: String): DataFrame = {
