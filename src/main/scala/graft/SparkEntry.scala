@@ -2170,6 +2170,53 @@ object SparkEntry {
           emb.filter(col("vec_id") < 20), 10, 16)
         .orderBy("query_id")
     }),
+
+    // Fano-factor burstiness audit per user (bot signal: scripted
+    // bursts >> 1, metronomes << 1, humans ≈ 1 on this Poisson-ish
+    // synthetic feed).
+    "q178_burstiness_audit" -> ((s, dir) => {
+      TimeSeries.burstinessAudit(Tables.events(s, dir))
+        .orderBy("user_id")
+    }),
+
+    // Gini concentration of order volume per part type — the
+    // imbalance audit (zero-order parts included).
+    "q179_gini_concentration" -> ((s, dir) => {
+      Relational.giniConcentration(Tables.part(s, dir),
+          Tables.lineitem(s, dir).select(col("l_partkey"),
+            col("l_orderkey")),
+          "p_type", "p_partkey", "l_partkey")
+        .orderBy("p_type")
+    }),
+
+    // Forward as-of with tolerance: each purchase joined to the next
+    // error by the same user within 30 minutes (what-broke-after-
+    // checkout triage); pandas merge_asof(direction='forward')
+    // semantics on the union+window carry, no pair explosion.
+    "q180_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("e_id"),
+          col("ts").as("e_ts"))
+      AsOfJoin.asofForward(purchases, errors, "user_id", "user_id",
+          "p_ts", "e_ts", "e_id", 30L * 60L * 1000000L)
+        .select(col("user_id"), col("p_id"),
+          tsStr(col("p_ts")).as("p_ts"),
+          col("asof_e_id").as("next_error_id"),
+          ((unix_micros(col("asof_e_ts")) - unix_micros(col("p_ts")))
+            / 1000000L).cast("long").as("delta_s"))
+        .orderBy("p_id")
+    }),
+
+    // DAU/WAU/MAU stickiness curves over the full observed day range
+    // (min-offset fan-out — no range join, no multi-distinct Expand).
+    "q181_active_user_curves" -> ((s, dir) => {
+      TimeSeries.activeUserCurves(Tables.events(s, dir))
+        .orderBy("epoch_day")
+    }),
   )
 
   /** Bench-only twins: timed by [[Bench]] alongside `queries` but
@@ -4997,5 +5044,87 @@ object SparkEntry {
         |FROM full_r f LEFT JOIN ov ON ov.query_id = f.query_id
         |GROUP BY f.query_id
         |ORDER BY f.query_id""".stripMargin,
+
+    // q178: same two-level integer aggregation; the Fano numerator /
+    // denominator and the bursty flag stay in BIGINTs.
+    "q178_burstiness_audit" ->
+      """WITH pm AS (
+        |  SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+        |         count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT user_id,
+        |         (max(minute) - min(minute) + 1)::BIGINT AS span_min,
+        |         count(*)::BIGINT AS n_active,
+        |         sum(c)::BIGINT AS n_events,
+        |         sum(c * c)::BIGINT AS sum_c2
+        |  FROM pm GROUP BY 1)
+        |SELECT user_id, span_min, n_active, n_events,
+        |       (n_active * 1000 // span_min)::BIGINT AS duty_permille,
+        |       floor(((span_min * sum_c2 - n_events * n_events)::DOUBLE
+        |              / (span_min * n_events)::DOUBLE) * 10000 + 0.5)
+        |         / 10000 AS fano,
+        |       (span_min * sum_c2 - n_events * n_events
+        |          > 4 * span_min * n_events) AS bursty
+        |FROM agg ORDER BY user_id""".stripMargin,
+
+    // q179: identical rank identity over the same ascending
+    // (x, partkey) order; HUGEINT moments mirror the decimal sums.
+    "q179_gini_concentration" ->
+      """WITH cnt AS (
+        |  SELECT p_type, p_partkey, count(l_orderkey)::BIGINT AS x
+        |  FROM part LEFT JOIN lineitem ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT p_type, x,
+        |         row_number() OVER (PARTITION BY p_type
+        |                            ORDER BY x, p_partkey) AS i
+        |  FROM cnt)
+        |SELECT p_type, count(*)::BIGINT AS n_items, sum(x)::BIGINT AS total,
+        |       floor(((2 * sum(i::HUGEINT * x::HUGEINT)
+        |               - (count(*) + 1)::HUGEINT * sum(x)::HUGEINT)::DOUBLE
+        |              / (count(*)::HUGEINT * sum(x)::HUGEINT)::DOUBLE)
+        |             * 10000 + 0.5) / 10000 AS gini
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q180: the oracle is the textbook pair-space formulation
+    // (bounded join + row_number pick-first), independent of the
+    // engine's union+carry — the hash match certifies the carry.
+    "q180_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, event_id AS e_id, ts AS e_ts
+        |  FROM events WHERE event_type = 'error'),
+        |j AS (
+        |  SELECT p.user_id, p_id, p_ts, e_id, e_ts,
+        |         row_number() OVER (PARTITION BY p_id
+        |                            ORDER BY e_ts, e_id) AS rn
+        |  FROM p JOIN e ON p.user_id = e.user_id
+        |    AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 30 MINUTE)
+        |SELECT user_id, p_id, strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |       e_id AS next_error_id,
+        |       ((epoch_us(e_ts) - epoch_us(p_ts)) // 1000000)::BIGINT
+        |         AS delta_s
+        |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    // q181: the oracle counts each trailing window directly over the
+    // (user, day) pairs — no min-offset trick — so the hash match
+    // certifies the fan-out rewrite.
+    "q181_active_user_curves" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |bounds AS (SELECT min(d) AS dmin, max(d) AS dmax FROM ud),
+        |days AS (SELECT unnest(range(dmin, dmax + 1)) AS d FROM bounds)
+        |SELECT days.d AS epoch_day,
+        |       count(DISTINCT CASE WHEN ud.d = days.d
+        |                           THEN user_id END)::BIGINT AS dau,
+        |       count(DISTINCT CASE WHEN ud.d >= days.d - 6
+        |                           THEN user_id END)::BIGINT AS wau,
+        |       count(DISTINCT user_id)::BIGINT AS mau
+        |FROM days LEFT JOIN ud ON ud.d BETWEEN days.d - 27 AND days.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

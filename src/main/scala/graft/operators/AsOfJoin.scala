@@ -70,4 +70,60 @@ object AsOfJoin {
     val rightCols: Seq[Column] = rightPayload.map(c => col(s"__match.$c").as(s"asof_$c"))
     filtered.select(leftCols ++ rightCols: _*)
   }
+
+  /** FORWARD as-of join with a tolerance (q180) — pandas
+    * merge_asof(direction='forward'): for each left row, the single
+    * EARLIEST right row of the same key with
+    * left.ts <= right.ts <= left.ts + tolerance. The "what happened
+    * next" primitive: purchase → next error, alert → next ack,
+    * deploy → next incident.
+    *
+    * Same union+window shape as [[asof]], scanned in DESCENDING time:
+    * the running carry then holds the nearest FUTURE right row. At
+    * equal ts rights still sort before lefts (inclusive >=); among
+    * equal-ts rights the tie column sorts DESCENDING so the carry
+    * (last-seen wins) lands on the smallest tie — the same
+    * deterministic winner the ascending form picks. The tolerance is
+    * a post-carry filter: the carried row is by construction the
+    * nearest forward match, so "nearest within tolerance" and
+    * "carried ∧ within tolerance" coincide. Cost is unchanged: one
+    * shuffle + one sort of |L|+|R|, no pair explosion.
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTs: String, rightTs: String,
+                  rightTie: String, toleranceUs: Long,
+                  inner: Boolean = true): DataFrame = {
+    val rightPayload = right.columns.filterNot(_ == rightKey).toSeq
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rightStruct = struct(rightPayload.map(col).toIndexedSeq: _*)
+
+    val l = left.select(
+      col(leftKey).as("__key"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      lit(null).cast("long").as("__tie"),
+      leftStruct.as("__l"),
+      lit(null).cast(right.select(rightStruct).schema.head.dataType).as("__r"))
+    val r = right.select(
+      col(rightKey).as("__key"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      col(rightTie).cast("long").as("__tie"),
+      lit(null).cast(left.select(leftStruct).schema.head.dataType).as("__l"),
+      rightStruct.as("__r"))
+
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts").desc, col("__side").asc, col("__tie").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withinTol =
+      unix_micros(col("__next").getField(rightTs)) -
+        unix_micros(col("__ts")) <= toleranceUs
+    val carried = l.unionByName(r)
+      .withColumn("__next", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .withColumn("__match",
+        when(col("__next").isNotNull && withinTol, col("__next")))
+
+    val filtered = if (inner) carried.filter(col("__match").isNotNull) else carried
+    val leftCols: Seq[Column] = left.columns.toSeq.map(c => col(s"__l.$c").as(c))
+    val rightCols: Seq[Column] = rightPayload.map(c => col(s"__match.$c").as(s"asof_$c"))
+    filtered.select(leftCols ++ rightCols: _*)
+  }
 }

@@ -1003,4 +1003,43 @@ object Relational {
   private[graft] val benfordMicro: Seq[(Int, Long)] = Seq(
     1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
     6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Gini concentration audit (q179) — per group, how unequally an
+    * integer weight is spread over its items (Lorenz-curve Gini via
+    * the rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over items
+    * sorted ascending). For a training-data pipeline this is the
+    * imbalance red-flag: a source/topic/item family where a few keys
+    * hold most of the mass (G→1) needs capping or resampling before
+    * it skews the mixture; G≈0 is uniform coverage.
+    *
+    * Zero-weight items count (a part nobody ordered IS inequality),
+    * so the count left-joins from the item dimension. All moments
+    * accumulate in DECIMAL(38,0): i·x reaches |items|·Σx, far past a
+    * long at warehouse scale. One division at the end; the per-group
+    * rank window is the exact-Gini O(n log n) lower bound, partitioned
+    * across groups (the approximate path at extreme cardinality is a
+    * histogram Lorenz curve — q63's sketch — not a bigger sort).
+    */
+  def giniConcentration(items: DataFrame, weights: DataFrame,
+                        groupCol: String, itemKey: String,
+                        weightKey: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = items
+      .join(weights, col(weightKey) === col(itemKey), "left")
+      .groupBy(col(groupCol), col(itemKey))
+      .agg(count(col(weightKey)).as("x"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("x").asc, col(itemKey).asc)
+    cnt.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("x")).as("total"),
+        sum((col("i") * col("x")).cast(dec)).as("six"))
+      .select(col(groupCol), col("n_items"), col("total"),
+        (floor((lit(2).cast(dec) * col("six") -
+          (col("n_items") + 1L).cast(dec) * col("total").cast(dec))
+          .cast("double") /
+          (col("n_items").cast(dec) * col("total").cast(dec))
+            .cast("double") * 10000 + lit(0.5)) / 10000).as("gini"))
+  }
 }

@@ -470,4 +470,86 @@ object TimeSeries {
         element_at(col("st"), 1).as("level"),
         element_at(col("st"), 2).as("trend")) ++ fCols: _*)
   }
+
+  /** Burstiness / bot-signal audit (q178): per user, the Fano factor
+    * (index of dispersion, var/mean) of per-minute event counts over
+    * the user's full active span — a Poisson visitor sits at ≈1,
+    * schedulers and scripted bursts far above, metronome bots near 0.
+    * Zero-minutes inside the span COUNT (they're where burstiness
+    * lives), but never materialize: with T span minutes, E events,
+    * Σc² over active minutes, Fano = (T·Σc² − E²)/(T·E) — every term
+    * an exact integer from the non-zero rows alone, so the flag
+    * `bursty` (Fano > threshold) is an exact integer comparison with
+    * no float in the decision path.
+    *
+    * Scale: two map-side-combined aggregations, (user, minute) then
+    * user — no windows, no joins, no materialized zero rows.
+    */
+  def burstinessAudit(events: DataFrame, fanoFlag: Int = 4): DataFrame = {
+    val minuteCol = floor(unix_micros(col("ts")) / 60000000L).cast("long")
+    val pm = events
+      .select(col("user_id"), minuteCol.as("minute"))
+      .groupBy(col("user_id"), col("minute"))
+      .agg(count(lit(1)).as("c"))
+    pm.groupBy(col("user_id"))
+      .agg(
+        (max(col("minute")) - min(col("minute")) + 1L).as("span_min"),
+        count(lit(1)).as("n_active"),
+        sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("user_id"), col("span_min"), col("n_active"),
+        col("n_events"),
+        (col("n_active") * 1000L / col("span_min")).cast("long")
+          .as("duty_permille"),
+        (floor((col("span_min") * col("sum_c2") -
+          col("n_events") * col("n_events")).cast("double") /
+          (col("span_min") * col("n_events")).cast("double") * 10000
+          + lit(0.5)) / 10000).as("fano"),
+        (col("span_min") * col("sum_c2") -
+          col("n_events") * col("n_events") >
+          lit(fanoFlag.toLong) * col("span_min") * col("n_events"))
+          .as("bursty"))
+  }
+
+  /** DAU / WAU / MAU active-user curves (q181): for every calendar day
+    * in the observed range, distinct users active that day, in the
+    * trailing 7 days, and in the trailing 28 days.
+    *
+    * The naive form — one countDistinct per trailing window — needs a
+    * range join or a triple-distinct Expand. Instead: distinct
+    * (user, day) pairs fan out to their ≤28 future target days, a
+    * second keyed aggregate keeps MIN(offset) per (user, target) —
+    * membership in all three windows is then a plain comparison on
+    * that one row, so the final per-day counts are ordinary SUMs: no
+    * distinct aggregation ever touches fanned-out data. Cost:
+    * |user-days|·28 intermediate rows, three map-side-combined
+    * shuffles, zero joins against event-scale frames.
+    */
+  def activeUserCurves(events: DataFrame): DataFrame = {
+    val dayCol = floor(unix_micros(col("ts")) / 86400000000L).cast("long")
+    // both the bounds and the fan-out read this frame — materialize the
+    // O(user-days) result once instead of scanning events twice
+    val ud = events.select(col("user_id"), dayCol.as("d")).distinct()
+      .localCheckpoint(true)
+    val bounds = ud.agg(max(col("d")).as("dmax"), min(col("d")).as("dmin"))
+    val fanned = ud
+      .select(col("user_id"), col("d"),
+        explode(sequence(lit(0), lit(27))).as("o"))
+      .select(col("user_id"), (col("d") + col("o")).as("epoch_day"),
+        col("o"))
+      .groupBy(col("user_id"), col("epoch_day"))
+      .agg(min(col("o")).as("min_o"))
+    val counts = fanned
+      .groupBy(col("epoch_day"))
+      .agg(
+        sum(when(col("min_o") === 0, 1L).otherwise(0L)).as("dau"),
+        sum(when(col("min_o") <= 6, 1L).otherwise(0L)).as("wau"),
+        count(lit(1)).as("mau"))
+    // clip the 27-day tail past the last observed day; emit zero rows
+    // for fully-dead >28-day gaps so the day axis is always dense
+    val days = bounds.select(
+      explode(sequence(col("dmin"), col("dmax"))).as("epoch_day"))
+    days.join(counts, Seq("epoch_day"), "left")
+      .na.fill(0L, Seq("dau", "wau", "mau"))
+  }
 }

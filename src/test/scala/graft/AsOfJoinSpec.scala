@@ -89,4 +89,47 @@ class AsOfJoinSpec extends SparkSpec {
       .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("asof_value")).toMap
     assert(out == Map(100L -> 100.0, 101L -> 101.0, 102L -> 105.0))
   }
+
+  // ---- forward + tolerance variant (q180) ----
+
+  private def runFwd(left: org.apache.spark.sql.DataFrame,
+                     tolUs: Long, inner: Boolean = true) =
+    AsOfJoin.asofForward(left, quotes, "user_id", "user_id", "ts", "ts",
+      "event_id", tolUs, inner = inner)
+
+  test("forward: picks the earliest right row at or after left ts") {
+    val out = runFwd(trades((1L, "2024-01-01 00:02:00")), 600000000L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("asof_value") == 105.0)
+  }
+
+  test("forward: equal timestamps are inclusive") {
+    val out = runFwd(trades((1L, "2024-01-01 00:01:00")), 600000000L).collect()
+    assert(out.head.getAs[Double]("asof_value") == 101.0)
+  }
+
+  test("forward: tolerance excludes a too-distant next match") {
+    // next right after 00:02 is at 00:05 (180 s away); tol 60 s -> none
+    val l = trades((1L, "2024-01-01 00:02:00"))
+    assert(runFwd(l, 60000000L).collect().isEmpty)
+    val outer = runFwd(l, 60000000L, inner = false).collect()
+    assert(outer.length == 1 &&
+      outer.head.isNullAt(outer.head.fieldIndex("asof_value")))
+  }
+
+  test("forward: equal-ts right rows break ties to the smallest tie id") {
+    val right = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 31L, 301.0),
+      (1L, ts("2024-01-01 00:01:00"), 30L, 300.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.asofForward(trades((1L, "2024-01-01 00:00:00")),
+      right, "user_id", "user_id", "ts", "ts", "event_id", 600000000L)
+      .collect()
+    assert(out.head.getAs[Long]("asof_event_id") == 30L)
+  }
+
+  test("forward: no future right row drops (inner) even within tolerance") {
+    assert(runFwd(trades((1L, "2024-01-01 00:06:00")), 600000000L)
+      .collect().isEmpty)
+  }
 }

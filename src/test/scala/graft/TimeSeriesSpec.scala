@@ -448,4 +448,41 @@ class TimeSeriesSpec extends SparkSpec {
     val raw = out.map(_.getDouble(2)).distinct
     assert(raw.length == 2, "raw means differ by arm on this fixture")
   }
+
+  test("q178 burstiness: exact Fano bookkeeping, zero-minutes in the span") {
+    // user 1: minutes 0,0,0,10 -> span 11, active 2, E=4, sum_c2=10
+    //   fano = (11*10 - 16) / (11*4) = 94/44 = 2.1364 (not bursty @4)
+    // user 2: 20 events in one minute, then 1 event 99 min later ->
+    //   span 100, E=21, sum_c2=401: fano = (40100-441)/2100 = 18.88 -> bursty
+    val rows = Seq((1L, 1L, 5L, 0.0), (2L, 1L, 30L, 0.0),
+      (3L, 1L, 59L, 0.0), (4L, 1L, 605L, 0.0)) ++
+      (0 until 20).map(i => (100L + i, 2L, 100L + i % 50, 0.0)) :+
+      (200L, 2L, 100L + 99 * 60L, 0.0)
+    val out = TimeSeries.burstinessAudit(ev(rows: _*))
+      .orderBy("user_id").collect()
+    val u1 = out(0)
+    assert(u1.getLong(1) == 11L && u1.getLong(2) == 2L &&
+      u1.getLong(3) == 4L, s"u1: $u1")
+    assert(u1.getDouble(5) == math.floor(94.0 / 44.0 * 10000 + 0.5) / 10000)
+    assert(!u1.getBoolean(6))
+    val u2 = out(1)
+    assert(u2.getLong(1) == 100L && u2.getLong(3) == 21L, s"u2: $u2")
+    assert(u2.getBoolean(6), "20-in-a-minute burst must flag")
+  }
+
+  test("q181 active-user curves: trailing windows, dense day axis") {
+    // user 1 active on days 0 and 9; user 2 on day 2 only
+    def at(day: Long, id: Long, u: Long) = (id, u, day * 86400L, 0.0)
+    val out = TimeSeries.activeUserCurves(ev(
+        at(0, 1L, 1L), at(0, 2L, 1L), at(2, 3L, 2L), at(9, 4L, 1L)))
+      .orderBy("epoch_day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.length == 10, "dense axis: every day 0..9 present")
+    assert(out(0) == ((0L, 1L, 1L, 1L)))
+    assert(out(2) == ((2L, 1L, 2L, 2L)), "day 2: dau=u2, wau/mau both")
+    assert(out(7) == ((7L, 0L, 1L, 2L)), "day 7: u1's day0 left the wau")
+    assert(out(8) == ((8L, 0L, 1L, 2L)), "day 8: u2's day2 still in [2,8]")
+    assert(out(9) == ((9L, 1L, 1L, 2L)))
+  }
 }
