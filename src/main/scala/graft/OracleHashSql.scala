@@ -144,6 +144,38 @@ FROM est
 WHERE e >= 0.5
 ORDER BY 1, 2"""
 
+  /** Oracle for q182: LSH calibration curve. TRUTH is the brute-force
+    * all-pairs 3-word-shingle jaccard (affordable at oracle SF — the
+    * quadratic form the engine's prefix filter provably equals, q127);
+    * CANDIDATES are the full q17 minhash/banding replay with no
+    * estimate cut. Per jaccard decade band: true pairs, caught pairs,
+    * recall — the measured LSH S-curve.
+    */
+  def q182LshCalibration(truthThreshold: Double = 0.3): String =
+    s"""WITH $minhashCtes,
+sh3 AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(t)-1),
+                 i -> array_to_string(t[i:i+2], ' ')))) AS shs
+  FROM toks WHERE len(t) >= 3),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shs, b.shs))::DOUBLE
+           / (len(a.shs) + len(b.shs)
+              - len(list_intersect(a.shs, b.shs)))::DOUBLE AS j
+  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id),
+banded AS (
+  SELECT doc_a, doc_b, least(floor(j * 10), 9.0)::BIGINT AS band
+  FROM truth WHERE j >= $truthThreshold),
+lcand AS (SELECT doc_a, doc_b, 1::BIGINT AS caught FROM est),
+agg AS (
+  SELECT band, count(*)::BIGINT AS n_true,
+         sum(coalesce(caught, 0))::BIGINT AS n_caught
+  FROM banded LEFT JOIN lcand USING (doc_a, doc_b)
+  GROUP BY band)
+SELECT band, n_true, n_caught,
+       (n_caught * 1000 // n_true)::BIGINT AS recall_permille
+FROM agg ORDER BY band"""
+
   /** Oracle for q36: LSH candidates (est >= 0.2) exact-reranked with
     * word-set jaccard >= 0.5 (= Dedup.lshBlockedJaccardPairs defaults).
     */

@@ -48,7 +48,15 @@ object Recall {
       "q129_pq_adc" -> (() => Similarity.pqAdcTopK(spark, emb, queries, k)),
       "ivf_pq" -> (() => Similarity.ivfPqTopK(spark, emb, queries, k)),
       "q155_binary_hamming" ->
-        (() => Similarity.binaryHammingTopK(spark, emb, queries, k = k)))
+        (() => Similarity.binaryHammingTopK(spark, emb, queries, k = k)),
+      // q177's matryoshka tier: exact search on the first 16 dims —
+      // the cheapest "index", recall is pure truncation loss
+      "q177_prefix16" -> (() => {
+        import org.apache.spark.sql.functions.slice
+        val cut = (df: DataFrame) =>
+          df.withColumn("embedding", slice(col("embedding"), 1, 16))
+        Similarity.bruteForceTopK(spark, cut(emb), cut(queries), k)
+      }))
     val recalls = methods.map { case (name, fn) =>
       val got = pairs(fn())
       name -> (truth & got).size.toDouble / truth.size

@@ -2217,6 +2217,70 @@ object SparkEntry {
       TimeSeries.activeUserCurves(Tables.events(s, dir))
         .orderBy("epoch_day")
     }),
+
+    // LSH calibration curve: recall of q17's minhash banding (no
+    // estimate cut) against EXACT shingle jaccard, per jaccard decade
+    // band — the measured S-curve that tunes bands/rows before a
+    // 100 TB dedup run. Truth comes from the exactness-certified
+    // prefix-filter join (q127's form), never an n² self-join. (This
+    // synthetic corpus is bimodal — all true pairs sit in band 9, so
+    // the curve is one row here; the machinery is band-general.)
+    "q182_lsh_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val truth = Dedup.prefixFilterJaccardPairs(docs, threshold = 0.3,
+        shingleSize = 3)
+      val cand = Dedup.minhashLshPairs(s, docs, estimateThreshold = 0.0)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("caught"))
+      truth
+        .withColumn("band",
+          least(floor(col("jaccard") * 10), lit(9.0)).cast("long"))
+        .join(cand, Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+        .select(col("band"), col("n_true"), col("n_caught"),
+          (col("n_caught") * 1000L / col("n_true")).cast("long")
+            .as("recall_permille"))
+        .orderBy("band")
+    }),
+
+    // Share-of-total with top-N + OTHER rollup (the standard BI
+    // reporting shape): per region, each nation's revenue share; the
+    // top 2 nations keep their names, the tail folds into 'OTHER'.
+    // All shares are integer-permille over exact cent sums.
+    "q183_share_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = floor(col("l_extendedprice") * (lit(1.0) -
+        col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val nat = broadcast(Tables.nation(s, dir)
+        .join(Tables.region(s, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")))
+      val perNation = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(cents).as("rev_c"))
+      val wr = Window.partitionBy(col("r_name"))
+      val ranked = perNation
+        .withColumn("total_c", sum(col("rev_c")).over(wr))
+        .withColumn("rk", row_number().over(
+          wr.orderBy(col("rev_c").desc, col("n_name").asc)))
+      ranked
+        .withColumn("label",
+          when(col("rk") <= 2, col("n_name")).otherwise(lit("OTHER")))
+        .groupBy(col("r_name"), col("label"))
+        .agg(sum(col("rev_c")).as("rev_c"), first(col("total_c")).as("t"),
+          count(lit(1)).as("n_nations"))
+        .select(col("r_name"), col("label"),
+          (col("rev_c") / 100.0).as("revenue"),
+          // integral div: cent totals exceed double's 2^53 integer
+          // range long before they exceed a long
+          expr("rev_c * 1000L div t").as("share_permille"),
+          col("n_nations"))
+        .orderBy(col("r_name"), col("share_permille").desc, col("label"))
+    }),
   )
 
   /** Bench-only twins: timed by [[Bench]] alongside `queries` but
@@ -5126,5 +5190,36 @@ object SparkEntry {
         |       count(DISTINCT user_id)::BIGINT AS mau
         |FROM days LEFT JOIN ud ON ud.d BETWEEN days.d - 27 AND days.d
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q182_lsh_calibration" -> OracleHashSql.q182LshCalibration(),
+
+    // q183: identical rollup; the share is integral division over
+    // exact cent sums on both engines.
+    "q183_share_rollup" ->
+      """WITH pn AS (
+        |  SELECT r_name, n_name,
+        |         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+        |                        + 0.5) AS BIGINT))::BIGINT AS rev_c
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT r_name, n_name, rev_c,
+        |         sum(rev_c) OVER (PARTITION BY r_name) AS total_c,
+        |         row_number() OVER (PARTITION BY r_name
+        |                            ORDER BY rev_c DESC, n_name) AS rk
+        |  FROM pn),
+        |lab AS (
+        |  SELECT r_name,
+        |         CASE WHEN rk <= 2 THEN n_name ELSE 'OTHER' END AS label,
+        |         rev_c, total_c
+        |  FROM rk)
+        |SELECT r_name, label, (sum(rev_c) / 100.0)::DOUBLE AS revenue,
+        |       (sum(rev_c) * 1000 // max(total_c))::BIGINT AS share_permille,
+        |       count(*)::BIGINT AS n_nations
+        |FROM lab GROUP BY 1, 2
+        |ORDER BY r_name, share_permille DESC, label""".stripMargin,
   )
 }
