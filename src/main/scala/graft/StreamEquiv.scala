@@ -345,6 +345,48 @@ object StreamEquiv {
       record("cusum_alarms", got.values.sum, got == want)
     }
 
+    // ── shape 9: forward as-of with tolerance (q180's streaming twin) ──
+    locally {
+      import graft.streaming.StreamingAsof
+      import graft.streaming.StreamingAsof.{Ev => FEv}
+      val tolMs = 30L * 60L * 1000L
+      val outDir = tmp("se-fasof-out")
+      val in = MemoryStream[FEv]
+      val det = StreamingAsof.matches(spark, in.toDF(), tolMs,
+        watermarkDelay = "10 minutes")
+      val q = det.toDF().writeStream.format("parquet")
+        .option("checkpointLocation", tmp("se-fasof-cp"))
+        .option("path", outDir).outputMode("append").start()
+      val pe = rows.filter(r =>
+        r.event_type == "purchase" || r.event_type == "error")
+        .map(r => FEv(r.user_id, r.event_id, r.ts, r.event_type))
+      try {
+        pe.grouped(math.max(1, pe.length / 3)).foreach { c =>
+          in.addData(c.toIndexedSeq); q.processAllAvailable()
+        }
+        // sentinels: fire every pending purchase timer
+        in.addData(FEv(-1L, -1L, sent1.ts, "view")); q.processAllAvailable()
+        in.addData(FEv(-1L, -2L, sent2.ts, "view")); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("next_error_id"),
+          r.getAs[Long]("delta_s"))).toSet
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("e_id"),
+          col("ts").as("e_ts"))
+      val want = graft.operators.AsOfJoin.asofForward(purchases, errors,
+          "user_id", "user_id", "p_ts", "e_ts", "e_id", tolMs * 1000L)
+        .select(col("p_id"), col("asof_e_id"),
+          ((unix_micros(col("asof_e_ts")) - unix_micros(col("p_ts")))
+            / 1000000L).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      record("forward_asof_tolerance", got.size.toLong, got == want)
+    }
+
     val shapes = results.map { case (n, (r, ok)) =>
       s""""$n":{"rows":$r,"match":$ok}"""
     }.mkString("{", ",", "}")
