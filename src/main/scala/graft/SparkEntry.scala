@@ -2281,6 +2281,82 @@ object SparkEntry {
           col("n_nations"))
         .orderBy(col("r_name"), col("share_permille").desc, col("label"))
     }),
+
+    // Ingest volume anomaly audit: per (event_type, day) counts over
+    // a DENSE day axis (a silent zero day IS the incident), flagged
+    // at |z| > 3 against the type's own day-count distribution. The
+    // flag is the exact integer inequality (c·n−Σ)² > 9(n·Σc²−Σ²);
+    // z itself is one IEEE sqrt over the same exact integers. The
+    // ops-monitoring query a 100 TB feed runs nightly: two map-side
+    // aggregates + a |types|×|days| dense frame, no event-scale join.
+    "q184_ingest_anomaly" -> ((s, dir) => {
+      val dayCol = floor(unix_micros(col("ts")) / 86400000000L)
+        .cast("long")
+      val pd = Tables.events(s, dir)
+        .groupBy(col("event_type"), dayCol.as("d"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // bounds + dense join both read it
+      val bounds = pd.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      val dense = pd.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("dmin"), col("dmax"))).as("d"))
+        .join(pd, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("c"))
+      val mom = dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("s2"))
+      dense.join(broadcast(mom), Seq("event_type"))
+        .select(col("event_type"), col("d").as("epoch_day"), col("c"),
+          r4((col("c") * col("n") - col("s")).cast("double") /
+            sqrt((col("n") * col("s2") - col("s") * col("s"))
+              .cast("double"))).as("z"),
+          ((col("c") * col("n") - col("s")) *
+            (col("c") * col("n") - col("s")) >
+            lit(9L) * (col("n") * col("s2") - col("s") * col("s")))
+            .as("anomalous"))
+        .orderBy("event_type", "epoch_day")
+    }),
+
+    // Markov next-event backtest — the eval-harness shape (q106's
+    // retrieval eval for sequence models): train a first-order
+    // transition argmax on the pre-split pairs (q94's matrix), score
+    // top-1 accuracy on the post-split pairs. A pair belongs to the
+    // period of its LATER event — exactly what a deployed predictor
+    // sees (it predicts from the last observed event regardless of
+    // which period that event fell in).
+    "q185_markov_backtest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val split = to_timestamp(lit("2024-01-16 00:00:00"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val counts = trans.filter(col("ts") < split)
+        .groupBy(col("prev"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("prev"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      val pred = counts.withColumn("rk", row_number().over(wp))
+        .filter(col("rk") === 1)
+        .select(col("prev"), col("event_type").as("predicted_next"),
+          col("n").as("train_n"))
+      trans.filter(col("ts") >= split)
+        .join(broadcast(pred), Seq("prev"), "left")
+        .groupBy(col("prev"))
+        .agg(first(col("predicted_next")).as("predicted_next"),
+          first(col("train_n")).as("train_n"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("event_type") === col("predicted_next"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .select(col("prev"), col("predicted_next"), col("train_n"),
+          col("n_test"), col("n_correct"),
+          expr("n_correct * 1000L div n_test").as("acc_permille"))
+        .orderBy("prev")
+    }),
   )
 
   /** Bench-only twins: timed by [[Bench]] alongside `queries` but
@@ -5221,5 +5297,62 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_nations
         |FROM lab GROUP BY 1, 2
         |ORDER BY r_name, share_permille DESC, label""".stripMargin,
+
+    // q184: same dense day axis and integer z-flag; the z column is
+    // one IEEE sqrt over identical integers.
+    "q184_ingest_anomaly" ->
+      """WITH pd AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |         count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(d) AS dmin, max(d) AS dmax FROM pd),
+        |dense AS (
+        |  SELECT t.event_type, days.d, coalesce(pd.c, 0)::BIGINT AS c
+        |  FROM (SELECT DISTINCT event_type FROM pd) t
+        |  CROSS JOIN (SELECT unnest(range(dmin, dmax + 1)) AS d
+        |              FROM bounds) days
+        |  LEFT JOIN pd ON pd.event_type = t.event_type AND pd.d = days.d),
+        |mom AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+        |         sum(c * c)::BIGINT AS s2
+        |  FROM dense GROUP BY 1)
+        |SELECT dense.event_type, dense.d AS epoch_day, dense.c,
+        |       floor((dense.c * n - s)::DOUBLE
+        |             / sqrt((n * s2 - s * s)::DOUBLE) * 10000 + 0.5)
+        |         / 10000 AS z,
+        |       ((dense.c * n - s) * (dense.c * n - s)
+        |          > 9 * (n * s2 - s * s)) AS anomalous
+        |FROM dense JOIN mom ON mom.event_type = dense.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q185: identical split/argmax/scoring; the pair's period is its
+    // LATER event's timestamp on both engines.
+    "q185_markov_backtest" ->
+      """WITH trans AS (
+        |  SELECT user_id, ts, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |tr AS (SELECT * FROM trans WHERE prev IS NOT NULL),
+        |counts AS (
+        |  SELECT prev, event_type, count(*)::BIGINT AS n
+        |  FROM tr WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT prev, event_type AS predicted_next, n AS train_n
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY prev
+        |          ORDER BY n DESC, event_type) AS rk FROM counts)
+        |  WHERE rk = 1)
+        |SELECT tr.prev, max(predicted_next) AS predicted_next,
+        |       max(train_n)::BIGINT AS train_n,
+        |       count(*)::BIGINT AS n_test,
+        |       sum(CASE WHEN tr.event_type = predicted_next
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+        |       (sum(CASE WHEN tr.event_type = predicted_next
+        |                 THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
+        |         AS acc_permille
+        |FROM tr LEFT JOIN pred ON pred.prev = tr.prev
+        |WHERE tr.ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
