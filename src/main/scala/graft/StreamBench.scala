@@ -204,6 +204,24 @@ object StreamBench {
           (col("id") % 1013L).cast("double").as("value"),
           lit(506.0).as("mean"))
         (graft.streaming.StreamingCusum.detect(spark, s).toDF(), "append")
+      }),
+
+      "forward_asof" -> (() => {
+        // q180's streaming twin: timer-resolved purchase→next-error
+        // matching; ~1/8 purchases, ~1/8 errors, rest pass-through.
+        // State is tolerance-bounded per key; emission waits on the
+        // watermark, so out-rows lag the 1 s tolerance.
+        // user modulus COPRIME to the type modulus (8 | 10000 would
+        // hand every user a single event type and zero matches)
+        val s = purchases(500000L).select(
+          (col("id") % 9973L).as("user_id"),
+          col("id").as("event_id"), col("ts"),
+          when(col("id") % 8 === 0, "purchase")
+            .when(col("id") % 8 === 1, "error")
+            .otherwise("view").as("event_type"))
+        (graft.streaming.StreamingAsof
+          .matches(spark, s, tolMs = 1000L, watermarkDelay = "1 second")
+          .toDF(), "append")
       }))
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
