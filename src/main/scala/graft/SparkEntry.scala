@@ -2357,6 +2357,168 @@ object SparkEntry {
           expr("n_correct * 1000L div n_test").as("acc_permille"))
         .orderBy("prev")
     }),
+
+    // TPC-H Q19 shape: three OR'd (brand, size-range, quantity-range)
+    // branches over one lineitem×part join — the disjunctive-predicate
+    // normalization/pushdown stress (each branch's part-side conjuncts
+    // can prune the build side; the OR itself rides the join filter).
+    "q186_disjunctive_revenue" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) -
+        col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val branch = (col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" &&
+          col("p_size").between(11, 25) && col("l_quantity").between(5, 30)) ||
+        (col("p_brand") === "Brand#3" &&
+          col("p_size").between(26, 50) && col("l_quantity").between(10, 40))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+        .filter(branch)
+        .agg(r2(sum(cents) / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q4 shape: priority counts of orders with at least one line
+    // shipped after the order date — EXISTS as a LEFT SEMI join whose
+    // non-equi half (l_shipdate > o_orderdate) rides the join
+    // condition; lineitem is never widened into the aggregate.
+    "q187_priority_late_ship" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-07-01"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q16 shape: supplier diversity per (brand, size) with a
+    // blocklisted supplier set removed by ANTI join before the
+    // distinct count (the NOT IN that must never become a filter on a
+    // nullable subquery).
+    "q188_supplier_diversity" -> ((s, dir) => {
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_name").endsWith("7"))
+        .select(col("s_suppkey").as("x_suppkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(excluded, col("l_suppkey") === col("x_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+
+    // TPC-H Q11 shape: per-part lineitem value with a GLOBAL share
+    // threshold (HAVING value > fraction × Σ) — the scalar rides a
+    // broadcast 1-row frame, the share is integral parts-per-million.
+    "q189_part_value_share" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * 100 + lit(0.5))
+        .cast("long")
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents).as("value_c"))
+        .localCheckpoint(true) // scalar + filtered output both read it
+      val total = perPart.agg(sum(col("value_c")).cast("decimal(38,0)")
+        .as("total_c"))
+      perPart.crossJoin(broadcast(total))
+        .withColumn("share_ppm",
+          expr("CAST(value_c AS DECIMAL(38,0)) * 1000000 div total_c")
+            .cast("long"))
+        .filter(col("share_ppm") > 800L)
+        .select(col("l_partkey"), (col("value_c") / 100.0).as("value"),
+          col("share_ppm"))
+        .orderBy(col("share_ppm").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q8 shape: one nation's market share inside one region's
+    // order flow, per order-year — conditional cents over the same
+    // 6-table join as q150, share by integral division.
+    "q190_market_share" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) -
+        col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val cn = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(cents).as("total_c"),
+          sum(when(col("s_nationkey") === 7, cents).otherwise(0L))
+            .as("target_c"))
+        .select(col("yr"), (col("total_c") / 100.0).as("total_rev"),
+          expr("target_c * 1000L div total_c").as("share_permille"))
+        .orderBy("yr")
+    }),
+
+    // TPC-H Q15 shape: the top-revenue supplier(s) of a quarter — a
+    // 1-row scalar max joined back by equality, so ties all surface
+    // (the view+max formulation, not a LIMIT 1 that drops ties).
+    "q191_top_supplier" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) -
+        col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-04-01"))
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents).as("rev_c"))
+        .localCheckpoint(true) // max + equality join both read it
+      val top = rev.agg(max(col("rev_c")).as("max_c"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("rev_c") === col("max_c"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_c") / 100.0).as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — the IN(group-by-HAVING)
+    // is the same aggregate the output needs, so it computes ONCE and
+    // joins back; quantities are integral doubles (exact sums).
+    "q192_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300.0)
+      big.join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          tsStr(col("o_orderdate")).as("o_orderdate"),
+          col("total_qty").cast("long").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape: promo revenue share per ship-month —
+    // conditional cents, integral permille, no join ordering hazards
+    // (part broadcasts).
+    "q193_promo_share" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) -
+        col("l_discount")) * 100 + lit(0.5)).cast("long")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_type"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(sum(cents).as("total_c"),
+          sum(when(col("p_type") === "PROMO", cents).otherwise(0L))
+            .as("promo_c"))
+        .select(col("month"), (col("total_c") / 100.0).as("revenue"),
+          expr("promo_c * 1000L div total_c").as("promo_share_permille"))
+        .orderBy("month")
+    }),
   )
 
   /** Bench-only twins: timed by [[Bench]] alongside `queries` but
@@ -5353,6 +5515,111 @@ object SparkEntry {
         |         AS acc_permille
         |FROM tr LEFT JOIN pred ON pred.prev = tr.prev
         |WHERE tr.ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q186_disjunctive_revenue" ->
+      """SELECT floor(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |                           * 100 + 0.5) AS BIGINT)) / 100.0
+        |             * 100 + 0.5) / 100 AS revenue,
+        |       count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+        |       AND l_quantity BETWEEN 5 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+        |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+
+    "q187_priority_late_ship" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q188_supplier_diversity" ->
+      """SELECT p_brand, p_size,
+        |       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q189_part_value_share" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS value_c
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(value_c)::HUGEINT AS total_c FROM pp)
+        |SELECT l_partkey, (value_c / 100.0)::DOUBLE AS value,
+        |       (value_c::HUGEINT * 1000000 // total_c)::BIGINT AS share_ppm
+        |FROM pp, tot
+        |WHERE value_c::HUGEINT * 1000000 // total_c > 800
+        |ORDER BY share_ppm DESC, l_partkey""".stripMargin,
+
+    "q190_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate)::BIGINT AS yr,
+        |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+        |                    + 0.5) AS BIGINT) AS cents,
+        |         (s_nationkey = 7) AS is_target
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT yr, (sum(cents) / 100.0)::DOUBLE AS total_rev,
+        |       (sum(CASE WHEN is_target THEN cents ELSE 0 END) * 1000
+        |          // sum(cents))::BIGINT AS share_permille
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q191_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+        |                        + 0.5) AS BIGINT))::BIGINT AS rev_c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, (rev_c / 100.0)::DOUBLE AS total_rev
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE rev_c = (SELECT max(rev_c) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q192_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300.0)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |       total_qty::BIGINT AS total_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q193_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |       (sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+        |                       + 0.5) AS BIGINT)) / 100.0)::DOUBLE
+        |         AS revenue,
+        |       (sum(CASE WHEN p_type = 'PROMO'
+        |                 THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |                                 * 100 + 0.5) AS BIGINT)
+        |                 ELSE 0 END) * 1000
+        |          // sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |                            * 100 + 0.5) AS BIGINT)))::BIGINT
+        |         AS promo_share_permille
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
