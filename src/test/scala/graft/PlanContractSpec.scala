@@ -57,4 +57,44 @@ class PlanContractSpec extends SparkSpec {
     assert(countOccurrences(plan, "Exchange hashpartitioning") <= 1,
       s"corpus must not shuffle for the join:\n$plan")
   }
+
+  test("q176 winnowing: ONE doc exchange — window + both aggregates share it") {
+    val plan = physical(graft.operators.TextAnalysis
+      .winnowFingerprints(Tables.documents(spark, sf001)))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+      s"winnowing must shuffle exactly once (on doc_id):\n$plan")
+    assert(plan.contains("Window"), "lag/lead window expected")
+  }
+
+  test("q187 EXISTS: a left-semi join, never a count aggregate") {
+    val plan = physical(SparkEntry.queries("q187_priority_late_ship")(
+      spark, sf001))
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as semi join:\n$plan")
+    // the non-equi half rides the join condition: the semi-join node
+    // itself mentions the shipdate comparison
+    val semiLine = plan.linesIterator
+      .find(_.contains("LeftSemi")).getOrElse("")
+    assert(semiLine.contains("l_shipdate"),
+      s"shipdate predicate must ride the semi join:\n$semiLine")
+  }
+
+  test("q188 NOT IN: an anti join, never a nullable IN filter") {
+    val plan = physical(SparkEntry.queries("q188_supplier_diversity")(
+      spark, sf001))
+    assert(plan.contains("LeftAnti"), s"exclusion must be an anti join:\n$plan")
+  }
+
+  test("q178 burstiness: two aggregates, no window, no join") {
+    val plan = physical(graft.operators.TimeSeries
+      .burstinessAudit(Tables.events(spark, sf001)))
+    assert(!plan.contains("Window") &&
+      !plan.contains("Join"), s"pure two-level aggregate expected:\n$plan")
+  }
+
+  test("q181 active users: no Expand (single-distinct rewrite held)") {
+    val plan = physical(graft.operators.TimeSeries
+      .activeUserCurves(Tables.events(spark, sf001)))
+    assert(!plan.contains("Expand"),
+      s"min-offset fan-out must avoid the multi-distinct Expand:\n$plan")
+  }
 }
