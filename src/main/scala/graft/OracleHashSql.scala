@@ -176,6 +176,43 @@ SELECT band, n_true, n_caught,
        (n_caught * 1000 // n_true)::BIGINT AS recall_permille
 FROM agg ORDER BY band"""
 
+  /** Oracle for q195: the three-tier dedup-explain cascade — byte
+    * md5, whitespace/case-normalized md5, then q17 minhash candidates
+    * (est ≥ 0.5) restricted to the earlier tiers' survivors with the
+    * min-id partner rule.
+    */
+  def q195DedupExplain: String =
+    s"""WITH $minhashCtes,
+exmin AS (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS surv
+  FROM documents),
+exact_drops AS (
+  SELECT doc_id, surv AS survivor_id, 'exact' AS tier
+  FROM exmin WHERE doc_id <> surv),
+after_exact AS (SELECT doc_id, text FROM exmin WHERE doc_id = surv),
+nmmin AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS surv
+  FROM after_exact),
+norm_drops AS (
+  SELECT doc_id, surv AS survivor_id, 'normalized' AS tier
+  FROM nmmin WHERE doc_id <> surv),
+remaining AS (SELECT doc_id FROM nmmin WHERE doc_id = surv),
+near_drops AS (
+  SELECT est.doc_b AS doc_id, min(est.doc_a) AS survivor_id,
+         'near_dup' AS tier
+  FROM est
+  JOIN remaining ra ON ra.doc_id = est.doc_a
+  JOIN remaining rb ON rb.doc_id = est.doc_b
+  WHERE e >= 0.5
+  GROUP BY est.doc_b)
+SELECT doc_id, survivor_id, tier FROM (
+  SELECT * FROM exact_drops
+  UNION ALL SELECT * FROM norm_drops
+  UNION ALL SELECT * FROM near_drops)
+ORDER BY doc_id, tier"""
+
   /** Oracle for q36: LSH candidates (est >= 0.2) exact-reranked with
     * word-set jaccard >= 0.5 (= Dedup.lshBlockedJaccardPairs defaults).
     */

@@ -2501,6 +2501,87 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Corpus balance audit: per language, the Simpson-index effective
+    // source count (Σc)²/Σc² — "how many sources is this slice REALLY
+    // drawing from" — plus the top source's share. The entropy-based
+    // diversity needs libm log (gate-hostile); Simpson is exact
+    // integers + one division, and 2^H ≈ Simpson for near-uniform
+    // mixes. One aggregate over |lang|×|source| cells.
+    "q194_source_diversity" -> ((s, dir) => {
+      val perSrc = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      perSrc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("c")).as("n_docs"),
+          sum(col("c") * col("c")).as("sum_c2"),
+          max(col("c")).as("top_c"))
+        .select(col("lang"), col("n_sources"), col("n_docs"),
+          r4((col("n_docs") * col("n_docs")).cast("double") /
+            col("sum_c2").cast("double")).as("effective_sources"),
+          expr("top_c * 1000L div n_docs").as("top_share_permille"))
+        .orderBy("lang")
+    }),
+
+    // Dedup survivor EXPLAIN table — the governance view the dedup
+    // family (q14/q15/q17) feeds: for every dropped document, who it
+    // collapsed into and at which tier. Tiers are mutually exclusive
+    // and cascade: byte-exact first, whitespace/case-normalized next,
+    // then minhash near-dup candidates (min-id partner; the full
+    // transitive clustering is q49/q91 — this is the per-doc audit
+    // row, not the cluster assignment).
+    "q195_dedup_explain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val wExact = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
+      def tier(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+               name: String) = {
+        val withMin = df.withColumn("h", keyCol)
+          .withColumn("surv", min(col("doc_id")).over(wExact))
+        (withMin.filter(col("doc_id") =!= col("surv"))
+          .select(col("doc_id"), col("surv").as("survivor_id"),
+            lit(name).as("tier")),
+          withMin.filter(col("doc_id") === col("surv"))
+            .select(col("doc_id"), col("text")))
+      }
+      val (exactDrops, afterExact) = tier(docs, md5(col("text")), "exact")
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val (normDrops, afterNorm) = tier(afterExact, md5(norm), "normalized")
+      val remaining = afterNorm.select(col("doc_id"))
+      val pairs = Dedup.minhashLshPairs(s, Tables.documents(s, dir))
+        .join(remaining.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        .join(remaining.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      val nearDrops = pairs.groupBy(col("doc_b").as("doc_id"))
+        .agg(min(col("doc_a")).as("survivor_id"))
+        .select(col("doc_id"), col("survivor_id"),
+          lit("near_dup").as("tier"))
+      exactDrops.unionByName(normDrops).unionByName(nearDrops)
+        .orderBy("doc_id", "tier")
+    }),
+
+    // k-anonymity generalization ladder (q161's remediation step):
+    // for each candidate balance-band width, how many QI groups stay
+    // re-identifiable (n < k) — the report that picks the coarsest
+    // compliant generalization instead of guessing.
+    "q196_generalization_ladder" -> ((s, dir) => {
+      val widths = Seq(1000, 5000, 10000)
+      widths.map { wth =>
+        Tables.customer(s, dir)
+          .groupBy(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / wth).cast("long").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .agg(lit(wth.toLong).as("band_width"),
+            count(lit(1)).as("n_groups"),
+            sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_risky"),
+            max(when(col("n") < 5, col("n")).otherwise(0L))
+              .as("largest_risky"))
+          .select(col("band_width"), col("n_groups"), col("n_risky"),
+            (col("n_risky") === 0L).as("compliant"))
+      }.reduce(_.unionByName(_)).orderBy("band_width")
+    }),
+
     // TPC-H Q14 shape: promo revenue share per ship-month —
     // conditional cents, integral permille, no join ordering hazards
     // (part broadcasts).
@@ -5621,5 +5702,35 @@ object SparkEntry {
         |         AS promo_share_permille
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q194_source_diversity" ->
+      """WITH ps AS (
+        |  SELECT lang, source, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, count(*)::BIGINT AS n_sources,
+        |       sum(c)::BIGINT AS n_docs,
+        |       floor((sum(c) * sum(c))::DOUBLE / sum(c * c)::DOUBLE
+        |             * 10000 + 0.5) / 10000 AS effective_sources,
+        |       (max(c) * 1000 // sum(c))::BIGINT AS top_share_permille
+        |FROM ps GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q195: the same three-tier cascade; the near-dup tier reuses the
+    // full q17 minhash/banding replay restricted to tier-1/2
+    // survivors, with the min-id partner rule.
+    "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    "q196_generalization_ladder" ->
+      """SELECT band_width, n_groups, n_risky, (n_risky = 0) AS compliant
+        |FROM (
+        |  SELECT w.band_width, count(*)::BIGINT AS n_groups,
+        |         sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_risky
+        |  FROM (VALUES (1000), (5000), (10000)) w(band_width),
+        |  LATERAL (
+        |    SELECT count(*)::BIGINT AS n
+        |    FROM customer
+        |    GROUP BY c_nationkey, c_mktsegment,
+        |             floor(c_acctbal / w.band_width)) g
+        |  GROUP BY 1)
+        |ORDER BY band_width""".stripMargin,
   )
 }
