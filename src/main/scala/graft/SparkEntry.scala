@@ -2018,6 +2018,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // WARC-style length-framed container round-trip (the web-crawl
+    // ingest shape): parquet -> one container per partition ->
+    // stream-parsed read -> per-source aggregate. sum_chars is
+    // RECOMPUTED from the decoded payload (not carried metadata), so
+    // the hash match certifies byte-exact payload framing.
+    "q197_warc_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_q197_${math.abs(dir.hashCode)}"
+      graft.sources.WarcIO.writeWarc(docs, path)
+      graft.sources.WarcIO.readWarc(s, path)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .orderBy("source")
+    }),
+
     // Grouped 2-D skyline: per market segment, the Pareto frontier of
     // customers maximizing account balance while minimizing lifetime
     // spend (churn-risk review list: money parked, little bought).
@@ -5718,6 +5735,14 @@ object SparkEntry {
     // full q17 minhash/banding replay restricted to tier-1/2
     // survivors, with the min-id partner rule.
     "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    // q197: the WARC round-trip must reproduce the parquet truth,
+    // char counts recomputed from the decoded payload.
+    "q197_warc_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(length(text))::BIGINT AS sum_chars,
+        |       count(DISTINCT md5(text))::BIGINT AS n_distinct_texts
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q196_generalization_ladder" ->
       """SELECT band_width, n_groups, n_risky, (n_risky = 0) AS compliant
