@@ -2518,6 +2518,108 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Deterministic epoch interleave: rank within source by content
+    // address, epoch_key = (r−1)·S + source_idx — the training-order
+    // query. The GLOBAL order is a computed key, never a global
+    // row_number (the classic unpartitioned-window scale-killer);
+    // ordering by the key interleaves sources round-robin, reruns are
+    // byte-identical, and the tail (exhausted sources) stays sparse
+    // but totally ordered.
+    "q198_epoch_interleave" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      // the one unpartitioned window runs over the DISTINCT source
+      // list (|sources| rows, broadcast afterwards) — never over data
+      val srcIdx = docs.select(col("source")).distinct()
+        .withColumn("src_idx",
+          row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+      val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      docs
+        .withColumn("r", row_number().over(wSrc).cast("long"))
+        .join(broadcast(srcIdx), Seq("source"))
+        .crossJoin(broadcast(nSrc))
+        .select(col("doc_id"), col("source"), col("r"),
+          ((col("r") - 1) * col("n_src") + col("src_idx"))
+            .as("epoch_key"))
+        .orderBy("epoch_key")
+    }),
+
+    // Quality gate with a REASON bitmask (C4/Gopher-style cleaning,
+    // explainable): every rule is an exact integer comparison on the
+    // q22 counts, so the verdict is engine-exact and each dropped doc
+    // says why — the per-doc companion of q195's dedup explain.
+    "q199_quality_gate" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = graft.functions.TextFunctions.wsTokens(col("text"))
+      val tri = graft.functions.HashFunctions.wordShingles(toks, 3)
+      val nTok = size(toks).cast("long")
+      val nChars = length(col("text")).cast("long")
+      val nAlpha = graft.functions.TextFunctions.alphaCount(col("text"))
+        .cast("long")
+      val nPunct = graft.functions.TextFunctions.punctCount(col("text"))
+        .cast("long")
+      val nStop = graft.functions.TextFunctions
+        .stopwordCount(col("text"),
+          graft.functions.TextFunctions.stopwords("en")).cast("long")
+      val nTri = size(tri).cast("long")
+      val nTriD = size(array_distinct(tri)).cast("long")
+      val mask =
+        when(nTok < 5, 1L).otherwise(0L) +
+          when(nAlpha * 1000L < nChars * 600L, 2L).otherwise(0L) +
+          when(nPunct * 1000L > nChars * 100L, 4L).otherwise(0L) +
+          when(nStop === 0L, 8L).otherwise(0L) +
+          when(nTri > 0L && nTriD * 1000L < nTri * 800L, 16L)
+            .otherwise(0L)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
+          mask.as("reason_mask"), (mask === 0L).as("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Capstone composition: quality gate (q199) → byte-exact dedup
+    // survivors → content-addressed token-budget fill per source
+    // (q159's convention) — the cleaning pipeline a corpus run
+    // actually executes, certified END-TO-END by one oracle instead
+    // of per-stage.
+    "q200_clean_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val toks = graft.functions.TextFunctions.wsTokens(col("text"))
+      val tri = graft.functions.HashFunctions.wordShingles(toks, 3)
+      val nTok = size(toks).cast("long")
+      val nChars = length(col("text")).cast("long")
+      val nAlpha = graft.functions.TextFunctions.alphaCount(col("text"))
+        .cast("long")
+      val nPunct = graft.functions.TextFunctions.punctCount(col("text"))
+        .cast("long")
+      val nStop = graft.functions.TextFunctions
+        .stopwordCount(col("text"),
+          graft.functions.TextFunctions.stopwords("en")).cast("long")
+      val nTriD = size(array_distinct(tri)).cast("long")
+      val clean = Tables.documents(s, dir)
+        .filter(nTok >= 5 && nAlpha * 1000L >= nChars * 600L &&
+          nPunct * 1000L <= nChars * 100L && nStop > 0L &&
+          !(size(tri) > 0 && nTriD * 1000L < size(tri).cast("long") * 800L))
+      val wDup = Window.partitionBy(md5(col("text")))
+      val survivors = clean
+        .withColumn("surv", min(col("doc_id")).over(wDup))
+        .filter(col("doc_id") === col("surv"))
+      val priority = conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long")
+      val wFill = Window.partitionBy(col("source"))
+        .orderBy(col("priority"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      survivors
+        .select(col("doc_id"), col("source"), nTok.as("n_tokens"),
+          priority.as("priority"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wFill))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"), (col("cum_tokens") <= 800L).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus balance audit: per language, the Simpson-index effective
     // source count (Σc)²/Σc² — "how many sources is this slice REALLY
     // drawing from" — plus the top source's share. The entropy-based
@@ -5735,6 +5837,107 @@ object SparkEntry {
     // full q17 minhash/banding replay restricted to tier-1/2
     // survivors, with the min-id partner rule.
     "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    "q198_epoch_interleave" ->
+      """WITH si AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT count(*)::BIGINT AS n_src FROM si),
+        |rk AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(text), doc_id) AS r
+        |  FROM documents)
+        |SELECT doc_id, rk.source, rk.r::BIGINT AS r,
+        |       ((rk.r - 1) * n_src + src_idx)::BIGINT AS epoch_key
+        |FROM rk JOIN si ON si.source = rk.source, ns
+        |ORDER BY epoch_key""".stripMargin,
+
+    // q199/q200: the same exact-integer rule set, mirrored with the
+    // q22 oracle's count formulas.
+    "q199_quality_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> length(x) > 0))::BIGINT AS n_tok,
+        |    length(text)::BIGINT AS n_chars,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT
+        |      AS n_alpha,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT
+        |      AS n_punct,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> x IN ('the','a','of','and','in','to','is','it',
+        |                   'that','for')))::BIGINT AS n_stop,
+        |    len(list_transform(range(1,
+        |        len(list_filter(string_split(lower(text),' '),
+        |            x -> length(x) > 0)) - 1),
+        |      i -> array_to_string(list_filter(string_split(lower(text),' '),
+        |            x -> length(x) > 0)[i:i+2], ' ')))::BIGINT AS n_tri,
+        |    len(list_distinct(list_transform(range(1,
+        |        len(list_filter(string_split(lower(text),' '),
+        |            x -> length(x) > 0)) - 1),
+        |      i -> array_to_string(list_filter(string_split(lower(text),' '),
+        |            x -> length(x) > 0)[i:i+2], ' '))))::BIGINT AS n_tri_d
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, n_tok, n_chars,
+        |    (CASE WHEN n_tok < 5 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_alpha * 1000 < n_chars * 600 THEN 2 ELSE 0 END
+        |     + CASE WHEN n_punct * 1000 > n_chars * 100 THEN 4 ELSE 0 END
+        |     + CASE WHEN n_stop = 0 THEN 8 ELSE 0 END
+        |     + CASE WHEN n_tri > 0 AND n_tri_d * 1000 < n_tri * 800
+        |            THEN 16 ELSE 0 END)::BIGINT AS reason_mask
+        |  FROM m)
+        |SELECT doc_id, n_tok AS n_tokens, n_chars, reason_mask,
+        |       (reason_mask = 0) AS kept
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q200_clean_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(lower(text), ' '),
+        |        x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, text, len(toks)::BIGINT AS n_tok,
+        |    length(text)::BIGINT AS n_chars,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT
+        |      AS n_alpha,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT
+        |      AS n_punct,
+        |    len(list_filter(toks,
+        |        x -> x IN ('the','a','of','and','in','to','is','it',
+        |                   'that','for')))::BIGINT AS n_stop,
+        |    len(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))::BIGINT AS n_tri,
+        |    len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' '))))::BIGINT AS n_tri_d
+        |  FROM t),
+        |clean AS (
+        |  SELECT doc_id, source, text, n_tok
+        |  FROM m
+        |  WHERE n_tok >= 5 AND n_alpha * 1000 >= n_chars * 600
+        |    AND n_punct * 1000 <= n_chars * 100 AND n_stop > 0
+        |    AND NOT (n_tri > 0 AND n_tri_d * 1000 < n_tri * 800)),
+        |surv AS (
+        |  SELECT doc_id, source, text, n_tok
+        |  FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS sv
+        |        FROM clean)
+        |  WHERE doc_id = sv),
+        |fill AS (
+        |  SELECT doc_id, source, n_tok,
+        |         ('0x' || substring(md5(text), 1, 8))::BIGINT AS priority
+        |  FROM surv)
+        |SELECT doc_id, source, n_tok AS n_tokens,
+        |       sum(n_tok) OVER (PARTITION BY source
+        |                        ORDER BY priority, doc_id
+        |                        ROWS UNBOUNDED PRECEDING)::BIGINT
+        |         AS cum_tokens,
+        |       (sum(n_tok) OVER (PARTITION BY source
+        |                         ORDER BY priority, doc_id
+        |                         ROWS UNBOUNDED PRECEDING) <= 800)
+        |         AS kept
+        |FROM fill ORDER BY doc_id""".stripMargin,
 
     // q197: the WARC round-trip must reproduce the parquet truth,
     // char counts recomputed from the decoded payload.
