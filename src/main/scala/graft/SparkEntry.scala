@@ -2518,6 +2518,61 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Cross-format consistency audit: the same table written to and
+    // read back from ALL four row/container formats (JSONL, ORC, Avro
+    // OCF, WARC) must agree on the content digest — one query that
+    // certifies the whole source tier jointly (a format-specific
+    // corruption shows up as one divergent row).
+    "q201_format_consistency" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_q201_${math.abs(dir.hashCode)}"
+      def digest(df: DataFrame, fmt: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_texts"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long")).as("digest_sum"))
+          .select(lit(fmt).as("format"), col("n_docs"), col("sum_chars"),
+            col("n_texts"), col("digest_sum"))
+      graft.sources.JsonIO.writeJsonl(docs, s"$base/jsonl")
+      graft.sources.OrcIO.writeOrc(docs, s"$base/orc")
+      graft.sources.AvroFileIO.writeOcf(docs, s"$base/avro")
+      graft.sources.WarcIO.writeWarc(docs, s"$base/warc")
+      digest(graft.sources.JsonIO.readJsonl(s, s"$base/jsonl", docs.schema),
+          "jsonl")
+        .unionByName(digest(
+          graft.sources.OrcIO.readOrc(s, s"$base/orc", docs.schema), "orc"))
+        .unionByName(digest(graft.sources.AvroFileIO
+          .readOcf(s, s"$base/avro", docs.schema), "avro"))
+        .unionByName(digest(
+          graft.sources.WarcIO.readWarc(s, s"$base/warc"), "warc"))
+        .orderBy("format")
+    }),
+
+    // Per-source 10%-trimmed mean of document length — the robust
+    // location estimate that survives the outliers q102/q72 only
+    // FLAG. Trim bounds are integer rank comparisons; the mean is an
+    // exact integer sum over the kept ranks, one division at the end.
+    "q202_trimmed_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+        .filter(col("rk") > expr("n div 10") &&
+          col("rk") <= col("n") - expr("n div 10"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("s"))
+        .select(col("source"), col("n_kept"),
+          r4(col("s").cast("double") / col("n_kept").cast("double"))
+            .as("trimmed_mean_chars"))
+        .orderBy("source")
+    }),
+
     // Deterministic epoch interleave: rank within source by content
     // address, epoch_key = (r−1)·S + source_idx — the training-order
     // query. The GLOBAL order is a computed key, never a global
@@ -5837,6 +5892,34 @@ object SparkEntry {
     // full q17 minhash/banding replay restricted to tier-1/2
     // survivors, with the min-id partner rule.
     "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    // q201: every format row must equal the parquet truth — the
+    // oracle emits the same digest four times.
+    "q201_format_consistency" ->
+      """WITH d AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |         sum(length(text))::BIGINT AS sum_chars,
+        |         count(DISTINCT md5(text))::BIGINT AS n_texts,
+        |         sum(('0x' || substring(md5(text), 1, 8))::BIGINT)::BIGINT
+        |           AS digest_sum
+        |  FROM documents)
+        |SELECT f.format, n_docs, sum_chars, n_texts, digest_sum
+        |FROM (VALUES ('avro'), ('jsonl'), ('orc'), ('warc')) f(format), d
+        |ORDER BY f.format""".stripMargin,
+
+    "q202_trimmed_mean" ->
+      """WITH rk AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_kept,
+        |       floor(sum(n_chars)::DOUBLE / count(*)::DOUBLE * 10000
+        |             + 0.5) / 10000 AS trimmed_mean_chars
+        |FROM rk
+        |WHERE rk > n // 10 AND rk <= n - n // 10
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q198_epoch_interleave" ->
       """WITH si AS (
