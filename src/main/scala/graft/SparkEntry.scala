@@ -2518,6 +2518,42 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Exact nearest-rank inter-arrival percentiles per event type —
+    // the latency-profile shape (p50/p90/p99 of the gap between
+    // consecutive events of a type). Gaps are integer seconds; the
+    // nearest-rank index floor((n−1)·q)+1 is integer arithmetic, so
+    // the profile is engine-exact. Exact per-group quantiles cost a
+    // per-type sort (partitioned across types); the sketch path at
+    // extreme cardinality is q128's MRL / q63's histogram, documented
+    // there.
+    "q203_gap_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"))
+        .withColumn("gap_s",
+          ((unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(wSeq))) / 1000000L)
+            .cast("long"))
+        .filter(col("gap_s").isNotNull)
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(col("gap_s"), col("event_id"))
+      gaps
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_gaps"),
+          max(when(col("rk") === expr("(n - 1) * 50 div 100 + 1"),
+            col("gap_s"))).as("p50_s"),
+          max(when(col("rk") === expr("(n - 1) * 90 div 100 + 1"),
+            col("gap_s"))).as("p90_s"),
+          max(when(col("rk") === expr("(n - 1) * 99 div 100 + 1"),
+            col("gap_s"))).as("p99_s"))
+        .orderBy("event_type")
+    }),
+
     // Cross-format consistency audit: the same table written to and
     // read back from ALL four row/container formats (JSONL, ORC, Avro
     // OCF, WARC) must agree on the content digest — one query that
@@ -5892,6 +5928,28 @@ object SparkEntry {
     // full q17 minhash/banding replay restricted to tier-1/2
     // survivors, with the min-id partner rule.
     "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    "q203_gap_percentiles" ->
+      """WITH g AS (
+        |  SELECT event_type, event_id,
+        |         ((epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000)
+        |           ::BIGINT AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT event_type, gap_s,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY gap_s, event_id) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap_s IS NOT NULL)
+        |SELECT event_type, max(n)::BIGINT AS n_gaps,
+        |       max(CASE WHEN rk = (n - 1) * 50 // 100 + 1
+        |                THEN gap_s END)::BIGINT AS p50_s,
+        |       max(CASE WHEN rk = (n - 1) * 90 // 100 + 1
+        |                THEN gap_s END)::BIGINT AS p90_s,
+        |       max(CASE WHEN rk = (n - 1) * 99 // 100 + 1
+        |                THEN gap_s END)::BIGINT AS p99_s
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q201: every format row must equal the parquet truth — the
     // oracle emits the same digest four times.
