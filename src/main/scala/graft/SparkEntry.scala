@@ -2518,6 +2518,64 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Run-length report per event type — the gaps-and-islands idiom
+    // (island id = seq rank − per-type rank, both windows sharing one
+    // user-keyed exchange): how long do users streak on one action
+    // (e.g. consecutive 'error' events = retry storms). Counts are
+    // integers; avg_run is one division.
+    "q204_event_runs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("island",
+          row_number().over(wAll) - row_number().over(wType))
+        .groupBy(col("user_id"), col("event_type"), col("island"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"),
+          sum(col("run_len")).as("n_events"))
+        .select(col("event_type"), col("n_runs"), col("max_run"),
+          r4(col("n_events").cast("double") / col("n_runs").cast("double"))
+            .as("avg_run"))
+        .orderBy("event_type")
+    }),
+
+    // Coordinated-account detection: user pairs acting in the SAME
+    // minute unusually often (bot rings move in lockstep). The pair
+    // space is per-minute-bounded (the q17/q117 bucket-join
+    // discipline — a skew-capped self-join on the minute bucket,
+    // never users²); the threshold is an integer count.
+    "q205_coordinated_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val um = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_micros(col("ts")) / 60000000L).cast("long")
+            .as("minute"))
+        .distinct()
+        // skew guard: a minute with a site-wide event (everyone acts)
+        // carries no coordination signal and would quadratically blow
+        // the join — cap it, same contract as the LSH bucket caps
+        .withColumn("m_n", count(lit(1)).over(
+          Window.partitionBy(col("minute"))))
+        .filter(col("m_n") <= 50)
+        .drop("m_n")
+      um.as("a").join(um.as("b"),
+          col("a.minute") === col("b.minute") &&
+            col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("user_a"),
+          col("b.user_id").as("user_b"))
+        .agg(count(lit(1)).as("n_shared_minutes"))
+        .filter(col("n_shared_minutes") >= 3)
+        .orderBy(col("n_shared_minutes").desc, col("user_a"),
+          col("user_b"))
+        .limit(50)
+    }),
+
     // Exact nearest-rank inter-arrival percentiles per event type —
     // the latency-profile shape (p50/p90/p99 of the gap between
     // consecutive events of a type). Gaps are integer seconds; the
@@ -5928,6 +5986,42 @@ object SparkEntry {
     // full q17 minhash/banding replay restricted to tier-1/2
     // survivors, with the min-id partner rule.
     "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    "q204_event_runs" ->
+      """WITH isl AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id)
+        |         - row_number() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY ts, event_id) AS island
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type, island, count(*)::BIGINT AS run_len
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT event_type, count(*)::BIGINT AS n_runs,
+        |       max(run_len)::BIGINT AS max_run,
+        |       floor(sum(run_len)::DOUBLE / count(*)::DOUBLE * 10000
+        |             + 0.5) / 10000 AS avg_run
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q205_coordinated_pairs" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS minute
+        |  FROM events),
+        |capped AS (
+        |  SELECT user_id, minute FROM (
+        |    SELECT user_id, minute,
+        |           count(*) OVER (PARTITION BY minute) AS m_n
+        |    FROM um)
+        |  WHERE m_n <= 50)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |       count(*)::BIGINT AS n_shared_minutes
+        |FROM capped a JOIN capped b
+        |  ON a.minute = b.minute AND a.user_id < b.user_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3
+        |ORDER BY n_shared_minutes DESC, user_a, user_b
+        |LIMIT 50""".stripMargin,
 
     "q203_gap_percentiles" ->
       """WITH g AS (
