@@ -2518,6 +2518,92 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ABC / Pareto inventory classification: parts ranked by revenue,
+    // class A = first 80% of cumulative revenue, B = to 95%, C = the
+    // tail. The one global sort runs over the per-part AGGREGATE
+    // (|parts| rows, not lineitems) — the documented acceptable form;
+    // cumulative shares are integer ppm so class boundaries are
+    // engine-exact.
+    "q206_abc_classification" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = floor(col("l_extendedprice") * (lit(1.0) -
+        col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(sum(cents).as("rev_c"))
+        .localCheckpoint(true) // total + ranked output both read it
+      val total = perPart.agg(sum(col("rev_c")).cast("decimal(38,0)")
+        .as("total_c"))
+      val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val classed = perPart.crossJoin(broadcast(total))
+        .withColumn("cum_c", sum(col("rev_c")).over(w))
+        .withColumn("cum_ppm",
+          expr("CAST(cum_c AS DECIMAL(38,0)) * 1000000 div total_c")
+            .cast("long"))
+        .withColumn("abc_class",
+          when(col("cum_ppm") <= 800000L, "A")
+            .when(col("cum_ppm") <= 950000L, "B").otherwise("C"))
+      classed.groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          (sum(col("rev_c")) / 100.0).as("revenue"),
+          min(col("cum_ppm")).as("min_cum_ppm"),
+          max(col("cum_ppm")).as("max_cum_ppm"))
+        .orderBy("abc_class")
+    }),
+
+    // Demand-acceleration flag: parts whose last-7-day quantity runs
+    // ahead of their prior-28-day DAILY mean by >2× — the
+    // demand-sensing / stockout-risk report. The compare is integer
+    // cross-multiplication (q7·28 > 2·q28·7), no float rate anywhere.
+    "q207_demand_acceleration" -> ((s, dir) => {
+      val maxD = Tables.lineitem(s, dir)
+        .agg(max(col("l_shipdate")).as("t_max"))
+      val flagged = Tables.lineitem(s, dir)
+        .crossJoin(broadcast(maxD))
+        .filter(col("l_shipdate") >
+          col("t_max") - expr("INTERVAL 35 DAYS"))
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum(when(col("l_shipdate") >
+            col("t_max") - expr("INTERVAL 7 DAYS"),
+            col("l_quantity").cast("long")).otherwise(0L)).as("q7"),
+          sum(when(col("l_shipdate") <=
+            col("t_max") - expr("INTERVAL 7 DAYS"),
+            col("l_quantity").cast("long")).otherwise(0L)).as("q28"))
+        .filter(col("q28") > 0L && col("q7") * 28L > col("q28") * 14L)
+      flagged
+        .select(col("l_partkey"), col("q7"), col("q28"),
+          expr("q7 * 28L * 1000L div (q28 * 7L)").as("accel_permille"))
+        .orderBy(col("accel_permille").desc, col("l_partkey"))
+        .limit(30)
+    }),
+
+    // Double-charge detection: same user, same dollar amount,
+    // purchase within 7 days of the previous identical one — one lag
+    // window per (user, amount) key, never a self-join on the event
+    // table. (Dollar granularity: this synthetic feed's continuous
+    // values never collide at cents; real payment feeds collide at
+    // exact amounts and the window is typically minutes.)
+    "q208_double_charges" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dollars = floor(col("value")).cast("long")
+      val w = Window.partitionBy(col("user_id"), col("amount_d"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          dollars.as("amount_d"))
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .withColumn("gap_s",
+          (unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w))) / 1000000L)
+        .filter(col("prev_id").isNotNull && col("gap_s") <= 604800L)
+        .select(col("user_id"), col("event_id").as("dup_event_id"),
+          col("prev_id").as("orig_event_id"), col("amount_d"),
+          col("gap_s").cast("long").as("gap_s"))
+        .orderBy("user_id", "dup_event_id")
+    }),
+
     // Run-length report per event type — the gaps-and-islands idiom
     // (island id = seq rank − per-type rank, both windows sharing one
     // user-keyed exchange): how long do users streak on one action
@@ -5986,6 +6072,67 @@ object SparkEntry {
     // full q17 minhash/banding replay restricted to tier-1/2
     // survivors, with the min-id partner rule.
     "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    "q206_abc_classification" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+        |                        + 0.5) AS BIGINT))::BIGINT AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(rev_c)::HUGEINT AS total_c FROM pp),
+        |c AS (
+        |  SELECT rev_c,
+        |         (sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+        |            ROWS UNBOUNDED PRECEDING)::HUGEINT * 1000000
+        |            // total_c)::BIGINT AS cum_ppm
+        |  FROM pp, tot),
+        |cl AS (
+        |  SELECT rev_c, cum_ppm,
+        |         CASE WHEN cum_ppm <= 800000 THEN 'A'
+        |              WHEN cum_ppm <= 950000 THEN 'B'
+        |              ELSE 'C' END AS abc_class
+        |  FROM c)
+        |SELECT abc_class, count(*)::BIGINT AS n_parts,
+        |       (sum(rev_c) / 100.0)::DOUBLE AS revenue,
+        |       min(cum_ppm)::BIGINT AS min_cum_ppm,
+        |       max(cum_ppm)::BIGINT AS max_cum_ppm
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q207_demand_acceleration" ->
+      """WITH mx AS (SELECT max(l_shipdate) AS t_max FROM lineitem),
+        |agg AS (
+        |  SELECT l_partkey,
+        |         sum(CASE WHEN l_shipdate > t_max - INTERVAL 7 DAY
+        |                  THEN l_quantity::BIGINT ELSE 0 END)::BIGINT AS q7,
+        |         sum(CASE WHEN l_shipdate <= t_max - INTERVAL 7 DAY
+        |                  THEN l_quantity::BIGINT ELSE 0 END)::BIGINT AS q28
+        |  FROM lineitem, mx
+        |  WHERE l_shipdate > t_max - INTERVAL 35 DAY
+        |  GROUP BY 1)
+        |SELECT l_partkey, q7, q28,
+        |       (q7 * 28 * 1000 // (q28 * 7))::BIGINT AS accel_permille
+        |FROM agg
+        |WHERE q28 > 0 AND q7 * 28 > q28 * 14
+        |ORDER BY accel_permille DESC, l_partkey
+        |LIMIT 30""".stripMargin,
+
+    "q208_double_charges" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(floor(value) AS BIGINT) AS amount_d,
+        |         lag(event_id) OVER w AS prev_id,
+        |         (epoch_us(ts) - epoch_us(lag(ts) OVER w))
+        |           // 1000000 AS gap_s
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id, CAST(floor(value) AS BIGINT)
+        |               ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS dup_event_id,
+        |       prev_id AS orig_event_id, amount_d,
+        |       gap_s::BIGINT AS gap_s
+        |FROM o
+        |WHERE prev_id IS NOT NULL AND gap_s <= 604800
+        |ORDER BY user_id, dup_event_id""".stripMargin,
 
     "q204_event_runs" ->
       """WITH isl AS (
