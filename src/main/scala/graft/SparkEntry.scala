@@ -2518,6 +2518,69 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // RFM segmentation (recency / frequency / monetary) — the
+    // marketing staple: exact quintile scores per dimension (ntile
+    // over the per-customer AGGREGATE with a custkey tie-break, so
+    // bucketing is engine-exact), then rule-based segments. The
+    // global ntile sorts |customers| aggregate rows — the exact-
+    // quintile price; the approximate path at extreme cardinality is
+    // q63's histogram boundaries.
+    "q209_rfm_segmentation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val maxD = Tables.orders(s, dir)
+        .agg(max(col("o_orderdate")).as("t_max"))
+      val rfm = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("f"), sum(cents).as("m_c"))
+        .crossJoin(broadcast(maxD))
+        .select(col("o_custkey"),
+          datediff(col("t_max"), col("last_order")).cast("long").as("r"),
+          col("f"), col("m_c"))
+      val scored = rfm
+        .withColumn("score_r", lit(6) - ntile(5).over(
+          Window.orderBy(col("r").asc, col("o_custkey"))))
+        .withColumn("score_f", lit(6) - ntile(5).over(
+          Window.orderBy(col("f").desc, col("o_custkey"))))
+        .withColumn("score_m", lit(6) - ntile(5).over(
+          Window.orderBy(col("m_c").desc, col("o_custkey"))))
+      scored
+        .withColumn("segment",
+          when(col("score_r") >= 4 && col("score_f") >= 4, "champion")
+            .when(col("score_r") >= 4 && col("score_f") < 4, "recent")
+            .when(col("score_r") <= 2 && col("score_f") >= 4, "at_risk")
+            .when(col("score_r") <= 2 && col("score_f") <= 2, "lost")
+            .otherwise("regular"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_custs"),
+          (sum(col("m_c")) / 100.0).as("monetary"),
+          r4(sum(col("r")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_recency_days"))
+        .orderBy("segment")
+    }),
+
+    // Discount-band quantity lift: does a deeper discount move more
+    // units? avg quantity per discount band vs the zero-discount
+    // baseline, the lift an exact integer cross-multiplication
+    // (quantities are integral doubles).
+    "q210_discount_lift" -> ((s, dir) => {
+      val band = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      val perBand = Tables.lineitem(s, dir)
+        .groupBy(band.as("disc_pct"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .localCheckpoint(true) // baseline + output both read it
+      val base = perBand.filter(col("disc_pct") === 0L)
+        .select(col("n_items").as("n0"), col("qty").as("q0"))
+      perBand.crossJoin(broadcast(base))
+        .select(col("disc_pct"), col("n_items"),
+          r4(col("qty").cast("double") / col("n_items").cast("double"))
+            .as("avg_qty"),
+          expr("qty * n0 * 1000L div (n_items * q0)").as("lift_permille"))
+        .orderBy("disc_pct")
+    }),
+
     // ABC / Pareto inventory classification: parts ranked by revenue,
     // class A = first 80% of cumulative revenue, B = to 95%, C = the
     // tail. The one global sort runs over the per-part AGGREGATE
@@ -6072,6 +6135,49 @@ object SparkEntry {
     // full q17 minhash/banding replay restricted to tier-1/2
     // survivors, with the min-id partner rule.
     "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    "q209_rfm_segmentation" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS t_max FROM orders),
+        |rfm AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', max(o_orderdate), t_max)::BIGINT AS r,
+        |         count(*)::BIGINT AS f,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS m_c
+        |  FROM orders, mx GROUP BY o_custkey, t_max),
+        |sc AS (
+        |  SELECT o_custkey, r, f, m_c,
+        |         6 - ntile(5) OVER (ORDER BY r ASC, o_custkey) AS score_r,
+        |         6 - ntile(5) OVER (ORDER BY f DESC, o_custkey) AS score_f,
+        |         6 - ntile(5) OVER (ORDER BY m_c DESC, o_custkey) AS score_m
+        |  FROM rfm),
+        |seg AS (
+        |  SELECT r, m_c,
+        |         CASE WHEN score_r >= 4 AND score_f >= 4 THEN 'champion'
+        |              WHEN score_r >= 4 AND score_f < 4 THEN 'recent'
+        |              WHEN score_r <= 2 AND score_f >= 4 THEN 'at_risk'
+        |              WHEN score_r <= 2 AND score_f <= 2 THEN 'lost'
+        |              ELSE 'regular' END AS segment
+        |  FROM sc)
+        |SELECT segment, count(*)::BIGINT AS n_custs,
+        |       (sum(m_c) / 100.0)::DOUBLE AS monetary,
+        |       floor(sum(r)::DOUBLE / count(*)::DOUBLE * 10000 + 0.5)
+        |         / 10000 AS avg_recency_days
+        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q210_discount_lift" ->
+      """WITH pb AS (
+        |  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+        |         count(*)::BIGINT AS n_items,
+        |         sum(l_quantity::BIGINT)::BIGINT AS qty
+        |  FROM lineitem GROUP BY 1),
+        |base AS (SELECT n_items AS n0, qty AS q0 FROM pb WHERE disc_pct = 0)
+        |SELECT disc_pct, n_items,
+        |       floor(qty::DOUBLE / n_items::DOUBLE * 10000 + 0.5) / 10000
+        |         AS avg_qty,
+        |       (qty * n0 * 1000 // (n_items * q0))::BIGINT AS lift_permille
+        |FROM pb, base
+        |ORDER BY disc_pct""".stripMargin,
 
     "q206_abc_classification" ->
       """WITH pp AS (
