@@ -2518,6 +2518,69 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Cold-catalog gap analysis: never-ordered parts with their
+    // NEAREST ordered sibling by size within the brand — q26's as-of
+    // carry idiom applied to a NON-TIME axis (size): two
+    // ignore-nulls carries over one brand-keyed exchange (asc + desc
+    // sorts), nearest = the smaller |size gap|, ties to the smaller
+    // size. No self-join over the catalog.
+    "q211_cold_parts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      val maxD = li.agg(max(col("l_shipdate")).as("t_max"))
+      // "cold" = nothing shipped in the trailing 60 days (every part
+      // in this dense fixture has SOME history, so all-time coldness
+      // is vacuous — recency-window coldness is the real report)
+      val orderedKeys = li.crossJoin(broadcast(maxD))
+        .filter(col("l_shipdate") > col("t_max") - expr("INTERVAL 60 DAYS"))
+        .select(col("l_partkey")).distinct()
+      val parts = Tables.part(s, dir)
+        .join(orderedKeys, col("p_partkey") === col("l_partkey"), "left")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("l_partkey").isNotNull.as("is_ordered"))
+      val mark = when(col("is_ordered"),
+        struct(col("p_size").as("s"), col("p_partkey").as("k")))
+      val wUp = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_size").asc, col("p_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wDn = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_size").desc, col("p_partkey").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val gb = col("p_size") - col("below.s")
+      val ga = col("above.s") - col("p_size")
+      parts
+        .withColumn("below", last(mark, ignoreNulls = true).over(wUp))
+        .withColumn("above", last(mark, ignoreNulls = true).over(wDn))
+        .filter(!col("is_ordered"))
+        .withColumn("pick",
+          when(col("below").isNull, col("above"))
+            .when(col("above").isNull, col("below"))
+            .when(gb <= ga, col("below")).otherwise(col("above")))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("pick.k").as("nearest_partkey"),
+          col("pick.s").as("nearest_size"),
+          abs(col("pick.s") - col("p_size")).as("size_gap"))
+        .orderBy("p_partkey")
+    }),
+
+    // Supply-base attrition: the 10 most-idle suppliers by days since
+    // last shipment (rank-based, so the report is never vacuous
+    // however dense the feed). One aggregate + TakeOrderedAndProject.
+    "q212_supplier_attrition" -> ((s, dir) => {
+      val maxD = Tables.lineitem(s, dir)
+        .agg(max(col("l_shipdate")).as("t_max"))
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          max(col("l_shipdate")).as("last_ship"))
+        .crossJoin(broadcast(maxD))
+        .select(col("l_suppkey"), col("n_lines"),
+          datediff(col("t_max"), col("last_ship")).cast("long")
+            .as("days_idle"))
+        .orderBy(col("days_idle").desc, col("l_suppkey"))
+        .limit(10)
+    }),
+
     // RFM segmentation (recency / frequency / monetary) — the
     // marketing staple: exact quintile scores per dimension (ntile
     // over the per-customer AGGREGATE with a custkey tie-break, so
@@ -6135,6 +6198,59 @@ object SparkEntry {
     // full q17 minhash/banding replay restricted to tier-1/2
     // survivors, with the min-id partner rule.
     "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    "q211_cold_parts" ->
+      """WITH mx AS (SELECT max(l_shipdate) AS t_max FROM lineitem),
+        |ok AS (SELECT DISTINCT l_partkey FROM lineitem, mx
+        |       WHERE l_shipdate > t_max - INTERVAL 60 DAY),
+        |p AS (
+        |  SELECT p_partkey, p_brand, p_size,
+        |         (l_partkey IS NOT NULL) AS is_ordered
+        |  FROM part LEFT JOIN ok ON p_partkey = l_partkey),
+        |c AS (
+        |  SELECT p_partkey, p_brand, p_size, is_ordered,
+        |    last_value(CASE WHEN is_ordered THEN p_size END IGNORE NULLS)
+        |      OVER (PARTITION BY p_brand ORDER BY p_size ASC, p_partkey ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS below_s,
+        |    last_value(CASE WHEN is_ordered THEN p_partkey END IGNORE NULLS)
+        |      OVER (PARTITION BY p_brand ORDER BY p_size ASC, p_partkey ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS below_k,
+        |    last_value(CASE WHEN is_ordered THEN p_size END IGNORE NULLS)
+        |      OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS above_s,
+        |    last_value(CASE WHEN is_ordered THEN p_partkey END IGNORE NULLS)
+        |      OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS above_k
+        |  FROM p),
+        |pick AS (
+        |  SELECT p_partkey, p_brand, p_size,
+        |    CASE WHEN below_s IS NULL THEN above_k
+        |         WHEN above_s IS NULL THEN below_k
+        |         WHEN p_size - below_s <= above_s - p_size THEN below_k
+        |         ELSE above_k END AS nearest_partkey,
+        |    CASE WHEN below_s IS NULL THEN above_s
+        |         WHEN above_s IS NULL THEN below_s
+        |         WHEN p_size - below_s <= above_s - p_size THEN below_s
+        |         ELSE above_s END AS nearest_size
+        |  FROM c WHERE NOT is_ordered)
+        |SELECT p_partkey, p_brand, p_size, nearest_partkey,
+        |       nearest_size,
+        |       abs(nearest_size - p_size) AS size_gap
+        |FROM pick ORDER BY p_partkey""".stripMargin,
+
+    "q212_supplier_attrition" ->
+      """WITH mx AS (SELECT max(l_shipdate) AS t_max FROM lineitem)
+        |SELECT l_suppkey, count(*)::BIGINT AS n_lines,
+        |       date_diff('day', max(l_shipdate), t_max)::BIGINT
+        |         AS days_idle
+        |FROM lineitem, mx
+        |GROUP BY l_suppkey, t_max
+        |ORDER BY days_idle DESC, l_suppkey
+        |LIMIT 10""".stripMargin,
 
     "q209_rfm_segmentation" ->
       """WITH mx AS (SELECT max(o_orderdate) AS t_max FROM orders),
