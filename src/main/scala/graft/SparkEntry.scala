@@ -2518,6 +2518,87 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Order-cadence regularity: coefficient of variation of each
+    // customer's inter-order gaps — CV≈0 is metronome-regular
+    // (subscriptions, schedulers), CV≈1 is Poisson-organic, higher is
+    // bursty. Day-gaps are integers, so variance comes from exact
+    // moments (q178's identity) and CV is one IEEE sqrt + division.
+    "q213_order_cadence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("gap_d",
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).cast("long"))
+        .filter(col("gap_d").isNotNull)
+      gaps.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_d")).as("s"),
+          sum(col("gap_d") * col("gap_d")).as("s2"))
+        .filter(col("n_gaps") >= 5L && col("s") > 0L)
+        .select(col("o_custkey"), col("n_gaps"),
+          r4(col("s").cast("double") / col("n_gaps").cast("double"))
+            .as("mean_gap_d"),
+          r4(sqrt((col("n_gaps") * col("s2") - col("s") * col("s"))
+            .cast("double")) / col("s").cast("double")).as("cv"))
+        .orderBy("o_custkey")
+    }),
+
+    // Dominant-part-type customer segments: each customer's argmax
+    // part type by quantity (rank window, ties to the alphabetical
+    // type — deterministic), rolled up to segment sizes and the
+    // dominant type's average share.
+    "q214_dominant_type_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perType = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_type"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("o_custkey"), col("p_type"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val wc = Window.partitionBy(col("o_custkey"))
+      val ranked = perType
+        .withColumn("total_qty", sum(col("qty")).over(wc))
+        .withColumn("rk", row_number().over(
+          wc.orderBy(col("qty").desc, col("p_type").asc)))
+        .filter(col("rk") === 1)
+      ranked.groupBy(col("p_type").as("dominant_type"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("qty")).as("dom_qty"), sum(col("total_qty")).as("tot_qty"))
+        .select(col("dominant_type"), col("n_custs"),
+          expr("dom_qty * 1000L div tot_qty").as("avg_share_permille"))
+        .orderBy("dominant_type")
+    }),
+
+    // Region→region trade-flow matrix: customer region × supplier
+    // region revenue — the full-matrix generalization of q163's
+    // nation pairs. Both dim chains broadcast; one fact aggregate.
+    "q215_trade_flow_matrix" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) -
+        col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val cReg = broadcast(Tables.nation(s, dir)
+        .join(Tables.region(s, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"), col("r_name").as("cust_region")))
+      val sReg = broadcast(Tables.nation(s, dir)
+        .join(Tables.region(s, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("s_nk"), col("r_name").as("supp_region")))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(cReg, col("c_nationkey") === col("c_nk"))
+        .join(sReg, col("s_nationkey") === col("s_nk"))
+        .groupBy(col("cust_region"), col("supp_region"))
+        .agg((sum(cents) / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("cust_region", "supp_region")
+    }),
+
     // Cold-catalog gap analysis: never-ordered parts with their
     // NEAREST ordered sibling by size within the brand — q26's as-of
     // carry idiom applied to a NON-TIME axis (size): two
@@ -6198,6 +6279,63 @@ object SparkEntry {
     // full q17 minhash/banding replay restricted to tier-1/2
     // survivors, with the min-id partner rule.
     "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    "q213_order_cadence" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+        |           ::BIGINT AS gap_d
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |a AS (
+        |  SELECT o_custkey, count(*)::BIGINT AS n_gaps,
+        |         sum(gap_d)::BIGINT AS s,
+        |         sum(gap_d * gap_d)::BIGINT AS s2
+        |  FROM g WHERE gap_d IS NOT NULL GROUP BY 1)
+        |SELECT o_custkey, n_gaps,
+        |       floor(s::DOUBLE / n_gaps::DOUBLE * 10000 + 0.5) / 10000
+        |         AS mean_gap_d,
+        |       floor(sqrt((n_gaps * s2 - s * s)::DOUBLE) / s::DOUBLE
+        |             * 10000 + 0.5) / 10000 AS cv
+        |FROM a WHERE n_gaps >= 5 AND s > 0
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q214_dominant_type_segments" ->
+      """WITH pt AS (
+        |  SELECT o_custkey, p_type, sum(l_quantity::BIGINT)::BIGINT AS qty
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT o_custkey, p_type, qty,
+        |         sum(qty) OVER (PARTITION BY o_custkey) AS total_qty,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY qty DESC, p_type) AS rk
+        |  FROM pt)
+        |SELECT p_type AS dominant_type, count(*)::BIGINT AS n_custs,
+        |       (sum(qty) * 1000 // sum(total_qty))::BIGINT
+        |         AS avg_share_permille
+        |FROM rk WHERE rk = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q215_trade_flow_matrix" ->
+      """SELECT cr.r_name AS cust_region, sr.r_name AS supp_region,
+        |       (sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+        |                       + 0.5) AS BIGINT)) / 100.0)::DOUBLE
+        |         AS revenue,
+        |       count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q211_cold_parts" ->
       """WITH mx AS (SELECT max(l_shipdate) AS t_max FROM lineitem),
