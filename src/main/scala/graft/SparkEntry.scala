@@ -2518,6 +2518,85 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Relative-standing deciles: each customer's balance percentile
+    // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
+    // integers + one division, then decile bands; the rollup reports
+    // band populations and value. The window sorts per nation.
+    "q216_balance_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+      val ranked = Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_custkey"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("nation"))
+            .orderBy(col("bal_c"), col("c_custkey"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("nation"))))
+        // decile = floor(10·(rk−1)/n) capped at 9: integer arithmetic
+        .withColumn("decile", least(expr("(rk - 1) * 10 div n"), lit(9L)))
+      ranked.groupBy(col("nation"), col("decile"))
+        .agg(count(lit(1)).as("n_custs"),
+          (sum(col("bal_c")) / 100.0).as("total_bal"))
+        .orderBy("nation", "decile")
+    }),
+
+    // Signup→purchase conversion by signup hour-of-day: users whose
+    // first purchase follows their first signup within 24 h, bucketed
+    // by the signup's hour — the "when do signups convert" readout.
+    // Two keyed min-aggregates + one join; permille is integral.
+    "q217_conversion_by_hour" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      signups.join(purchases, Seq("user_id"), "left")
+        .select(hour(col("s_ts")).cast("long").as("signup_hour"),
+          when(col("p_ts").isNotNull && col("p_ts") > col("s_ts") &&
+            unix_micros(col("p_ts")) - unix_micros(col("s_ts")) <=
+              86400000000L, 1L).otherwise(0L).as("converted"))
+        .groupBy(col("signup_hour"))
+        .agg(count(lit(1)).as("n_signups"),
+          sum(col("converted")).as("n_converted"))
+        .select(col("signup_hour"), col("n_signups"), col("n_converted"),
+          expr("n_converted * 1000L div n_signups").as("conv_permille"))
+        .orderBy("signup_hour")
+    }),
+
+    // Source-vocabulary similarity matrix: cosine between sources'
+    // token-count vectors — the corpus redundancy map (two sources
+    // with cosine ≈ 1 are the same crawl twice). The sparse dot
+    // product joins per-token counts on the token (never a dense
+    // |vocab| vector); norms are exact integer sums + one IEEE sqrt.
+    "q218_source_vocab_cosine" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.wsTokens(col("text")))
+            .as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // norms + the pair join both read it
+      val norms = tok.groupBy(col("source"))
+        .agg(sum(col("c") * col("c")).as("n2"))
+      val dots = tok.as("a").join(tok.as("b"),
+          col("a.tok") === col("b.tok") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(sum(col("a.c") * col("b.c")).as("dot"))
+      dots
+        .join(broadcast(norms.select(col("source").as("src_a"),
+          col("n2").as("n2a"))), Seq("src_a"))
+        .join(broadcast(norms.select(col("source").as("src_b"),
+          col("n2").as("n2b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"),
+          r4(col("dot").cast("double") /
+            (sqrt(col("n2a").cast("double")) *
+              sqrt(col("n2b").cast("double")))).as("cos"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Order-cadence regularity: coefficient of variation of each
     // customer's inter-order gaps — CV≈0 is metronome-regular
     // (subscriptions, schedulers), CV≈1 is Poisson-organic, higher is
@@ -6279,6 +6358,61 @@ object SparkEntry {
     // full q17 minhash/banding replay restricted to tier-1/2
     // survivors, with the min-id partner rule.
     "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    "q216_balance_deciles" ->
+      """WITH rk AS (
+        |  SELECT c_nationkey::BIGINT AS nation,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |           ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+        |                    c_custkey) AS r,
+        |         count(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM customer)
+        |SELECT nation, least((r - 1) * 10 // n, 9)::BIGINT AS decile,
+        |       count(*)::BIGINT AS n_custs,
+        |       (sum(bal_c) / 100.0)::DOUBLE AS total_bal
+        |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q217_conversion_by_hour" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, min(ts) AS p_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (
+        |  SELECT hour(s_ts)::BIGINT AS signup_hour,
+        |         CASE WHEN p_ts IS NOT NULL AND p_ts > s_ts
+        |                   AND epoch_us(p_ts) - epoch_us(s_ts) <= 86400000000
+        |              THEN 1 ELSE 0 END AS converted
+        |  FROM s LEFT JOIN p ON s.user_id = p.user_id)
+        |SELECT signup_hour, count(*)::BIGINT AS n_signups,
+        |       sum(converted)::BIGINT AS n_converted,
+        |       (sum(converted) * 1000 // count(*))::BIGINT AS conv_permille
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q218_source_vocab_cosine" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+        |           x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |tc AS (
+        |  SELECT source, tok, count(*)::BIGINT AS c
+        |  FROM tok GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT source, sum(c * c)::BIGINT AS n2 FROM tc GROUP BY 1),
+        |dots AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         sum(a.c * b.c)::BIGINT AS dot
+        |  FROM tc a JOIN tc b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |       floor(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
+        |             * 10000 + 0.5) / 10000 AS cos
+        |FROM dots
+        |JOIN norms na ON na.source = src_a
+        |JOIN norms nb ON nb.source = src_b
+        |ORDER BY 1, 2""".stripMargin,
 
     "q213_order_cadence" ->
       """WITH g AS (
