@@ -2518,6 +2518,53 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Magnitude histogram: order amounts bucketed by the BIT LENGTH
+    // of their integer cents (exact log2 buckets without libm — the
+    // binary-digit count is pure integer/string arithmetic on both
+    // engines). Benford's (q175) distribution-forensics sibling for
+    // spotting clipped or re-scaled feeds.
+    "q219_magnitude_histogram" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 0)
+        .select(length(bin(cents)).cast("long").as("bits"),
+          cents.as("c"))
+        .groupBy(col("bits"))
+        .agg(count(lit(1)).as("n_orders"),
+          (min(col("c")) / 100.0).as("min_amount"),
+          (max(col("c")) / 100.0).as("max_amount"))
+        .orderBy("bits")
+    }),
+
+    // Returns-rate ranking by Wilson lower bound (z=1.96) — the
+    // "how not to sort by average" correction: a brand with 3/3
+    // returns must NOT outrank one with 80/100. Inputs are exact
+    // integer (returns, total) pairs; the bound is one fixed IEEE
+    // formula over them, identical on both engines.
+    "q220_wilson_returns" -> ((s, dir) => {
+      val perBrand = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("r"))
+      // z² as a PARSED literal (3.8416), not a computed square:
+      // double(1.96)² can land one ulp away from parse("3.8416"),
+      // and the oracle embeds the parsed form
+      val z2 = lit(3.8416)
+      val p = col("r").cast("double") / col("n").cast("double")
+      val nD = col("n").cast("double")
+      val wilson = (p + z2 / (nD * 2.0) -
+        lit(1.96) * sqrt(p * (lit(1.0) - p) / nD +
+          z2 / (nD * nD * 4.0))) / (lit(1.0) + z2 / nD)
+      perBrand
+        .select(col("p_brand"), col("n"), col("r"),
+          r4(p).as("return_rate"), r4(wilson).as("wilson_lb"))
+        .orderBy(col("wilson_lb").desc, col("p_brand"))
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -6358,6 +6405,37 @@ object SparkEntry {
     // full q17 minhash/banding replay restricted to tier-1/2
     // survivors, with the min-id partner rule.
     "q195_dedup_explain" -> OracleHashSql.q195DedupExplain,
+
+    "q219_magnitude_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice > 0)
+        |SELECT length(printf('%b', c))::BIGINT AS bits,
+        |       count(*)::BIGINT AS n_orders,
+        |       (min(c) / 100.0)::DOUBLE AS min_amount,
+        |       (max(c) / 100.0)::DOUBLE AS max_amount
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q220: identical fixed IEEE Wilson formula over exact integer
+    // (returns, total) pairs.
+    "q220_wilson_returns" ->
+      """WITH pb AS (
+        |  SELECT p_brand, count(*)::BIGINT AS n,
+        |         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |           ::BIGINT AS r
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, n, r,
+        |       floor((r::DOUBLE / n::DOUBLE) * 10000 + 0.5) / 10000
+        |         AS return_rate,
+        |       floor(((r::DOUBLE / n::DOUBLE + 3.8416 / (2.0 * n::DOUBLE)
+        |               - 1.96 * sqrt((r::DOUBLE / n::DOUBLE)
+        |                   * (1.0 - r::DOUBLE / n::DOUBLE) / n::DOUBLE
+        |                   + 3.8416 / (4.0 * n::DOUBLE * n::DOUBLE)))
+        |              / (1.0 + 3.8416 / n::DOUBLE)) * 10000 + 0.5) / 10000
+        |         AS wilson_lb
+        |FROM pb
+        |ORDER BY wilson_lb DESC, p_brand""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
