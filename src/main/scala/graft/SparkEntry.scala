@@ -2565,6 +2565,135 @@ object SparkEntry {
         .orderBy(col("wilson_lb").desc, col("p_brand"))
     }),
 
+    // Per-brand revenue trend by ordinary least squares over the
+    // weekly series: slope/intercept/R² all come from five exact
+    // integer moments (n, Σx, Σy, Σxy, Σx², Σy²) so the only IEEE
+    // steps are the final divisions — no per-row float accumulation
+    // order to disagree on. y is WHOLE-DOLLAR weekly revenue
+    // (integer-div of the exact 1e-4-unit sum), x the week index;
+    // cross-products ride decimal(38,0) (HUGEINT in the oracle), so
+    // the squared-covariance numerator of R² (~1e24 at sf0.1) never
+    // touches a long.
+    "q221_brand_trend_ols" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val weekly = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"),
+          floor(datediff(col("o_orderdate"), lit("1992-01-01")) / 7)
+            .cast("long").as("wk"),
+          (floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + lit(0.5))
+              .cast("long"))).as("rev_u"))
+        .groupBy(col("p_brand"), col("wk"))
+        .agg(expr("sum(rev_u) div 10000").as("y"))
+      val m = weekly.groupBy(col("p_brand"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("wk")).cast(dec).as("sx"),
+          sum(col("y")).cast(dec).as("sy"),
+          sum(col("wk") * col("y")).cast(dec).as("sxy"),
+          sum(col("wk") * col("wk")).cast(dec).as("sxx"),
+          sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+      val dyy = col("n") * col("syy") - col("sy") * col("sy")
+      m.filter(col("n") >= 10 && dxx > 0 && dyy > 0)
+        .select(col("p_brand"), col("n").cast("long").as("n_weeks"),
+          r4(num.cast("double") / dxx.cast("double")).as("slope_usd_wk"),
+          r4((col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("double") / dxx.cast("double")).as("intercept_usd"),
+          r4((num * num).cast("double") /
+            (dxx * dyy).cast("double")).as("r2"))
+        .orderBy("p_brand")
+    }),
+
+    // Theil–Sen robust trend: the MEDIAN of all pairwise slopes over
+    // each brand's MONTHLY revenue series — one wild month cannot
+    // drag it the way it drags q221's OLS. The pair space is bounded
+    // by the CALENDAR (84 months → ≤3.5k pairs per brand), not the
+    // data volume, so the self-join is scale-safe by construction.
+    // Each slope is one IEEE division of exact integers; the median
+    // is nearest-rank (value at index ⌈m/2⌉ of the sorted slopes) so
+    // no float averaging enters the gate.
+    "q222_theil_sen_trend" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"),
+          ((year(col("o_orderdate")) - 1992) * 12 +
+            month(col("o_orderdate")) - 1).cast("long").as("mo"),
+          (floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + lit(0.5))
+              .cast("long"))).as("rev_u"))
+        .groupBy(col("p_brand"), col("mo"))
+        .agg(expr("sum(rev_u) div 10000").as("y"))
+      val a = monthly.select(col("p_brand"), col("mo").as("x1"),
+        col("y").as("y1"))
+      val b = monthly.select(col("p_brand").as("brand_b"),
+        col("mo").as("x2"), col("y").as("y2"))
+      val pairs = a.join(b,
+        col("p_brand") === col("brand_b") && col("x1") < col("x2"))
+        .select(col("p_brand"),
+          ((col("y2") - col("y1")).cast("double") /
+            (col("x2") - col("x1")).cast("double")).as("slope"))
+      val w = Window.partitionBy(col("p_brand"))
+      pairs
+        .withColumn("rk", row_number().over(w.orderBy(col("slope"))))
+        .withColumn("m", count(lit(1)).over(w))
+        .filter(col("rk") === floor((col("m") + lit(1L)) / 2).cast("long"))
+        .select(col("p_brand"), col("m").as("n_pairs"),
+          r4(col("slope")).as("ts_slope_usd_mo"))
+        .orderBy("p_brand")
+    }),
+
+    // Chi-squared independence test (return flag × line status) with
+    // Cramér's V effect size. Observed/marginal counts are exact
+    // integers; each cell's (O−E)²/E is one deterministic IEEE
+    // expression; the 21-cell reduction is a LEFT FOLD over the
+    // value-sorted contribution array (both engines sort doubles
+    // identically), so the statistic never depends on aggregation
+    // order. Contingency tables are tiny by construction — the fold
+    // array is |flags|×|modes|, never data-sized.
+    "q223_chi2_flag_linestatus" -> ((s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy(col("l_returnflag"))
+        .agg(sum(col("o")).as("rtot"))
+      val cols_ = cells.groupBy(col("l_linestatus"))
+        .agg(sum(col("o")).as("ctot"))
+      val tot = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("l_returnflag")).as("nr"),
+        countDistinct(col("l_linestatus")).as("nc"))
+      val contrib = cells
+        .join(broadcast(rows), "l_returnflag")
+        .join(broadcast(cols_), "l_linestatus")
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("nr"), col("nc"),
+          (pow(col("o").cast("double") -
+            col("rtot").cast("double") * col("ctot").cast("double") /
+              col("n").cast("double"), 2.0) /
+            (col("rtot").cast("double") * col("ctot").cast("double") /
+              col("n").cast("double"))).as("cell"))
+      contrib.groupBy(col("n"), col("nr"), col("nc"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("n"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          r4(expr("aggregate(cs, cast(0.0 as double), (a, x) -> a + x)"))
+            .as("chi2"),
+          r4(sqrt(expr("aggregate(cs, cast(0.0 as double), (a, x) -> a + x)") /
+            (col("n").cast("double") *
+              (least(col("nr"), col("nc")) - 1).cast("double"))))
+            .as("cramers_v"))
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -6436,6 +6565,109 @@ object SparkEntry {
         |         AS wilson_lb
         |FROM pb
         |ORDER BY wilson_lb DESC, p_brand""".stripMargin,
+
+    // q221: the same five exact integer moments in HUGEINT; the only
+    // IEEE steps are the final divisions.
+    "q221_brand_trend_ols" ->
+      """WITH wk AS (
+        |  SELECT p_brand,
+        |         (date_diff('day', DATE '1992-01-01', o_orderdate) // 7)
+        |           ::BIGINT AS wk,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |           // 10000 AS y
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p_brand, count(*)::HUGEINT AS n,
+        |         sum(wk)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+        |         sum(wk * y)::HUGEINT AS sxy,
+        |         sum(wk * wk)::HUGEINT AS sxx,
+        |         sum(y::HUGEINT * y::HUGEINT) AS syy
+        |  FROM wk GROUP BY 1),
+        |d AS (
+        |  SELECT p_brand, n,
+        |         n * sxy - sx * sy AS num,
+        |         n * sxx - sx * sx AS dxx,
+        |         n * syy - sy * sy AS dyy,
+        |         sy * sxx - sx * sxy AS inum
+        |  FROM m)
+        |SELECT p_brand, n::BIGINT AS n_weeks,
+        |       floor(num::DOUBLE / dxx::DOUBLE * 10000 + 0.5) / 10000
+        |         AS slope_usd_wk,
+        |       floor(inum::DOUBLE / dxx::DOUBLE * 10000 + 0.5) / 10000
+        |         AS intercept_usd,
+        |       floor((num * num)::DOUBLE / (dxx * dyy)::DOUBLE
+        |             * 10000 + 0.5) / 10000 AS r2
+        |FROM d WHERE n >= 10 AND dxx > 0 AND dyy > 0
+        |ORDER BY p_brand""".stripMargin,
+
+    // q222: identical monthly series, identical pair space, identical
+    // nearest-rank pick — each slope one IEEE division of exact ints.
+    "q222_theil_sen_trend" ->
+      """WITH mo AS (
+        |  SELECT p_brand,
+        |         ((date_part('year', o_orderdate)::BIGINT - 1992) * 12
+        |          + date_part('month', o_orderdate)::BIGINT - 1) AS mo,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |           // 10000 AS y
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.p_brand,
+        |         (b.y - a.y)::DOUBLE / (b.mo - a.mo)::DOUBLE AS slope
+        |  FROM mo a JOIN mo b
+        |    ON a.p_brand = b.p_brand AND a.mo < b.mo),
+        |rk AS (
+        |  SELECT p_brand, slope,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY slope) AS rk,
+        |         count(*) OVER (PARTITION BY p_brand) AS m
+        |  FROM pairs)
+        |SELECT p_brand, m::BIGINT AS n_pairs,
+        |       floor(slope * 10000 + 0.5) / 10000 AS ts_slope_usd_mo
+        |FROM rk WHERE rk = (m + 1) // 2
+        |ORDER BY p_brand""".stripMargin,
+
+    // q223: same per-cell IEEE contributions, same value-sorted left
+    // fold (list_reduce seeds with element 0; 0.0+x0 = x0 exactly).
+    "q223_chi2_flag_linestatus" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT l_returnflag, sum(o)::BIGINT AS rtot
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT l_linestatus, sum(o)::BIGINT AS ctot
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o)::BIGINT AS n,
+        |               count(DISTINCT l_returnflag)::BIGINT AS nr,
+        |               count(DISTINCT l_linestatus)::BIGINT AS nc
+        |        FROM cells),
+        |contrib AS (
+        |  SELECT n, nr, nc,
+        |         pow(o::DOUBLE - rtot::DOUBLE * ctot::DOUBLE / n::DOUBLE,
+        |             2.0)
+        |           / (rtot::DOUBLE * ctot::DOUBLE / n::DOUBLE) AS cell
+        |  FROM cells
+        |  JOIN rt USING (l_returnflag)
+        |  JOIN ct USING (l_linestatus)
+        |  CROSS JOIN tot),
+        |folded AS (
+        |  SELECT n, nr, nc,
+        |         list_reduce(list_sort(list(cell)), (a, x) -> a + x)
+        |           AS chi2r
+        |  FROM contrib GROUP BY 1, 2, 3)
+        |SELECT n, (nr - 1) * (nc - 1) AS dof,
+        |       floor(chi2r * 10000 + 0.5) / 10000 AS chi2,
+        |       floor(sqrt(chi2r / (n::DOUBLE
+        |                           * (least(nr, nc) - 1)::DOUBLE))
+        |             * 10000 + 0.5) / 10000 AS cramers_v
+        |FROM folded""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
