@@ -2694,6 +2694,104 @@ object SparkEntry {
             .as("cramers_v"))
     }),
 
+    // Exact QUANTITY-WEIGHTED median line value per nation: the
+    // smallest value whose cumulative weight reaches half the total
+    // (2·cumw ≥ totw in pure integers — no halving division). Rows
+    // collapse to (nation, value)-grain integer weights BEFORE the
+    // window, so the running sum walks distinct values, not line
+    // items, and the crossing group is tie-order-independent.
+    "q224_weighted_median_value" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perVal = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .as("v_c"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("n_name"), col("v_c"))
+        .agg(sum(col("w")).as("w"))
+      val wOrd = Window.partitionBy(col("n_name")).orderBy(col("v_c"))
+      val wAll = Window.partitionBy(col("n_name"))
+      perVal
+        .withColumn("cumw", sum(col("w")).over(wOrd))
+        .withColumn("totw", sum(col("w")).over(wAll))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("n_name"))
+        .agg((min(col("v_c")) / 100.0).as("wmedian_value"),
+          max(col("totw")).as("total_qty"))
+        .orderBy("n_name")
+    }),
+
+    // Vocabulary richness per source: type-token ratio and hapax-
+    // legomenon rate (how much of the vocabulary occurs exactly
+    // once) — corpus health signals that drop when a crawl loops on
+    // boilerplate. Same single-space tokenizer the token-frequency
+    // query pins; everything is exact integer counts + one division.
+    "q225_vocab_richness" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      tok.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          r4(col("n_types").cast("double") /
+            col("n_tokens").cast("double")).as("ttr"),
+          r4(col("n_hapax").cast("double") /
+            col("n_types").cast("double")).as("hapax_rate"))
+        .orderBy("source")
+    }),
+
+    // Longest strictly-increasing run of daily revenue per nation —
+    // gaps-and-islands over the ACTIVE-day series (calendar holes
+    // don't break a run; a flat or down day does). Revenue compares
+    // are exact 1e-4-unit integers; islands come from a cumulative
+    // break counter, run rank ties go to the earliest end date.
+    "q226_revenue_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"), col("o_orderdate").as("d"),
+          (floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + lit(0.5))
+              .cast("long"))).as("rev_u"))
+        .groupBy(col("n_name"), col("d"))
+        .agg(sum(col("rev_u")).as("rev"))
+      val wOrd = Window.partitionBy(col("n_name")).orderBy(col("d"))
+      val runs = daily
+        .withColumn("brk",
+          when(col("rev") > lag(col("rev"), 1).over(wOrd), 0L)
+            .otherwise(1L))
+        .withColumn("grp", sum(col("brk")).over(wOrd))
+        .groupBy(col("n_name"), col("grp"))
+        .agg(count(lit(1)).as("len"), max(col("d")).as("end_d"))
+      runs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("n_name"))
+            .orderBy(col("len").desc, col("end_d").asc)))
+        .filter(col("rk") === 1)
+        .select(col("n_name"), col("len").as("streak_days"),
+          date_format(col("end_d"), "yyyy-MM-dd").as("streak_end"))
+        .orderBy("n_name")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -6668,6 +6766,83 @@ object SparkEntry {
         |                           * (least(nr, nc) - 1)::DOUBLE))
         |             * 10000 + 0.5) / 10000 AS cramers_v
         |FROM folded""".stripMargin,
+
+    // q224: identical (nation, value)-grain weights, identical
+    // integer 2·cumw ≥ totw crossing rule.
+    "q224_weighted_median_value" ->
+      """WITH pv AS (
+        |  SELECT n_name,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v_c,
+        |         sum(l_quantity::BIGINT)::BIGINT AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT n_name, v_c,
+        |         sum(w) OVER (PARTITION BY n_name ORDER BY v_c
+        |                      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |         sum(w) OVER (PARTITION BY n_name) AS totw
+        |  FROM pv)
+        |SELECT n_name, (min(v_c) / 100.0)::DOUBLE AS wmedian_value,
+        |       max(totw)::BIGINT AS total_qty
+        |FROM cw WHERE cumw * 2 >= totw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q225: same single-space tokenizer as q13; exact counts.
+    "q225_vocab_richness" ->
+      """WITH tk AS (
+        |  SELECT source, token, count(*)::BIGINT AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, sum(c)::BIGINT AS n_tokens,
+        |         count(*)::BIGINT AS n_types,
+        |         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        |  FROM tk GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |       floor(n_types::DOUBLE / n_tokens::DOUBLE * 10000 + 0.5)
+        |         / 10000 AS ttr,
+        |       floor(n_hapax::DOUBLE / n_types::DOUBLE * 10000 + 0.5)
+        |         / 10000 AS hapax_rate
+        |FROM a ORDER BY source""".stripMargin,
+
+    // q226: identical integer revenue compares, identical island
+    // construction and run-rank tie-break.
+    "q226_revenue_streaks" ->
+      """WITH d AS (
+        |  SELECT n_name, o_orderdate AS d,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |           ::BIGINT AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT n_name, d, rev,
+        |         CASE WHEN rev > lag(rev) OVER w THEN 0 ELSE 1 END AS brk
+        |  FROM d WINDOW w AS (PARTITION BY n_name ORDER BY d)),
+        |g AS (
+        |  SELECT n_name, d,
+        |         sum(brk) OVER (PARTITION BY n_name ORDER BY d
+        |                        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM b),
+        |runs AS (
+        |  SELECT n_name, grp, count(*)::BIGINT AS len, max(d) AS end_d
+        |  FROM g GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT n_name, len, end_d,
+        |         row_number() OVER (PARTITION BY n_name
+        |                            ORDER BY len DESC, end_d) AS rk
+        |  FROM runs)
+        |SELECT n_name, len AS streak_days,
+        |       strftime(end_d, '%Y-%m-%d') AS streak_end
+        |FROM rk WHERE rk = 1 ORDER BY n_name""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
