@@ -2792,6 +2792,130 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // Referential-integrity audit: one row per declared constraint —
+    // PK uniqueness (rows whose key repeats) and FK orphans (child
+    // rows with no parent) — the pre-ingest contract check every
+    // pipeline runs before trusting a snapshot. Each check is one
+    // aggregate or one anti-join; parents that fit (nation, region)
+    // broadcast, the rest shuffle on the key they'd shuffle on
+    // anyway. Zeros are the healthy report, not a vacuous one.
+    "q227_integrity_audit" -> ((s, dir) => {
+      def pkDup(df: org.apache.spark.sql.DataFrame, key: String,
+                name: String) =
+        df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("c") > 1L, col("c")).otherwise(0L))
+            .as("n_violations"), count(lit(1)).as("n_checked"))
+          .select(lit(name).as("check_name"),
+            coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+            col("n_checked"))
+      def fkOrphan(child: org.apache.spark.sql.DataFrame, ck: String,
+                   parent: org.apache.spark.sql.DataFrame, pk: String,
+                   name: String, bcast: Boolean) = {
+        val p = parent.select(col(pk))
+        val joined = child.select(col(ck))
+          .join(if (bcast) broadcast(p) else p,
+            col(ck) === col(pk), "left_anti")
+        val viol = joined.agg(count(lit(1)).as("n_violations"))
+        val tot = child.agg(count(lit(1)).as("n_checked"))
+        viol.crossJoin(tot)
+          .select(lit(name).as("check_name"), col("n_violations"),
+            col("n_checked"))
+      }
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
+      val p = Tables.part(s, dir); val na = Tables.nation(s, dir)
+      val re = Tables.region(s, dir)
+      pkDup(o, "o_orderkey", "pk_orders")
+        .unionAll(pkDup(c, "c_custkey", "pk_customer"))
+        .unionAll(pkDup(p, "p_partkey", "pk_part"))
+        .unionAll(pkDup(su, "s_suppkey", "pk_supplier"))
+        .unionAll(fkOrphan(li, "l_orderkey", o, "o_orderkey",
+          "fk_lineitem_orders", bcast = false))
+        .unionAll(fkOrphan(li, "l_partkey", p, "p_partkey",
+          "fk_lineitem_part", bcast = false))
+        .unionAll(fkOrphan(o, "o_custkey", c, "c_custkey",
+          "fk_orders_customer", bcast = false))
+        .unionAll(fkOrphan(c, "c_nationkey", na, "n_nationkey",
+          "fk_customer_nation", bcast = true))
+        .unionAll(fkOrphan(su, "s_nationkey", na, "n_nationkey",
+          "fk_supplier_nation", bcast = true))
+        .unionAll(fkOrphan(na, "n_regionkey", re, "r_regionkey",
+          "fk_nation_region", bcast = true))
+        .orderBy("check_name")
+    }),
+
+    // Spend-decile mobility matrix: each customer's total-spend
+    // decile in 1996 vs 1997, counted per (from, to) cell — the
+    // rank-rank transition view of churn/upsell. Deciles are exact
+    // ntile over the per-customer AGGREGATE with a custkey tie-break
+    // (engine-exact bucketing, the q209 idiom); the matrix is a
+    // |customers-active-both-years| inner join on the key.
+    "q228_decile_mobility" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def spend(yr: Int) = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long")).as("sp"))
+        .withColumn("dec", ntile(10).over(
+          Window.orderBy(col("sp"), col("o_custkey"))))
+      spend(1996).select(col("o_custkey"), col("dec").as("dec_1996"))
+        .join(spend(1997).select(col("o_custkey"), col("dec").as("dec_1997")),
+          "o_custkey")
+        .groupBy(col("dec_1996"), col("dec_1997"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("dec_1996", "dec_1997")
+    }),
+
+    // Day-of-week seasonality profile per event type: each ISO
+    // weekday's share of the type's events plus its index against
+    // the uniform 1/7 expectation (n·7000 div total, exact permille
+    // integers) — the load-shaping readout for capacity planning.
+    "q229_dow_seasonality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          (weekday(col("ts")) + 1).cast("long").as("isodow"))
+        .groupBy(col("event_type"), col("isodow"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(
+          Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("isodow"), col("n"),
+          expr("n * 1000L div tot").as("share_permille"),
+          expr("n * 7000L div tot").as("index_permille"))
+        .orderBy("event_type", "isodow")
+    }),
+
+    // Order-fulfillment latency buckets by priority: days from order
+    // date to the LAST line shipment (order completion), banded
+    // 0-7 / 8-30 / 31-60 / 61+, with each band's permille share
+    // within its priority. One per-order max + one rollup; the band
+    // is pure integer comparison.
+    "q230_fulfillment_latency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perOrder = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("last_ship")), col("o_orderdate"))
+            .cast("long").as("gap_d"))
+      perOrder
+        .select(col("o_orderpriority"),
+          when(col("gap_d") <= 7L, "a_0_7")
+            .when(col("gap_d") <= 30L, "b_8_30")
+            .when(col("gap_d") <= 60L, "c_31_60")
+            .otherwise("d_61_plus").as("band"))
+        .groupBy(col("o_orderpriority"), col("band"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("share_permille", expr("n_orders * 1000L div " +
+          "sum(n_orders) over (partition by o_orderpriority)"))
+        .orderBy("o_orderpriority", "band")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -6843,6 +6967,131 @@ object SparkEntry {
         |SELECT n_name, len AS streak_days,
         |       strftime(end_d, '%Y-%m-%d') AS streak_end
         |FROM rk WHERE rk = 1 ORDER BY n_name""".stripMargin,
+
+    // q227: same constraint set; PK checks count rows in repeated
+    // key groups, FK checks count NOT EXISTS orphans.
+    "q227_integrity_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'pk_orders' AS check_name,
+        |         COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)::BIGINT
+        |           AS n_violations,
+        |         count(*)::BIGINT AS n_checked
+        |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'pk_customer',
+        |         COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)::BIGINT,
+        |         count(*)::BIGINT
+        |  FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
+        |  UNION ALL
+        |  SELECT 'pk_part',
+        |         COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)::BIGINT,
+        |         count(*)::BIGINT
+        |  FROM (SELECT count(*) AS c FROM part GROUP BY p_partkey)
+        |  UNION ALL
+        |  SELECT 'pk_supplier',
+        |         COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)::BIGINT,
+        |         count(*)::BIGINT
+        |  FROM (SELECT count(*) AS c FROM supplier GROUP BY s_suppkey)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders',
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM orders o
+        |             WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+        |         (SELECT count(*) FROM lineitem)::BIGINT
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_part',
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM part p
+        |             WHERE p.p_partkey = l.l_partkey))::BIGINT,
+        |         (SELECT count(*) FROM lineitem)::BIGINT
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer',
+        |         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |            (SELECT 1 FROM customer c
+        |             WHERE c.c_custkey = o.o_custkey))::BIGINT,
+        |         (SELECT count(*) FROM orders)::BIGINT
+        |  UNION ALL
+        |  SELECT 'fk_customer_nation',
+        |         (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |            (SELECT 1 FROM nation n
+        |             WHERE n.n_nationkey = c.c_nationkey))::BIGINT,
+        |         (SELECT count(*) FROM customer)::BIGINT
+        |  UNION ALL
+        |  SELECT 'fk_supplier_nation',
+        |         (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |            (SELECT 1 FROM nation n
+        |             WHERE n.n_nationkey = s.s_nationkey))::BIGINT,
+        |         (SELECT count(*) FROM supplier)::BIGINT
+        |  UNION ALL
+        |  SELECT 'fk_nation_region',
+        |         (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |            (SELECT 1 FROM region r
+        |             WHERE r.r_regionkey = n.n_regionkey))::BIGINT,
+        |         (SELECT count(*) FROM nation)::BIGINT
+        |) ORDER BY check_name""".stripMargin,
+
+    // q228: identical exact ntile bucketing (sp, custkey tie-break).
+    "q228_decile_mobility" ->
+      """WITH s96 AS (
+        |  SELECT o_custkey,
+        |         ntile(10) OVER (ORDER BY sp, o_custkey) AS dec_1996
+        |  FROM (SELECT o_custkey,
+        |               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |                 ::BIGINT AS sp
+        |        FROM orders WHERE date_part('year', o_orderdate) = 1996
+        |        GROUP BY 1)),
+        |s97 AS (
+        |  SELECT o_custkey,
+        |         ntile(10) OVER (ORDER BY sp, o_custkey) AS dec_1997
+        |  FROM (SELECT o_custkey,
+        |               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |                 ::BIGINT AS sp
+        |        FROM orders WHERE date_part('year', o_orderdate) = 1997
+        |        GROUP BY 1))
+        |SELECT dec_1996, dec_1997, count(*)::BIGINT AS n_customers
+        |FROM s96 JOIN s97 USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q229: isodow (1=Mon..7) matches weekday()+1; permille integer
+    // divisions.
+    "q229_dow_seasonality" ->
+      """WITH d AS (
+        |  SELECT event_type, date_part('isodow', ts)::BIGINT AS isodow,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, isodow, n,
+        |         sum(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM d)
+        |SELECT event_type, isodow, n,
+        |       (n * 1000 // tot)::BIGINT AS share_permille,
+        |       (n * 7000 // tot)::BIGINT AS index_permille
+        |FROM t ORDER BY event_type, isodow""".stripMargin,
+
+    // q230: same per-order completion gap and integer bands.
+    "q230_fulfillment_latency" ->
+      """WITH po AS (
+        |  SELECT o_orderpriority,
+        |         date_diff('day', o_orderdate,
+        |                   CAST(last_ship AS DATE))::BIGINT AS gap_d
+        |  FROM (SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |        FROM lineitem GROUP BY 1)
+        |  JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN gap_d <= 7 THEN 'a_0_7'
+        |              WHEN gap_d <= 30 THEN 'b_8_30'
+        |              WHEN gap_d <= 60 THEN 'c_31_60'
+        |              ELSE 'd_61_plus' END AS band
+        |  FROM po),
+        |g AS (
+        |  SELECT o_orderpriority, band, count(*)::BIGINT AS n_orders
+        |  FROM b GROUP BY 1, 2)
+        |SELECT o_orderpriority, band, n_orders,
+        |       (n_orders * 1000 //
+        |        sum(n_orders) OVER (PARTITION BY o_orderpriority))
+        |         ::BIGINT AS share_permille
+        |FROM g ORDER BY o_orderpriority, band""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
