@@ -2654,43 +2654,49 @@ object SparkEntry {
     }),
 
     // Chi-squared independence test (return flag × line status) with
-    // Cramér's V effect size. Observed/marginal counts are exact
-    // integers; each cell's (O−E)²/E is one deterministic IEEE
-    // expression; the 21-cell reduction is a LEFT FOLD over the
-    // value-sorted contribution array (both engines sort doubles
-    // identically), so the statistic never depends on aggregation
-    // order. Contingency tables are tiny by construction — the fold
-    // array is |flags|×|modes|, never data-sized.
+    // Cramér's V effect size. The fact table is scanned ONCE: the
+    // contingency table collapses to one array of (flag, status,
+    // count) cells, and every marginal, expectation and the statistic
+    // itself is a higher-order-function fold over that array —
+    // re-deriving marginals from the base table would scan the fact
+    // 4× (Spark does not reuse uncached sibling aggregates).
+    // Observed/marginal counts are exact integers; each cell's
+    // (O−E)²/E is one deterministic IEEE expression; the final
+    // reduction is a LEFT FOLD over the value-sorted contribution
+    // array (both engines sort doubles identically), so the statistic
+    // never depends on aggregation order. The fold array is
+    // |flags|×|statuses| — bounded by construction, never data-sized.
     "q223_chi2_flag_linestatus" -> ((s, dir) => {
-      val cells = Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
         .agg(count(lit(1)).as("o"))
-      val rows = cells.groupBy(col("l_returnflag"))
-        .agg(sum(col("o")).as("rtot"))
-      val cols_ = cells.groupBy(col("l_linestatus"))
-        .agg(sum(col("o")).as("ctot"))
-      val tot = cells.agg(sum(col("o")).as("n"),
-        countDistinct(col("l_returnflag")).as("nr"),
-        countDistinct(col("l_linestatus")).as("nc"))
-      val contrib = cells
-        .join(broadcast(rows), "l_returnflag")
-        .join(broadcast(cols_), "l_linestatus")
-        .crossJoin(broadcast(tot))
-        .select(col("n"), col("nr"), col("nc"),
-          (pow(col("o").cast("double") -
-            col("rtot").cast("double") * col("ctot").cast("double") /
-              col("n").cast("double"), 2.0) /
-            (col("rtot").cast("double") * col("ctot").cast("double") /
-              col("n").cast("double"))).as("cell"))
-      contrib.groupBy(col("n"), col("nr"), col("nc"))
-        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .agg(sort_array(collect_list(
+          struct(col("rf"), col("ls"), col("o")))).as("cs"))
+        .withColumn("n", expr("aggregate(cs, 0L, (a, x) -> a + x.o)"))
+        .withColumn("nr", expr(
+          "cast(size(array_distinct(transform(cs, c -> c.rf))) as bigint)"))
+        .withColumn("nc", expr(
+          "cast(size(array_distinct(transform(cs, c -> c.ls))) as bigint)"))
+        .withColumn("chi2r", expr(
+          """aggregate(
+            |  array_sort(transform(cs, c ->
+            |    pow(cast(c.o as double) -
+            |        cast(aggregate(filter(cs, x -> x.rf = c.rf),
+            |                       0L, (a, x) -> a + x.o) as double)
+            |        * cast(aggregate(filter(cs, x -> x.ls = c.ls),
+            |                         0L, (a, x) -> a + x.o) as double)
+            |        / cast(n as double), 2.0)
+            |    / (cast(aggregate(filter(cs, x -> x.rf = c.rf),
+            |                      0L, (a, x) -> a + x.o) as double)
+            |       * cast(aggregate(filter(cs, x -> x.ls = c.ls),
+            |                        0L, (a, x) -> a + x.o) as double)
+            |       / cast(n as double)))),
+            |  cast(0.0 as double), (a, x) -> a + x)""".stripMargin))
         .select(col("n"),
           ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
-          r4(expr("aggregate(cs, cast(0.0 as double), (a, x) -> a + x)"))
-            .as("chi2"),
-          r4(sqrt(expr("aggregate(cs, cast(0.0 as double), (a, x) -> a + x)") /
-            (col("n").cast("double") *
-              (least(col("nr"), col("nc")) - 1).cast("double"))))
+          r4(col("chi2r")).as("chi2"),
+          r4(sqrt(col("chi2r") / (col("n").cast("double") *
+            (least(col("nr"), col("nc")) - 1).cast("double"))))
             .as("cramers_v"))
     }),
 

@@ -97,4 +97,47 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan.contains("Expand"),
       s"min-offset fan-out must avoid the multi-distinct Expand:\n$plan")
   }
+
+  private def countRegex(s: String, pattern: String): Int =
+    pattern.r.findAllIn(s).length
+
+  test("q223 chi-squared: ONE fact scan — marginals fold over the cell array") {
+    val plan = physical(SparkEntry.queries("q223_chi2_flag_linestatus")(
+      spark, sf001))
+    assert(countOccurrences(plan, "Scan parquet") == 1,
+      s"contingency marginals must not rescan the fact table:\n$plan")
+    assert(!plan.contains("Join"), s"no join needed for marginals:\n$plan")
+  }
+
+  test("q224 weighted median: both windows + final agg share ONE nation exchange") {
+    val plan = physical(SparkEntry.queries("q224_weighted_median_value")(
+      spark, sf001))
+    assert(countRegex(plan, """hashpartitioning\(n_name#\d+, \d+\)""") == 1,
+      s"cumulative walk and rollup must share the nation partitioning:\n$plan")
+  }
+
+  test("q226 streaks: islands + run-rank reuse the nation window exchange") {
+    val plan = physical(SparkEntry.queries("q226_revenue_streaks")(
+      spark, sf001))
+    assert(countRegex(plan, """hashpartitioning\(n_name#\d+, \d+\)""") == 1,
+      s"break/island/rank stages must share one nation exchange:\n$plan")
+  }
+
+  test("q229 DOW profile: share window reuses the type-keyed aggregate exchange") {
+    val plan = physical(SparkEntry.queries("q229_dow_seasonality")(
+      spark, sf001))
+    assert(countRegex(plan, """hashpartitioning\(event_type#\d+, \d+\)""") == 1,
+      s"permille window must reuse the event_type partitioning:\n$plan")
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 2,
+      s"exactly (type,dow) agg + type window exchanges expected:\n$plan")
+  }
+
+  test("q221 OLS trend: part dim broadcasts; brand rollup is the only brand-keyed exchange") {
+    val plan = physical(SparkEntry.queries("q221_brand_trend_ols")(
+      spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part dim must broadcast:\n$plan")
+    assert(countRegex(plan, """hashpartitioning\(p_brand#\d+, \d+\)""") == 1,
+      s"one brand-keyed exchange expected for the moment rollup:\n$plan")
+  }
 }
