@@ -2801,10 +2801,13 @@ object SparkEntry {
     // Referential-integrity audit: one row per declared constraint —
     // PK uniqueness (rows whose key repeats) and FK orphans (child
     // rows with no parent) — the pre-ingest contract check every
-    // pipeline runs before trusting a snapshot. Each check is one
-    // aggregate or one anti-join; parents that fit (nation, region)
-    // broadcast, the rest shuffle on the key they'd shuffle on
-    // anyway. Zeros are the healthy report, not a vacuous one.
+    // pipeline runs before trusting a snapshot. Each child table is
+    // scanned ONCE: FK checks ride a LEFT join (parent keys are
+    // unique, so no fanout) counting null parents alongside the row
+    // total in one aggregate, and lineitem's two FK checks share a
+    // single pass (stack-unpivoted into two report rows). Parents
+    // that fit (nation, region) broadcast; the rest shuffle on the
+    // key they'd shuffle on anyway. Zeros are the healthy report.
     "q227_integrity_audit" -> ((s, dir) => {
       def pkDup(df: org.apache.spark.sql.DataFrame, key: String,
                 name: String) =
@@ -2818,12 +2821,11 @@ object SparkEntry {
                    parent: org.apache.spark.sql.DataFrame, pk: String,
                    name: String, bcast: Boolean) = {
         val p = parent.select(col(pk))
-        val joined = child.select(col(ck))
+        child.select(col(ck))
           .join(if (bcast) broadcast(p) else p,
-            col(ck) === col(pk), "left_anti")
-        val viol = joined.agg(count(lit(1)).as("n_violations"))
-        val tot = child.agg(count(lit(1)).as("n_checked"))
-        viol.crossJoin(tot)
+            col(ck) === col(pk), "left")
+          .agg(sum(when(col(pk).isNull, 1L).otherwise(0L))
+            .as("n_violations"), count(lit(1)).as("n_checked"))
           .select(lit(name).as("check_name"), col("n_violations"),
             col("n_checked"))
       }
@@ -2831,14 +2833,24 @@ object SparkEntry {
       val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
       val p = Tables.part(s, dir); val na = Tables.nation(s, dir)
       val re = Tables.region(s, dir)
+      val liBoth = li.select(col("l_orderkey"), col("l_partkey"))
+        .join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(p.select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .agg(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+          .as("v_orders"),
+          sum(when(col("p_partkey").isNull, 1L).otherwise(0L))
+            .as("v_part"),
+          count(lit(1)).as("n_checked"))
+        .select(expr("stack(2, 'fk_lineitem_orders', v_orders, n_checked," +
+          " 'fk_lineitem_part', v_part, n_checked)" +
+          " as (check_name, n_violations, n_checked)"))
       pkDup(o, "o_orderkey", "pk_orders")
         .unionAll(pkDup(c, "c_custkey", "pk_customer"))
         .unionAll(pkDup(p, "p_partkey", "pk_part"))
         .unionAll(pkDup(su, "s_suppkey", "pk_supplier"))
-        .unionAll(fkOrphan(li, "l_orderkey", o, "o_orderkey",
-          "fk_lineitem_orders", bcast = false))
-        .unionAll(fkOrphan(li, "l_partkey", p, "p_partkey",
-          "fk_lineitem_part", bcast = false))
+        .unionAll(liBoth)
         .unionAll(fkOrphan(o, "o_custkey", c, "c_custkey",
           "fk_orders_customer", bcast = false))
         .unionAll(fkOrphan(c, "c_nationkey", na, "n_nationkey",
