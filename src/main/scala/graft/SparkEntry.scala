@@ -2614,13 +2614,16 @@ object SparkEntry {
     // each brand's MONTHLY revenue series — one wild month cannot
     // drag it the way it drags q221's OLS. The pair space is bounded
     // by the CALENDAR (84 months → ≤3.5k pairs per brand), not the
-    // data volume, so the self-join is scale-safe by construction.
-    // Each slope is one IEEE division of exact integers; the median
-    // is nearest-rank (value at index ⌈m/2⌉ of the sorted slopes) so
-    // no float averaging enters the gate.
+    // data volume, so the pairs materialize as a per-brand in-row
+    // array expansion (a DataFrame self-join would recompute — and
+    // rescan — the whole monthly aggregate on both sides). Each
+    // slope is one IEEE division of exact integers; the median is
+    // nearest-rank (value at index ⌈m/2⌉ of the sorted slopes) so no
+    // float averaging enters the gate. The oracle keeps the
+    // definitional self-join + rank formulation, certifying the
+    // array expansion against it.
     "q222_theil_sen_trend" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val monthly = Tables.lineitem(s, dir)
+      Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.part(s, dir)
@@ -2634,22 +2637,18 @@ object SparkEntry {
               .cast("long"))).as("rev_u"))
         .groupBy(col("p_brand"), col("mo"))
         .agg(expr("sum(rev_u) div 10000").as("y"))
-      val a = monthly.select(col("p_brand"), col("mo").as("x1"),
-        col("y").as("y1"))
-      val b = monthly.select(col("p_brand").as("brand_b"),
-        col("mo").as("x2"), col("y").as("y2"))
-      val pairs = a.join(b,
-        col("p_brand") === col("brand_b") && col("x1") < col("x2"))
+        .groupBy(col("p_brand"))
+        .agg(sort_array(collect_list(struct(col("mo"), col("y"))))
+          .as("pts"))
+        .withColumn("sl", expr(
+          """array_sort(flatten(transform(pts, (a, i) ->
+            |  transform(slice(pts, i + 2, size(pts)), b ->
+            |    cast(b.y - a.y as double) /
+            |    cast(b.mo - a.mo as double)))))""".stripMargin))
         .select(col("p_brand"),
-          ((col("y2") - col("y1")).cast("double") /
-            (col("x2") - col("x1")).cast("double")).as("slope"))
-      val w = Window.partitionBy(col("p_brand"))
-      pairs
-        .withColumn("rk", row_number().over(w.orderBy(col("slope"))))
-        .withColumn("m", count(lit(1)).over(w))
-        .filter(col("rk") === floor((col("m") + lit(1L)) / 2).cast("long"))
-        .select(col("p_brand"), col("m").as("n_pairs"),
-          r4(col("slope")).as("ts_slope_usd_mo"))
+          size(col("sl")).cast("long").as("n_pairs"),
+          r4(expr("element_at(sl, cast((size(sl) + 1) div 2 as int))"))
+            .as("ts_slope_usd_mo"))
         .orderBy("p_brand")
     }),
 
@@ -2864,22 +2863,27 @@ object SparkEntry {
 
     // Spend-decile mobility matrix: each customer's total-spend
     // decile in 1996 vs 1997, counted per (from, to) cell — the
-    // rank-rank transition view of churn/upsell. Deciles are exact
-    // ntile over the per-customer AGGREGATE with a custkey tie-break
-    // (engine-exact bucketing, the q209 idiom); the matrix is a
-    // |customers-active-both-years| inner join on the key.
+    // rank-rank transition view of churn/upsell. ONE orders scan:
+    // spend aggregates at (customer, year) grain, deciles are exact
+    // ntile over the YEAR-partitioned aggregate with a custkey
+    // tie-break (identical buckets to two separate rankings), and
+    // the year pair pivots back to one row per customer — no
+    // aggregate self-join. The exact-quintile global-sort caveat is
+    // q209's (ranks entity aggregates, never fact rows).
     "q228_decile_mobility" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      def spend(yr: Int) = Tables.orders(s, dir)
-        .filter(year(col("o_orderdate")) === yr)
-        .groupBy(col("o_custkey"))
+      Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("o_custkey"),
+          year(col("o_orderdate")).as("yr"))
         .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
           .cast("long")).as("sp"))
-        .withColumn("dec", ntile(10).over(
-          Window.orderBy(col("sp"), col("o_custkey"))))
-      spend(1996).select(col("o_custkey"), col("dec").as("dec_1996"))
-        .join(spend(1997).select(col("o_custkey"), col("dec").as("dec_1997")),
-          "o_custkey")
+        .withColumn("dec", ntile(10).over(Window.partitionBy(col("yr"))
+          .orderBy(col("sp"), col("o_custkey"))))
+        .groupBy(col("o_custkey"))
+        .agg(max(when(col("yr") === 1996, col("dec"))).as("dec_1996"),
+          max(when(col("yr") === 1997, col("dec"))).as("dec_1997"))
+        .filter(col("dec_1996").isNotNull && col("dec_1997").isNotNull)
         .groupBy(col("dec_1996"), col("dec_1997"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("dec_1996", "dec_1997")

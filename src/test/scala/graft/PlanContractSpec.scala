@@ -132,6 +132,29 @@ class PlanContractSpec extends SparkSpec {
       s"exactly (type,dow) agg + type window exchanges expected:\n$plan")
   }
 
+  test("q222 Theil-Sen: pair expansion stays in-row — each table scanned once") {
+    val plan = physical(SparkEntry.queries("q222_theil_sen_trend")(
+      spark, sf001))
+    assert(countOccurrences(plan, "Scan parquet") == 3,
+      s"lineitem/orders/part must each scan once (no aggregate self-join):\n$plan")
+  }
+
+  test("q228 decile mobility: ONE orders scan (year-partitioned ntile + pivot)") {
+    val plan = physical(SparkEntry.queries("q228_decile_mobility")(
+      spark, sf001))
+    assert(countOccurrences(plan, "Scan parquet") == 1,
+      s"both years must rank off a single scan:\n$plan")
+  }
+
+  test("q227 integrity audit: lineitem scanned exactly once across both FK checks") {
+    val plan = physical(SparkEntry.queries("q227_integrity_audit")(
+      spark, sf001))
+    val liScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans == 1,
+      s"expected one lineitem scan, got $liScans:\n$plan")
+  }
+
   test("q221 OLS trend: part dim broadcasts; brand rollup is the only brand-keyed exchange") {
     val plan = physical(SparkEntry.queries("q221_brand_trend_ols")(
       spark, sf001))
