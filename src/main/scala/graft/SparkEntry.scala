@@ -2938,6 +2938,123 @@ object SparkEntry {
         .orderBy("o_orderpriority", "band")
     }),
 
+    // Pricing-chaos leaderboard: the 50 parts with the widest
+    // quartile coefficient of dispersion (Q3−Q1)/(Q3+Q1) of unit
+    // price. Unit price is an exact integer (1e-4-dollar floor-div
+    // by quantity); quartiles are nearest-rank picks off ONE
+    // part-keyed window (no per-part arrays, so a part's line count
+    // can grow with the corpus without blowing memory); the ranking
+    // runs over the |parts| aggregate.
+    "q231_price_dispersion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val unit = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          expr("(cast(floor(l_extendedprice * 100 + 0.5) as bigint)" +
+            " * 100) div cast(l_quantity as bigint)").as("u"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val ranked = unit
+        .withColumn("rk", row_number().over(w.orderBy(col("u"))))
+        .withColumn("n", count(lit(1)).over(w))
+      val quart = ranked
+        .groupBy(col("l_partkey"), col("n"))
+        .agg(
+          min(when(col("rk") === ((col("n") + 3) / lit(4)).cast("long")
+            .cast("int"), col("u"))).as("q1_u"),
+          min(when(col("rk") === ((col("n") * 3 + 3) / lit(4)).cast("long")
+            .cast("int"), col("u"))).as("q3_u"))
+        .filter(col("n") >= 8L && (col("q1_u") + col("q3_u")) > 0L)
+        .select(col("l_partkey"), col("n").as("n_lines"),
+          (col("q1_u") / 10000.0).as("q1_price"),
+          (col("q3_u") / 10000.0).as("q3_price"),
+          r4((col("q3_u") - col("q1_u")).cast("double") /
+            (col("q3_u") + col("q1_u")).cast("double")).as("qcd"))
+      quart
+        .orderBy(col("qcd").desc, col("l_partkey"))
+        .limit(50)
+    }),
+
+    // Revenue-concentration ladder: the share of total revenue held
+    // by the top 1% / 5% / 10% of customers (ppm integers) — the
+    // whale-dependence readout that complements q179's Gini. Ranks
+    // run over the |customers| aggregate; thresholds are exact
+    // ceil-index integers.
+    "q232_revenue_concentration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perCust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long")).as("rev_c"))
+      val ranked = perCust
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rev_c").desc, col("o_custkey"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("tot", sum(col("rev_c")).over(Window.partitionBy()))
+      ranked
+        .select(col("rk"), col("n"), col("tot"), col("rev_c"),
+          explode(array(lit(10), lit(50), lit(100))).as("pct_permille"))
+        .filter(col("rk") <=
+          ((col("n") * col("pct_permille") + 999) / lit(1000))
+            .cast("long"))
+        .groupBy(col("pct_permille"))
+        .agg(count(lit(1)).as("n_customers"),
+          // decimal(38,0): cents × 1e6 would wrap a long at extreme SF
+          expr("cast(sum(rev_c) as decimal(38,0)) * 1000000" +
+            " div cast(max(tot) as decimal(38,0))").as("share_ppm"))
+        .orderBy("pct_permille")
+    }),
+
+    // Year-over-year growth by calendar month: each (year, month)
+    // revenue against the same month a year earlier — the
+    // seasonality-adjusted growth view. One orders scan, one
+    // month-partitioned lag window, growth as exact ppm integers.
+    "q233_yoy_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long")).as("rev_c"))
+        .withColumn("prev_c", lag(col("rev_c"), 1).over(
+          Window.partitionBy(col("mo")).orderBy(col("yr"))))
+        .filter(col("prev_c").isNotNull && col("prev_c") > 0L)
+        .select(col("yr"), col("mo"),
+          (col("rev_c") / 100.0).as("revenue"),
+          (col("prev_c") / 100.0).as("prev_revenue"),
+          expr("cast(rev_c - prev_c as decimal(38,0)) * 1000000" +
+            " div cast(prev_c as decimal(38,0))").as("growth_ppm"))
+        .orderBy("yr", "mo")
+    }),
+
+    // Supplier-consistency leaderboard: the 10 steadiest suppliers by
+    // coefficient of variation of order→ship lag (exact integer
+    // day-gaps, variance from the n·Σg²−(Σg)² identity, one IEEE
+    // sqrt + division at the end; n ≥ 20 so the CV is meaningful).
+    // Rank-based top-N over the |suppliers| aggregate — never
+    // vacuous, never a fact-row sort.
+    "q234_supplier_consistency" -> ((s, dir) => {
+      val gaps = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), col("o_orderdate"))
+            .cast("long").as("g"))
+      gaps.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+          sum(col("g") * col("g")).as("sg2"))
+        .filter(col("n") >= 20L && col("sg") > 0L)
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_name"), col("n").as("n_shipments"),
+          r4(col("sg").cast("double") / col("n").cast("double"))
+            .as("mean_lag_d"),
+          r4(sqrt((col("n") * col("sg2") - col("sg") * col("sg"))
+            .cast("double")) / col("sg").cast("double")).as("cv"))
+        .orderBy(col("cv").asc, col("s_name").asc)
+        .limit(10)
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -7114,6 +7231,97 @@ object SparkEntry {
         |        sum(n_orders) OVER (PARTITION BY o_orderpriority))
         |         ::BIGINT AS share_permille
         |FROM g ORDER BY o_orderpriority, band""".stripMargin,
+
+    // q231: identical integer unit prices, identical nearest-rank
+    // quartile indices ((n+3)//4, (3n+3)//4).
+    "q231_price_dispersion" ->
+      """WITH u AS (
+        |  SELECT l_partkey,
+        |         (CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 100)
+        |           // CAST(l_quantity AS BIGINT) AS u
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_partkey, u,
+        |         row_number() OVER (PARTITION BY l_partkey ORDER BY u)
+        |           AS rk,
+        |         count(*) OVER (PARTITION BY l_partkey) AS n
+        |  FROM u),
+        |q AS (
+        |  SELECT l_partkey, n,
+        |         min(CASE WHEN rk = (n + 3) // 4 THEN u END) AS q1_u,
+        |         min(CASE WHEN rk = (n * 3 + 3) // 4 THEN u END) AS q3_u
+        |  FROM r GROUP BY 1, 2)
+        |SELECT l_partkey, n AS n_lines,
+        |       (q1_u / 10000.0)::DOUBLE AS q1_price,
+        |       (q3_u / 10000.0)::DOUBLE AS q3_price,
+        |       floor((q3_u - q1_u)::DOUBLE / (q3_u + q1_u)::DOUBLE
+        |             * 10000 + 0.5) / 10000 AS qcd
+        |FROM q WHERE n >= 8 AND q1_u + q3_u > 0
+        |ORDER BY qcd DESC, l_partkey
+        |LIMIT 50""".stripMargin,
+
+    // q232: identical ceil-index thresholds and HUGEINT ppm shares.
+    "q232_revenue_concentration" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS rev_c
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT rev_c,
+        |         row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rk,
+        |         count(*) OVER () AS n,
+        |         sum(rev_c) OVER () AS tot
+        |  FROM pc),
+        |e AS (
+        |  SELECT r.*, p.pct_permille
+        |  FROM r CROSS JOIN (VALUES (10), (50), (100)) AS p(pct_permille))
+        |SELECT pct_permille, count(*)::BIGINT AS n_customers,
+        |       ((sum(rev_c)::HUGEINT * 1000000) // max(tot)::HUGEINT)
+        |         ::BIGINT AS share_ppm
+        |FROM e WHERE rk <= (n * pct_permille + 999) // 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q233: identical month-partitioned lag and HUGEINT ppm growth
+    // (both engines truncate integral division toward zero).
+    "q233_yoy_growth" ->
+      """WITH m AS (
+        |  SELECT date_part('year', o_orderdate)::BIGINT AS yr,
+        |         date_part('month', o_orderdate)::BIGINT AS mo,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS rev_c
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (
+        |  SELECT yr, mo, rev_c,
+        |         lag(rev_c) OVER (PARTITION BY mo ORDER BY yr) AS prev_c
+        |  FROM m)
+        |SELECT yr, mo, (rev_c / 100.0)::DOUBLE AS revenue,
+        |       (prev_c / 100.0)::DOUBLE AS prev_revenue,
+        |       ((rev_c::HUGEINT - prev_c::HUGEINT) * 1000000
+        |        // prev_c::HUGEINT)::BIGINT AS growth_ppm
+        |FROM l WHERE prev_c IS NOT NULL AND prev_c > 0
+        |ORDER BY yr, mo""".stripMargin,
+
+    // q234: identical exact-moment CV and rank-based top-10.
+    "q234_supplier_consistency" ->
+      """WITH g AS (
+        |  SELECT l_suppkey,
+        |         date_diff('day', o_orderdate,
+        |                   CAST(l_shipdate AS DATE))::BIGINT AS g
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (
+        |  SELECT l_suppkey, count(*)::BIGINT AS n, sum(g)::BIGINT AS sg,
+        |         sum(g * g)::BIGINT AS sg2
+        |  FROM g GROUP BY 1)
+        |SELECT s_name, n AS n_shipments,
+        |       floor(sg::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000
+        |         AS mean_lag_d,
+        |       floor(sqrt((n * sg2 - sg * sg)::DOUBLE) / sg::DOUBLE
+        |             * 10000 + 0.5) / 10000 AS cv
+        |FROM a JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE n >= 20 AND sg > 0
+        |ORDER BY cv, s_name
+        |LIMIT 10""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
