@@ -3055,6 +3055,135 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Spearman rank correlation between document length and token
+    // count, per language. row_number ranks with a doc_id tie-break
+    // make both rankings permutation-free, so the classic
+    // 1 − 6Σd²/(n(n²−1)) closed form is EXACT integers until the one
+    // final division (Σd² and n³ ride decimal(38,0) — n³ wraps a
+    // long near n=2M). Two windows share the language exchange.
+    "q235_spearman_len_tokens" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val base = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          col("n_chars").cast("long").as("len"),
+          expr("cast(size(filter(split(text, ' '), " +
+            "t -> length(t) > 0)) as bigint)").as("ntok"))
+      val ranked = base
+        .withColumn("r1", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("len"), col("doc_id"))))
+        .withColumn("r2", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("ntok"), col("doc_id"))))
+      ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(((col("r1") - col("r2")) * (col("r1") - col("r2")))
+            .cast(dec)).as("sd2"))
+        .filter(col("n") >= 3)
+        .select(col("lang"), col("n").cast("long").as("n_docs"),
+          r4(lit(1.0) - (col("sd2") * 6).cast("double") /
+            (col("n") * col("n") * col("n") - col("n")).cast("double"))
+            .as("spearman_rho"))
+        .orderBy("lang")
+    }),
+
+    // Keyword-in-context corpus stats: for a fixed keyword list, how
+    // many documents mention it, the ppm document share, and the
+    // mean 1-based first position — the "where does the corpus talk
+    // about X" readout. ONE documents scan (keywords explode
+    // per-row); positions are exact integers, the mean is one
+    // division.
+    "q236_keyword_contexts" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("text"),
+          explode(array(lit("spark"), lit("vector"), lit("merge")))
+            .as("keyword"))
+        .select(col("keyword"),
+          expr("cast(position(keyword, text) as bigint)").as("pos"))
+        .groupBy(col("keyword"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("pos") > 0L, 1L).otherwise(0L)).as("n_docs"),
+          sum(when(col("pos") > 0L, col("pos")).otherwise(0L))
+            .as("sum_pos"))
+        .select(col("keyword"), col("n_docs"),
+          expr("n_docs * 1000000L div n_total").as("share_ppm"),
+          r4(col("sum_pos").cast("double") / col("n_docs").cast("double"))
+            .as("mean_first_pos"))
+        .orderBy("keyword")
+    }),
+
+    // Session-depth conversion: sessionize clickstreams with a
+    // 30-minute inactivity gap (cumulative break counter — the
+    // gaps-and-islands idiom, one user-keyed exchange), band
+    // sessions by event depth, report each band's purchase
+    // conversion in exact permille. The depth→conversion curve is
+    // the standard engagement diagnostic.
+    "q237_session_depth_conversion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .withColumn("brk",
+          when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w)) <= 1800000000L, 0L)
+            .otherwise(1L))
+        .withColumn("sess_id", sum(col("brk")).over(w))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("depth"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+      sess
+        .select(
+          when(col("depth") === 1L, "a_1")
+            .when(col("depth") === 2L, "b_2")
+            .when(col("depth") <= 5L, "c_3_5")
+            .when(col("depth") <= 10L, "d_6_10")
+            .otherwise("e_11_plus").as("depth_band"),
+          col("converted"))
+        .groupBy(col("depth_band"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).as("n_converting"))
+        .select(col("depth_band"), col("n_sessions"), col("n_converting"),
+          expr("n_converting * 1000L div n_sessions").as("conv_permille"))
+        .orderBy("depth_band")
+    }),
+
+    // Order-total reconciliation: the stated o_totalprice against
+    // the total recomputed from line items (ext·(1−disc)·(1+tax)),
+    // both in exact 1e-6-dollar integers — the cross-table
+    // conformance audit. Deviations band into exact / <1% / ≥1%;
+    // the worst deviation is reported per band in HUGEINT-safe ppm.
+    "q238_order_reconciliation" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val comp = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          (floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + lit(0.5))
+              .cast("long")) *
+            (lit(100L) + floor(col("l_tax") * 100 + lit(0.5))
+              .cast("long"))).as("line_u"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("line_u")).as("comp_u"))
+      val recon = comp
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            (floor(col("o_totalprice") * 100 + lit(0.5)).cast("long") *
+              lit(10000L)).as("stated_u")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (abs(col("comp_u") - col("stated_u")).cast(dec) * 1000000)
+            .cast(dec).as("dev_num"), col("stated_u"))
+        .select(expr("dev_num div cast(stated_u as decimal(38,0))")
+          .as("dev_ppm"))
+      recon
+        .select(when(col("dev_ppm") === 0L, "a_exact")
+          .when(col("dev_ppm") < 10000L, "b_under_1pct")
+          .otherwise("c_over_1pct").as("band"), col("dev_ppm"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("dev_ppm")).as("max_dev_ppm"))
+        .orderBy("band")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -7322,6 +7451,103 @@ object SparkEntry {
         |WHERE n >= 20 AND sg > 0
         |ORDER BY cv, s_name
         |LIMIT 10""".stripMargin,
+
+    // q235: identical tie-broken ranks, identical exact closed form
+    // in HUGEINT.
+    "q235_spearman_len_tokens" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, n_chars::BIGINT AS llen,
+        |         length(list_filter(string_split(text, ' '),
+        |                            t -> length(t) > 0))::BIGINT AS ntok
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY llen, doc_id) AS r1,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY ntok, doc_id) AS r2
+        |  FROM b),
+        |a AS (
+        |  SELECT lang, count(*)::HUGEINT AS n,
+        |         sum(((r1 - r2) * (r1 - r2))::HUGEINT) AS sd2
+        |  FROM r GROUP BY 1)
+        |SELECT lang, n::BIGINT AS n_docs,
+        |       floor((1.0 - (sd2 * 6)::DOUBLE / (n * n * n - n)::DOUBLE)
+        |             * 10000 + 0.5) / 10000 AS spearman_rho
+        |FROM a WHERE n >= 3 ORDER BY lang""".stripMargin,
+
+    // q236: strpos ≡ position (1-based, 0 when absent).
+    "q236_keyword_contexts" ->
+      """WITH k AS (
+        |  SELECT unnest(['spark', 'vector', 'merge']) AS keyword),
+        |d AS (
+        |  SELECT keyword, strpos(text, keyword)::BIGINT AS pos
+        |  FROM documents CROSS JOIN k)
+        |SELECT keyword,
+        |       sum(CASE WHEN pos > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+        |       (sum(CASE WHEN pos > 0 THEN 1 ELSE 0 END) * 1000000
+        |        // count(*))::BIGINT AS share_ppm,
+        |       floor(sum(CASE WHEN pos > 0 THEN pos ELSE 0 END)::DOUBLE
+        |             / sum(CASE WHEN pos > 0 THEN 1 ELSE 0 END)::DOUBLE
+        |             * 10000 + 0.5) / 10000 AS mean_first_pos
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q237: identical exact-microsecond session breaks and depth
+    // bands.
+    "q237_session_depth_conversion" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                   <= 1800000000 THEN 0 ELSE 1 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_type,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, sess_id, count(*)::BIGINT AS depth,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           ::BIGINT AS converted
+        |  FROM s GROUP BY 1, 2),
+        |bnd AS (
+        |  SELECT CASE WHEN depth = 1 THEN 'a_1'
+        |              WHEN depth = 2 THEN 'b_2'
+        |              WHEN depth <= 5 THEN 'c_3_5'
+        |              WHEN depth <= 10 THEN 'd_6_10'
+        |              ELSE 'e_11_plus' END AS depth_band, converted
+        |  FROM g)
+        |SELECT depth_band, count(*)::BIGINT AS n_sessions,
+        |       sum(converted)::BIGINT AS n_converting,
+        |       (sum(converted) * 1000 // count(*))::BIGINT
+        |         AS conv_permille
+        |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q238: identical 1e-6-dollar integer recomputation and bands.
+    "q238_order_reconciliation" ->
+      """WITH comp AS (
+        |  SELECT l_orderkey,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |             * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+        |           ::BIGINT AS comp_u
+        |  FROM lineitem GROUP BY 1),
+        |recon AS (
+        |  SELECT (abs(comp_u - CAST(floor(o_totalprice * 100 + 0.5)
+        |                            AS BIGINT) * 10000)::HUGEINT
+        |          * 1000000)
+        |         // (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |            * 10000)::HUGEINT AS dev_ppm
+        |  FROM comp JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (
+        |  SELECT CASE WHEN dev_ppm = 0 THEN 'a_exact'
+        |              WHEN dev_ppm < 10000 THEN 'b_under_1pct'
+        |              ELSE 'c_over_1pct' END AS band, dev_ppm
+        |  FROM recon)
+        |SELECT band, count(*)::BIGINT AS n_orders,
+        |       max(dev_ppm)::BIGINT AS max_dev_ppm
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
