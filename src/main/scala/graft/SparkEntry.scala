@@ -3184,6 +3184,140 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // Rolling 7-day median of global daily revenue — the robust
+    // trend smoother (a one-day spike moves a 7-day MEAN for a week;
+    // it never moves the median). The window buffer is the ROLLING
+    // WIDTH (≤7 integers), bounded by construction; the median is a
+    // nearest-rank pick from the sorted in-row array, so nothing
+    // float-accumulates.
+    "q239_rolling_median_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w7 = Window.orderBy(col("d")).rowsBetween(-6, 0)
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long")).as("rev_c"))
+        .withColumn("win", collect_list(col("rev_c")).over(w7))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          (col("rev_c") / 100.0).as("revenue"),
+          size(col("win")).cast("long").as("n_window"),
+          expr("element_at(array_sort(win)," +
+            " cast((size(win) + 1) div 2 as int)) / 100.0")
+            .as("median7_revenue"))
+        .orderBy("day")
+    }),
+
+    // New-vs-returning revenue split by month: each order classed by
+    // whether its month is the customer's FIRST order month — the
+    // acquisition-vs-retention revenue mix. ONE orders scan: the
+    // first-order month rides a customer-keyed min window; shares
+    // are exact ppm integers.
+    "q240_new_vs_returning" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("rev_c"))
+        .withColumn("first_mon", min(col("mon")).over(
+          Window.partitionBy(col("o_custkey"))))
+        .groupBy(col("mon"))
+        .agg(
+          sum(when(col("mon") === col("first_mon"), col("rev_c"))
+            .otherwise(0L)).as("new_c"),
+          sum(when(col("mon") =!= col("first_mon"), col("rev_c"))
+            .otherwise(0L)).as("ret_c"))
+        .select(col("mon"), (col("new_c") / 100.0).as("new_revenue"),
+          (col("ret_c") / 100.0).as("returning_revenue"),
+          expr("cast(new_c as decimal(38,0)) * 1000000" +
+            " div cast(new_c + ret_c as decimal(38,0))")
+            .as("new_share_ppm"))
+        .orderBy("mon")
+    }),
+
+    // Activation-delay profile per signup cohort day: users' first
+    // signup → first purchase delay, the cohort's conversion
+    // permille and its exact nearest-rank median delay in seconds
+    // (the synthetic feed spans one month, so day is the grain).
+    // One events scan (conditional min aggregates per user), one
+    // cohort-keyed rank window over the |users| aggregate.
+    "q241_activation_delay" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup",
+            unix_micros(col("ts")))).as("su_us"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("pu_us"))
+        .filter(col("su_us").isNotNull)
+        .select(col("user_id"),
+          date_format(expr("timestamp_micros(su_us)"), "yyyy-MM-dd")
+            .as("cohort"),
+          when(col("pu_us") >= col("su_us"),
+            expr("(pu_us - su_us) div 1000000")).as("delay_s"))
+      val wRk = Window.partitionBy(col("cohort"))
+        .orderBy(col("delay_s").asc_nulls_last, col("user_id"))
+      val wC = Window.partitionBy(col("cohort"))
+      perUser
+        .withColumn("rk", row_number().over(wRk))
+        .withColumn("m", count(col("delay_s")).over(wC))
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("delay_s")).as("n_converted"),
+          min(when(col("delay_s").isNotNull &&
+            col("rk") === floor((col("m") + lit(1L)) / 2).cast("long"),
+            col("delay_s"))).as("median_delay_s"))
+        .select(col("cohort"), col("n_users"), col("n_converted"),
+          expr("n_converted * 1000L div n_users").as("conv_permille"),
+          col("median_delay_s"))
+        .orderBy("cohort")
+    }),
+
+    // Decontamination ladder: test-in-train overlap rate at THREE
+    // n-gram sizes in one report (the k-sweep that motivates the
+    // "13-gram" convention — too small over-flags natural reuse, too
+    // large misses paraphrase). Test/train split by md5(doc_id)
+    // bucket; grams are literal token strings (engine-identical, no
+    // hash seeds in the gate); train grams dedup BEFORE the join so
+    // the test side never fans out; per-(k, doc) hit flags collapse
+    // with max — two corpus scans total, the honest shape (train and
+    // benchmark are different tables in production).
+    "q242_contamination_ladder" -> ((s, dir) => {
+      val splitHex = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)")
+            .as("toks"))
+        .select(col("doc_id"),
+          explode(array(lit(3), lit(5), lit(8))).as("k"), col("toks"))
+        .select(col("doc_id"), col("k"),
+          explode(expr(
+            """CASE WHEN size(toks) >= k THEN
+              |  transform(sequence(1, size(toks) - k + 1),
+              |    i -> concat_ws(' ', slice(toks, i, k)))
+              |ELSE array() END""".stripMargin)).as("gram"))
+      val test = grams(docs.filter(splitHex.isin("0", "1"))).distinct()
+      val train = grams(docs.filter(!splitHex.isin("0", "1")))
+        .select(col("k").as("k2"), col("gram").as("gram2")).distinct()
+      test
+        .join(train,
+          col("k") === col("k2") && col("gram") === col("gram2"), "left")
+        .groupBy(col("k"), col("doc_id"))
+        .agg(max(when(col("gram2").isNotNull, 1L).otherwise(0L))
+          .as("hit"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_test_docs"),
+          sum(col("hit")).as("n_contaminated"))
+        .select(col("k").cast("long").as("k"), col("n_test_docs"),
+          col("n_contaminated"),
+          expr("n_contaminated * 1000L div n_test_docs")
+            .as("rate_permille"))
+        .orderBy("k")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -7548,6 +7682,121 @@ object SparkEntry {
         |SELECT band, count(*)::BIGINT AS n_orders,
         |       max(dev_ppm)::BIGINT AS max_dev_ppm
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q239: identical ≤7-value rolling window, sorted nearest-rank
+    // pick.
+    "q239_rolling_median_revenue" ->
+      """WITH d AS (
+        |  SELECT o_orderdate AS d,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS rev_c
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT d, rev_c,
+        |         list(rev_c) OVER (ORDER BY d
+        |                           ROWS BETWEEN 6 PRECEDING
+        |                           AND CURRENT ROW) AS win
+        |  FROM d)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |       (rev_c / 100.0)::DOUBLE AS revenue,
+        |       length(win)::BIGINT AS n_window,
+        |       (list_sort(win)[(length(win) + 1) // 2] / 100.0)::DOUBLE
+        |         AS median7_revenue
+        |FROM w ORDER BY day""".stripMargin,
+
+    // q240: identical first-month window and ppm split.
+    "q240_new_vs_returning" ->
+      """WITH o AS (
+        |  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS mon,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS rev_c
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_custkey, mon, rev_c,
+        |         min(mon) OVER (PARTITION BY o_custkey) AS first_mon
+        |  FROM o),
+        |a AS (
+        |  SELECT mon,
+        |         sum(CASE WHEN mon = first_mon THEN rev_c ELSE 0 END)
+        |           ::BIGINT AS new_c,
+        |         sum(CASE WHEN mon <> first_mon THEN rev_c ELSE 0 END)
+        |           ::BIGINT AS ret_c
+        |  FROM f GROUP BY 1)
+        |SELECT mon, (new_c / 100.0)::DOUBLE AS new_revenue,
+        |       (ret_c / 100.0)::DOUBLE AS returning_revenue,
+        |       (new_c::HUGEINT * 1000000 // (new_c + ret_c)::HUGEINT)
+        |         ::BIGINT AS new_share_ppm
+        |FROM a ORDER BY mon""".stripMargin,
+
+    // q241: identical per-user conditional minima, NULLS LAST rank,
+    // nearest-rank median.
+    "q241_activation_delay" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup'
+        |                  THEN epoch_us(ts) END) AS su_us,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  THEN epoch_us(ts) END) AS pu_us
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT user_id,
+        |         strftime(make_timestamp(su_us), '%Y-%m-%d') AS cohort,
+        |         CASE WHEN pu_us >= su_us
+        |              THEN (pu_us - su_us) // 1000000 END AS delay_s
+        |  FROM pu WHERE su_us IS NOT NULL),
+        |r AS (
+        |  SELECT cohort, user_id, delay_s,
+        |         row_number() OVER (PARTITION BY cohort
+        |                            ORDER BY delay_s ASC NULLS LAST,
+        |                                     user_id) AS rk,
+        |         count(delay_s) OVER (PARTITION BY cohort) AS m
+        |  FROM d)
+        |SELECT cohort, count(*)::BIGINT AS n_users,
+        |       count(delay_s)::BIGINT AS n_converted,
+        |       (count(delay_s) * 1000 // count(*))::BIGINT
+        |         AS conv_permille,
+        |       min(CASE WHEN delay_s IS NOT NULL
+        |                AND rk = (m + 1) // 2 THEN delay_s END)
+        |         ::BIGINT AS median_delay_s
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q242: identical md5 split, literal-string grams, deduped train
+    // side, per-(k, doc) max-hit collapse.
+    "q242_contamination_ladder" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '),
+        |                     t -> length(t) > 0) AS toks,
+        |         substr(md5(doc_id::VARCHAR), 1, 1) AS hx
+        |  FROM documents),
+        |ks AS (SELECT unnest([3, 5, 8]) AS k),
+        |tg0 AS (
+        |  SELECT doc_id, k,
+        |         unnest(CASE WHEN length(toks) >= k THEN
+        |           list_transform(range(1, length(toks) - k + 2),
+        |             i -> array_to_string(list_slice(toks, i, i + k - 1),
+        |                                  ' '))
+        |           ELSE [] END) AS gram
+        |  FROM docs CROSS JOIN ks WHERE hx IN ('0', '1')),
+        |tg AS (SELECT DISTINCT doc_id, k, gram FROM tg0),
+        |tr0 AS (
+        |  SELECT k,
+        |         unnest(CASE WHEN length(toks) >= k THEN
+        |           list_transform(range(1, length(toks) - k + 2),
+        |             i -> array_to_string(list_slice(toks, i, i + k - 1),
+        |                                  ' '))
+        |           ELSE [] END) AS gram
+        |  FROM docs CROSS JOIN ks WHERE hx NOT IN ('0', '1')),
+        |tr AS (SELECT DISTINCT k, gram FROM tr0),
+        |hit AS (
+        |  SELECT t.k, t.doc_id,
+        |         max(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS hit
+        |  FROM tg t LEFT JOIN tr ON t.k = tr.k AND t.gram = tr.gram
+        |  GROUP BY 1, 2)
+        |SELECT k::BIGINT AS k, count(*)::BIGINT AS n_test_docs,
+        |       sum(hit)::BIGINT AS n_contaminated,
+        |       (sum(hit) * 1000 // count(*))::BIGINT AS rate_permille
+        |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
