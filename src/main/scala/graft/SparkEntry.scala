@@ -3318,6 +3318,112 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Activity-bitmask engagement profile: each user's month of
+    // activity as ONE 31-bit integer (bit_or of 1<<(day−1)) — the
+    // roaring-bitmap idea at its smallest. Engagement then reads off
+    // bit arithmetic: active-day count is a popcount, weekend-only
+    // is one mask intersection ((mask & W) = mask against the
+    // calendar's weekend literal) — no per-day rows survive the
+    // aggregate, so the shuffle carries one long per user.
+    "q243_activity_bitmask" -> ((s, dir) => {
+      // Jan 2024 weekends (6,7,13,14,20,21,27,28) as bits day−1
+      val weekendMask = 202911840L
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("shiftleft(1L, day(ts) - 1)").as("daybit"))
+        .groupBy(col("user_id"))
+        .agg(expr("bit_or(daybit)").as("mask"))
+        .select(bit_count(col("mask")).cast("long").as("active_days"),
+          when((col("mask").bitwiseAND(lit(weekendMask))) === col("mask"),
+            1L).otherwise(0L).as("weekend_only"))
+        .groupBy(col("active_days"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("weekend_only")).as("n_weekend_only"))
+        .orderBy("active_days")
+    }),
+
+    // Join-skew audit: for each candidate join key (lineitem part +
+    // supplier keys off ONE stacked scan, orders customer key,
+    // events user key), the hot-key share and the p99 key frequency
+    // — the "will this join need salting / AQE skew handling" report
+    // a 100 TB planner consults BEFORE shuffling. Ranks run over the
+    // |keys| aggregate; hot-key multiples ride decimal(38,0).
+    "q244_join_skew_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def profile(freq: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("key_col"))
+        freq
+          .withColumn("rk", row_number().over(
+            w.orderBy(col("f"), col("key"))))
+          .withColumn("nk", count(lit(1)).over(w))
+          .groupBy(col("key_col"))
+          .agg(sum(col("f")).as("n_rows"),
+            max(col("nk")).as("n_keys"),
+            max(col("f")).as("max_freq"),
+            min(when(col("rk") ===
+              ((col("nk") * 99 + 99) / lit(100)).cast("long"),
+              col("f"))).as("p99_freq"))
+          .select(col("key_col"), col("n_rows"), col("n_keys"),
+            col("max_freq"), col("p99_freq"),
+            expr("cast(max_freq as decimal(38,0)) * 1000000" +
+              " div cast(n_rows as decimal(38,0))").as("max_share_ppm"),
+            expr("cast(max_freq as decimal(38,0)) * n_keys * 1000" +
+              " div cast(n_rows as decimal(38,0))")
+              .as("skew_x_permille"))
+      }
+      val liFreq = Tables.lineitem(s, dir)
+        .select(expr("stack(2, 'lineitem.l_partkey'," +
+          " cast(l_partkey as string), 'lineitem.l_suppkey'," +
+          " cast(l_suppkey as string)) as (key_col, key)"))
+        .groupBy(col("key_col"), col("key"))
+        .agg(count(lit(1)).as("f"))
+      val oFreq = Tables.orders(s, dir)
+        .select(lit("orders.o_custkey").as("key_col"),
+          col("o_custkey").cast("string").as("key"))
+        .groupBy(col("key_col"), col("key"))
+        .agg(count(lit(1)).as("f"))
+      val eFreq = Tables.events(s, dir)
+        .select(lit("events.user_id").as("key_col"),
+          col("user_id").cast("string").as("key"))
+        .groupBy(col("key_col"), col("key"))
+        .agg(count(lit(1)).as("f"))
+      profile(liFreq.unionAll(oFreq).unionAll(eFreq))
+        .orderBy("key_col")
+    }),
+
+    // Out-of-vocabulary ladder: per source, the ppm of token
+    // occurrences falling outside the top-5 / top-15 / top-25 global
+    // vocabulary ranks — the tokenizer-sizing readout (how much tail
+    // a vocab cutoff abandons), three cutoffs in ONE pass. The
+    // global vocab ranks over the |distinct tokens| aggregate with a
+    // (count desc, token) tie-break; per-source counts join it on
+    // the token key.
+    "q245_oov_ladder" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val vocab = tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("tc"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("tc").desc, col("token"))))
+        .select(col("token").as("vtoken"), col("r"))
+      tok.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .join(vocab, col("token") === col("vtoken"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(when(col("r") > 5, col("c")).otherwise(0L)).as("oov5"),
+          sum(when(col("r") > 15, col("c")).otherwise(0L)).as("oov15"),
+          sum(when(col("r") > 25, col("c")).otherwise(0L)).as("oov25"))
+        .select(col("source"), col("n_tokens"),
+          expr("oov5 * 1000000L div n_tokens").as("oov_top5_ppm"),
+          expr("oov15 * 1000000L div n_tokens").as("oov_top15_ppm"),
+          expr("oov25 * 1000000L div n_tokens").as("oov_top25_ppm"))
+        .orderBy("source")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -7797,6 +7903,85 @@ object SparkEntry {
         |       sum(hit)::BIGINT AS n_contaminated,
         |       (sum(hit) * 1000 // count(*))::BIGINT AS rate_permille
         |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q243: identical day bits, popcount, weekend-mask intersection.
+    "q243_activity_bitmask" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |         bit_or(1::BIGINT << (date_part('day', ts)::INT - 1))
+        |           AS mask
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT bit_count(mask)::BIGINT AS active_days,
+        |         CASE WHEN (mask & 202911840) = mask THEN 1 ELSE 0 END
+        |           AS weekend_only
+        |  FROM m)
+        |SELECT active_days, count(*)::BIGINT AS n_users,
+        |       sum(weekend_only)::BIGINT AS n_weekend_only
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q244: identical stacked key frequencies, ceil-index p99,
+    // HUGEINT hot-key multiples.
+    "q244_join_skew_audit" ->
+      """WITH f AS (
+        |  SELECT key_col, key, count(*)::BIGINT AS f
+        |  FROM (
+        |    SELECT 'lineitem.l_partkey' AS key_col,
+        |           l_partkey::VARCHAR AS key FROM lineitem
+        |    UNION ALL
+        |    SELECT 'lineitem.l_suppkey', l_suppkey::VARCHAR
+        |    FROM lineitem
+        |    UNION ALL
+        |    SELECT 'orders.o_custkey', o_custkey::VARCHAR FROM orders
+        |    UNION ALL
+        |    SELECT 'events.user_id', user_id::VARCHAR FROM events)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT key_col, f,
+        |         row_number() OVER (PARTITION BY key_col
+        |                            ORDER BY f, key) AS rk,
+        |         count(*) OVER (PARTITION BY key_col) AS nk
+        |  FROM f),
+        |a AS (
+        |  SELECT key_col, sum(f)::BIGINT AS n_rows,
+        |         max(nk)::BIGINT AS n_keys, max(f)::BIGINT AS max_freq,
+        |         min(CASE WHEN rk = (nk * 99 + 99) // 100 THEN f END)
+        |           ::BIGINT AS p99_freq
+        |  FROM r GROUP BY 1)
+        |SELECT key_col, n_rows, n_keys, max_freq, p99_freq,
+        |       (max_freq::HUGEINT * 1000000 // n_rows::HUGEINT)::BIGINT
+        |         AS max_share_ppm,
+        |       (max_freq::HUGEINT * n_keys::HUGEINT * 1000
+        |        // n_rows::HUGEINT)::BIGINT AS skew_x_permille
+        |FROM a ORDER BY key_col""".stripMargin,
+
+    // q245: identical global vocab ranks and single-pass cutoffs.
+    "q245_oov_ladder" ->
+      """WITH tok AS (
+        |  SELECT source, token
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0),
+        |v AS (
+        |  SELECT token, count(*)::BIGINT AS tc FROM tok GROUP BY 1),
+        |vr AS (
+        |  SELECT token,
+        |         row_number() OVER (ORDER BY tc DESC, token) AS r
+        |  FROM v),
+        |sc AS (
+        |  SELECT source, token, count(*)::BIGINT AS c
+        |  FROM tok GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, sum(c)::BIGINT AS n_tokens,
+        |         sum(CASE WHEN r > 5 THEN c ELSE 0 END)::BIGINT AS oov5,
+        |         sum(CASE WHEN r > 15 THEN c ELSE 0 END)::BIGINT AS oov15,
+        |         sum(CASE WHEN r > 25 THEN c ELSE 0 END)::BIGINT AS oov25
+        |  FROM sc JOIN vr USING (token) GROUP BY 1)
+        |SELECT source, n_tokens,
+        |       (oov5 * 1000000 // n_tokens)::BIGINT AS oov_top5_ppm,
+        |       (oov15 * 1000000 // n_tokens)::BIGINT AS oov_top15_ppm,
+        |       (oov25 * 1000000 // n_tokens)::BIGINT AS oov_top25_ppm
+        |FROM a ORDER BY source""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
