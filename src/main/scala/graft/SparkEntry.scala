@@ -3424,6 +3424,107 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ABC×XYZ inventory matrix: parts classed by cumulative revenue
+    // share (A ≤ 80%, B ≤ 95%, C rest — rev-desc rank with a partkey
+    // tie-break) × demand variability (CV of monthly quantity over
+    // the part's ACTIVE months: X < 0.5, Y < 1.0, Z, sparse when
+    // under 6 months). ONE fact scan feeds both axes: (part, month)
+    // grain first, then the |parts| aggregate carries revenue and
+    // the exact quantity moments together; the cumulative rank runs
+    // over parts, never lines.
+    "q246_abc_xyz_matrix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val perPart = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(sum(col("l_quantity").cast("long")).as("q_m"),
+          sum(floor(col("l_extendedprice") * 100 + lit(0.5))
+            .cast("long")).as("rev_m"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_m"), sum(col("q_m")).as("sq"),
+          sum(col("q_m") * col("q_m")).as("sq2"),
+          sum(col("rev_m")).as("rev_c"))
+      val wCum = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+      val classed = perPart
+        .withColumn("cum_c", sum(col("rev_c")).over(wCum))
+        .withColumn("tot_c", sum(col("rev_c")).over(Window.partitionBy()))
+        .withColumn("abc",
+          when(expr(s"cast(cum_c as $dec) * 1000000" +
+            s" div cast(tot_c as $dec)") <= 800000L, "A")
+            .when(expr(s"cast(cum_c as $dec) * 1000000" +
+              s" div cast(tot_c as $dec)") <= 950000L, "B")
+            .otherwise("C"))
+        .withColumn("cv",
+          sqrt((col("n_m") * col("sq2") - col("sq") * col("sq"))
+            .cast("double")) / col("sq").cast("double"))
+        .withColumn("xyz",
+          when(col("n_m") < 6L, "S")
+            .when(col("cv") < 0.5, "X")
+            .when(col("cv") < 1.0, "Y")
+            .otherwise("Z"))
+      classed.groupBy(col("abc"), col("xyz"))
+        .agg(count(lit(1)).as("n_parts"),
+          expr(s"cast(sum(rev_c) as $dec) * 1000000" +
+            s" div cast(max(tot_c) as $dec)").as("rev_share_ppm"))
+        .orderBy("abc", "xyz")
+    }),
+
+    // Duplicate-family size distribution: how big exact-dup clusters
+    // get — the dedup diagnostic that distinguishes "each page copied
+    // once" from "one boilerplate page copied 10 000 times" (the
+    // skew q17's LSH caps exist for). Two aggregates, no window.
+    "q247_dup_cluster_sizes" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("sz") * col("n_clusters"))
+        .withColumn("doc_share_ppm",
+          expr(s"cast(n_docs as $dec) * 1000000 div" +
+            s" cast(sum(n_docs) over () as $dec)"))
+        .orderBy("sz")
+    }),
+
+    // Seasonal-naive forecast backtest: predict each day's per-type
+    // event value with the SAME WEEKDAY a week earlier, then report
+    // the error profile — mean and exact nearest-rank median absolute
+    // percentage error in ppm. The 7-step lag is validated against
+    // the calendar (a gap day breaks the pairing rather than silently
+    // comparing wrong weekdays).
+    "q248_seasonal_naive_mape" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_c"))
+      val scored = daily
+        .withColumn("f_c", lag(col("v_c"), 7).over(wd))
+        .withColumn("f_d", lag(col("d"), 7).over(wd))
+        .filter(col("f_c").isNotNull && col("f_c") > 0L &&
+          datediff(col("d"), col("f_d")) === 7)
+        .select(col("event_type"), col("d"),
+          expr("abs(v_c - f_c) * 1000000L div f_c").as("ape_ppm"))
+      val wRk = Window.partitionBy(col("event_type"))
+        .orderBy(col("ape_ppm"), col("d"))
+      scored
+        .withColumn("rk", row_number().over(wRk))
+        .withColumn("m", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_points"),
+          expr("sum(ape_ppm) div count(1)").as("mean_ape_ppm"),
+          min(when(col("rk") === floor((col("m") + lit(1L)) / 2)
+            .cast("long"), col("ape_ppm"))).as("median_ape_ppm"))
+        .orderBy("event_type")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -7982,6 +8083,89 @@ object SparkEntry {
         |       (oov15 * 1000000 // n_tokens)::BIGINT AS oov_top15_ppm,
         |       (oov25 * 1000000 // n_tokens)::BIGINT AS oov_top25_ppm
         |FROM a ORDER BY source""".stripMargin,
+
+    // q246: identical (part, month) grain, cumulative ppm bands,
+    // exact-moment CV bands.
+    "q246_abc_xyz_matrix" ->
+      """WITH pm AS (
+        |  SELECT l_partkey, strftime(o_orderdate, '%Y-%m') AS mon,
+        |         sum(l_quantity::BIGINT)::BIGINT AS q_m,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS rev_m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS n_m,
+        |         sum(q_m)::BIGINT AS sq, sum(q_m * q_m)::BIGINT AS sq2,
+        |         sum(rev_m)::BIGINT AS rev_c
+        |  FROM pm GROUP BY 1),
+        |cl AS (
+        |  SELECT l_partkey, n_m, sq, sq2, rev_c,
+        |         sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+        |                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+        |         sum(rev_c) OVER () AS tot_c
+        |  FROM pp),
+        |cls AS (
+        |  SELECT rev_c, tot_c,
+        |         CASE WHEN cum_c::HUGEINT * 1000000 // tot_c::HUGEINT
+        |                   <= 800000 THEN 'A'
+        |              WHEN cum_c::HUGEINT * 1000000 // tot_c::HUGEINT
+        |                   <= 950000 THEN 'B'
+        |              ELSE 'C' END AS abc,
+        |         CASE WHEN n_m < 6 THEN 'S'
+        |              WHEN sqrt((n_m * sq2 - sq * sq)::DOUBLE)
+        |                   / sq::DOUBLE < 0.5 THEN 'X'
+        |              WHEN sqrt((n_m * sq2 - sq * sq)::DOUBLE)
+        |                   / sq::DOUBLE < 1.0 THEN 'Y'
+        |              ELSE 'Z' END AS xyz
+        |  FROM cl)
+        |SELECT abc, xyz, count(*)::BIGINT AS n_parts,
+        |       (sum(rev_c)::HUGEINT * 1000000 // max(tot_c)::HUGEINT)
+        |         ::BIGINT AS rev_share_ppm
+        |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q247: identical two-level aggregate and ppm share.
+    "q247_dup_cluster_sizes" ->
+      """WITH g AS (
+        |  SELECT count(*)::BIGINT AS sz FROM documents GROUP BY text),
+        |d AS (
+        |  SELECT sz, count(*)::BIGINT AS n_clusters,
+        |         (sz * count(*))::BIGINT AS n_docs
+        |  FROM g GROUP BY 1)
+        |SELECT sz, n_clusters, n_docs,
+        |       (n_docs::HUGEINT * 1000000
+        |        // sum(n_docs) OVER ()::HUGEINT)::BIGINT
+        |         AS doc_share_ppm
+        |FROM d ORDER BY sz""".stripMargin,
+
+    // q248: identical calendar-validated 7-day lag and ppm errors.
+    "q248_seasonal_naive_mape" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+        |           AS v_c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, d, v_c,
+        |         lag(v_c, 7) OVER w AS f_c, lag(d, 7) OVER w AS f_d
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |s AS (
+        |  SELECT event_type, d,
+        |         (abs(v_c - f_c) * 1000000 // f_c)::BIGINT AS ape_ppm
+        |  FROM l
+        |  WHERE f_c IS NOT NULL AND f_c > 0
+        |    AND date_diff('day', f_d, d) = 7),
+        |r AS (
+        |  SELECT event_type, ape_ppm,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY ape_ppm, d) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM s)
+        |SELECT event_type, count(*)::BIGINT AS n_points,
+        |       (sum(ape_ppm) // count(*))::BIGINT AS mean_ape_ppm,
+        |       min(CASE WHEN rk = (m + 1) // 2 THEN ape_ppm END)
+        |         ::BIGINT AS median_ape_ppm
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
