@@ -3525,6 +3525,79 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Functional-dependency audit: does A determine B in the data the
+    // way the schema claims? One row per candidate FD with the count
+    // of A-values bound to MORE THAN ONE distinct B — a schema-design
+    // / denormalization-drift check (nation→region must hold;
+    // custkey→nationkey must hold; orderdate→priority must NOT).
+    // Each FD is one two-level aggregate on its own table; nothing
+    // joins.
+    "q249_functional_dependencies" -> ((s, dir) => {
+      def fd(df: org.apache.spark.sql.DataFrame, a: String, b: String,
+             name: String) =
+        df.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("nb") > 1L, 1L).otherwise(0L))
+              .as("n_violating"))
+          .select(lit(name).as("fd"), col("n_keys"), col("n_violating"))
+      fd(Tables.nation(s, dir), "n_nationkey", "n_regionkey",
+        "nation->region")
+        .unionAll(fd(Tables.customer(s, dir), "c_custkey", "c_nationkey",
+          "custkey->nationkey"))
+        .unionAll(fd(Tables.orders(s, dir), "o_custkey", "o_orderstatus",
+          "custkey->orderstatus"))
+        .unionAll(fd(Tables.orders(s, dir), "o_orderdate",
+          "o_orderpriority", "orderdate->priority"))
+        .unionAll(fd(Tables.lineitem(s, dir), "l_partkey", "l_suppkey",
+          "partkey->suppkey"))
+        .orderBy("fd")
+    }),
+
+    // Round-number bias audit: the cents distribution of order totals
+    // (.00 / .50 / .99 / other) per priority in exact permille — the
+    // Benford sibling for detecting hand-entered or synthetic
+    // amounts (organic totals land on .00 at ~1%, human-priced feeds
+    // at 10-40%). Pure integer mod arithmetic on one scan.
+    "q250_round_number_bias" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) % 100")
+            .as("cents"))
+        .select(col("o_orderpriority"),
+          when(col("cents") === 0L, "a_00")
+            .when(col("cents") === 50L, "b_50")
+            .when(col("cents") === 99L, "c_99")
+            .otherwise("d_other").as("ending"))
+        .groupBy(col("o_orderpriority"), col("ending"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("share_permille", expr("n_orders * 1000L div " +
+          "sum(n_orders) over (partition by o_orderpriority)"))
+        .orderBy("o_orderpriority", "ending")
+    }),
+
+    // Effective sample size of the per-source importance weights
+    // (Kish's ESS = (Σw)²/Σw²): how many "real" samples a weighted
+    // corpus behaves like — the health metric for any importance-
+    // sampled mixture (q43/q74/q152). Weights are the exact integer
+    // doc lengths; ESS is one IEEE division of decimal(38,0) exact
+    // moments; the utilization ratio is exact ppm.
+    "q251_effective_sample_size" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).cast(dec).as("sw"),
+          sum(col("n_chars").cast(dec) * col("n_chars").cast(dec))
+            .as("sw2"))
+        .filter(col("sw2") > 0)
+        .select(col("source"), col("n_docs"),
+          r4((col("sw") * col("sw")).cast("double") /
+            col("sw2").cast("double")).as("ess"),
+          expr(s"(cast(sw as $dec) * cast(sw as $dec) * 1000000)" +
+            s" div (cast(sw2 as $dec) * n_docs)").as("ess_ratio_ppm"))
+        .orderBy("source")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -8166,6 +8239,71 @@ object SparkEntry {
         |       min(CASE WHEN rk = (m + 1) // 2 THEN ape_ppm END)
         |         ::BIGINT AS median_ape_ppm
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q249: same FD set, same two-level aggregates.
+    "q249_functional_dependencies" ->
+      """SELECT * FROM (
+        |  SELECT 'nation->region' AS fd, count(*)::BIGINT AS n_keys,
+        |         sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_violating
+        |  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nb
+        |        FROM nation GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'custkey->nationkey', count(*)::BIGINT,
+        |         sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS nb
+        |        FROM customer GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'custkey->orderstatus', count(*)::BIGINT,
+        |         sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS nb
+        |        FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'orderdate->priority', count(*)::BIGINT,
+        |         sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM (SELECT o_orderdate, count(DISTINCT o_orderpriority) AS nb
+        |        FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'partkey->suppkey', count(*)::BIGINT,
+        |         sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nb
+        |        FROM lineitem GROUP BY 1)
+        |) ORDER BY fd""".stripMargin,
+
+    // q250: identical integer cents classes and permille shares.
+    "q250_round_number_bias" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                   % 100 = 0 THEN 'a_00'
+        |              WHEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                   % 100 = 50 THEN 'b_50'
+        |              WHEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                   % 100 = 99 THEN 'c_99'
+        |              ELSE 'd_other' END AS ending
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_orderpriority, ending, count(*)::BIGINT AS n_orders
+        |  FROM c GROUP BY 1, 2)
+        |SELECT o_orderpriority, ending, n_orders,
+        |       (n_orders * 1000 //
+        |        sum(n_orders) OVER (PARTITION BY o_orderpriority))
+        |         ::BIGINT AS share_permille
+        |FROM g ORDER BY o_orderpriority, ending""".stripMargin,
+
+    // q251: identical HUGEINT moments, one IEEE division.
+    "q251_effective_sample_size" ->
+      """WITH a AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |         sum(n_chars::HUGEINT) AS sw,
+        |         sum(n_chars::HUGEINT * n_chars::HUGEINT) AS sw2
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs,
+        |       floor((sw * sw)::DOUBLE / sw2::DOUBLE * 10000 + 0.5)
+        |         / 10000 AS ess,
+        |       ((sw * sw * 1000000) // (sw2 * n_docs::HUGEINT))::BIGINT
+        |         AS ess_ratio_ppm
+        |FROM a WHERE sw2 > 0 ORDER BY source""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
