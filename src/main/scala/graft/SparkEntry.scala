@@ -3598,6 +3598,60 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Shard-balance preview: how evenly md5(doc_id) hex-bucket
+    // sharding would spread the corpus over 16 writers — row and
+    // byte share per shard in exact permille, plus each shard's
+    // hot-vs-average multiple. The pre-write planning readout for
+    // the shard-manifest path (q157); one scan, |shards| output
+    // rows.
+    "q252_shard_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .as("shard"), col("n_chars").cast("long").as("b"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("b")).as("n_bytes"))
+        .withColumn("tot_docs", sum(col("n_docs")).over(
+          Window.partitionBy()))
+        .withColumn("tot_bytes", sum(col("n_bytes")).over(
+          Window.partitionBy()))
+        .select(col("shard"), col("n_docs"), col("n_bytes"),
+          expr("n_docs * 1000L div tot_docs").as("doc_share_permille"),
+          expr("cast(n_bytes as decimal(38,0)) * 1000" +
+            " div cast(tot_bytes as decimal(38,0))")
+            .as("byte_share_permille"),
+          expr("cast(n_bytes as decimal(38,0)) * 16000" +
+            " div cast(tot_bytes as decimal(38,0))")
+            .as("hot_x_permille"))
+        .orderBy("shard")
+    }),
+
+    // Three-source UpSet overlap: every membership combination of the
+    // three largest sources over normalized-text fingerprints — the
+    // exact k-set generalization of a pairwise overlap matrix
+    // (which combination cells a Venn diagram hides is exactly what
+    // dedup planning needs). Membership collapses to ONE bitmask per
+    // fingerprint before counting; the top-3 pick is rank-based with
+    // a name tie-break.
+    "q253_source_overlap_upset" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), md5(lower(trim(col("text")))).as("fp"))
+      val top3 = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("nd"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("nd").desc, col("source"))))
+        .filter(col("rk") <= 3)
+        .select(col("source").as("src"), col("rk"))
+      docs.join(broadcast(top3), col("source") === col("src"))
+        .groupBy(col("fp"))
+        .agg(expr("bit_or(shiftleft(1L, cast(rk as int) - 1))")
+          .as("mask"))
+        .groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_fingerprints"))
+        .orderBy("mask")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -8304,6 +8358,43 @@ object SparkEntry {
         |       ((sw * sw * 1000000) // (sw2 * n_docs::HUGEINT))::BIGINT
         |         AS ess_ratio_ppm
         |FROM a WHERE sw2 > 0 ORDER BY source""".stripMargin,
+
+    // q252: identical hex shard, permille shares, hot multiple.
+    "q252_shard_balance" ->
+      """WITH s AS (
+        |  SELECT substr(md5(doc_id::VARCHAR), 1, 1) AS shard,
+        |         count(*)::BIGINT AS n_docs,
+        |         sum(n_chars::BIGINT)::BIGINT AS n_bytes
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT shard, n_docs, n_bytes,
+        |         sum(n_docs) OVER () AS tot_docs,
+        |         sum(n_bytes) OVER () AS tot_bytes
+        |  FROM s)
+        |SELECT shard, n_docs, n_bytes,
+        |       (n_docs * 1000 // tot_docs)::BIGINT AS doc_share_permille,
+        |       (n_bytes::HUGEINT * 1000 // tot_bytes::HUGEINT)::BIGINT
+        |         AS byte_share_permille,
+        |       (n_bytes::HUGEINT * 16000 // tot_bytes::HUGEINT)::BIGINT
+        |         AS hot_x_permille
+        |FROM t ORDER BY shard""".stripMargin,
+
+    // q253: identical top-3 pick, bitmask collapse, cell counts.
+    "q253_source_overlap_upset" ->
+      """WITH d AS (
+        |  SELECT source, md5(lower(trim(text))) AS fp FROM documents),
+        |t3 AS (
+        |  SELECT source AS src,
+        |         row_number() OVER (ORDER BY count(*) DESC, source)
+        |           AS rk
+        |  FROM d GROUP BY source
+        |  QUALIFY rk <= 3),
+        |m AS (
+        |  SELECT fp, bit_or(1::BIGINT << (rk::INT - 1)) AS mask
+        |  FROM d JOIN t3 ON source = src
+        |  GROUP BY 1)
+        |SELECT mask, count(*)::BIGINT AS n_fingerprints
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
