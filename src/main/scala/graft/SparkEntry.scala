@@ -3652,6 +3652,42 @@ object SparkEntry {
         .orderBy("mask")
     }),
 
+    // Per-label centroid drift: cosine of each label's embedding
+    // centroid to the GLOBAL centroid — the embedding-space balance
+    // check (a label whose centroid drifts from the corpus mean is
+    // over-clustered or mis-labeled). Components quantize to exact
+    // 1e-4 integers BEFORE any reduction, so the per-dimension sums
+    // are order-free (float centroids would hash differently per
+    // partitioning); dims are bounded (64), so the per-label frame
+    // is |labels|×dims and the one window rides the dim key. The
+    // scale factors cancel in the cosine.
+    "q254_centroid_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val perLD = Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          floor(col("x").cast("double") * 10000 + lit(0.5))
+            .cast("long").as("qv"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("qv")).cast(dec).as("sq"),
+          count(lit(1)).as("c"))
+      perLD
+        .withColumn("gq", sum(col("sq")).over(
+          Window.partitionBy(col("dim"))))
+        .groupBy(col("label"))
+        .agg(max(col("c")).as("n_vecs"),
+          sum(col("sq") * col("gq")).as("dot"),
+          sum(col("sq") * col("sq")).as("a2"),
+          sum(col("gq") * col("gq")).as("b2"))
+        .select(col("label").cast("long").as("label"), col("n_vecs"),
+          r4(col("dot").cast("double") /
+            (sqrt(col("a2").cast("double")) *
+              sqrt(col("b2").cast("double")))).as("cos_to_global"))
+        .orderBy("label")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -8395,6 +8431,36 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT mask, count(*)::BIGINT AS n_fingerprints
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q254: identical 1e-4 quantization (forced DOUBLE before the
+    // floor on both engines), per-dim HUGEINT sums, same cosine.
+    "q254_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, dim,
+        |         CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+        |           AS qv
+        |  FROM e),
+        |ld AS (
+        |  SELECT label, dim, sum(qv)::HUGEINT AS sq,
+        |         count(*)::BIGINT AS c
+        |  FROM q GROUP BY 1, 2),
+        |g AS (
+        |  SELECT label, dim, sq, c,
+        |         sum(sq) OVER (PARTITION BY dim) AS gq
+        |  FROM ld),
+        |a AS (
+        |  SELECT label, max(c)::BIGINT AS n_vecs,
+        |         sum(sq * gq) AS dot, sum(sq * sq) AS a2,
+        |         sum(gq * gq) AS b2
+        |  FROM g GROUP BY 1)
+        |SELECT label::BIGINT AS label, n_vecs,
+        |       floor(dot::DOUBLE / (sqrt(a2::DOUBLE) * sqrt(b2::DOUBLE))
+        |             * 10000 + 0.5) / 10000 AS cos_to_global
+        |FROM a ORDER BY label""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
