@@ -3688,6 +3688,104 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // Substitution candidates: for the 20 most-demanded parts, the
+    // cheapest same-(type, size) alternative from a DIFFERENT brand
+    // — the alternative-sourcing lookup. The part↔part join keys on
+    // (type, size), whose group sizes are CATALOG-bounded (brands
+    // per spec), never order-volume-bounded; demand ranks over the
+    // |parts| aggregate; prices compare as exact cents with a
+    // partkey tie-break.
+    "q255_substitution_candidates" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"),
+          floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")
+            .as("price_c"))
+      val demand = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val top20 = parts
+        .join(demand, col("p_partkey") === col("l_partkey"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("qty").desc, col("p_partkey"))))
+        .filter(col("rk") <= 20)
+      val alts = parts.select(col("p_partkey").as("alt_key"),
+        col("p_brand").as("alt_brand"), col("p_type").as("alt_type"),
+        col("p_size").as("alt_size"), col("price_c").as("alt_price_c"))
+      top20
+        .join(alts,
+          col("p_type") === col("alt_type") &&
+            col("p_size") === col("alt_size") &&
+            col("p_brand") =!= col("alt_brand"), "left")
+        .withColumn("ark", row_number().over(
+          Window.partitionBy(col("p_partkey"))
+            .orderBy(col("alt_price_c").asc_nulls_last, col("alt_key"))))
+        .filter(col("ark") === 1)
+        .select(col("rk").cast("long").as("demand_rank"),
+          col("p_partkey"), col("qty"),
+          (col("price_c") / 100.0).as("price"),
+          col("alt_key").as("alt_partkey"),
+          (col("alt_price_c") / 100.0).as("alt_price"))
+        .orderBy("demand_rank")
+    }),
+
+    // Line-number contiguity audit: per-order l_linenumber must be
+    // exactly 1..n with no gaps or repeats — the writer-correctness
+    // check for multi-line fact feeds. n·(n+1)/2 sum identity +
+    // distinct-count, one aggregate; one report row.
+    "q256_linenumber_contiguity" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_linenumber")).as("nd"),
+          sum(col("l_linenumber").cast("long")).as("sln"),
+          max(col("l_linenumber").cast("long")).as("mx"))
+        .select(
+          when(col("nd") =!= col("n"), lit("dup_linenumber"))
+            .when(col("mx") =!= col("n"), lit("gap_or_offset"))
+            .when(expr("sln != n * (n + 1) div 2"), lit("gap_or_offset"))
+            .otherwise(lit("contiguous")).as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("status")
+    }),
+
+    // Weighted Jaccard between sources' token histograms
+    // (Σmin/Σmax over counts) — the multiset cousin of q218's
+    // cosine: robust to one source being a longer copy of another
+    // (cosine saturates at 1, weighted Jaccard stays below it until
+    // the HISTOGRAMS match). Σmin joins only tokens present in both
+    // (sparse); Σmax = |A|+|B|−Σmin, all exact integers.
+    "q257_weighted_jaccard_sources" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("tot"))
+      val a = counts.select(col("source").as("src_a"), col("token"),
+        col("c").as("ca"))
+      val b = counts.select(col("source").as("src_b"),
+        col("token").as("token_b"), col("c").as("cb"))
+      val inter = a.join(b,
+        col("token") === col("token_b") && col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(least(col("ca"), col("cb"))).as("smin"))
+      inter
+        .join(totals.select(col("source").as("src_a"),
+          col("tot").as("tot_a")), "src_a")
+        .join(totals.select(col("source").as("src_b"),
+          col("tot").as("tot_b")), "src_b")
+        .select(col("src_a"), col("src_b"),
+          r4(col("smin").cast("double") /
+            (col("tot_a") + col("tot_b") - col("smin")).cast("double"))
+            .as("wjaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -8461,6 +8559,80 @@ object SparkEntry {
         |       floor(dot::DOUBLE / (sqrt(a2::DOUBLE) * sqrt(b2::DOUBLE))
         |             * 10000 + 0.5) / 10000 AS cos_to_global
         |FROM a ORDER BY label""".stripMargin,
+
+    // q255: identical demand ranks, (type, size) alternates, price
+    // tie-break.
+    "q255_substitution_candidates" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_type, p_size,
+        |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+        |           AS price_c
+        |  FROM part),
+        |d AS (
+        |  SELECT l_partkey, sum(l_quantity::BIGINT)::BIGINT AS qty
+        |  FROM lineitem GROUP BY 1),
+        |t AS (
+        |  SELECT p.*, d.qty,
+        |         row_number() OVER (ORDER BY d.qty DESC, p.p_partkey)
+        |           AS rk
+        |  FROM p JOIN d ON p_partkey = l_partkey
+        |  QUALIFY rk <= 20),
+        |alt AS (
+        |  SELECT t.rk, t.p_partkey, t.qty, t.price_c,
+        |         a.p_partkey AS alt_key, a.price_c AS alt_price_c,
+        |         row_number() OVER (PARTITION BY t.p_partkey
+        |                            ORDER BY a.price_c ASC NULLS LAST,
+        |                                     a.p_partkey) AS ark
+        |  FROM t LEFT JOIN p a
+        |    ON t.p_type = a.p_type AND t.p_size = a.p_size
+        |   AND t.p_brand <> a.p_brand)
+        |SELECT rk::BIGINT AS demand_rank, p_partkey, qty,
+        |       (price_c / 100.0)::DOUBLE AS price,
+        |       alt_key AS alt_partkey,
+        |       (alt_price_c / 100.0)::DOUBLE AS alt_price
+        |FROM alt WHERE ark = 1
+        |ORDER BY demand_rank""".stripMargin,
+
+    // q256: identical sum-identity + distinct-count checks.
+    "q256_linenumber_contiguity" ->
+      """WITH o AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS n,
+        |         count(DISTINCT l_linenumber)::BIGINT AS nd,
+        |         sum(l_linenumber::BIGINT)::BIGINT AS sln,
+        |         max(l_linenumber::BIGINT)::BIGINT AS mx
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT CASE WHEN nd <> n THEN 'dup_linenumber'
+        |              WHEN mx <> n THEN 'gap_or_offset'
+        |              WHEN sln <> n * (n + 1) // 2 THEN 'gap_or_offset'
+        |              ELSE 'contiguous' END AS status
+        |  FROM o)
+        |SELECT status, count(*)::BIGINT AS n_orders
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q257: identical sparse Σmin join and Σmax identity.
+    "q257_weighted_jaccard_sources" ->
+      """WITH c AS (
+        |  SELECT source, token, count(*)::BIGINT AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, sum(c)::BIGINT AS tot FROM c GROUP BY 1),
+        |i AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         sum(least(a.c, b.c))::BIGINT AS smin
+        |  FROM c a JOIN c b
+        |    ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |       floor(smin::DOUBLE / (ta.tot + tb.tot - smin)::DOUBLE
+        |             * 10000 + 0.5) / 10000 AS wjaccard
+        |FROM i
+        |JOIN t ta ON ta.source = src_a
+        |JOIN t tb ON tb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
