@@ -3786,6 +3786,68 @@ object SparkEntry {
         .orderBy("src_a", "src_b")
     }),
 
+    // Bigram redundancy per source: 1 − distinct/total token-bigram
+    // ratio in ppm — the compressibility proxy (a looping crawler
+    // or boilerplate-heavy source repeats bigrams; clean prose
+    // doesn't). Bigrams come from one in-row zip of the token array
+    // with its own tail; counts are exact.
+    "q258_bigram_redundancy" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("source"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)")
+            .as("toks"))
+        .select(col("source"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(1, size(toks) - 1),
+            |    i -> concat(toks[i - 1], ' ', toks[i]))
+            |ELSE array() END""".stripMargin)).as("bg"))
+      grams.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("bg")).as("n_distinct"))
+        .select(col("source"), col("n_bigrams"), col("n_distinct"),
+          expr("(n_bigrams - n_distinct) * 1000000L div n_bigrams")
+            .as("redundancy_ppm"))
+        .orderBy("source")
+    }),
+
+    // Overdue-customer churn risk: the 20 customers furthest past
+    // their own cadence (days since last order vs mean inter-order
+    // gap, compared by exact integer cross-multiplication — no
+    // division enters the ranking). "Now" is the corpus max date, so
+    // the report is reproducible; requires ≥5 orders so the cadence
+    // is real.
+    "q259_overdue_customers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val mx = Tables.orders(s, dir)
+        .agg(max(col("o_orderdate")).as("now_d"))
+      val per = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderdate")).as("first_d"),
+          max(col("o_orderdate")).as("last_d"))
+        .filter(col("n_orders") >= 5L)
+        .crossJoin(broadcast(mx))
+        // mean gap = (last-first)/(n-1); overdue_x = since/mean
+        .select(col("o_custkey"), col("n_orders"),
+          datediff(col("now_d"), col("last_d")).cast("long")
+            .as("since_d"),
+          datediff(col("last_d"), col("first_d")).cast("long")
+            .as("span_d"))
+        .filter(col("span_d") > 0L)
+        .select(col("o_custkey"), col("n_orders"), col("since_d"),
+          expr("span_d div (n_orders - 1)").as("mean_gap_d"),
+          expr("since_d * (n_orders - 1) * 1000L div span_d")
+            .as("overdue_x_permille"))
+      per
+        .withColumn("rk", row_number().over(Window.orderBy(
+          col("overdue_x_permille").desc, col("o_custkey"))))
+        .filter(col("rk") <= 20)
+        .select(col("rk").cast("long").as("rank"), col("o_custkey"),
+          col("n_orders"), col("since_d"), col("mean_gap_d"),
+          col("overdue_x_permille"))
+        .orderBy("rank")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -8633,6 +8695,57 @@ object SparkEntry {
         |JOIN t ta ON ta.source = src_a
         |JOIN t tb ON tb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // q258: identical in-row bigram expansion and exact counts.
+    "q258_bigram_redundancy" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         list_filter(string_split(text, ' '),
+        |                     t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT source,
+        |         unnest(CASE WHEN length(toks) >= 2 THEN
+        |           list_transform(range(1, length(toks)),
+        |             i -> toks[i] || ' ' || toks[i + 1])
+        |           ELSE [] END) AS bg
+        |  FROM d),
+        |a AS (
+        |  SELECT source, count(*)::BIGINT AS n_bigrams,
+        |         count(DISTINCT bg)::BIGINT AS n_distinct
+        |  FROM g0 GROUP BY 1)
+        |SELECT source, n_bigrams, n_distinct,
+        |       ((n_bigrams - n_distinct) * 1000000 // n_bigrams)::BIGINT
+        |         AS redundancy_ppm
+        |FROM a ORDER BY source""".stripMargin,
+
+    // q259: identical integer cadence cross-multiplication ranking.
+    "q259_overdue_customers" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS now_d FROM orders),
+        |p AS (
+        |  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |         min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+        |  FROM orders GROUP BY 1),
+        |e AS (
+        |  SELECT o_custkey, n_orders,
+        |         date_diff('day', last_d, now_d)::BIGINT AS since_d,
+        |         date_diff('day', first_d, last_d)::BIGINT AS span_d
+        |  FROM p CROSS JOIN mx
+        |  WHERE n_orders >= 5),
+        |s AS (
+        |  SELECT o_custkey, n_orders, since_d,
+        |         span_d // (n_orders - 1) AS mean_gap_d,
+        |         (since_d * (n_orders - 1) * 1000) // span_d
+        |           AS overdue_x_permille
+        |  FROM e WHERE span_d > 0),
+        |r AS (
+        |  SELECT s.*, row_number() OVER (ORDER BY overdue_x_permille
+        |                                 DESC, o_custkey) AS rk
+        |  FROM s)
+        |SELECT rk::BIGINT AS rank, o_custkey, n_orders, since_d,
+        |       mean_gap_d::BIGINT AS mean_gap_d,
+        |       overdue_x_permille::BIGINT AS overdue_x_permille
+        |FROM r WHERE rk <= 20 ORDER BY rank""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
