@@ -163,4 +163,28 @@ class PlanContractSpec extends SparkSpec {
     assert(countRegex(plan, """hashpartitioning\(p_brand#\d+, \d+\)""") == 1,
       s"one brand-keyed exchange expected for the moment rollup:\n$plan")
   }
+
+  test("q243 bitmask: ONE user exchange, no window, no join") {
+    val plan = physical(SparkEntry.queries("q243_activity_bitmask")(
+      spark, sf001))
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"bit_or collapse must be a pure aggregate chain:\n$plan")
+    assert(countRegex(plan, """hashpartitioning\(user_id#\d+L?, \d+\)""") == 1,
+      s"one user-keyed exchange expected:\n$plan")
+  }
+
+  test("q254 centroid drift: ONE embeddings scan; dim window reuses no fact exchange") {
+    val plan = physical(SparkEntry.queries("q254_centroid_drift")(
+      spark, sf001))
+    assert(countOccurrences(plan, "Scan parquet") == 1,
+      s"global centroid must derive from the per-label sums, not a rescan:\n$plan")
+  }
+
+  test("q257 weighted jaccard: sparse token join, no cartesian product") {
+    val plan = physical(SparkEntry.queries("q257_weighted_jaccard_sources")(
+      spark, sf001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair space must ride the token equi-join:\n$plan")
+  }
 }
