@@ -3848,6 +3848,74 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Status-consistency conformance matrix: o_orderstatus against
+    // the status DERIVED from the order's line statuses (all-F → F,
+    // all-O → O, mixed → P — the documented TPC-H invariant). The
+    // fixture's feed is deliberately inconsistent, so the matrix is
+    // the informative 3×3 rather than a diagonal — exactly what the
+    // audit exists to surface before anyone trusts a status filter.
+    // One lineitem aggregate + one key join.
+    "q260_status_consistency" -> ((s, dir) => {
+      val derived = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_linestatus")).as("mn"),
+          max(col("l_linestatus")).as("mx"))
+        .select(col("l_orderkey"),
+          when(col("mn") === "F" && col("mx") === "F", "F")
+            .when(col("mn") === "O" && col("mx") === "O", "O")
+            .otherwise("P").as("derived"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .join(derived, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"), col("derived"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("is_match",
+          when(col("o_orderstatus") === col("derived"), 1L)
+            .otherwise(0L))
+        .orderBy("o_orderstatus", "derived")
+    }),
+
+    // Winsorization preview per event type: exact nearest-rank
+    // p01/p99 of the integer cent values, the row counts outside
+    // them, and the ppm of VALUE MASS a p01/p99 clamp would move —
+    // the preprocessing dial (clip vs drop) read off exact integers
+    // before anyone mutates the feed. One type-keyed rank window
+    // over the fact rows, one rollup sharing its exchange.
+    "q261_winsorization_preview" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = Tables.events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v"),
+          col("event_id"))
+      val w = Window.partitionBy(col("event_type"))
+      val ranked = vals
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("v"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+      ranked
+        .withColumn("p01", min(when(col("rk") ===
+          ((col("n") + 99) / lit(100)).cast("long"), col("v"))).over(w))
+        .withColumn("p99", min(when(col("rk") ===
+          ((col("n") * 99 + 99) / lit(100)).cast("long"), col("v")))
+          .over(w))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          max(col("p01")).as("p01_cents"),
+          max(col("p99")).as("p99_cents"),
+          sum(when(col("v") < col("p01"), 1L).otherwise(0L))
+            .as("n_below"),
+          sum(when(col("v") > col("p99"), 1L).otherwise(0L))
+            .as("n_above"),
+          sum(col("v")).as("raw_sum"),
+          sum(greatest(least(col("v"), col("p99")), col("p01")))
+            .as("clamped_sum"))
+        .select(col("event_type"), col("n_events"), col("p01_cents"),
+          col("p99_cents"), col("n_below"), col("n_above"),
+          expr("abs(raw_sum - clamped_sum) * 1000000L div raw_sum")
+            .as("moved_mass_ppm"))
+        .orderBy("event_type")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -8746,6 +8814,53 @@ object SparkEntry {
         |       mean_gap_d::BIGINT AS mean_gap_d,
         |       overdue_x_permille::BIGINT AS overdue_x_permille
         |FROM r WHERE rk <= 20 ORDER BY rank""".stripMargin,
+
+    // q260: identical derived-status rule and matrix.
+    "q260_status_consistency" ->
+      """WITH d AS (
+        |  SELECT l_orderkey,
+        |         CASE WHEN min(l_linestatus) = 'F'
+        |                   AND max(l_linestatus) = 'F' THEN 'F'
+        |              WHEN min(l_linestatus) = 'O'
+        |                   AND max(l_linestatus) = 'O' THEN 'O'
+        |              ELSE 'P' END AS derived
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderstatus, derived, count(*)::BIGINT AS n_orders,
+        |       (CASE WHEN o_orderstatus = derived THEN 1 ELSE 0 END)
+        |         ::BIGINT AS is_match
+        |FROM orders JOIN d ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q261: identical ceil-index cuts and clamp identity.
+    "q261_winsorization_preview" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |         event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY v, event_id) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v),
+        |c AS (
+        |  SELECT event_type, v, n,
+        |         min(CASE WHEN rk = (n + 99) // 100 THEN v END)
+        |           OVER (PARTITION BY event_type) AS p01,
+        |         min(CASE WHEN rk = (n * 99 + 99) // 100 THEN v END)
+        |           OVER (PARTITION BY event_type) AS p99
+        |  FROM r)
+        |SELECT event_type, max(n)::BIGINT AS n_events,
+        |       max(p01)::BIGINT AS p01_cents,
+        |       max(p99)::BIGINT AS p99_cents,
+        |       sum(CASE WHEN v < p01 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_below,
+        |       sum(CASE WHEN v > p99 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_above,
+        |       (abs(sum(v) - sum(greatest(least(v, p99), p01)))
+        |        * 1000000 // sum(v))::BIGINT AS moved_mass_ppm
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
