@@ -3916,6 +3916,99 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Hour-of-day uniformity test per event type: chi-squared
+    // goodness-of-fit against the uniform 1/24 expectation — the
+    // timezone-sanity alarm (a feed whose "hours" all collapse to
+    // one bucket was written with a stripped or double-converted
+    // timestamp). q223's fold discipline: per-type hour counts
+    // collapse to one sorted cell array, the statistic is a
+    // deterministic left fold, 24 cells by construction.
+    "q262_hour_uniformity" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("o"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("o")).as("n"),
+          count(lit(1)).as("n_hours"),
+          sort_array(collect_list(col("o").cast("double"))).as("cs"))
+        .select(col("event_type"), col("n"), col("n_hours"),
+          r4(expr(
+            """aggregate(cs, cast(0.0 as double), (a, x) ->
+              |  a + pow(x - cast(n as double) / 24.0, 2.0)
+              |      / (cast(n as double) / 24.0))""".stripMargin) +
+            // hours with ZERO events contribute (0-E)^2/E = E each
+            (lit(24) - col("n_hours")).cast("double") *
+              (col("n").cast("double") / 24.0)).as("chi2"))
+        .orderBy("event_type")
+    }),
+
+    // Cohort retention half-life: for each first-seen-day cohort,
+    // the first day offset where distinct active users fall below
+    // HALF of the cohort size — the one-number retention summary
+    // (the full curve is q79). Integer 2·active < size crossing,
+    // min-when pick; activity grain is (cohort, offset, user)
+    // distinct.
+    "q263_retention_half_life" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_d"))
+      val activity = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .join(firstDay, "user_id")
+        .select(col("user_id"), col("cohort_d"),
+          datediff(col("d"), col("cohort_d")).cast("long").as("off"))
+        .distinct()
+      val curve = activity.groupBy(col("cohort_d"), col("off"))
+        .agg(countDistinct(col("user_id")).as("active"))
+      val size = Window.partitionBy(col("cohort_d"))
+      curve
+        .withColumn("cohort_size",
+          max(when(col("off") === 0L, col("active"))).over(size))
+        .groupBy(col("cohort_d"))
+        .agg(max(col("cohort_size")).as("cohort_size"),
+          min(when(col("active") * 2 < col("cohort_size"), col("off")))
+            .as("half_life_days"))
+        .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort"),
+          col("cohort_size"), col("half_life_days"))
+        .orderBy("cohort")
+    }),
+
+    // Growth accounting: each active day decomposed into the classic
+    // quadrant — new (first appearance), retained (also active the
+    // previous calendar day), resurrected (returning after a gap) —
+    // plus churned (active yesterday, silent today) recovered from
+    // the identity churned(d) = active(d−1) − retained(d). One
+    // distinct (user, day) frame, one user-keyed lag, one |days|
+    // rollup; every class is an exact integer.
+    "q264_growth_accounting" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val classed = act
+        .withColumn("prev", lag(col("d"), 1).over(wU))
+        .select(col("d"),
+          when(col("prev").isNull, "new")
+            .when(datediff(col("d"), col("prev")) === 1, "retained")
+            .otherwise("resurrected").as("cls"))
+      classed.groupBy(col("d"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+        .withColumn("n_churned",
+          coalesce(lag(col("n_active"), 1).over(
+            Window.orderBy(col("d"))), lit(0L)) - col("n_retained"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n_active"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), col("n_churned"))
+        .orderBy("day")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -8861,6 +8954,78 @@ object SparkEntry {
         |       (abs(sum(v) - sum(greatest(least(v, p99), p01)))
         |        * 1000000 // sum(v))::BIGINT AS moved_mass_ppm
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q262: identical sorted fold plus the zero-hour correction term
+    // appended AFTER the fold in the same order.
+    "q262_hour_uniformity" ->
+      """WITH h AS (
+        |  SELECT event_type, date_part('hour', ts)::INT AS hr,
+        |         count(*)::BIGINT AS o
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, sum(o)::BIGINT AS n,
+        |         count(*)::BIGINT AS n_hours,
+        |         list_sort(list(o::DOUBLE)) AS cs
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, n, n_hours,
+        |       floor((list_reduce(list_prepend(0.0, cs), (acc, x) ->
+        |                acc + pow(x - n::DOUBLE / 24.0, 2.0)
+        |                      / (n::DOUBLE / 24.0))
+        |              + (24 - n_hours)::DOUBLE * (n::DOUBLE / 24.0))
+        |             * 10000 + 0.5) / 10000 AS chi2
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // q263: identical first-seen cohorts and integer half crossing.
+    "q263_retention_half_life" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_d
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_d,
+        |         date_diff('day', f.cohort_d, CAST(e.ts AS DATE))
+        |           ::BIGINT AS off
+        |  FROM events e JOIN f ON e.user_id = f.user_id),
+        |c AS (
+        |  SELECT cohort_d, off, count(DISTINCT user_id)::BIGINT
+        |           AS active
+        |  FROM act GROUP BY 1, 2),
+        |s AS (
+        |  SELECT cohort_d, off, active,
+        |         max(CASE WHEN off = 0 THEN active END)
+        |           OVER (PARTITION BY cohort_d) AS cohort_size
+        |  FROM c)
+        |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort,
+        |       max(cohort_size)::BIGINT AS cohort_size,
+        |       min(CASE WHEN active * 2 < cohort_size THEN off END)
+        |         ::BIGINT AS half_life_days
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q264: identical quadrant classes and churn identity.
+    "q264_growth_accounting" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cl AS (
+        |  SELECT d,
+        |         CASE WHEN prev IS NULL THEN 'new'
+        |              WHEN date_diff('day', prev, d) = 1 THEN 'retained'
+        |              ELSE 'resurrected' END AS cls
+        |  FROM (SELECT d, lag(d) OVER (PARTITION BY user_id
+        |                               ORDER BY d) AS prev
+        |        FROM act)),
+        |g AS (
+        |  SELECT d, count(*)::BIGINT AS n_active,
+        |         sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_new,
+        |         sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+        |           ::BIGINT AS n_retained,
+        |         sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |           ::BIGINT AS n_resurrected
+        |  FROM cl GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, n_active, n_new,
+        |       n_retained, n_resurrected,
+        |       (COALESCE(lag(n_active) OVER (ORDER BY d), 0)
+        |        - n_retained)::BIGINT AS n_churned
+        |FROM g ORDER BY day""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
