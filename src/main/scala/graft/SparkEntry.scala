@@ -4009,6 +4009,110 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Token-rank drift: the top-15 tokens of the corpus' first half
+    // (by doc_id) against their rank in the second half — entered /
+    // left / moved, with the permille frequency both sides. The
+    // vocabulary-drift readout between two snapshots; both rankings
+    // run over |vocab| aggregates off one scan each half (FULL outer
+    // join keeps tokens that vanished).
+    "q265_token_rank_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val mid = docs.agg(expr("(min(doc_id) + max(doc_id)) div 2")
+        .as("mid"))
+      def ranked(half: org.apache.spark.sql.DataFrame,
+                 pfx: String) = half
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as(s"${pfx}_n"))
+        .withColumn(s"${pfx}_rank", row_number().over(
+          Window.orderBy(col(s"${pfx}_n").desc, col("token"))))
+        .withColumn(s"${pfx}_tot",
+          sum(col(s"${pfx}_n")).over(Window.partitionBy()))
+      val a = ranked(docs.crossJoin(broadcast(mid))
+        .filter(col("doc_id") <= col("mid")), "h1")
+      val b = ranked(docs.crossJoin(broadcast(mid))
+        .filter(col("doc_id") > col("mid")), "h2")
+        .withColumnRenamed("token", "token_b")
+      a.join(b, col("token") === col("token_b"), "full_outer")
+        .filter(col("h1_rank") <= 15 || col("h2_rank") <= 15)
+        .select(coalesce(col("token"), col("token_b")).as("token"),
+          col("h1_rank"), col("h2_rank"),
+          expr("coalesce(h1_n, 0L) * 1000L div h1_tot")
+            .as("h1_permille"),
+          expr("coalesce(h2_n, 0L) * 1000L div h2_tot")
+            .as("h2_permille"))
+        .orderBy(coalesce(col("h1_rank"), lit(999)).asc,
+          col("token").asc)
+    }),
+
+    // Two-sample Q-Q table: 1996 vs 1997 order-total deciles side by
+    // side with the ppm ratio — the distribution-shift readout a
+    // mean hides (chi² says "different"; the Q-Q table says WHERE).
+    // Exact nearest-rank boundaries off one year-partitioned rank
+    // window, ONE orders scan, |deciles| output rows.
+    "q266_qq_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("yr"))
+      val ranked = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .select(year(col("o_orderdate")).as("yr"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("v"), col("o_orderkey"))
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("v"), col("o_orderkey"))))
+        .withColumn("n", count(lit(1)).over(w))
+      val cuts = ranked
+        .select(col("yr"), col("rk"), col("n"), col("v"),
+          explode(expr("sequence(1, 9)")).as("dec"))
+        .filter(col("rk") ===
+          ((col("n") * col("dec") + 9) / lit(10)).cast("long"))
+        .groupBy(col("dec"))
+        .agg(min(when(col("yr") === 1996, col("v"))).as("v96"),
+          min(when(col("yr") === 1997, col("v"))).as("v97"))
+      cuts
+        .select(col("dec").cast("long").as("decile"),
+          (col("v96") / 100.0).as("p1996"),
+          (col("v97") / 100.0).as("p1997"),
+          expr("cast(v97 as decimal(38,0)) * 1000000" +
+            " div cast(v96 as decimal(38,0))").as("ratio_ppm"))
+        .orderBy("decile")
+    }),
+
+    // Hash-sample calibration: per-nation revenue estimated from the
+    // deterministic 1/16 md5(orderkey) sample (×16 scale-up) against
+    // the full aggregate, with the signed error in ppm — certifying
+    // the cheap-estimate path a 100 TB profiler would use before
+    // committing to a full scan. ONE scan: the sample rides a
+    // conditional sum next to the full sum.
+    "q267_sample_calibration" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val inSample =
+        substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0"
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("rev_c"),
+          when(inSample, 1L).otherwise(0L).as("s"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("s")).as("n_sampled"),
+          sum(col("rev_c")).as("full_c"),
+          sum(col("rev_c") * col("s")).as("samp_c"))
+        .select(col("n_name"), col("n_orders"), col("n_sampled"),
+          (col("full_c") / 100.0).as("full_revenue"),
+          (col("samp_c") * 16 / 100.0).as("est_revenue"),
+          expr(s"(cast(samp_c as $dec) * 16 - full_c) * 1000000" +
+            s" div cast(full_c as $dec)").as("err_ppm"))
+        .orderBy("n_name")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -9026,6 +9130,89 @@ object SparkEntry {
         |       (COALESCE(lag(n_active) OVER (ORDER BY d), 0)
         |        - n_retained)::BIGINT AS n_churned
         |FROM g ORDER BY day""".stripMargin,
+
+    // q265: identical integer midpoint split, per-half ranks, full
+    // outer top-15 union.
+    "q265_token_rank_drift" ->
+      """WITH mid AS (
+        |  SELECT (min(doc_id) + max(doc_id)) // 2 AS mid
+        |  FROM documents),
+        |h1 AS (
+        |  SELECT token, count(*)::BIGINT AS h1_n,
+        |         row_number() OVER (ORDER BY count(*) DESC, token)
+        |           AS h1_rank,
+        |         sum(count(*)) OVER ()::BIGINT AS h1_tot
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents, mid WHERE doc_id <= mid)
+        |  WHERE length(token) > 0 GROUP BY token),
+        |h2 AS (
+        |  SELECT token AS token_b, count(*)::BIGINT AS h2_n,
+        |         row_number() OVER (ORDER BY count(*) DESC, token)
+        |           AS h2_rank,
+        |         sum(count(*)) OVER ()::BIGINT AS h2_tot
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents, mid WHERE doc_id > mid)
+        |  WHERE length(token) > 0 GROUP BY token)
+        |SELECT COALESCE(token, token_b) AS token,
+        |       h1_rank::BIGINT AS h1_rank, h2_rank::BIGINT AS h2_rank,
+        |       (COALESCE(h1_n, 0) * 1000 // h1_tot)::BIGINT
+        |         AS h1_permille,
+        |       (COALESCE(h2_n, 0) * 1000 // h2_tot)::BIGINT
+        |         AS h2_permille
+        |FROM h1 FULL OUTER JOIN h2 ON token = token_b
+        |WHERE h1_rank <= 15 OR h2_rank <= 15
+        |ORDER BY COALESCE(h1_rank, 999), token""".stripMargin,
+
+    // q266: identical nearest-rank decile boundaries and ppm ratio.
+    "q266_qq_deciles" ->
+      """WITH v AS (
+        |  SELECT date_part('year', o_orderdate)::INT AS yr,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |         o_orderkey
+        |  FROM orders
+        |  WHERE date_part('year', o_orderdate) IN (1996, 1997)),
+        |r AS (
+        |  SELECT yr, v,
+        |         row_number() OVER (PARTITION BY yr
+        |                            ORDER BY v, o_orderkey) AS rk,
+        |         count(*) OVER (PARTITION BY yr) AS n
+        |  FROM v),
+        |c AS (
+        |  SELECT dec,
+        |         min(CASE WHEN yr = 1996 THEN v END) AS v96,
+        |         min(CASE WHEN yr = 1997 THEN v END) AS v97
+        |  FROM r CROSS JOIN (SELECT unnest(range(1, 10)) AS dec)
+        |  WHERE rk = (n * dec + 9) // 10
+        |  GROUP BY 1)
+        |SELECT dec::BIGINT AS decile, (v96 / 100.0)::DOUBLE AS p1996,
+        |       (v97 / 100.0)::DOUBLE AS p1997,
+        |       (v97::HUGEINT * 1000000 // v96::HUGEINT)::BIGINT
+        |         AS ratio_ppm
+        |FROM c ORDER BY decile""".stripMargin,
+
+    // q267: identical md5 sample membership and signed ppm error.
+    "q267_sample_calibration" ->
+      """WITH b AS (
+        |  SELECT n_name,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |           AS rev_c,
+        |         CASE WHEN substr(md5(o_orderkey::VARCHAR), 1, 1) = '0'
+        |              THEN 1 ELSE 0 END AS s
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |a AS (
+        |  SELECT n_name, count(*)::BIGINT AS n_orders,
+        |         sum(s)::BIGINT AS n_sampled,
+        |         sum(rev_c)::BIGINT AS full_c,
+        |         sum(rev_c * s)::BIGINT AS samp_c
+        |  FROM b GROUP BY 1)
+        |SELECT n_name, n_orders, n_sampled,
+        |       (full_c / 100.0)::DOUBLE AS full_revenue,
+        |       (samp_c * 16 / 100.0)::DOUBLE AS est_revenue,
+        |       ((samp_c::HUGEINT * 16 - full_c::HUGEINT) * 1000000
+        |        // full_c::HUGEINT)::BIGINT AS err_ppm
+        |FROM a ORDER BY n_name""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
