@@ -4113,6 +4113,32 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // Cross-feed freshness audit: each time-bearing feed's newest
+    // record against the snapshot's global high-water mark, with the
+    // staleness in days — the "is one upstream stuck" check run
+    // before every incremental load. Three 1-row min/max aggregates,
+    // no joins wider than the 3-row union.
+    "q268_freshness_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def feed(df: org.apache.spark.sql.DataFrame, c: String,
+               name: String) =
+        df.agg(max(to_date(col(c))).as("max_d"),
+          min(to_date(col(c))).as("min_d"))
+          .select(lit(name).as("feed"), col("min_d"), col("max_d"))
+      val feeds = feed(Tables.orders(s, dir), "o_orderdate", "orders")
+        .unionAll(feed(Tables.lineitem(s, dir), "l_shipdate",
+          "lineitem_shipments"))
+        .unionAll(feed(Tables.events(s, dir), "ts", "events"))
+      feeds
+        .withColumn("hwm", max(col("max_d")).over(Window.partitionBy()))
+        .select(col("feed"),
+          date_format(col("min_d"), "yyyy-MM-dd").as("oldest"),
+          date_format(col("max_d"), "yyyy-MM-dd").as("newest"),
+          datediff(col("hwm"), col("max_d")).cast("long")
+            .as("staleness_days"))
+        .orderBy("feed")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -9213,6 +9239,25 @@ object SparkEntry {
         |       ((samp_c::HUGEINT * 16 - full_c::HUGEINT) * 1000000
         |        // full_c::HUGEINT)::BIGINT AS err_ppm
         |FROM a ORDER BY n_name""".stripMargin,
+
+    // q268: identical per-feed min/max and high-water staleness.
+    "q268_freshness_audit" ->
+      """WITH f AS (
+        |  SELECT 'orders' AS feed, min(CAST(o_orderdate AS DATE))
+        |           AS min_d, max(CAST(o_orderdate AS DATE)) AS max_d
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_shipments', min(CAST(l_shipdate AS DATE)),
+        |         max(CAST(l_shipdate AS DATE))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))
+        |  FROM events),
+        |h AS (SELECT f.*, max(max_d) OVER () AS hwm FROM f)
+        |SELECT feed, strftime(min_d, '%Y-%m-%d') AS oldest,
+        |       strftime(max_d, '%Y-%m-%d') AS newest,
+        |       date_diff('day', max_d, hwm)::BIGINT AS staleness_days
+        |FROM h ORDER BY feed""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
