@@ -4139,6 +4139,69 @@ object SparkEntry {
         .orderBy("feed")
     }),
 
+    // Mann-Whitney rank-sum comparison of order values, URGENT vs
+    // 5-LOW — the nonparametric "is one distribution shifted" test
+    // that ignores outliers a t-test would chase. Ranks are
+    // row_number over the combined set with an orderkey tie-break
+    // (deterministic; the handful of equal-cent ties makes this the
+    // tie-broken U variant, stated), U and its null mean are exact
+    // integers, the z-score one IEEE sqrt. One orders scan.
+    "q269_rank_sum_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val both = Tables.orders(s, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderpriority").as("grp"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("v"), col("o_orderkey"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("v"), col("o_orderkey"))).cast("long"))
+      both.groupBy(lit(1).as("one"))
+        .agg(
+          sum(when(col("grp") === "1-URGENT", 1L).otherwise(0L))
+            .as("n1"),
+          sum(when(col("grp") === "5-LOW", 1L).otherwise(0L)).as("n2"),
+          sum(when(col("grp") === "1-URGENT", col("rk"))
+            .otherwise(0L)).cast(dec).as("r1"))
+        .select(col("n1"), col("n2"),
+          expr(s"cast(r1 - cast(n1 as $dec) * (cast(n1 as $dec) + 1)" +
+            s" div 2 as $dec)").as("u1"),
+          expr(s"cast(cast(n1 as $dec) * cast(n2 as $dec) div 2" +
+            s" as $dec)").as("u_null_mean"))
+        .select(col("n1"), col("n2"),
+          col("u1").cast("long").as("u1"),
+          col("u_null_mean").cast("long").as("u_null_mean"),
+          r4((col("u1") - col("u_null_mean")).cast("double") /
+            sqrt((col("n1") * col("n2")).cast("double") *
+              (col("n1") + col("n2") + 1).cast("double") / 12.0))
+            .as("z"))
+    }),
+
+    // Singleton-tail sparsity report: per entity axis, how much of
+    // the keyspace is single-occurrence — the long-tail readout that
+    // decides whether per-key state (joins, personalization, GDPR
+    // erasure) is worth its overhead. One aggregate per axis over
+    // its own table; permille exact.
+    "q270_singleton_tail" -> ((s, dir) => {
+      def axis(freq: org.apache.spark.sql.DataFrame, name: String) =
+        freq.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("f") === 1L, 1L).otherwise(0L))
+            .as("n_singletons"))
+          .select(lit(name).as("axis"), col("n_keys"),
+            col("n_singletons"),
+            expr("n_singletons * 1000L div n_keys")
+              .as("singleton_permille"))
+      axis(Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("f")), "customer_orders")
+        .unionAll(axis(Tables.lineitem(s, dir).groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("f")), "part_lines"))
+        .unionAll(axis(Tables.events(s, dir).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("f")), "user_events"))
+        .unionAll(axis(Tables.documents(s, dir).groupBy(col("source"))
+          .agg(count(lit(1)).as("f")), "source_docs"))
+        .orderBy("axis")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -9258,6 +9321,68 @@ object SparkEntry {
         |       strftime(max_d, '%Y-%m-%d') AS newest,
         |       date_diff('day', max_d, hwm)::BIGINT AS staleness_days
         |FROM h ORDER BY feed""".stripMargin,
+
+    // q269: identical tie-broken ranks, integer U, one sqrt.
+    "q269_rank_sum_test" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |         o_orderkey
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |r AS (
+        |  SELECT grp,
+        |         row_number() OVER (ORDER BY v, o_orderkey)::BIGINT
+        |           AS rk
+        |  FROM b),
+        |a AS (
+        |  SELECT sum(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END)
+        |           ::BIGINT AS n1,
+        |         sum(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END)
+        |           ::BIGINT AS n2,
+        |         sum(CASE WHEN grp = '1-URGENT' THEN rk ELSE 0 END)
+        |           ::HUGEINT AS r1
+        |  FROM r)
+        |SELECT n1, n2,
+        |       (r1 - n1::HUGEINT * (n1::HUGEINT + 1) // 2)::BIGINT
+        |         AS u1,
+        |       (n1::HUGEINT * n2::HUGEINT // 2)::BIGINT
+        |         AS u_null_mean,
+        |       floor(((r1 - n1::HUGEINT * (n1::HUGEINT + 1) // 2)
+        |              - (n1::HUGEINT * n2::HUGEINT // 2))::DOUBLE
+        |             / sqrt((n1 * n2)::DOUBLE * (n1 + n2 + 1)::DOUBLE
+        |                    / 12.0)
+        |             * 10000 + 0.5) / 10000 AS z
+        |FROM a""".stripMargin,
+
+    // q270: identical per-axis singleton shares.
+    "q270_singleton_tail" ->
+      """SELECT * FROM (
+        |  SELECT 'customer_orders' AS axis, count(*)::BIGINT AS n_keys,
+        |         sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_singletons,
+        |         (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000
+        |          // count(*))::BIGINT AS singleton_permille
+        |  FROM (SELECT count(*) AS f FROM orders GROUP BY o_custkey)
+        |  UNION ALL
+        |  SELECT 'part_lines', count(*)::BIGINT,
+        |         sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT,
+        |         (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000
+        |          // count(*))::BIGINT
+        |  FROM (SELECT count(*) AS f FROM lineitem GROUP BY l_partkey)
+        |  UNION ALL
+        |  SELECT 'user_events', count(*)::BIGINT,
+        |         sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT,
+        |         (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000
+        |          // count(*))::BIGINT
+        |  FROM (SELECT count(*) AS f FROM events GROUP BY user_id)
+        |  UNION ALL
+        |  SELECT 'source_docs', count(*)::BIGINT,
+        |         sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT,
+        |         (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000
+        |          // count(*))::BIGINT
+        |  FROM (SELECT count(*) AS f FROM documents GROUP BY source)
+        |) ORDER BY axis""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
