@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Cross-row invariants of the statistics/diagnostics queries — the
+  * properties a per-value hash oracle cannot express (monotonicity
+  * along a ladder, conservation identities, analytic bounds). Each
+  * runs the declared query end-to-end on the sf0.001 fixture.
+  */
+class StatInvariantSpec extends SparkSpec {
+
+  private def rows(q: String): Seq[Row] =
+    SparkEntry.queries(q)(spark, sf001).collect().toSeq
+
+  test("q220 Wilson lower bound never exceeds the raw rate") {
+    rows("q220_wilson_returns").foreach { r =>
+      val rate = r.getAs[Double]("return_rate")
+      val lb = r.getAs[Double]("wilson_lb")
+      assert(lb <= rate + 1e-9, s"lb $lb > rate $rate")
+      assert(lb >= -1e-9, s"lb $lb negative")
+    }
+  }
+
+  test("q232 concentration ladder is monotone in the percent cut") {
+    val byPct = rows("q232_revenue_concentration")
+      .map(r => r.getAs[Int]("pct_permille").toLong ->
+        r.getAs[Long]("share_ppm")).toMap
+    assert(byPct(10L) <= byPct(50L) && byPct(50L) <= byPct(100L),
+      s"shares not monotone: $byPct")
+    assert(byPct(10L) >= 10000L,
+      "top 1% of customers must hold >= 1% of revenue")
+  }
+
+  test("q235 Spearman rho stays in [-1, 1]") {
+    rows("q235_spearman_len_tokens").foreach { r =>
+      val rho = r.getAs[Double]("spearman_rho")
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"rho $rho")
+    }
+  }
+
+  test("q242 contamination is non-increasing in the n-gram size") {
+    val byK = rows("q242_contamination_ladder")
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("rate_permille"))
+      .toMap
+    assert(byK(3L) >= byK(5L) && byK(5L) >= byK(8L),
+      s"ladder not monotone: $byK")
+  }
+
+  test("q245 OOV ladder is non-increasing in vocab size") {
+    rows("q245_oov_ladder").foreach { r =>
+      val a = r.getAs[Long]("oov_top5_ppm")
+      val b = r.getAs[Long]("oov_top15_ppm")
+      val c = r.getAs[Long]("oov_top25_ppm")
+      assert(a >= b && b >= c, s"ladder not monotone: $a $b $c")
+    }
+  }
+
+  test("q246 ABC-XYZ revenue shares sum to ~1e6 ppm") {
+    val tot = rows("q246_abc_xyz_matrix")
+      .map(r => r.getAs[Long]("rev_share_ppm")).sum
+    // integer-division truncation loses < 1 ppm per cell
+    assert(tot <= 1000000L && tot >= 1000000L - 20L, s"sum $tot")
+  }
+
+  test("q264 growth accounting conserves: active = new + retained + resurrected") {
+    rows("q264_growth_accounting").foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") +
+          r.getAs[Long]("n_resurrected"), s"not conserved: $r")
+      assert(r.getAs[Long]("n_churned") >= 0L, s"negative churn: $r")
+    }
+  }
+
+  test("q266 Q-Q decile boundaries are strictly ordered") {
+    val rs = rows("q266_qq_deciles").sortBy(_.getAs[Long]("decile"))
+    rs.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.getAs[Double]("p1996") <= b.getAs[Double]("p1996"))
+        assert(a.getAs[Double]("p1997") <= b.getAs[Double]("p1997"))
+      case _ =>
+    }
+  }
+
+  test("q269 rank-sum U lies in [0, n1*n2]") {
+    val r = rows("q269_rank_sum_test").head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    val u1 = r.getAs[Long]("u1")
+    assert(u1 >= 0L && u1 <= n1 * n2, s"u1 $u1 outside [0, ${n1 * n2}]")
+    assert(r.getAs[Long]("u_null_mean") == n1 * n2 / 2)
+  }
+
+  test("q261 winsorization: cuts ordered, clipped mass bounded by tail count share") {
+    rows("q261_winsorization_preview").foreach { r =>
+      assert(r.getAs[Long]("p01_cents") <= r.getAs[Long]("p99_cents"))
+      val n = r.getAs[Long]("n_events")
+      val tails = r.getAs[Long]("n_below") + r.getAs[Long]("n_above")
+      // nearest-rank p01/p99 leave at most ~2% of rows outside
+      assert(tails * 100 <= n * 3, s"tails $tails of $n")
+    }
+  }
+
+  test("q251 effective sample size never exceeds the doc count") {
+    rows("q251_effective_sample_size").foreach { r =>
+      assert(r.getAs[Double]("ess") <=
+        r.getAs[Long]("n_docs").toDouble + 1e-6, s"ESS > n: $r")
+      assert(r.getAs[Long]("ess_ratio_ppm") <= 1000000L)
+    }
+  }
+
+  test("q224 weighted median lies within the value range of its nation") {
+    import org.apache.spark.sql.functions._
+    val med = SparkEntry.queries("q224_weighted_median_value")(spark, sf001)
+    val bounds = graft.sources.Tables.lineitem(spark, sf001)
+      .join(graft.sources.Tables.orders(spark, sf001),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.sources.Tables.customer(spark, sf001)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.nation(spark, sf001),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name").as("nn"))
+      .agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+    val joined = med.join(bounds, col("n_name") === col("nn")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val m = r.getAs[Double]("wmedian_value")
+      assert(m >= r.getAs[Double]("lo") - 0.01 &&
+        m <= r.getAs[Double]("hi") + 0.01, s"median outside range: $r")
+    }
+  }
+}
