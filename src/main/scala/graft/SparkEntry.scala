@@ -4202,6 +4202,97 @@ object SparkEntry {
         .orderBy("axis")
     }),
 
+    // Wald–Wolfowitz runs test on daily-revenue direction: is the
+    // up/down sequence random, trending (too few runs) or
+    // oscillating (too many)? Signs are exact integer compares, the
+    // run count one island aggregate, expectation 2·n₁·n₂/(n₁+n₂)+1
+    // and its variance exact rationals until one sqrt. Flat days
+    // (exact ties) are excluded, counted in the report.
+    "q271_runs_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wd = Window.orderBy(col("d"))
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long")).as("rev"))
+        .withColumn("prev", lag(col("rev"), 1).over(wd))
+        .filter(col("prev").isNotNull)
+        .select(col("d"),
+          when(col("rev") > col("prev"), 1L)
+            .when(col("rev") < col("prev"), -1L)
+            .otherwise(0L).as("sgn"))
+      val moves = daily.filter(col("sgn") =!= 0L)
+        .withColumn("prev_sgn", lag(col("sgn"), 1).over(wd))
+        .withColumn("newrun",
+          when(col("prev_sgn").isNull ||
+            col("sgn") =!= col("prev_sgn"), 1L).otherwise(0L))
+      moves.agg(
+        sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_down"),
+        sum(col("newrun")).as("n_runs"))
+        .select(col("n_up"), col("n_down"), col("n_runs"),
+          r4(lit(1.0) + (col("n_up") * col("n_down") * 2).cast("double")
+            / (col("n_up") + col("n_down")).cast("double"))
+            .as("expected_runs"),
+          r4((col("n_runs").cast("double") -
+            (lit(1.0) + (col("n_up") * col("n_down") * 2).cast("double")
+              / (col("n_up") + col("n_down")).cast("double"))) /
+            sqrt((col("n_up") * col("n_down") * 2).cast("double") *
+              ((col("n_up") * col("n_down") * 2).cast("double") -
+                (col("n_up") + col("n_down")).cast("double")) /
+              ((col("n_up") + col("n_down")).cast("double") *
+                (col("n_up") + col("n_down")).cast("double") *
+                ((col("n_up") + col("n_down")).cast("double") - 1.0))))
+            .as("z"))
+    }),
+
+    // Exact total-variation distance between source token
+    // distributions: ½·Σ|pₐ−p_b| rewritten as Σ|cₐ·t_b − c_b·tₐ| over
+    // 2·tₐ·t_b so the whole sum is exact decimal integers and only
+    // the final division is IEEE — a true bounded [0,1] metric,
+    // unlike q218's cosine or KL. Mass a side lacks enters via a
+    // closed-form complement, so only co-occurring tokens ever join;
+    // pair grain bounded by |sources|².
+    "q272_tv_distance" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val counts = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("tot"))
+      val a = counts.join(totals, "source")
+        .select(col("source").as("src_a"), col("token"),
+          col("c").as("ca"), col("tot").as("ta"))
+      val b = counts.join(totals, "source")
+        .select(col("source").as("src_b"), col("token").as("token_b"),
+          col("c").as("cb"), col("tot").as("tb"))
+      // union-of-tokens mass via the identity
+      //   Σ_union |ca·tb − cb·ta| = Σ_common |ca·tb − cb·ta|
+      //     + (ta − Σ_common ca)·tb + (tb − Σ_common cb)·ta
+      // so the COMMON-token equi-join alone suffices — no outer join,
+      // no dense token×pair frame.
+      val common = a.join(b,
+        col("token") === col("token_b") && col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"), col("ta"), col("tb"))
+        .agg(
+          sum(abs(col("ca").cast(dec) * col("tb") -
+            col("cb").cast(dec) * col("ta"))).as("s_common"),
+          sum(col("ca")).as("ca_common"),
+          sum(col("cb")).as("cb_common"))
+      common
+        .select(col("src_a"), col("src_b"),
+          r4(((col("s_common") +
+            (col("ta") - col("ca_common")).cast(dec) * col("tb") +
+            (col("tb") - col("cb_common")).cast(dec) * col("ta"))
+            .cast("double")) /
+            ((col("ta").cast(dec) * col("tb")).cast("double") * 2.0))
+            .as("tv_distance"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -9383,6 +9474,77 @@ object SparkEntry {
         |          // count(*))::BIGINT
         |  FROM (SELECT count(*) AS f FROM documents GROUP BY source)
         |) ORDER BY axis""".stripMargin,
+
+    // q271: identical sign sequence, island run count, exact
+    // rationals, one sqrt.
+    "q271_runs_test" ->
+      """WITH d AS (
+        |  SELECT o_orderdate AS d,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS rev
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT d, CASE WHEN rev > prev THEN 1
+        |                 WHEN rev < prev THEN -1 ELSE 0 END AS sgn
+        |  FROM (SELECT d, rev, lag(rev) OVER (ORDER BY d) AS prev
+        |        FROM d)
+        |  WHERE prev IS NOT NULL),
+        |m AS (
+        |  SELECT sgn, lag(sgn) OVER (ORDER BY d) AS prev_sgn
+        |  FROM s WHERE sgn <> 0),
+        |a AS (
+        |  SELECT sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_up,
+        |         sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_down,
+        |         sum(CASE WHEN prev_sgn IS NULL OR sgn <> prev_sgn
+        |                  THEN 1 ELSE 0 END)::BIGINT AS n_runs
+        |  FROM m)
+        |SELECT n_up, n_down, n_runs,
+        |       floor((1.0 + (n_up * n_down * 2)::DOUBLE
+        |                    / (n_up + n_down)::DOUBLE)
+        |             * 10000 + 0.5) / 10000 AS expected_runs,
+        |       floor(((n_runs::DOUBLE
+        |               - (1.0 + (n_up * n_down * 2)::DOUBLE
+        |                        / (n_up + n_down)::DOUBLE))
+        |              / sqrt((n_up * n_down * 2)::DOUBLE
+        |                     * ((n_up * n_down * 2)::DOUBLE
+        |                        - (n_up + n_down)::DOUBLE)
+        |                     / ((n_up + n_down)::DOUBLE
+        |                        * (n_up + n_down)::DOUBLE
+        |                        * ((n_up + n_down)::DOUBLE - 1.0))))
+        |             * 10000 + 0.5) / 10000 AS z
+        |FROM a""".stripMargin,
+
+    // q272: identical common-token join + closed-form complement.
+    "q272_tv_distance" ->
+      """WITH c AS (
+        |  SELECT source, token, count(*)::BIGINT AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2),
+        |t AS (SELECT source, sum(c)::BIGINT AS tot FROM c GROUP BY 1),
+        |j AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         ta.tot AS ta, tb.tot AS tb,
+        |         sum(abs(a.c::HUGEINT * tb.tot
+        |                 - b.c::HUGEINT * ta.tot)) AS s_common,
+        |         sum(a.c)::BIGINT AS ca_common,
+        |         sum(b.c)::BIGINT AS cb_common
+        |  FROM c a
+        |  JOIN c b ON a.token = b.token AND a.source < b.source
+        |  JOIN t ta ON ta.source = a.source
+        |  JOIN t tb ON tb.source = b.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT src_a, src_b,
+        |       floor(((s_common
+        |               + (ta - ca_common)::HUGEINT * tb::HUGEINT
+        |               + (tb - cb_common)::HUGEINT * ta::HUGEINT)
+        |              ::DOUBLE
+        |              / ((ta::HUGEINT * tb::HUGEINT)::DOUBLE * 2.0))
+        |             * 10000 + 0.5) / 10000 AS tv_distance
+        |FROM j ORDER BY src_a, src_b""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
