@@ -107,6 +107,26 @@ class StatInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q271 runs test: run count bounded by move count, expectation within it") {
+    val r = rows("q271_runs_test").head
+    val moves = r.getAs[Long]("n_up") + r.getAs[Long]("n_down")
+    val runs = r.getAs[Long]("n_runs")
+    assert(runs >= 1L && runs <= moves, s"runs $runs of $moves moves")
+    val exp = r.getAs[Double]("expected_runs")
+    assert(exp >= 1.0 && exp <= moves + 1.0, s"expected $exp")
+  }
+
+  test("q272 TV distance is a bounded [0,1] symmetric-grain metric") {
+    val rs = rows("q272_tv_distance")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val tv = r.getAs[Double]("tv_distance")
+      assert(tv >= -1e-9 && tv <= 1.0 + 1e-9, s"tv $tv")
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"),
+        "pair grain must be the ordered upper triangle")
+    }
+  }
+
   test("q224 weighted median lies within the value range of its nation") {
     import org.apache.spark.sql.functions._
     val med = SparkEntry.queries("q224_weighted_median_value")(spark, sf001)
