@@ -4293,6 +4293,60 @@ object SparkEntry {
         .orderBy("src_a", "src_b")
     }),
 
+    // Bounce rate by session ENTRY event type: of sessions that open
+    // with X, how many end after that single event — the
+    // landing-quality readout. Reuses the 30-minute exact-µs
+    // sessionization; the entry event is the rank-1 row of each
+    // session, bounce = depth 1; permille exact.
+    "q273_bounce_by_entry" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .withColumn("brk",
+          when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w)) <= 1800000000L, 0L)
+            .otherwise(1L))
+        .withColumn("sess_id", sum(col("brk")).over(w))
+      val wS = Window.partitionBy(col("user_id"), col("sess_id"))
+      sess
+        .withColumn("rk", row_number().over(
+          wS.orderBy(col("ts"), col("event_id"))))
+        .withColumn("depth", count(lit(1)).over(wS))
+        .filter(col("rk") === 1)
+        .groupBy(col("event_type").as("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("depth") === 1L, 1L).otherwise(0L))
+            .as("n_bounces"))
+        .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+          expr("n_bounces * 1000L div n_sessions")
+            .as("bounce_permille"))
+        .orderBy("entry_type")
+    }),
+
+    // 2-D density of order value × basket width: the joint histogram
+    // over (bit-length of total cents, lines-per-order) cells — the
+    // shape readout a pair of 1-D histograms hides (are big orders
+    // big because of MANY lines or EXPENSIVE lines?). Pure integer
+    // bucketing (q219's libm-free log2), cells bounded by
+    // construction (~40 bits × ~7 line counts).
+    "q274_value_width_density" -> ((s, dir) => {
+      val width = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+      Tables.orders(s, dir)
+        .join(width, col("o_orderkey") === col("l_orderkey"))
+        .select(
+          length(bin(floor(col("o_totalprice") * 100 + lit(0.5))
+            .cast("long"))).cast("long").as("value_bits"),
+          col("n_lines"))
+        .groupBy(col("value_bits"), col("n_lines"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("share_ppm", expr(
+          "n_orders * 1000000L div sum(n_orders) over ()"))
+        .orderBy("value_bits", "n_lines")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -9545,6 +9599,54 @@ object SparkEntry {
         |              / ((ta::HUGEINT * tb::HUGEINT)::DOUBLE * 2.0))
         |             * 10000 + 0.5) / 10000 AS tv_distance
         |FROM j ORDER BY src_a, src_b""".stripMargin,
+
+    // q273: identical sessionization, entry pick, bounce share.
+    "q273_bounce_by_entry" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                   <= 1800000000 THEN 0 ELSE 1 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts,
+        |                        event_id ROWS UNBOUNDED PRECEDING)
+        |           AS sess_id
+        |  FROM e),
+        |r AS (
+        |  SELECT event_type,
+        |         row_number() OVER (PARTITION BY user_id, sess_id
+        |                            ORDER BY ts, event_id) AS rk,
+        |         count(*) OVER (PARTITION BY user_id, sess_id)
+        |           AS depth
+        |  FROM s)
+        |SELECT event_type AS entry_type, count(*)::BIGINT AS n_sessions,
+        |       sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_bounces,
+        |       (sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) * 1000
+        |        // count(*))::BIGINT AS bounce_permille
+        |FROM r WHERE rk = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q274: identical integer bit buckets and ppm shares.
+    "q274_value_width_density" ->
+      """WITH w AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT length(printf('%b',
+        |           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)))
+        |           ::BIGINT AS value_bits,
+        |         n_lines
+        |  FROM orders JOIN w ON o_orderkey = l_orderkey),
+        |g AS (
+        |  SELECT value_bits, n_lines, count(*)::BIGINT AS n_orders
+        |  FROM c GROUP BY 1, 2)
+        |SELECT value_bits, n_lines, n_orders,
+        |       (n_orders * 1000000 // sum(n_orders) OVER ())::BIGINT
+        |         AS share_ppm
+        |FROM g ORDER BY value_bits, n_lines""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
