@@ -4347,6 +4347,100 @@ object SparkEntry {
         .orderBy("value_bits", "n_lines")
     }),
 
+    // Supply-base risk profile: the distribution of distinct
+    // suppliers per part, with each band's share of parts AND of
+    // revenue — single-sourced revenue is the concentration risk
+    // number. One fact scan carries both the supplier set size and
+    // the revenue; bands roll over the |parts| aggregate.
+    "q275_supply_risk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          sum((floor(col("l_extendedprice") * 100 + lit(0.5))
+            .cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + lit(0.5))
+              .cast("long")))).as("rev_u"))
+      perPart
+        .groupBy(col("n_suppliers"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_u")).as("rev"))
+        .withColumn("part_share_permille", expr(
+          "n_parts * 1000L div sum(n_parts) over ()"))
+        .withColumn("rev_share_permille", expr(
+          "cast(rev as decimal(38,0)) * 1000" +
+            " div cast(sum(rev) over () as decimal(38,0))"))
+        .select(col("n_suppliers"), col("n_parts"),
+          col("part_share_permille"), col("rev_share_permille"))
+        .orderBy("n_suppliers")
+    }),
+
+    // Event-type affinity matrix: Jaccard of the USER SETS of each
+    // type pair — do the people who do X also do Y? Intersections
+    // ride one self-join of the distinct (user, type) frame; union
+    // sizes come from |A|+|B|−|A∩B|, so no outer join and no
+    // user-level pair rows beyond co-occurrence.
+    "q276_type_affinity" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val sizes = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nu"))
+      val inter = ut.select(col("user_id"), col("event_type").as("ta"))
+        .join(ut.select(col("user_id").as("uid_b"),
+          col("event_type").as("tb")),
+          col("user_id") === col("uid_b") && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(sizes.select(col("event_type").as("ta"),
+          col("nu").as("na")), "ta")
+        .join(sizes.select(col("event_type").as("tb"),
+          col("nu").as("nb")), "tb")
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("n_both"),
+          r4(col("n_both").cast("double") /
+            (col("na") + col("nb") - col("n_both")).cast("double"))
+            .as("user_jaccard"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Price-drift leaderboard: the 20 parts whose unit price moved
+    // most between their FIRST and LAST sale (signed ppm drift,
+    // exact integer unit prices, first/last picked by ship date with
+    // a line tie-break via one part-keyed window pass each way).
+    "q277_price_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val unit = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          expr("(cast(floor(l_extendedprice * 100 + 0.5) as bigint)" +
+            " * 100) div cast(l_quantity as bigint)").as("u"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      unit
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("l_partkey"))))
+        .withColumn("first_u", first(col("u")).over(wAll))
+        .withColumn("last_u", last(col("u")).over(wAll))
+        .filter(col("rk") === 1 && col("n") >= 5L && col("first_u") > 0L)
+        .select(col("l_partkey"), col("n").as("n_sales"),
+          (col("first_u") / 10000.0).as("first_price"),
+          (col("last_u") / 10000.0).as("last_price"),
+          expr(s"cast(last_u - first_u as $dec) * 1000000" +
+            s" div cast(first_u as $dec)").as("drift_ppm"))
+        .withColumn("rk2", row_number().over(Window.orderBy(
+          abs(col("drift_ppm")).desc, col("l_partkey"))))
+        .filter(col("rk2") <= 20)
+        .select(col("rk2").cast("long").as("rank"), col("l_partkey"),
+          col("n_sales"), col("first_price"), col("last_price"),
+          col("drift_ppm"))
+        .orderBy("rank")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -9647,6 +9741,84 @@ object SparkEntry {
         |       (n_orders * 1000000 // sum(n_orders) OVER ())::BIGINT
         |         AS share_ppm
         |FROM g ORDER BY value_bits, n_lines""".stripMargin,
+
+    // q275: identical supplier-count bands and share permilles.
+    "q275_supply_risk" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |         count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             * (100 - CAST(floor(l_discount * 100 + 0.5)
+        |                           AS BIGINT)))::BIGINT AS rev_u
+        |  FROM lineitem GROUP BY 1),
+        |g AS (
+        |  SELECT n_suppliers, count(*)::BIGINT AS n_parts,
+        |         sum(rev_u)::BIGINT AS rev
+        |  FROM pp GROUP BY 1)
+        |SELECT n_suppliers, n_parts,
+        |       (n_parts * 1000 // sum(n_parts) OVER ())::BIGINT
+        |         AS part_share_permille,
+        |       (rev::HUGEINT * 1000 // sum(rev) OVER ()::HUGEINT)
+        |         ::BIGINT AS rev_share_permille
+        |FROM g ORDER BY n_suppliers""".stripMargin,
+
+    // q276: identical distinct frame, pair join, union identity.
+    "q276_type_affinity" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (
+        |  SELECT event_type, count(*)::BIGINT AS nu
+        |  FROM ut GROUP BY 1),
+        |i AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*)::BIGINT AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        |       floor(n_both::DOUBLE
+        |             / (sa.nu + sb.nu - n_both)::DOUBLE * 10000 + 0.5)
+        |         / 10000 AS user_jaccard
+        |FROM i
+        |JOIN sz sa ON sa.event_type = type_a
+        |JOIN sz sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // q277: identical first/last picks and signed ppm drift.
+    "q277_price_drift" ->
+      """WITH u AS (
+        |  SELECT l_partkey,
+        |         (CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |          * 100) // CAST(l_quantity AS BIGINT) AS u,
+        |         l_shipdate, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_partkey, u,
+        |         row_number() OVER w AS rk,
+        |         count(*) OVER (PARTITION BY l_partkey) AS n,
+        |         first_value(u) OVER w2 AS first_u,
+        |         last_value(u) OVER w2 AS last_u
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber),
+        |         w2 AS (PARTITION BY l_partkey
+        |                ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND UNBOUNDED FOLLOWING)),
+        |d AS (
+        |  SELECT l_partkey, n AS n_sales,
+        |         (first_u / 10000.0)::DOUBLE AS first_price,
+        |         (last_u / 10000.0)::DOUBLE AS last_price,
+        |         ((last_u::HUGEINT - first_u::HUGEINT) * 1000000
+        |          // first_u::HUGEINT)::BIGINT AS drift_ppm
+        |  FROM r WHERE rk = 1 AND n >= 5 AND first_u > 0),
+        |t AS (
+        |  SELECT d.*, row_number() OVER (ORDER BY abs(drift_ppm) DESC,
+        |                                 l_partkey) AS rk2
+        |  FROM d)
+        |SELECT rk2::BIGINT AS rank, l_partkey, n_sales::BIGINT
+        |         AS n_sales, first_price, last_price, drift_ppm
+        |FROM t WHERE rk2 <= 20 ORDER BY rank""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
