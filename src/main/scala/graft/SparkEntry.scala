@@ -4441,6 +4441,117 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Int8-quantization error audit per label: the cosine between
+    // each vector and its symmetric-max-abs int8 reconstruction,
+    // quantized to exact ppm integers PER ROW (index-ordered in-row
+    // folds are deterministic; averaging raw doubles across rows is
+    // not) — the "is int8 good enough for this corpus" readout
+    // behind q47's quantizer. The scale cancels, so the cosine
+    // compares float components against their integer codes
+    // directly.
+    "q278_quantization_error" -> ((s, dir) => {
+      val qexpr = expr(
+        """aggregate(embedding, named_struct(
+          |    'dot', cast(0.0 as double), 'a2', cast(0.0 as double),
+          |    'b2', cast(0.0 as double),
+          |    'mx', aggregate(embedding, cast(0.0 as double),
+          |            (m, y) -> greatest(m, abs(cast(y as double))))),
+          |  (acc, x) -> named_struct(
+          |    'dot', acc.dot + cast(x as double) *
+          |      cast(floor(cast(x as double) / acc.mx * 127.0 + 0.5)
+          |           as double),
+          |    'a2', acc.a2 + cast(x as double) * cast(x as double),
+          |    'b2', acc.b2 +
+          |      cast(floor(cast(x as double) / acc.mx * 127.0 + 0.5)
+          |           as double) *
+          |      cast(floor(cast(x as double) / acc.mx * 127.0 + 0.5)
+          |           as double),
+          |    'mx', acc.mx),
+          |  acc -> CASE WHEN acc.a2 > 0.0 AND acc.b2 > 0.0 THEN
+          |    cast(floor(acc.dot / (sqrt(acc.a2) * sqrt(acc.b2))
+          |               * 1000000 + 0.5) as bigint) ELSE 0L END)
+          |""".stripMargin)
+      Tables.embeddings(s, dir)
+        .select(col("label"), qexpr.as("cos_ppm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("sum(cos_ppm) div count(1)").as("mean_cos_ppm"),
+          min(col("cos_ppm")).as("min_cos_ppm"))
+        .select(col("label").cast("long").as("label"), col("n_vecs"),
+          col("mean_cos_ppm"), col("min_cos_ppm"))
+        .orderBy("label")
+    }),
+
+    // K-fold assignment balance audit: md5(doc_id) mod 5 folds —
+    // fold sizes, each fold's share, and the worst per-language
+    // deviation from the language's corpus share (the "is fold 3
+    // accidentally all-French" check run before cross-validation).
+    // Exact integer shares; deviations cross-multiplied.
+    "q279_kfold_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val folded = Tables.documents(s, dir)
+        .select(col("lang"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+            16, 10).cast("long") % 5).as("fold"))
+      val cell = folded.groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      cell
+        .withColumn("fold_n", sum(col("c")).over(
+          Window.partitionBy(col("fold"))))
+        .withColumn("lang_n", sum(col("c")).over(
+          Window.partitionBy(col("lang"))))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+        // |c/fold_n − lang_n/tot| in ppm via cross-multiplication
+        .select(col("fold"), col("fold_n"),
+          expr("abs(c * tot - lang_n * fold_n) * 1000000L" +
+            " div (fold_n * tot)").as("dev_ppm"))
+        .groupBy(col("fold"))
+        .agg(max(col("fold_n")).as("n_docs"),
+          max(col("dev_ppm")).as("worst_lang_dev_ppm"))
+        .orderBy("fold")
+    }),
+
+    // Distinctive terms per language: the 5 tokens most
+    // over-represented vs the rest of the corpus, ranked by the
+    // exact cross-multiplied rate ratio (c_in·t_out vs c_out·t_in —
+    // no logs, no division until the reported r4 ratio), minimum
+    // support 5. The keyness extraction behind corpus cards.
+    "q280_distinctive_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val cell = tok.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("c_in"))
+      val tokTot = tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("c_all"))
+      val langTot = tok.groupBy(col("lang"))
+        .agg(count(lit(1)).as("t_in"))
+      val tot = tok.agg(count(lit(1)).as("t_all"))
+      val scored = cell
+        .join(tokTot, "token")
+        .join(langTot, "lang")
+        .crossJoin(broadcast(tot))
+        .filter(col("c_in") >= 5L)
+        .select(col("lang"), col("token"), col("c_in"),
+          (col("c_all") - col("c_in")).as("c_out"),
+          (col("t_all") - col("t_in")).as("t_out"), col("t_in"))
+        // ratio = (c_in/t_in) / ((c_out+1)/t_out); +1 smooths zero
+        .select(col("lang"), col("token"), col("c_in"),
+          r4((col("c_in") * col("t_out")).cast("double") /
+            ((col("c_out") + 1) * col("t_in")).cast("double"))
+            .as("keyness"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("keyness").desc, col("token"))))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk").cast("long").as("rank"),
+          col("token"), col("c_in"), col("keyness"))
+        .orderBy("lang", "rank")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -9819,6 +9930,102 @@ object SparkEntry {
         |SELECT rk2::BIGINT AS rank, l_partkey, n_sales::BIGINT
         |         AS n_sales, first_price, last_price, drift_ppm
         |FROM t WHERE rk2 <= 20 ORDER BY rank""".stripMargin,
+
+    // q278: identical per-vector index-ordered reconstruction fold;
+    // the per-dim quantized code and the cosine use the same
+    // floor(+0.5) spelling.
+    "q278_quantization_error" ->
+      """WITH per AS (
+        |  SELECT label,
+        |         list_reduce(list_prepend(0.0, list_transform(
+        |             embedding, x -> CAST(x AS DOUBLE)
+        |               * floor(CAST(x AS DOUBLE)
+        |                       / list_aggregate(list_transform(
+        |                           embedding,
+        |                           y -> abs(CAST(y AS DOUBLE))), 'max')
+        |                       * 127.0 + 0.5))),
+        |           (a, x) -> a + x) AS dot,
+        |         list_reduce(list_prepend(0.0, list_transform(
+        |             embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |           (a, x) -> a + x) AS a2,
+        |         list_reduce(list_prepend(0.0, list_transform(
+        |             embedding, x ->
+        |               floor(CAST(x AS DOUBLE)
+        |                     / list_aggregate(list_transform(
+        |                         embedding,
+        |                         y -> abs(CAST(y AS DOUBLE))), 'max')
+        |                     * 127.0 + 0.5)
+        |               * floor(CAST(x AS DOUBLE)
+        |                       / list_aggregate(list_transform(
+        |                           embedding,
+        |                           y -> abs(CAST(y AS DOUBLE))), 'max')
+        |                       * 127.0 + 0.5))),
+        |           (a, x) -> a + x) AS b2
+        |  FROM embeddings),
+        |ppm AS (
+        |  SELECT label,
+        |         CASE WHEN a2 > 0.0 AND b2 > 0.0 THEN
+        |           CAST(floor(dot / (sqrt(a2) * sqrt(b2))
+        |                      * 1000000 + 0.5) AS BIGINT)
+        |         ELSE 0 END AS cos_ppm
+        |  FROM per)
+        |SELECT label::BIGINT AS label, count(*)::BIGINT AS n_vecs,
+        |       (sum(cos_ppm) // count(*))::BIGINT AS mean_cos_ppm,
+        |       min(cos_ppm)::BIGINT AS min_cos_ppm
+        |FROM ppm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q279: identical md5-hex fold and cross-multiplied deviations.
+    "q279_kfold_balance" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |         (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+        |          % 5) AS fold
+        |  FROM documents),
+        |cell AS (
+        |  SELECT fold, lang, count(*)::BIGINT AS c
+        |  FROM f GROUP BY 1, 2),
+        |w AS (
+        |  SELECT fold, lang, c,
+        |         sum(c) OVER (PARTITION BY fold) AS fold_n,
+        |         sum(c) OVER (PARTITION BY lang) AS lang_n,
+        |         sum(c) OVER () AS tot
+        |  FROM cell)
+        |SELECT fold, max(fold_n)::BIGINT AS n_docs,
+        |       max(abs(c * tot - lang_n * fold_n) * 1000000
+        |           // (fold_n * tot))::BIGINT AS worst_lang_dev_ppm
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q280: identical smoothed cross-multiplied keyness and top-5.
+    "q280_distinctive_terms" ->
+      """WITH tok AS (
+        |  SELECT lang, token
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0),
+        |cell AS (
+        |  SELECT lang, token, count(*)::BIGINT AS c_in
+        |  FROM tok GROUP BY 1, 2),
+        |tt AS (SELECT token, count(*)::BIGINT AS c_all
+        |       FROM tok GROUP BY 1),
+        |lt AS (SELECT lang, count(*)::BIGINT AS t_in
+        |       FROM tok GROUP BY 1),
+        |g AS (SELECT count(*)::BIGINT AS t_all FROM tok),
+        |sc AS (
+        |  SELECT lang, token, c_in,
+        |         floor((c_in * (t_all - t_in))::DOUBLE
+        |               / (((c_all - c_in) + 1) * t_in)::DOUBLE
+        |               * 10000 + 0.5) / 10000 AS keyness
+        |  FROM cell JOIN tt USING (token) JOIN lt USING (lang)
+        |  CROSS JOIN g
+        |  WHERE c_in >= 5),
+        |r AS (
+        |  SELECT sc.*, row_number() OVER (PARTITION BY lang
+        |                                  ORDER BY keyness DESC,
+        |                                           token) AS rk
+        |  FROM sc)
+        |SELECT lang, rk::BIGINT AS rank, token, c_in, keyness
+        |FROM r WHERE rk <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
