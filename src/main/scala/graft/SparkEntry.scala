@@ -4552,6 +4552,100 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // Market-segment revenue mix shift 1996→1997: each segment's
+    // revenue share both years plus the SIGNED share delta in ppm —
+    // mix-shift is the composition question a totals comparison
+    // hides (total can grow while a segment collapses). One orders
+    // scan with year-conditional sums; shares in exact decimal ppm.
+    "q281_segment_mix_shift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === 1996,
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .otherwise(0L)).as("r96"),
+          sum(when(year(col("o_orderdate")) === 1997,
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .otherwise(0L)).as("r97"))
+        .withColumn("t96", sum(col("r96")).over(Window.partitionBy()))
+        .withColumn("t97", sum(col("r97")).over(Window.partitionBy()))
+        .select(col("c_mktsegment"),
+          expr(s"cast(r96 as $dec) * 1000000 div cast(t96 as $dec)")
+            .as("share96_ppm"),
+          expr(s"cast(r97 as $dec) * 1000000 div cast(t97 as $dec)")
+            .as("share97_ppm"))
+        .withColumn("shift_ppm", col("share97_ppm") - col("share96_ppm"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Customer equity quadrants per segment: median-split on balance
+    // (asset) × total spend (activity) — HIGH/HIGH is the core book,
+    // LOW/HIGH the credit risk, HIGH/LOW the upsell pool. Medians
+    // are exact nearest-rank over the |customers| aggregate; the
+    // quadrant is two integer compares.
+    "q282_equity_quadrants" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+            .cast("long")).as("spend_c")),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+            .as("bal_c"), col("spend_c"))
+      val wB = Window.orderBy(col("bal_c"), col("c_custkey"))
+      val wS = Window.orderBy(col("spend_c"), col("c_custkey"))
+      val wAll = Window.partitionBy()
+      val ranked = per
+        .withColumn("rb", row_number().over(wB))
+        .withColumn("rs", row_number().over(wS))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("med_b", min(when(col("rb") ===
+          ((col("n") + 1) / lit(2)).cast("long"), col("bal_c")))
+          .over(wAll))
+        .withColumn("med_s", min(when(col("rs") ===
+          ((col("n") + 1) / lit(2)).cast("long"), col("spend_c")))
+          .over(wAll))
+      ranked
+        .select(col("c_mktsegment"),
+          concat(
+            when(col("bal_c") > col("med_b"), "hi_bal")
+              .otherwise("lo_bal"),
+            lit("/"),
+            when(col("spend_c") > col("med_s"), "hi_spend")
+              .otherwise("lo_spend")).as("quadrant"))
+        .groupBy(col("c_mktsegment"), col("quadrant"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment", "quadrant")
+    }),
+
+    // Catalog name↔type consistency: does a part's name share a
+    // token with its declared type? The schema-drift check for
+    // denormalized text attributes; pure in-row set intersection,
+    // rolled to a permille per brand.
+    "q283_name_type_consistency" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_brand"),
+          when(expr(
+            "size(array_intersect(split(lower(p_name), ' '), " +
+              "split(lower(p_type), ' '))) > 0"), 1L)
+            .otherwise(0L).as("consistent"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("consistent")).as("n_consistent"))
+        .select(col("p_brand"), col("n_parts"), col("n_consistent"),
+          expr("n_consistent * 1000L div n_parts")
+            .as("consistency_permille"))
+        .orderBy("p_brand")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -10026,6 +10120,80 @@ object SparkEntry {
         |  FROM sc)
         |SELECT lang, rk::BIGINT AS rank, token, c_in, keyness
         |FROM r WHERE rk <= 5 ORDER BY lang, rank""".stripMargin,
+
+    // q281: identical year-conditional sums and ppm shares.
+    "q281_segment_mix_shift" ->
+      """WITH a AS (
+        |  SELECT c_mktsegment,
+        |         sum(CASE WHEN date_part('year', o_orderdate) = 1996
+        |             THEN CAST(floor(o_totalprice * 100 + 0.5)
+        |                       AS BIGINT) ELSE 0 END)::BIGINT AS r96,
+        |         sum(CASE WHEN date_part('year', o_orderdate) = 1997
+        |             THEN CAST(floor(o_totalprice * 100 + 0.5)
+        |                       AS BIGINT) ELSE 0 END)::BIGINT AS r97
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE date_part('year', o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT a.*, sum(r96) OVER () AS t96, sum(r97) OVER () AS t97
+        |  FROM a)
+        |SELECT c_mktsegment,
+        |       (r96::HUGEINT * 1000000 // t96::HUGEINT)::BIGINT
+        |         AS share96_ppm,
+        |       (r97::HUGEINT * 1000000 // t97::HUGEINT)::BIGINT
+        |         AS share97_ppm,
+        |       ((r97::HUGEINT * 1000000 // t97::HUGEINT)
+        |        - (r96::HUGEINT * 1000000 // t96::HUGEINT))::BIGINT
+        |         AS shift_ppm
+        |FROM t ORDER BY c_mktsegment""".stripMargin,
+
+    // q282: identical nearest-rank medians and quadrant compares.
+    "q282_equity_quadrants" ->
+      """WITH per AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+        |         sp.spend_c
+        |  FROM customer
+        |  JOIN (SELECT o_custkey,
+        |               sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |                        AS BIGINT))::BIGINT AS spend_c
+        |        FROM orders GROUP BY 1) sp
+        |    ON c_custkey = o_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, bal_c, spend_c,
+        |         row_number() OVER (ORDER BY bal_c, c_custkey) AS rb,
+        |         row_number() OVER (ORDER BY spend_c, c_custkey) AS rs,
+        |         count(*) OVER () AS n
+        |  FROM per),
+        |m AS (
+        |  SELECT r.*,
+        |         min(CASE WHEN rb = (n + 1) // 2 THEN bal_c END)
+        |           OVER () AS med_b,
+        |         min(CASE WHEN rs = (n + 1) // 2 THEN spend_c END)
+        |           OVER () AS med_s
+        |  FROM r)
+        |SELECT c_mktsegment,
+        |       (CASE WHEN bal_c > med_b THEN 'hi_bal'
+        |             ELSE 'lo_bal' END || '/' ||
+        |        CASE WHEN spend_c > med_s THEN 'hi_spend'
+        |             ELSE 'lo_spend' END) AS quadrant,
+        |       count(*)::BIGINT AS n_customers
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q283: identical in-row token intersection and permille.
+    "q283_name_type_consistency" ->
+      """WITH p AS (
+        |  SELECT p_brand,
+        |         CASE WHEN length(list_intersect(
+        |                  string_split(lower(p_name), ' '),
+        |                  string_split(lower(p_type), ' '))) > 0
+        |              THEN 1 ELSE 0 END AS consistent
+        |  FROM part)
+        |SELECT p_brand, count(*)::BIGINT AS n_parts,
+        |       sum(consistent)::BIGINT AS n_consistent,
+        |       (sum(consistent) * 1000 // count(*))::BIGINT
+        |         AS consistency_permille
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
