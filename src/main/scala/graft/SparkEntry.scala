@@ -4646,6 +4646,88 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // Transition-latency matrix: median seconds between ADJACENT
+    // events per (from → to) type pair within a user — q94's
+    // transition counts with the timing dimension (the "how long
+    // does error→view recovery take" readout). Gaps are exact
+    // integer seconds off one user-keyed lag; medians are
+    // nearest-rank per pair.
+    "q284_transition_latency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wU))
+        .withColumn("gap_s",
+          ((unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(wU))) / 1000000L)
+            .cast("long"))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"), col("gap_s"),
+          col("event_id"))
+      val wP = Window.partitionBy(col("from_type"), col("to_type"))
+      trans
+        .withColumn("rk", row_number().over(
+          wP.orderBy(col("gap_s"), col("event_id"))))
+        .withColumn("m", count(lit(1)).over(wP))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          min(when(col("rk") === floor((col("m") + lit(1L)) / 2)
+            .cast("long"), col("gap_s"))).as("median_gap_s"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Open-order aging snapshot: work-in-progress at a FIXED as-of
+    // date (1998-07-01) — orders placed but not fully shipped by
+    // then, banded by age. The point-in-time WIP inventory every ops
+    // dashboard opens with; reproducible because the cutoff is
+    // pinned, exact because bands are integer day compares.
+    "q285_open_order_aging" -> ((s, dir) => {
+      val cutoff = lit("1998-07-01")
+      val lastShip = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") <= cutoff)
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("last_ship") > cutoff)
+        .select(col("o_orderpriority"),
+          datediff(to_date(cutoff), col("o_orderdate")).cast("long")
+            .as("age_d"))
+        .select(col("o_orderpriority"),
+          when(col("age_d") <= 30L, "a_0_30")
+            .when(col("age_d") <= 90L, "b_31_90")
+            .otherwise("c_91_plus").as("age_band"))
+        .groupBy(col("o_orderpriority"), col("age_band"))
+        .agg(count(lit(1)).as("n_open"))
+        .orderBy("o_orderpriority", "age_band")
+    }),
+
+    // Discount depth by basket width: do wide orders get deeper
+    // discounts? Mean discount permille per lines-band, the
+    // pricing-policy readout — all exact integer sums and divides.
+    "q286_discount_by_width" -> ((s, dir) => {
+      val width = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_discount") * 100 + lit(0.5)).cast("long"))
+            .as("disc_pct_sum"))
+      width
+        .select(
+          when(col("n_lines") <= 2L, "a_1_2")
+            .when(col("n_lines") <= 4L, "b_3_4")
+            .when(col("n_lines") <= 6L, "c_5_6")
+            .otherwise("d_7_plus").as("width_band"),
+          col("n_lines"), col("disc_pct_sum"))
+        .groupBy(col("width_band"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("n_lines")).as("n_lines"),
+          expr("sum(disc_pct_sum) * 10L div sum(n_lines)")
+            .as("mean_disc_permille"))
+        .orderBy("width_band")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -10194,6 +10276,69 @@ object SparkEntry {
         |       (sum(consistent) * 1000 // count(*))::BIGINT
         |         AS consistency_permille
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q284: identical adjacent-transition gaps and nearest-rank
+    // medians.
+    "q284_transition_latency" ->
+      """WITH t AS (
+        |  SELECT lag(event_type) OVER w AS from_type,
+        |         event_type AS to_type,
+        |         ((epoch_us(ts) - epoch_us(lag(ts) OVER w))
+        |          // 1000000)::BIGINT AS gap_s,
+        |         event_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT from_type, to_type, gap_s,
+        |         row_number() OVER (PARTITION BY from_type, to_type
+        |                            ORDER BY gap_s, event_id) AS rk,
+        |         count(*) OVER (PARTITION BY from_type, to_type) AS m
+        |  FROM t WHERE from_type IS NOT NULL)
+        |SELECT from_type, to_type, count(*)::BIGINT AS n_transitions,
+        |       min(CASE WHEN rk = (m + 1) // 2 THEN gap_s END)
+        |         ::BIGINT AS median_gap_s
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q285: identical pinned cutoff and integer age bands.
+    "q285_open_order_aging" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderpriority,
+        |         date_diff('day', o_orderdate, DATE '1998-07-01')
+        |           ::BIGINT AS age_d
+        |  FROM orders JOIN ls ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate <= DATE '1998-07-01'
+        |    AND last_ship > DATE '1998-07-01'),
+        |b AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN age_d <= 30 THEN 'a_0_30'
+        |              WHEN age_d <= 90 THEN 'b_31_90'
+        |              ELSE 'c_91_plus' END AS age_band
+        |  FROM o)
+        |SELECT o_orderpriority, age_band, count(*)::BIGINT AS n_open
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q286: identical width bands and integer mean discount.
+    "q286_discount_by_width" ->
+      """WITH w AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+        |         sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS disc_pct_sum
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN n_lines <= 2 THEN 'a_1_2'
+        |              WHEN n_lines <= 4 THEN 'b_3_4'
+        |              WHEN n_lines <= 6 THEN 'c_5_6'
+        |              ELSE 'd_7_plus' END AS width_band,
+        |         n_lines, disc_pct_sum
+        |  FROM w)
+        |SELECT width_band, count(*)::BIGINT AS n_orders,
+        |       sum(n_lines)::BIGINT AS n_lines,
+        |       (sum(disc_pct_sum) * 10 // sum(n_lines))::BIGINT
+        |         AS mean_disc_permille
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
