@@ -4728,6 +4728,65 @@ object SparkEntry {
         .orderBy("width_band")
     }),
 
+    // Average lifetime-value curve by user age: cumulative event
+    // value per day-offset since each user's first event, divided by
+    // the user base — LTV(k) as exact integer cents-per-user. The
+    // curve is a running sum over the |offsets| aggregate; nothing
+    // user-level survives the first rollup.
+    "q287_ltv_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstD = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_d"))
+      val perOff = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v_c"))
+        .join(firstD, "user_id")
+        .groupBy(datediff(col("d"), col("first_d")).cast("long")
+          .as("age_d"))
+        .agg(sum(col("v_c")).as("day_value_c"))
+      val nUsers = firstD.agg(count(lit(1)).as("n_users"))
+      perOff
+        .crossJoin(broadcast(nUsers))
+        .withColumn("cum_c", sum(col("day_value_c")).over(
+          Window.orderBy(col("age_d"))))
+        .select(col("age_d"),
+          (col("day_value_c") / 100.0).as("day_value"),
+          expr("cum_c * 100L div n_users").as("ltv_cents_per_user"))
+        .orderBy("age_d")
+    }),
+
+    // Ship-sequence inversion audit: line items shipping OUT of
+    // line-number order (adjacent inversions per order, rolled to a
+    // permille per priority) — the fulfillment-sequencing check; an
+    // inversion-heavy feed breaks FIFO assumptions downstream. One
+    // order-keyed lag window, integer compares.
+    "q288_ship_inversions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("sd"), col("l_partkey"))
+      val inv = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          to_date(col("l_shipdate")).as("sd"))
+        .withColumn("prev_sd", lag(col("sd"), 1).over(w))
+        .filter(col("prev_sd").isNotNull)
+        .select(col("l_orderkey"),
+          when(col("sd") < col("prev_sd"), 1L).otherwise(0L)
+            .as("inverted"))
+      inv
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_adjacent_pairs"),
+          sum(col("inverted")).as("n_inversions"))
+        .select(col("o_orderpriority"), col("n_adjacent_pairs"),
+          col("n_inversions"),
+          expr("n_inversions * 1000L div n_adjacent_pairs")
+            .as("inversion_permille"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -10339,6 +10398,49 @@ object SparkEntry {
         |       (sum(disc_pct_sum) * 10 // sum(n_lines))::BIGINT
         |         AS mean_disc_permille
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q287: identical offset aggregate, running sum, integer
+    // cents-per-user.
+    "q287_ltv_curve" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+        |  FROM events GROUP BY 1),
+        |o AS (
+        |  SELECT date_diff('day', f.first_d, CAST(e.ts AS DATE))
+        |           ::BIGINT AS age_d,
+        |         sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS day_value_c
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n_users FROM f)
+        |SELECT age_d, (day_value_c / 100.0)::DOUBLE AS day_value,
+        |       (sum(day_value_c) OVER (ORDER BY age_d
+        |                               ROWS UNBOUNDED PRECEDING)
+        |        * 100 // n_users)::BIGINT AS ltv_cents_per_user
+        |FROM o CROSS JOIN n ORDER BY age_d""".stripMargin,
+
+    // q288: identical adjacent compares and permille roll-up.
+    "q288_ship_inversions" ->
+      """WITH i AS (
+        |  SELECT l_orderkey,
+        |         CASE WHEN CAST(l_shipdate AS DATE) <
+        |                   lag(CAST(l_shipdate AS DATE)) OVER w
+        |              THEN 1 ELSE 0 END AS inverted,
+        |         lag(l_shipdate) OVER w AS prev
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_orderkey
+        |               ORDER BY l_linenumber,
+        |                        CAST(l_shipdate AS DATE),
+        |                        l_partkey)),
+        |j AS (
+        |  SELECT o_orderpriority, inverted
+        |  FROM i JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE prev IS NOT NULL)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_adjacent_pairs,
+        |       sum(inverted)::BIGINT AS n_inversions,
+        |       (sum(inverted) * 1000 // count(*))::BIGINT
+        |         AS inversion_permille
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
