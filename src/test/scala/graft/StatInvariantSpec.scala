@@ -127,6 +127,43 @@ class StatInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q281 mix shift: shares each sum to ~1e6 ppm and shifts to ~0") {
+    val rs = rows("q281_segment_mix_shift")
+    val s96 = rs.map(_.getAs[Long]("share96_ppm")).sum
+    val s97 = rs.map(_.getAs[Long]("share97_ppm")).sum
+    val shift = rs.map(_.getAs[Long]("shift_ppm")).sum
+    assert(s96 >= 999990L && s96 <= 1000000L, s"s96 $s96")
+    assert(s97 >= 999990L && s97 <= 1000000L, s"s97 $s97")
+    assert(math.abs(shift) <= 10L, s"shift sum $shift")
+  }
+
+  test("q282 quadrants partition the ordering customer base") {
+    val total = rows("q282_equity_quadrants")
+      .map(_.getAs[Long]("n_customers")).sum
+    // independent recount: customers with >= 1 order
+    import org.apache.spark.sql.functions._
+    val n = graft.sources.Tables.orders(spark, sf001)
+      .select(col("o_custkey")).distinct().count()
+    assert(total == n, s"quadrant total $total != ordering customers $n")
+  }
+
+  test("q287 LTV curve is monotone nondecreasing") {
+    val rs = rows("q287_ltv_curve").sortBy(_.getAs[Long]("age_d"))
+    rs.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.getAs[Long]("ltv_cents_per_user") <=
+          b.getAs[Long]("ltv_cents_per_user"), s"LTV dipped: $a -> $b")
+      case _ =>
+    }
+  }
+
+  test("q288 inversions bounded by adjacent pairs") {
+    rows("q288_ship_inversions").foreach { r =>
+      assert(r.getAs[Long]("n_inversions") <=
+        r.getAs[Long]("n_adjacent_pairs"), s"impossible count: $r")
+    }
+  }
+
   test("q224 weighted median lies within the value range of its nation") {
     import org.apache.spark.sql.functions._
     val med = SparkEntry.queries("q224_weighted_median_value")(spark, sf001)
