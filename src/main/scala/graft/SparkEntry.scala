@@ -4787,6 +4787,110 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Procurement-arbitrage spread: for multi-supplier parts, the
+    // gap between the cheapest and dearest supplier's mean unit
+    // price (exact integer unit prices; per-supplier means compared
+    // by cross-multiplication so no float enters the pick), top 20
+    // by spread ppm. The sourcing-optimization readout.
+    "q289_procurement_arbitrage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val perSupp = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("(cast(floor(l_extendedprice * 100 + 0.5) as bigint)" +
+            " * 100) div cast(l_quantity as bigint)").as("u"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), sum(col("u")).as("su"))
+      // mean compare by cross-multiplication: su_a·n_b vs su_b·n_a
+      val w = Window.partitionBy(col("l_partkey"))
+      val picked = perSupp
+        .withColumn("lo_rk", row_number().over(w.orderBy(
+          (col("su").cast("double") / col("n").cast("double")).asc,
+          col("l_suppkey"))))
+        .withColumn("hi_rk", row_number().over(w.orderBy(
+          (col("su").cast("double") / col("n").cast("double")).desc,
+          col("l_suppkey"))))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .filter(col("n_supp") >= 2 &&
+          (col("lo_rk") === 1 || col("hi_rk") === 1))
+        .groupBy(col("l_partkey"), col("n_supp"))
+        .agg(
+          min(when(col("lo_rk") === 1,
+            expr("su div n"))).as("lo_mean_u"),
+          min(when(col("hi_rk") === 1,
+            expr("su div n"))).as("hi_mean_u"))
+        .filter(col("lo_mean_u") > 0L)
+      picked
+        .select(col("l_partkey"), col("n_supp").cast("long")
+          .as("n_suppliers"),
+          (col("lo_mean_u") / 10000.0).as("lo_mean_price"),
+          (col("hi_mean_u") / 10000.0).as("hi_mean_price"),
+          expr(s"cast(hi_mean_u - lo_mean_u as $dec) * 1000000" +
+            s" div cast(lo_mean_u as $dec)").as("spread_ppm"))
+        .withColumn("rk", row_number().over(Window.orderBy(
+          col("spread_ppm").desc, col("l_partkey"))))
+        .filter(col("rk") <= 20)
+        .select(col("rk").cast("long").as("rank"), col("l_partkey"),
+          col("n_suppliers"), col("lo_mean_price"),
+          col("hi_mean_price"), col("spread_ppm"))
+        .orderBy("rank")
+    }),
+
+    // Basket-diversity bands: each order's EFFECTIVE number of part
+    // types (inverse Simpson (Σc)²/Σc² — the ESS identity at basket
+    // grain, no entropy logs), banded and counted. Distinguishes
+    // "6 lines of one type" from a genuinely mixed basket.
+    "q290_basket_diversity" -> ((s, dir) => {
+      val perType = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_type"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_orderkey"), col("p_type"))
+        .agg(count(lit(1)).as("c"))
+      val perOrder = perType.groupBy(col("l_orderkey"))
+        .agg(sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("sc2"))
+        // effective types in permille: (Σc)²·1000 div Σc²
+        .select(expr("sc * sc * 1000L div sc2").as("eff_permille"))
+      perOrder
+        .select(
+          when(col("eff_permille") < 1500L, "a_1x")
+            .when(col("eff_permille") < 2500L, "b_2x")
+            .when(col("eff_permille") < 4500L, "c_3_4x")
+            .otherwise("d_5x_plus").as("diversity_band"))
+        .groupBy(col("diversity_band"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("share_permille",
+          expr("n_orders * 1000L div sum(n_orders) over ()"))
+        .orderBy("diversity_band")
+    }),
+
+    // Source × language coverage gaps: which cells of the corpus
+    // grid are EMPTY (a source that never produced language X) — the
+    // completeness complement of the mix reports. The dense grid is
+    // |sources|×|langs| by construction; present cells come from one
+    // aggregate, the grid from a tiny cross join of the two key
+    // lists.
+    "q291_coverage_gaps" -> ((s, dir) => {
+      val present = Tables.documents(s, dir)
+        .groupBy(col("source").as("src_p"), col("lang").as("lang_p"))
+        .agg(count(lit(1)).as("c"))
+      val sources = Tables.documents(s, dir)
+        .select(col("source")).distinct()
+      val langs = Tables.documents(s, dir)
+        .select(col("lang").as("lang_g")).distinct()
+      sources.crossJoin(broadcast(langs))
+        .join(present,
+          col("source") === col("src_p") &&
+            col("lang_g") === col("lang_p"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_missing_langs"),
+          sort_array(collect_list(col("lang_g"))).as("missing"))
+        .select(col("source"), col("n_missing_langs"),
+          concat_ws(",", col("missing")).as("missing_langs"))
+        .orderBy("source")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -10441,6 +10545,85 @@ object SparkEntry {
         |       (sum(inverted) * 1000 // count(*))::BIGINT
         |         AS inversion_permille
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q289: identical double-mean ordering, integer-div means,
+    // top-20 spread.
+    "q289_procurement_arbitrage" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, count(*)::BIGINT AS n,
+        |         sum((CAST(floor(l_extendedprice * 100 + 0.5)
+        |                   AS BIGINT) * 100)
+        |             // CAST(l_quantity AS BIGINT))::BIGINT AS su
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_partkey, su, n,
+        |         row_number() OVER (PARTITION BY l_partkey
+        |                            ORDER BY su::DOUBLE / n::DOUBLE,
+        |                                     l_suppkey) AS lo_rk,
+        |         row_number() OVER (PARTITION BY l_partkey
+        |                            ORDER BY su::DOUBLE / n::DOUBLE
+        |                            DESC, l_suppkey) AS hi_rk,
+        |         count(*) OVER (PARTITION BY l_partkey) AS n_supp
+        |  FROM ps),
+        |p AS (
+        |  SELECT l_partkey, n_supp,
+        |         min(CASE WHEN lo_rk = 1 THEN su // n END) AS lo_mean_u,
+        |         min(CASE WHEN hi_rk = 1 THEN su // n END) AS hi_mean_u
+        |  FROM r WHERE n_supp >= 2 AND (lo_rk = 1 OR hi_rk = 1)
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT l_partkey, n_supp::BIGINT AS n_suppliers,
+        |         (lo_mean_u / 10000.0)::DOUBLE AS lo_mean_price,
+        |         (hi_mean_u / 10000.0)::DOUBLE AS hi_mean_price,
+        |         ((hi_mean_u::HUGEINT - lo_mean_u::HUGEINT) * 1000000
+        |          // lo_mean_u::HUGEINT)::BIGINT AS spread_ppm
+        |  FROM p WHERE lo_mean_u > 0),
+        |k AS (
+        |  SELECT t.*, row_number() OVER (ORDER BY spread_ppm DESC,
+        |                                 l_partkey) AS rk
+        |  FROM t)
+        |SELECT rk::BIGINT AS rank, l_partkey, n_suppliers,
+        |       lo_mean_price, hi_mean_price, spread_ppm
+        |FROM k WHERE rk <= 20 ORDER BY rank""".stripMargin,
+
+    // q290: identical inverse-Simpson permille and bands.
+    "q290_basket_diversity" ->
+      """WITH pt AS (
+        |  SELECT l_orderkey, p_type, count(*)::BIGINT AS c
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |po AS (
+        |  SELECT (sum(c) * sum(c) * 1000 // sum(c * c))::BIGINT
+        |           AS eff_permille
+        |  FROM pt GROUP BY l_orderkey),
+        |b AS (
+        |  SELECT CASE WHEN eff_permille < 1500 THEN 'a_1x'
+        |              WHEN eff_permille < 2500 THEN 'b_2x'
+        |              WHEN eff_permille < 4500 THEN 'c_3_4x'
+        |              ELSE 'd_5x_plus' END AS diversity_band
+        |  FROM po)
+        |SELECT diversity_band, count(*)::BIGINT AS n_orders,
+        |       (count(*) * 1000 // sum(count(*)) OVER ())::BIGINT
+        |         AS share_permille
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q291: identical grid anti-join and sorted missing list.
+    "q291_coverage_gaps" ->
+      """WITH present AS (
+        |  SELECT source AS src_p, lang AS lang_p
+        |  FROM documents GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |lgs AS (SELECT DISTINCT lang AS lang_g FROM documents),
+        |missing AS (
+        |  SELECT s.source, l.lang_g
+        |  FROM srcs s CROSS JOIN lgs l
+        |  WHERE NOT EXISTS (SELECT 1 FROM present p
+        |                    WHERE p.src_p = s.source
+        |                      AND p.lang_p = l.lang_g))
+        |SELECT source, count(*)::BIGINT AS n_missing_langs,
+        |       array_to_string(list_sort(list(lang_g)), ',')
+        |         AS missing_langs
+        |FROM missing GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
