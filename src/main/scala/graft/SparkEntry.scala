@@ -4891,6 +4891,80 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Day-of-month revenue profile: each calendar day-of-month's
+    // share of revenue and its index against the uniform expectation
+    // (payday / billing-cycle spike detection — the q229 idiom on
+    // the monthly axis; day 31 legitimately indexes low). Exact
+    // permille integers, one orders scan.
+    "q292_dom_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, dir)
+        .groupBy(dayofmonth(col("o_orderdate")).cast("long").as("dom"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("rev_c"))
+        .withColumn("tot_n", sum(col("n_orders")).over(
+          Window.partitionBy()))
+        .withColumn("tot_r", sum(col("rev_c")).over(
+          Window.partitionBy()))
+        .select(col("dom"), col("n_orders"),
+          expr("n_orders * 1000L div tot_n").as("order_share_permille"),
+          expr("cast(rev_c as decimal(38,0)) * 31000" +
+            " div cast(tot_r as decimal(38,0))").as("rev_index_permille"))
+        .orderBy("dom")
+    }),
+
+    // Value intensity by hour: events per hour AND cents per event —
+    // the two curves diverge when high-value activity clusters off-
+    // peak (fraud, batch jobs). Exact integer cents-per-event.
+    "q293_value_by_hour" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("v_c"))
+        .select(col("hr"), col("n_events"),
+          expr("v_c div n_events").as("cents_per_event"))
+        .orderBy("hr")
+    }),
+
+    // Does a big first order predict loyalty? Customers banded by
+    // FIRST-order value quartile (exact ntile over the aggregate),
+    // each band's median lifetime order count and repeat share —
+    // the acquisition-quality readout. First order picked by
+    // (date, orderkey); medians nearest-rank.
+    "q294_first_order_predictor" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wC = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val per = Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(wC))
+        .withColumn("n_orders", count(lit(1)).over(
+          Window.partitionBy(col("o_custkey"))))
+        .filter(col("rk") === 1)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("first_c"), col("n_orders"))
+        .withColumn("band", ntile(4).over(
+          Window.orderBy(col("first_c"), col("o_custkey"))))
+      val wB = Window.partitionBy(col("band"))
+      per
+        .withColumn("mrk", row_number().over(
+          wB.orderBy(col("n_orders"), col("o_custkey"))))
+        .withColumn("m", count(lit(1)).over(wB))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_customers"),
+          min(when(col("mrk") === floor((col("m") + lit(1L)) / 2)
+            .cast("long"), col("n_orders"))).as("median_orders"),
+          sum(when(col("n_orders") > 1L, 1L).otherwise(0L))
+            .as("n_repeat"))
+        .select(col("band").cast("long").as("first_value_quartile"),
+          col("n_customers"), col("median_orders"),
+          expr("n_repeat * 1000L div n_customers")
+            .as("repeat_permille"))
+        .orderBy("first_value_quartile")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -10624,6 +10698,68 @@ object SparkEntry {
         |       array_to_string(list_sort(list(lang_g)), ',')
         |         AS missing_langs
         |FROM missing GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q292: identical dom shares and 31-scaled revenue index.
+    "q292_dom_profile" ->
+      """WITH d AS (
+        |  SELECT date_part('day', o_orderdate)::BIGINT AS dom,
+        |         count(*)::BIGINT AS n_orders,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS rev_c
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT d.*, sum(n_orders) OVER () AS tot_n,
+        |         sum(rev_c) OVER () AS tot_r
+        |  FROM d)
+        |SELECT dom, n_orders,
+        |       (n_orders * 1000 // tot_n)::BIGINT
+        |         AS order_share_permille,
+        |       (rev_c::HUGEINT * 31000 // tot_r::HUGEINT)::BIGINT
+        |         AS rev_index_permille
+        |FROM t ORDER BY dom""".stripMargin,
+
+    // q293: identical hourly integer intensity.
+    "q293_value_by_hour" ->
+      """SELECT date_part('hour', ts)::BIGINT AS hr,
+        |       count(*)::BIGINT AS n_events,
+        |       (sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |        // count(*))::BIGINT AS cents_per_event
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q294: identical first-order pick, quartile ntile, nearest-rank
+    // medians.
+    "q294_first_order_predictor" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |           AS first_c,
+        |         n_orders
+        |  FROM (SELECT o_custkey, o_totalprice,
+        |               row_number() OVER (PARTITION BY o_custkey
+        |                                  ORDER BY o_orderdate,
+        |                                           o_orderkey) AS rk,
+        |               count(*) OVER (PARTITION BY o_custkey)
+        |                 AS n_orders
+        |        FROM orders)
+        |  WHERE rk = 1),
+        |b AS (
+        |  SELECT per.*, ntile(4) OVER (ORDER BY first_c, o_custkey)
+        |           AS band
+        |  FROM per),
+        |r AS (
+        |  SELECT band, n_orders, o_custkey,
+        |         row_number() OVER (PARTITION BY band
+        |                            ORDER BY n_orders, o_custkey)
+        |           AS mrk,
+        |         count(*) OVER (PARTITION BY band) AS m
+        |  FROM b)
+        |SELECT band::BIGINT AS first_value_quartile,
+        |       count(*)::BIGINT AS n_customers,
+        |       min(CASE WHEN mrk = (m + 1) // 2 THEN n_orders END)
+        |         ::BIGINT AS median_orders,
+        |       (sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) * 1000
+        |        // count(*))::BIGINT AS repeat_permille
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
