@@ -4965,6 +4965,179 @@ object SparkEntry {
         .orderBy("first_value_quartile")
     }),
 
+    // Casing profile per source: upper-initial and all-caps token
+    // shares in ppm — a crawler that lost casing (or shouts) shows
+    // up immediately. Pure per-token string predicates, one scan.
+    "q295_casing_profile" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(expr("substring(tok, 1, 1) rlike '^[A-Z]$'"), 1L)
+            .otherwise(0L)).as("n_upper_initial"),
+          sum(when(expr("tok rlike '^[A-Z]+$'") &&
+            length(col("tok")) >= 2, 1L).otherwise(0L))
+            .as("n_all_caps"))
+        .select(col("source"), col("n_tokens"),
+          expr("n_upper_initial * 1000000L div n_tokens")
+            .as("upper_initial_ppm"),
+          expr("n_all_caps * 1000000L div n_tokens")
+            .as("all_caps_ppm"))
+        .orderBy("source")
+    }),
+
+    // Booked-vs-shipped revenue timing by month: the accrual gap
+    // between revenue BOOKED (order date) and revenue SHIPPED (ship
+    // date) each month — the recognition-timing readout finance
+    // reconciles monthly. Two conditional aggregates off ONE
+    // lineitem scan via a stacked (month-kind) key; signed gap ppm.
+    "q296_booked_vs_shipped" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val lines = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("book_m"),
+          date_format(to_date(col("l_shipdate")), "yyyy-MM")
+            .as("ship_m"),
+          (floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + lit(0.5))
+              .cast("long"))).as("rev_u"))
+      lines
+        .select(expr("stack(2, 'booked', book_m, rev_u," +
+          " 'shipped', ship_m, rev_u) as (kind, mon, rev_u)"))
+        .groupBy(col("mon"))
+        .agg(
+          sum(when(col("kind") === "booked", col("rev_u"))
+            .otherwise(0L)).as("booked_u"),
+          sum(when(col("kind") === "shipped", col("rev_u"))
+            .otherwise(0L)).as("shipped_u"))
+        .filter(col("booked_u") > 0L)
+        .select(col("mon"),
+          (col("booked_u") / 10000.0).as("booked_revenue"),
+          (col("shipped_u") / 10000.0).as("shipped_revenue"),
+          expr(s"cast(shipped_u - booked_u as $dec) * 1000000" +
+            s" div cast(booked_u as $dec)").as("timing_gap_ppm"))
+        .orderBy("mon")
+    }),
+
+    // User specialization: each user's dominant event-type share,
+    // banded — a bot does ONE thing; organic users mix. Dominant
+    // share is exact permille off one user-type aggregate + a
+    // user-keyed max.
+    "q297_user_specialization" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perType = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("user_id"))
+      perType
+        .withColumn("tot", sum(col("c")).over(w))
+        .withColumn("mx", max(col("c")).over(w))
+        .filter(col("c") === col("mx"))
+        .groupBy(col("user_id"))
+        .agg(max(expr("mx * 1000L div tot")).as("dom_permille"),
+          max(col("tot")).as("n_events"))
+        .filter(col("n_events") >= 10L)
+        .select(
+          when(col("dom_permille") < 400L, "a_mixed")
+            .when(col("dom_permille") < 700L, "b_leaning")
+            .when(col("dom_permille") < 950L, "c_specialized")
+            .otherwise("d_single_track").as("specialization"))
+        .groupBy(col("specialization"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("specialization")
+    }),
+
+    // Order weekday × priority mix: is URGENT work placed on
+    // weekends? Share of each priority within its weekday, exact
+    // permille — the staffing-calendar readout.
+    "q298_weekday_priority_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, dir)
+        .groupBy((weekday(col("o_orderdate")) + 1).cast("long")
+          .as("isodow"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("share_permille", expr(
+          "n_orders * 1000L div sum(n_orders)" +
+            " over (partition by isodow)"))
+        .orderBy("isodow", "o_orderpriority")
+    }),
+
+    // Always-on supply coverage: the share of suppliers active in
+    // EVERY month of the corpus (and the distribution of covered
+    // months) — supply continuity, the q263 retention idea on the
+    // vendor axis. Month universe from one aggregate; per-supplier
+    // distinct-month counts off the same scan.
+    "q299_supplier_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perSupp = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"),
+          date_format(to_date(col("l_shipdate")), "yyyy-MM").as("mon"))
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("mon")).as("n_months"))
+      perSupp
+        .withColumn("all_months", max(col("n_months")).over(
+          Window.partitionBy()))
+        .select(
+          when(col("n_months") === col("all_months"), "a_always_on")
+            .when(col("n_months") * 4 >= col("all_months") * 3,
+              "b_mostly_on")
+            .when(col("n_months") * 2 >= col("all_months"), "c_half")
+            .otherwise("d_sporadic").as("coverage_band"))
+        .groupBy(col("coverage_band"))
+        .agg(count(lit(1)).as("n_suppliers"))
+        .withColumn("share_permille",
+          expr("n_suppliers * 1000L div sum(n_suppliers) over ()"))
+        .orderBy("coverage_band")
+    }),
+
+    // Business health one-pager: the headline KPIs as (metric,
+    // value) rows — totals, repeat share, top-nation concentration,
+    // median order value — each the already-audited exact form,
+    // composed into ONE certified report (the analytics capstone;
+    // q89 is the corpus-side card).
+    "q300_health_card" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+      def row1(name: String, v: org.apache.spark.sql.DataFrame) =
+        v.select(lit(name).as("metric"),
+          col(v.columns.head).cast("double").as("value"))
+      val totalRev = row1("total_revenue_usd",
+        o.agg((sum(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long")) / 100.0).as("v")))
+      val nOrders = row1("n_orders", o.agg(count(lit(1)).as("v")))
+      val nCust = row1("n_ordering_customers",
+        o.agg(countDistinct(col("o_custkey")).as("v")))
+      val repeat = row1("repeat_customer_permille",
+        o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+          .agg(expr("sum(case when n > 1 then 1 else 0 end)" +
+            " * 1000L div count(1)").as("v")))
+      val median = row1("median_order_value_usd",
+        o.select(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long").as("v_c"), col("o_orderkey"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("v_c"), col("o_orderkey"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rk") === ((col("n") + 1) / lit(2)).cast("long"))
+          .select((col("v_c") / 100.0).as("v")))
+      val topNation = row1("top_nation_rev_permille",
+        o.join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+            .cast("long")).as("r"))
+          .agg(expr("cast(max(r) as decimal(38,0)) * 1000" +
+            " div cast(sum(r) as decimal(38,0))").as("v")))
+      totalRev.unionAll(nOrders).unionAll(nCust).unionAll(repeat)
+        .unionAll(median).unionAll(topNation)
+        .orderBy("metric")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -10760,6 +10933,151 @@ object SparkEntry {
         |       (sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) * 1000
         |        // count(*))::BIGINT AS repeat_permille
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q295: identical regex predicates and ppm shares.
+    "q295_casing_profile" ->
+      """WITH t AS (
+        |  SELECT source, token AS tok
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0),
+        |a AS (
+        |  SELECT source, count(*)::BIGINT AS n_tokens,
+        |         sum(CASE WHEN regexp_matches(substr(tok, 1, 1),
+        |                                      '^[A-Z]$')
+        |                  THEN 1 ELSE 0 END)::BIGINT AS n_upper,
+        |         sum(CASE WHEN regexp_matches(tok, '^[A-Z]+$')
+        |                       AND length(tok) >= 2
+        |                  THEN 1 ELSE 0 END)::BIGINT AS n_caps
+        |  FROM t GROUP BY 1)
+        |SELECT source, n_tokens,
+        |       (n_upper * 1000000 // n_tokens)::BIGINT
+        |         AS upper_initial_ppm,
+        |       (n_caps * 1000000 // n_tokens)::BIGINT AS all_caps_ppm
+        |FROM a ORDER BY source""".stripMargin,
+
+    // q296: identical month-kind stack and signed timing gap.
+    "q296_booked_vs_shipped" ->
+      """WITH l AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS book_m,
+        |         strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_m,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           * (100 - CAST(floor(l_discount * 100 + 0.5)
+        |                         AS BIGINT)) AS rev_u
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |u AS (
+        |  SELECT book_m AS mon, rev_u, 'booked' AS kind FROM l
+        |  UNION ALL
+        |  SELECT ship_m, rev_u, 'shipped' FROM l),
+        |g AS (
+        |  SELECT mon,
+        |         sum(CASE WHEN kind = 'booked' THEN rev_u ELSE 0 END)
+        |           ::BIGINT AS booked_u,
+        |         sum(CASE WHEN kind = 'shipped' THEN rev_u ELSE 0 END)
+        |           ::BIGINT AS shipped_u
+        |  FROM u GROUP BY 1)
+        |SELECT mon, (booked_u / 10000.0)::DOUBLE AS booked_revenue,
+        |       (shipped_u / 10000.0)::DOUBLE AS shipped_revenue,
+        |       ((shipped_u::HUGEINT - booked_u::HUGEINT) * 1000000
+        |        // booked_u::HUGEINT)::BIGINT AS timing_gap_ppm
+        |FROM g WHERE booked_u > 0 ORDER BY mon""".stripMargin,
+
+    // q297: identical dominant-share bands.
+    "q297_user_specialization" ->
+      """WITH pt AS (
+        |  SELECT user_id, event_type, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, c,
+        |         sum(c) OVER (PARTITION BY user_id) AS tot,
+        |         max(c) OVER (PARTITION BY user_id) AS mx
+        |  FROM pt),
+        |d AS (
+        |  SELECT user_id, max(mx * 1000 // tot) AS dom_permille,
+        |         max(tot) AS n_events
+        |  FROM w WHERE c = mx GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN dom_permille < 400 THEN 'a_mixed'
+        |              WHEN dom_permille < 700 THEN 'b_leaning'
+        |              WHEN dom_permille < 950 THEN 'c_specialized'
+        |              ELSE 'd_single_track' END AS specialization
+        |  FROM d WHERE n_events >= 10)
+        |SELECT specialization, count(*)::BIGINT AS n_users
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q298: identical isodow shares.
+    "q298_weekday_priority_mix" ->
+      """WITH g AS (
+        |  SELECT date_part('isodow', o_orderdate)::BIGINT AS isodow,
+        |         o_orderpriority, count(*)::BIGINT AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT isodow, o_orderpriority, n_orders,
+        |       (n_orders * 1000 //
+        |        sum(n_orders) OVER (PARTITION BY isodow))::BIGINT
+        |         AS share_permille
+        |FROM g ORDER BY isodow, o_orderpriority""".stripMargin,
+
+    // q299: identical coverage bands off distinct-month counts.
+    "q299_supplier_coverage" ->
+      """WITH ps AS (
+        |  SELECT l_suppkey,
+        |         count(DISTINCT strftime(CAST(l_shipdate AS DATE),
+        |                                 '%Y-%m'))::BIGINT AS n_months
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT n_months, max(n_months) OVER () AS all_months
+        |  FROM ps),
+        |b AS (
+        |  SELECT CASE WHEN n_months = all_months THEN 'a_always_on'
+        |              WHEN n_months * 4 >= all_months * 3
+        |                THEN 'b_mostly_on'
+        |              WHEN n_months * 2 >= all_months THEN 'c_half'
+        |              ELSE 'd_sporadic' END AS coverage_band
+        |  FROM w),
+        |g AS (
+        |  SELECT coverage_band, count(*)::BIGINT AS n_suppliers
+        |  FROM b GROUP BY 1)
+        |SELECT coverage_band, n_suppliers,
+        |       (n_suppliers * 1000 // sum(n_suppliers) OVER ())::BIGINT
+        |         AS share_permille
+        |FROM g ORDER BY coverage_band""".stripMargin,
+
+    // q300: identical composed KPIs, each in its exact form.
+    "q300_health_card" ->
+      """SELECT * FROM (
+        |  SELECT 'total_revenue_usd' AS metric,
+        |         (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |          / 100.0)::DOUBLE AS value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'n_orders', count(*)::DOUBLE FROM orders
+        |  UNION ALL
+        |  SELECT 'n_ordering_customers',
+        |         count(DISTINCT o_custkey)::DOUBLE FROM orders
+        |  UNION ALL
+        |  SELECT 'repeat_customer_permille',
+        |         (sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1000
+        |          // count(*))::DOUBLE
+        |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)
+        |  UNION ALL
+        |  SELECT 'median_order_value_usd', (v_c / 100.0)::DOUBLE
+        |  FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |               AS v_c,
+        |               row_number() OVER (ORDER BY
+        |                 CAST(floor(o_totalprice * 100 + 0.5)
+        |                      AS BIGINT), o_orderkey) AS rk,
+        |               count(*) OVER () AS n
+        |        FROM orders)
+        |  WHERE rk = (n + 1) // 2
+        |  UNION ALL
+        |  SELECT 'top_nation_rev_permille',
+        |         ((max(r)::HUGEINT * 1000 // sum(r)::HUGEINT))::DOUBLE
+        |  FROM (SELECT c_nationkey,
+        |               sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |                        AS BIGINT))::BIGINT AS r
+        |        FROM orders JOIN customer ON o_custkey = c_custkey
+        |        GROUP BY 1)
+        |) ORDER BY metric""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
