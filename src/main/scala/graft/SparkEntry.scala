@@ -5138,6 +5138,78 @@ object SparkEntry {
         .orderBy("metric")
     }),
 
+    // Arrival overdispersion test per weekday: the variance-to-mean
+    // ratio of daily order counts (Poisson arrivals ⇒ ratio ≈ 1;
+    // campaign/batch-driven feeds run hot). Moments are exact
+    // integers over the |days| aggregate (q178's identity at the
+    // daily-count grain); the ratio is one terminal division.
+    "q301_arrival_dispersion" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy((weekday(col("o_orderdate")) + 1).cast("long")
+          .as("isodow"), col("o_orderdate"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy(col("isodow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("sc2"))
+        .filter(col("n_days") >= 2L && col("sc") > 0L)
+        .select(col("isodow"), col("n_days"),
+          expr("sc div n_days").as("mean_daily_orders"),
+          // var/mean = (nΣc²−(Σc)²) / ((n−1)·Σc) exact until ÷
+          r4((col("n_days") * col("sc2") - col("sc") * col("sc"))
+            .cast("double") /
+            ((col("n_days") - 1) * col("sc")).cast("double"))
+            .as("dispersion_index"))
+        .orderBy("isodow")
+    }),
+
+    // Jackknife top-k stability: drop each of 16 md5 corpus slices
+    // in turn, recompute the top-10 token list, and report the
+    // agreement with the full-corpus top-10 — a headline ranking
+    // that flips when 6% of data vanishes isn't a finding, it's
+    // noise. All 17 rankings run over ONE (token, slice) aggregate;
+    // agreement is exact |∩| out of 10.
+    "q302_topk_stability" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perSlice = Tables.documents(s, dir)
+        .select(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .as("slice"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"), col("slice"))
+        .agg(count(lit(1)).as("c"))
+      val totals = perSlice.groupBy(col("token"))
+        .agg(sum(col("c")).as("c_all"))
+      val fullTop = totals
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c_all").desc, col("token"))))
+        .filter(col("rk") <= 10)
+        .select(col("token").as("full_token"))
+      // per fold: counts minus the dropped slice, rank, keep top-10
+      val folds = perSlice.select(col("slice")).distinct()
+        .select(col("slice").as("drop_slice"))
+      val foldTop = totals
+        .crossJoin(broadcast(folds))
+        .join(perSlice.select(col("token").as("tok_s"),
+          col("slice"), col("c").as("c_s")),
+          col("token") === col("tok_s") &&
+            col("slice") === col("drop_slice"), "left")
+        .select(col("drop_slice"), col("token"),
+          (col("c_all") - coalesce(col("c_s"), lit(0L))).as("c_minus"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("drop_slice"))
+            .orderBy(col("c_minus").desc, col("token"))))
+        .filter(col("rk") <= 10)
+      foldTop
+        .join(broadcast(fullTop),
+          col("token") === col("full_token"), "left")
+        .groupBy(col("drop_slice"))
+        .agg(sum(when(col("full_token").isNotNull, 1L).otherwise(0L))
+          .as("n_agree"))
+        .select(col("drop_slice"), col("n_agree"),
+          expr("n_agree * 100L div 10").as("agreement_pct"))
+        .orderBy("drop_slice")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -11078,6 +11150,64 @@ object SparkEntry {
         |        FROM orders JOIN customer ON o_custkey = c_custkey
         |        GROUP BY 1)
         |) ORDER BY metric""".stripMargin,
+
+    // q301: identical exact-moment dispersion index.
+    "q301_arrival_dispersion" ->
+      """WITH d AS (
+        |  SELECT date_part('isodow', o_orderdate)::BIGINT AS isodow,
+        |         o_orderdate, count(*)::BIGINT AS c
+        |  FROM orders GROUP BY 1, 2),
+        |a AS (
+        |  SELECT isodow, count(*)::BIGINT AS n_days,
+        |         sum(c)::BIGINT AS sc, sum(c * c)::BIGINT AS sc2
+        |  FROM d GROUP BY 1)
+        |SELECT isodow, n_days, (sc // n_days)::BIGINT
+        |         AS mean_daily_orders,
+        |       floor((n_days * sc2 - sc * sc)::DOUBLE
+        |             / ((n_days - 1) * sc)::DOUBLE * 10000 + 0.5)
+        |         / 10000 AS dispersion_index
+        |FROM a WHERE n_days >= 2 AND sc > 0
+        |ORDER BY isodow""".stripMargin,
+
+    // q302: identical slice counts, fold rankings, exact agreement.
+    "q302_topk_stability" ->
+      """WITH ps AS (
+        |  SELECT token, substr(md5(doc_id::VARCHAR), 1, 1) AS slice,
+        |         count(*)::BIGINT AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY 1, 2),
+        |t AS (SELECT token, sum(c)::BIGINT AS c_all
+        |      FROM ps GROUP BY 1),
+        |ft AS (
+        |  SELECT token AS full_token
+        |  FROM (SELECT token,
+        |               row_number() OVER (ORDER BY c_all DESC, token)
+        |                 AS rk
+        |        FROM t)
+        |  WHERE rk <= 10),
+        |folds AS (SELECT DISTINCT slice AS drop_slice FROM ps),
+        |fm AS (
+        |  SELECT f.drop_slice, t.token,
+        |         t.c_all - COALESCE(p.c, 0) AS c_minus
+        |  FROM t CROSS JOIN folds f
+        |  LEFT JOIN ps p
+        |    ON p.token = t.token AND p.slice = f.drop_slice),
+        |fr AS (
+        |  SELECT drop_slice, token,
+        |         row_number() OVER (PARTITION BY drop_slice
+        |                            ORDER BY c_minus DESC, token)
+        |           AS rk
+        |  FROM fm)
+        |SELECT drop_slice,
+        |       sum(CASE WHEN ft.full_token IS NOT NULL THEN 1 ELSE 0
+        |           END)::BIGINT AS n_agree,
+        |       (sum(CASE WHEN ft.full_token IS NOT NULL THEN 1 ELSE 0
+        |            END) * 100 // 10)::BIGINT AS agreement_pct
+        |FROM fr LEFT JOIN ft ON fr.token = ft.full_token
+        |WHERE fr.rk <= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
