@@ -5210,6 +5210,60 @@ object SparkEntry {
         .orderBy("drop_slice")
     }),
 
+    // Trailing-12-month revenue index: each month against the mean
+    // of its preceding 12 (the deseasonalized trend readout; q239's
+    // rolling-median sibling with an exact-integer mean — sum over
+    // the bounded ROWS window, one integer division). Warm-up months
+    // (fewer than 12 predecessors) are excluded, stated.
+    "q303_trailing_index" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w12 = Window.orderBy(col("mon")).rowsBetween(-12, -1)
+      Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long")).as("rev_c"))
+        .withColumn("t12_sum", sum(col("rev_c")).over(w12))
+        .withColumn("t12_n", count(col("rev_c")).over(w12))
+        .filter(col("t12_n") === 12L)
+        .select(col("mon"), (col("rev_c") / 100.0).as("revenue"),
+          expr("cast(rev_c as decimal(38,0)) * 12000" +
+            " div cast(t12_sum as decimal(38,0))")
+            .as("trailing_index_permille"))
+        .orderBy("mon")
+    }),
+
+    // Token-stutter detection: the longest CONSECUTIVE-repeat run of
+    // a token per document, rolled to per-source maxima and the ppm
+    // of documents with a run ≥ 3 — the looping-generator signature
+    // (models and broken crawlers stutter; prose doesn't). Runs are
+    // gaps-and-islands over the exploded token sequence, one
+    // doc-keyed exchange.
+    "q304_token_stutter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          posexplode(expr("filter(split(text, ' '), " +
+            "t -> length(t) > 0)")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runs = toks
+        .withColumn("brk",
+          when(col("tok") === lag(col("tok"), 1).over(w), 0L)
+            .otherwise(1L))
+        .withColumn("grp", sum(col("brk")).over(w))
+        .groupBy(col("source"), col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(max(col("run_len")).as("max_run"))
+      runs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("max_run")).as("worst_run"),
+          sum(when(col("max_run") >= 3L, 1L).otherwise(0L))
+            .as("n_stutter"))
+        .select(col("source"), col("n_docs"), col("worst_run"),
+          expr("n_stutter * 1000000L div n_docs").as("stutter_ppm"))
+        .orderBy("source")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -11208,6 +11262,58 @@ object SparkEntry {
         |FROM fr LEFT JOIN ft ON fr.token = ft.full_token
         |WHERE fr.rk <= 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q303: identical trailing ROWS window and integer index.
+    "q303_trailing_index" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS rev_c
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT mon, rev_c,
+        |         sum(rev_c) OVER (ORDER BY mon
+        |                          ROWS BETWEEN 12 PRECEDING
+        |                          AND 1 PRECEDING) AS t12_sum,
+        |         count(rev_c) OVER (ORDER BY mon
+        |                            ROWS BETWEEN 12 PRECEDING
+        |                            AND 1 PRECEDING) AS t12_n
+        |  FROM m)
+        |SELECT mon, (rev_c / 100.0)::DOUBLE AS revenue,
+        |       (rev_c::HUGEINT * 12000 // t12_sum::HUGEINT)::BIGINT
+        |         AS trailing_index_permille
+        |FROM w WHERE t12_n = 12 ORDER BY mon""".stripMargin,
+
+    // q304: identical islands over the token sequence.
+    "q304_token_stutter" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         generate_subscripts(toks, 1) AS pos,
+        |         unnest(toks) AS tok
+        |  FROM (SELECT source, doc_id,
+        |               list_filter(string_split(text, ' '),
+        |                           x -> length(x) > 0) AS toks
+        |        FROM documents)),
+        |b AS (
+        |  SELECT source, doc_id, pos,
+        |         CASE WHEN tok = lag(tok) OVER w THEN 0 ELSE 1 END
+        |           AS brk
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |g AS (
+        |  SELECT source, doc_id,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM b),
+        |r AS (
+        |  SELECT source, doc_id, max(run_len) AS max_run
+        |  FROM (SELECT source, doc_id, grp, count(*)::BIGINT AS run_len
+        |        FROM g GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       max(max_run)::BIGINT AS worst_run,
+        |       (sum(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END)
+        |        * 1000000 // count(*))::BIGINT AS stutter_ppm
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
