@@ -5264,6 +5264,98 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Hourly error-rate SLO: error share per hour-of-day in exact
+    // permille with the hour's traffic — the availability heat strip
+    // (errors clustering in one hour point at a batch job, not
+    // load). One events scan.
+    "q305_error_slo" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+        .select(col("hr"), col("n_events"), col("n_errors"),
+          expr("n_errors * 1000L div n_events").as("error_permille"))
+        .orderBy("hr")
+    }),
+
+    // Revenue-weighted ship delay per priority: Σ(delay·value) /
+    // Σvalue in exact integers — a day late on a big order hurts
+    // more than on a small one, which the unweighted mean (q234's
+    // grain) hides. One joined scan, one integer division.
+    "q306_weighted_ship_delay" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("l_shipdate")), col("o_orderdate"))
+            .cast("long").as("delay_d"),
+          (floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + lit(0.5))
+              .cast("long"))).as("rev_u"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("delay_d")).as("sd"),
+          sum(col("delay_d").cast(dec) * col("rev_u")).as("swd"),
+          sum(col("rev_u")).cast(dec).as("sw"))
+        .select(col("o_orderpriority"), col("n_lines"),
+          expr("sd div n_lines").as("mean_delay_d"),
+          r4(col("swd").cast("double") / col("sw").cast("double"))
+            .as("weighted_delay_d"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Cadence acceleration bands per segment: is each customer's
+    // LAST inter-order gap shorter or longer than their mean gap
+    // (accelerating / steady / decelerating, compared by integer
+    // cross-multiplication — last·(n−1) vs span, no division)?
+    // Early-warning sibling of the q259 overdue ranking.
+    "q307_cadence_acceleration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      // the last gap rides the same window pass as the aggregate via
+      // a rank-1 conditional max — no self-join
+      val withGaps = Tables.orders(s, dir)
+        .withColumn("gap_d",
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).cast("long"))
+        .withColumn("rk_desc", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderdate")).as("first_d"),
+          max(col("o_orderdate")).as("last_d"),
+          max(when(col("rk_desc") === 1, col("gap_d")))
+            .as("last_gap_d"))
+        .filter(col("n_orders") >= 4L && col("last_gap_d").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("last_d"), col("first_d")).cast("long")
+            .as("span_d"),
+          (col("n_orders") - 1).as("n_gaps"), col("last_gap_d"))
+        .filter(col("span_d") > 0L)
+      val banded = withGaps
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          // last·n_gaps vs span, 20% dead band via ±span/5
+          when(col("last_gap_d") * col("n_gaps") * 5 <
+            col("span_d") * 4, "a_accelerating")
+            .when(col("last_gap_d") * col("n_gaps") * 5 >
+              col("span_d") * 6, "c_decelerating")
+            .otherwise("b_steady").as("cadence"))
+      banded.groupBy(col("c_mktsegment"), col("cadence"))
+        .agg(count(lit(1)).as("n_customers"))
+        .withColumn("share_permille", expr("n_customers * 1000L div " +
+          "sum(n_customers) over (partition by c_mktsegment)"))
+        .orderBy("c_mktsegment", "cadence")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -11314,6 +11406,80 @@ object SparkEntry {
         |       (sum(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END)
         |        * 1000000 // count(*))::BIGINT AS stutter_ppm
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q305: identical hourly error permille.
+    "q305_error_slo" ->
+      """SELECT date_part('hour', ts)::BIGINT AS hr,
+        |       count(*)::BIGINT AS n_events,
+        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |         ::BIGINT AS n_errors,
+        |       (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |        * 1000 // count(*))::BIGINT AS error_permille
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q306: identical HUGEINT weighted mean.
+    "q306_weighted_ship_delay" ->
+      """WITH l AS (
+        |  SELECT o_orderpriority,
+        |         date_diff('day', o_orderdate,
+        |                   CAST(l_shipdate AS DATE))::BIGINT AS delay_d,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           * (100 - CAST(floor(l_discount * 100 + 0.5)
+        |                         AS BIGINT)) AS rev_u
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (
+        |  SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+        |         sum(delay_d)::BIGINT AS sd,
+        |         sum(delay_d::HUGEINT * rev_u::HUGEINT) AS swd,
+        |         sum(rev_u)::HUGEINT AS sw
+        |  FROM l GROUP BY 1)
+        |SELECT o_orderpriority, n_lines,
+        |       (sd // n_lines)::BIGINT AS mean_delay_d,
+        |       floor(swd::DOUBLE / sw::DOUBLE * 10000 + 0.5) / 10000
+        |         AS weighted_delay_d
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // q307: identical rank-1 last gap, cross-multiplied bands with
+    // the 20% dead band.
+    "q307_cadence_acceleration" ->
+      """WITH g AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |         date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+        |           ::BIGINT AS gap_d,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC,
+        |                                     o_orderkey DESC) AS rk_desc
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |p AS (
+        |  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |         min(o_orderdate) AS first_d, max(o_orderdate) AS last_d,
+        |         max(CASE WHEN rk_desc = 1 THEN gap_d END) AS last_gap_d
+        |  FROM g GROUP BY 1),
+        |f AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', first_d, last_d)::BIGINT AS span_d,
+        |         n_orders - 1 AS n_gaps, last_gap_d
+        |  FROM p
+        |  WHERE n_orders >= 4 AND last_gap_d IS NOT NULL),
+        |b AS (
+        |  SELECT c_mktsegment,
+        |         CASE WHEN last_gap_d * n_gaps * 5 < span_d * 4
+        |                THEN 'a_accelerating'
+        |              WHEN last_gap_d * n_gaps * 5 > span_d * 6
+        |                THEN 'c_decelerating'
+        |              ELSE 'b_steady' END AS cadence
+        |  FROM f JOIN customer ON o_custkey = c_custkey
+        |  WHERE span_d > 0),
+        |gg AS (
+        |  SELECT c_mktsegment, cadence, count(*)::BIGINT AS n_customers
+        |  FROM b GROUP BY 1, 2)
+        |SELECT c_mktsegment, cadence, n_customers,
+        |       (n_customers * 1000 //
+        |        sum(n_customers) OVER (PARTITION BY c_mktsegment))
+        |         ::BIGINT AS share_permille
+        |FROM gg ORDER BY c_mktsegment, cadence""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
