@@ -5356,6 +5356,96 @@ object SparkEntry {
         .orderBy("c_mktsegment", "cadence")
     }),
 
+    // Brand-concentration HHI per part type: Σ share² as exact ppm
+    // (Σc²·10⁶ div (Σc)² — the Herfindahl index without a single
+    // float), plus the brand count — the antitrust-standard
+    // concentration measure joining Gini (q179) and Simpson (q194)
+    // in the inequality family.
+    "q308_brand_hhi" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_type"), col("p_brand"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_type"), col("p_brand"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_brands"),
+          sum(col("q")).cast(dec).as("sq"),
+          sum(col("q").cast(dec) * col("q").cast(dec)).as("sq2"))
+        .select(col("p_type"), col("n_brands"),
+          expr("sq2 * 1000000 div (sq * sq)").as("hhi_ppm"))
+        .orderBy("p_type")
+    }),
+
+    // Tax-band conformance: line-level tax rates outside the
+    // configured [0%, 8%] legal band, per rate point — rates are
+    // exact integer percent points; out-of-band lines are the
+    // misconfiguration audit.
+    "q309_tax_band_audit" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(floor(col("l_tax") * 100 + lit(0.5)).cast("long")
+          .as("tax_pct"))
+        .groupBy(col("tax_pct"))
+        .agg(count(lit(1)).as("n_lines"))
+        .withColumn("in_band",
+          when(col("tax_pct") >= 0L && col("tax_pct") <= 8L, 1L)
+            .otherwise(0L))
+        .withColumn("share_permille",
+          expr("n_lines * 1000L div sum(n_lines) over ()"))
+        .orderBy("tax_pct")
+    }),
+
+    // Ops health one-pager: the operations KPIs as (metric, value)
+    // rows — p90 fulfillment days, open orders at the pinned cutoff,
+    // inversion ppm, mean order width — each in its already-audited
+    // exact form; q300's business card's operations sibling.
+    "q310_ops_health_card" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def row1(name: String, v: org.apache.spark.sql.DataFrame) =
+        v.select(lit(name).as("metric"),
+          col(v.columns.head).cast("double").as("value"))
+      val perOrder = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("last_ship"),
+          count(lit(1)).as("n_lines"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"),
+          datediff(col("last_ship"), col("o_orderdate")).cast("long")
+            .as("gap_d"), col("n_lines"), col("last_ship"),
+          col("o_orderdate"))
+      val p90 = row1("fulfillment_p90_days",
+        perOrder
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("gap_d"), col("l_orderkey"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rk") === ((col("n") * 9 + 9) / lit(10))
+            .cast("long"))
+          .select(col("gap_d").as("v")))
+      val openAt = row1("open_orders_at_cutoff",
+        perOrder.filter(col("o_orderdate") <= lit("1998-07-01") &&
+          col("last_ship") > lit("1998-07-01"))
+          .agg(count(lit(1)).as("v")))
+      val meanWidth = row1("mean_lines_per_order_permille",
+        perOrder.agg(expr("sum(n_lines) * 1000L div count(1)")
+          .as("v")))
+      val invPpm = row1("ship_inversion_ppm", {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("sd"), col("l_partkey"))
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), to_date(col("l_shipdate")).as("sd"))
+          .withColumn("prev_sd", lag(col("sd"), 1).over(w))
+          .filter(col("prev_sd").isNotNull)
+          .agg(expr("sum(case when sd < prev_sd then 1 else 0 end)" +
+            " * 1000000L div count(1)").as("v"))
+      })
+      p90.unionAll(openAt).unionAll(meanWidth).unionAll(invPpm)
+        .orderBy("metric")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -11480,6 +11570,75 @@ object SparkEntry {
         |        sum(n_customers) OVER (PARTITION BY c_mktsegment))
         |         ::BIGINT AS share_permille
         |FROM gg ORDER BY c_mktsegment, cadence""".stripMargin,
+
+    // q308: identical HUGEINT HHI.
+    "q308_brand_hhi" ->
+      """WITH tb AS (
+        |  SELECT p_type, p_brand, sum(l_quantity::BIGINT)::BIGINT AS q
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT p_type, count(*)::BIGINT AS n_brands,
+        |         sum(q)::HUGEINT AS sq,
+        |         sum(q::HUGEINT * q::HUGEINT) AS sq2
+        |  FROM tb GROUP BY 1)
+        |SELECT p_type, n_brands,
+        |       (sq2 * 1000000 // (sq * sq))::BIGINT AS hhi_ppm
+        |FROM a ORDER BY p_type""".stripMargin,
+
+    // q309: identical integer rate points and band flag.
+    "q309_tax_band_audit" ->
+      """WITH t AS (
+        |  SELECT CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_pct,
+        |         count(*)::BIGINT AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT tax_pct, n_lines,
+        |       (CASE WHEN tax_pct BETWEEN 0 AND 8 THEN 1 ELSE 0 END)
+        |         ::BIGINT AS in_band,
+        |       (n_lines * 1000 // sum(n_lines) OVER ())::BIGINT
+        |         AS share_permille
+        |FROM t ORDER BY tax_pct""".stripMargin,
+
+    // q310: identical composed ops KPIs.
+    "q310_ops_health_card" ->
+      """WITH po AS (
+        |  SELECT l_orderkey, last_ship, n_lines, o_orderdate,
+        |         date_diff('day', o_orderdate, last_ship)::BIGINT
+        |           AS gap_d
+        |  FROM (SELECT l_orderkey, max(CAST(l_shipdate AS DATE))
+        |               AS last_ship, count(*)::BIGINT AS n_lines
+        |        FROM lineitem GROUP BY 1)
+        |  JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT * FROM (
+        |  SELECT 'fulfillment_p90_days' AS metric, gap_d::DOUBLE
+        |           AS value
+        |  FROM (SELECT gap_d,
+        |               row_number() OVER (ORDER BY gap_d, l_orderkey)
+        |                 AS rk,
+        |               count(*) OVER () AS n
+        |        FROM po)
+        |  WHERE rk = (n * 9 + 9) // 10
+        |  UNION ALL
+        |  SELECT 'open_orders_at_cutoff', count(*)::DOUBLE
+        |  FROM po WHERE o_orderdate <= DATE '1998-07-01'
+        |    AND last_ship > DATE '1998-07-01'
+        |  UNION ALL
+        |  SELECT 'mean_lines_per_order_permille',
+        |         (sum(n_lines) * 1000 // count(*))::DOUBLE
+        |  FROM po
+        |  UNION ALL
+        |  SELECT 'ship_inversion_ppm',
+        |         (sum(CASE WHEN sd < prev_sd THEN 1 ELSE 0 END)
+        |          * 1000000 // count(*))::DOUBLE
+        |  FROM (SELECT CAST(l_shipdate AS DATE) AS sd,
+        |               lag(CAST(l_shipdate AS DATE)) OVER w AS prev_sd
+        |        FROM lineitem
+        |        WINDOW w AS (PARTITION BY l_orderkey
+        |                     ORDER BY l_linenumber,
+        |                              CAST(l_shipdate AS DATE),
+        |                              l_partkey))
+        |  WHERE prev_sd IS NOT NULL
+        |) ORDER BY metric""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
