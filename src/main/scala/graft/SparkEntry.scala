@@ -5446,6 +5446,90 @@ object SparkEntry {
         .orderBy("metric")
     }),
 
+    // Seasonality stability: each calendar month's revenue share
+    // per year, summarized as the min/max share spread across years
+    // — a stable season plans inventory, a drifting one doesn't.
+    // Shares are exact permille of each year's total; only complete
+    // years (12 distinct months) enter.
+    "q311_seasonality_stability" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val ym = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("moy"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long")).as("rev_c"))
+        .withColumn("yr_tot", sum(col("rev_c")).over(
+          Window.partitionBy(col("yr"))))
+        .withColumn("n_months", count(lit(1)).over(
+          Window.partitionBy(col("yr"))))
+        .filter(col("n_months") === 12L)
+        .select(col("yr"), col("moy"),
+          expr(s"cast(rev_c as $dec) * 1000" +
+            s" div cast(yr_tot as $dec)").as("share_permille"))
+      ym.groupBy(col("moy"))
+        .agg(count(lit(1)).as("n_years"),
+          min(col("share_permille")).as("min_share_permille"),
+          max(col("share_permille")).as("max_share_permille"))
+        .select(col("moy").cast("long").as("month"), col("n_years"),
+          col("min_share_permille"), col("max_share_permille"),
+          (col("max_share_permille") - col("min_share_permille"))
+            .as("spread_permille"))
+        .orderBy("month")
+    }),
+
+    // Nation supply dependence: each nation's top supplier share of
+    // its shipped value (exact permille off supplier aggregates) —
+    // the single-point-of-failure readout at the geography grain
+    // (q275's part-grain sibling).
+    "q312_nation_supplier_dependence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val perSupp = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"), col("l_suppkey"))
+        .agg(sum((floor(col("l_extendedprice") * 100 + lit(0.5))
+          .cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + lit(0.5))
+            .cast("long")))).as("rev_u"))
+      val w = Window.partitionBy(col("n_name"))
+      perSupp
+        .withColumn("tot", sum(col("rev_u")).over(w))
+        .withColumn("n_suppliers", count(lit(1)).over(w))
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("rev_u").desc, col("l_suppkey"))))
+        .filter(col("rk") === 1)
+        .select(col("n_name"), col("n_suppliers").cast("long")
+          .as("n_suppliers"),
+          expr(s"cast(rev_u as $dec) * 1000 div cast(tot as $dec)")
+            .as("top_supplier_permille"))
+        .orderBy("n_name")
+    }),
+
+    // Positional token-length profile: mean token length (permille
+    // exact) by relative document position quintile — generated or
+    // truncated text degrades toward the tail; prose doesn't. The
+    // quintile is pure integer arithmetic on (pos, n_tokens).
+    "q313_positional_profile" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(expr("filter(split(text, ' '), t -> length(t) > 0)")
+          .as("toks"))
+        .select(expr("size(toks)").cast("long").as("n"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
+        .filter(col("n") >= 5L)
+        .select(expr("(pos * 5) div n").cast("long").as("quintile"),
+          length(col("tok")).cast("long").as("len"))
+      toks.groupBy(col("quintile"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("len")).as("sl"))
+        .select(col("quintile"), col("n_tokens"),
+          expr("sl * 1000L div n_tokens").as("mean_len_permille"))
+        .orderBy("quintile")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -11639,6 +11723,73 @@ object SparkEntry {
         |                              l_partkey))
         |  WHERE prev_sd IS NOT NULL
         |) ORDER BY metric""".stripMargin,
+
+    // q311: identical complete-year shares and spread.
+    "q311_seasonality_stability" ->
+      """WITH ym AS (
+        |  SELECT date_part('year', o_orderdate)::INT AS yr,
+        |         date_part('month', o_orderdate)::INT AS moy,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS rev_c
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT yr, moy, rev_c,
+        |         sum(rev_c) OVER (PARTITION BY yr) AS yr_tot,
+        |         count(*) OVER (PARTITION BY yr) AS n_months
+        |  FROM ym),
+        |s AS (
+        |  SELECT yr, moy,
+        |         (rev_c::HUGEINT * 1000 // yr_tot::HUGEINT)::BIGINT
+        |           AS share_permille
+        |  FROM w WHERE n_months = 12)
+        |SELECT moy::BIGINT AS month, count(*)::BIGINT AS n_years,
+        |       min(share_permille)::BIGINT AS min_share_permille,
+        |       max(share_permille)::BIGINT AS max_share_permille,
+        |       (max(share_permille) - min(share_permille))::BIGINT
+        |         AS spread_permille
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q312: identical top-supplier permille per nation.
+    "q312_nation_supplier_dependence" ->
+      """WITH ps AS (
+        |  SELECT n_name, l_suppkey,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             * (100 - CAST(floor(l_discount * 100 + 0.5)
+        |                           AS BIGINT)))::BIGINT AS rev_u
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT n_name, rev_u,
+        |         sum(rev_u) OVER (PARTITION BY n_name) AS tot,
+        |         count(*) OVER (PARTITION BY n_name) AS n_suppliers,
+        |         row_number() OVER (PARTITION BY n_name
+        |                            ORDER BY rev_u DESC, l_suppkey)
+        |           AS rk
+        |  FROM ps)
+        |SELECT n_name, n_suppliers::BIGINT AS n_suppliers,
+        |       (rev_u::HUGEINT * 1000 // tot::HUGEINT)::BIGINT
+        |         AS top_supplier_permille
+        |FROM w WHERE rk = 1 ORDER BY n_name""".stripMargin,
+
+    // q313: identical integer quintiles and permille means.
+    "q313_positional_profile" ->
+      """WITH t AS (
+        |  SELECT length(toks)::BIGINT AS n,
+        |         generate_subscripts(toks, 1) - 1 AS pos,
+        |         unnest(toks) AS tok
+        |  FROM (SELECT list_filter(string_split(text, ' '),
+        |                           x -> length(x) > 0) AS toks
+        |        FROM documents)),
+        |q AS (
+        |  SELECT ((pos * 5) // n)::BIGINT AS quintile,
+        |         length(tok)::BIGINT AS len
+        |  FROM t WHERE n >= 5)
+        |SELECT quintile, count(*)::BIGINT AS n_tokens,
+        |       (sum(len) * 1000 // count(*))::BIGINT
+        |         AS mean_len_permille
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
