@@ -5530,6 +5530,93 @@ object SparkEntry {
         .orderBy("quintile")
     }),
 
+    // Import diversity: how many distinct supplier NATIONS each
+    // customer buys from, banded — single-nation buyers are
+    // tariff/disruption exposed. One joined scan to (customer,
+    // supplier-nation) grain, then two rollups.
+    "q314_import_diversity" -> ((s, dir) => {
+      val perCust = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(col("s_nationkey")).as("n_nations"))
+      perCust
+        .select(
+          when(col("n_nations") === 1L, "a_single")
+            .when(col("n_nations") <= 3L, "b_2_3")
+            .when(col("n_nations") <= 6L, "c_4_6")
+            .otherwise("d_7_plus").as("diversity_band"))
+        .groupBy(col("diversity_band"))
+        .agg(count(lit(1)).as("n_customers"))
+        .withColumn("share_permille",
+          expr("n_customers * 1000L div sum(n_customers) over ()"))
+        .orderBy("diversity_band")
+    }),
+
+    // Footer-duplicate families: documents sharing their LAST five
+    // tokens — the template/boilerplate signature prefix dedup
+    // misses (footers anchor at the tail). Families with more than
+    // one member, per source: family count and member ppm.
+    "q315_footer_families" -> ((s, dir) => {
+      val fp = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)")
+            .as("toks"))
+        .filter(expr("size(toks) >= 5"))
+        .select(col("source"), col("doc_id"),
+          expr("concat_ws(' ', slice(toks, -5, 5))").as("footer"))
+      val fams = fp.groupBy(col("source"), col("footer"))
+        .agg(count(lit(1)).as("sz"))
+      fams.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_footers"),
+          sum(when(col("sz") > 1L, 1L).otherwise(0L))
+            .as("n_families"),
+          sum(when(col("sz") > 1L, col("sz")).otherwise(0L))
+            .as("n_docs_in_families"),
+          sum(col("sz")).as("n_docs"))
+        .select(col("source"), col("n_footers"), col("n_families"),
+          expr("n_docs_in_families * 1000000L div n_docs")
+            .as("family_doc_ppm"))
+        .orderBy("source")
+    }),
+
+    // Forecaster bake-off: trailing-3-month mean vs seasonal-naive
+    // (same month last year) on monthly revenue — per-forecaster
+    // mean APE in ppm and head-to-head wins, only on months where
+    // BOTH have a forecast. The model-selection readout behind
+    // q248/q303; every error is exact integer ppm.
+    "q316_forecast_bakeoff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.orderBy(col("mon"))
+      val m = Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long")).as("rev_c"))
+        .withColumn("t3_sum", sum(col("rev_c")).over(
+          wOrd.rowsBetween(-3, -1)))
+        .withColumn("t3_n", count(col("rev_c")).over(
+          wOrd.rowsBetween(-3, -1)))
+        .withColumn("sn", lag(col("rev_c"), 12).over(wOrd))
+        .filter(col("t3_n") === 3L && col("sn").isNotNull &&
+          col("sn") > 0L && col("rev_c") > 0L)
+        .select(col("mon"), col("rev_c"),
+          expr("t3_sum div 3").as("f_t3"), col("sn"))
+        .select(col("mon"),
+          expr("abs(rev_c - f_t3) * 1000000L div rev_c").as("ape_t3"),
+          expr("abs(rev_c - sn) * 1000000L div rev_c").as("ape_sn"))
+      m.agg(count(lit(1)).as("n_months"),
+        expr("sum(ape_t3) div count(1)").as("trailing3_mape_ppm"),
+        expr("sum(ape_sn) div count(1)").as("seasonal_mape_ppm"),
+        sum(when(col("ape_t3") < col("ape_sn"), 1L).otherwise(0L))
+          .as("trailing3_wins"),
+        sum(when(col("ape_sn") < col("ape_t3"), 1L).otherwise(0L))
+          .as("seasonal_wins"))
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -11790,6 +11877,77 @@ object SparkEntry {
         |       (sum(len) * 1000 // count(*))::BIGINT
         |         AS mean_len_permille
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q314: identical supplier-nation counts and bands.
+    "q314_import_diversity" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         count(DISTINCT s_nationkey)::BIGINT AS n_nations
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN n_nations = 1 THEN 'a_single'
+        |              WHEN n_nations <= 3 THEN 'b_2_3'
+        |              WHEN n_nations <= 6 THEN 'c_4_6'
+        |              ELSE 'd_7_plus' END AS diversity_band
+        |  FROM pc)
+        |SELECT diversity_band, count(*)::BIGINT AS n_customers,
+        |       (count(*) * 1000 // sum(count(*)) OVER ())::BIGINT
+        |         AS share_permille
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q315: identical last-5-token footers (≥5-token docs).
+    "q315_footer_families" ->
+      """WITH fp AS (
+        |  SELECT source, doc_id,
+        |         array_to_string(toks[-5:], ' ') AS footer
+        |  FROM (SELECT source, doc_id,
+        |               list_filter(string_split(text, ' '),
+        |                           t -> length(t) > 0) AS toks
+        |        FROM documents)
+        |  WHERE length(toks) >= 5),
+        |f AS (
+        |  SELECT source, footer, count(*)::BIGINT AS sz
+        |  FROM fp GROUP BY 1, 2)
+        |SELECT source, count(*)::BIGINT AS n_footers,
+        |       sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_families,
+        |       (sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) * 1000000
+        |        // sum(sz))::BIGINT AS family_doc_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q316: identical trailing/seasonal forecasts and exact ppm
+    // errors.
+    "q316_forecast_bakeoff" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS rev_c
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT mon, rev_c,
+        |         sum(rev_c) OVER (ORDER BY mon ROWS BETWEEN 3
+        |                          PRECEDING AND 1 PRECEDING) AS t3_sum,
+        |         count(rev_c) OVER (ORDER BY mon ROWS BETWEEN 3
+        |                            PRECEDING AND 1 PRECEDING) AS t3_n,
+        |         lag(rev_c, 12) OVER (ORDER BY mon) AS sn
+        |  FROM m),
+        |e AS (
+        |  SELECT mon,
+        |         abs(rev_c - t3_sum // 3) * 1000000 // rev_c AS ape_t3,
+        |         abs(rev_c - sn) * 1000000 // rev_c AS ape_sn
+        |  FROM w
+        |  WHERE t3_n = 3 AND sn IS NOT NULL AND sn > 0 AND rev_c > 0)
+        |SELECT count(*)::BIGINT AS n_months,
+        |       (sum(ape_t3) // count(*))::BIGINT AS trailing3_mape_ppm,
+        |       (sum(ape_sn) // count(*))::BIGINT AS seasonal_mape_ppm,
+        |       sum(CASE WHEN ape_t3 < ape_sn THEN 1 ELSE 0 END)
+        |         ::BIGINT AS trailing3_wins,
+        |       sum(CASE WHEN ape_sn < ape_t3 THEN 1 ELSE 0 END)
+        |         ::BIGINT AS seasonal_wins
+        |FROM e""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
