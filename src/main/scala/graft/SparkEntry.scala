@@ -5617,6 +5617,83 @@ object SparkEntry {
           .as("seasonal_wins"))
     }),
 
+    // Spend-growth mix per segment 1996→1997: the share of customers
+    // active both years whose spend grew — the expansion/contraction
+    // balance behind q281's aggregate mix shift. One scan,
+    // year-conditional sums, integer compares.
+    "q317_spend_growth_mix" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_custkey"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === 1996,
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .otherwise(0L)).as("s96"),
+          sum(when(year(col("o_orderdate")) === 1997,
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .otherwise(0L)).as("s97"))
+        .filter(col("s96") > 0L && col("s97") > 0L)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_both_years"),
+          sum(when(col("s97") > col("s96"), 1L).otherwise(0L))
+            .as("n_growing"))
+        .select(col("c_mktsegment"), col("n_both_years"),
+          col("n_growing"),
+          expr("n_growing * 1000L div n_both_years")
+            .as("growing_permille"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // On-time trend: monthly share of line items shipping within 7
+    // days of their order — the fulfillment-quality time series
+    // (q230's latency bands collapsed to one SLA number per month).
+    "q318_ontime_trend" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(datediff(to_date(col("l_shipdate")),
+            col("o_orderdate")) <= 7, 1L).otherwise(0L))
+            .as("n_ontime"))
+        .select(col("mon"), col("n_lines"),
+          expr("n_ontime * 1000L div n_lines").as("ontime_permille"))
+        .orderBy("mon")
+    }),
+
+    // Does catalog naming correlate with demand? Spearman rank
+    // correlation between part-name length and total quantity sold —
+    // q235's exact tie-broken-rank machinery at the catalog grain
+    // (the null result is the point: a near-zero rho certifies the
+    // fixture's name lengths are demand-independent).
+    "q319_name_demand_spearman" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val per = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey"), length(col("p_name")).cast("long")
+            .as("name_len")),
+          col("l_partkey") === col("p_partkey"))
+      val ranked = per
+        .withColumn("r1", row_number().over(
+          Window.orderBy(col("name_len"), col("l_partkey"))))
+        .withColumn("r2", row_number().over(
+          Window.orderBy(col("qty"), col("l_partkey"))))
+      ranked.agg(count(lit(1)).cast(dec).as("n"),
+        sum(((col("r1") - col("r2")) * (col("r1") - col("r2")))
+          .cast(dec)).as("sd2"))
+        .select(col("n").cast("long").as("n_parts"),
+          r4(lit(1.0) - (col("sd2") * 6).cast("double") /
+            (col("n") * col("n") * col("n") - col("n")).cast("double"))
+            .as("spearman_rho"))
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -11948,6 +12025,59 @@ object SparkEntry {
         |       sum(CASE WHEN ape_sn < ape_t3 THEN 1 ELSE 0 END)
         |         ::BIGINT AS seasonal_wins
         |FROM e""".stripMargin,
+
+    // q317: identical both-year filter and growth compare.
+    "q317_spend_growth_mix" ->
+      """WITH pc AS (
+        |  SELECT c_mktsegment, o_custkey,
+        |         sum(CASE WHEN date_part('year', o_orderdate) = 1996
+        |             THEN CAST(floor(o_totalprice * 100 + 0.5)
+        |                       AS BIGINT) ELSE 0 END)::BIGINT AS s96,
+        |         sum(CASE WHEN date_part('year', o_orderdate) = 1997
+        |             THEN CAST(floor(o_totalprice * 100 + 0.5)
+        |                       AS BIGINT) ELSE 0 END)::BIGINT AS s97
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE date_part('year', o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_both_years,
+        |       sum(CASE WHEN s97 > s96 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_growing,
+        |       (sum(CASE WHEN s97 > s96 THEN 1 ELSE 0 END) * 1000
+        |        // count(*))::BIGINT AS growing_permille
+        |FROM pc WHERE s96 > 0 AND s97 > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q318: identical 7-day SLA permille per month.
+    "q318_ontime_trend" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+        |       count(*)::BIGINT AS n_lines,
+        |       (sum(CASE WHEN date_diff('day', o_orderdate,
+        |                                 CAST(l_shipdate AS DATE)) <= 7
+        |                 THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
+        |         AS ontime_permille
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q319: identical tie-broken ranks, exact closed form.
+    "q319_name_demand_spearman" ->
+      """WITH per AS (
+        |  SELECT l_partkey, sum(l_quantity::BIGINT)::BIGINT AS qty,
+        |         length(p_name)::BIGINT AS name_len
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 3),
+        |r AS (
+        |  SELECT row_number() OVER (ORDER BY name_len, l_partkey)
+        |           AS r1,
+        |         row_number() OVER (ORDER BY qty, l_partkey) AS r2
+        |  FROM per),
+        |a AS (
+        |  SELECT count(*)::HUGEINT AS n,
+        |         sum(((r1 - r2) * (r1 - r2))::HUGEINT) AS sd2
+        |  FROM r)
+        |SELECT n::BIGINT AS n_parts,
+        |       floor((1.0 - (sd2 * 6)::DOUBLE / (n * n * n - n)::DOUBLE)
+        |             * 10000 + 0.5) / 10000 AS spearman_rho
+        |FROM a""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
