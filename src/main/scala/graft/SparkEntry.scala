@@ -5694,6 +5694,45 @@ object SparkEntry {
             .as("spearman_rho"))
     }),
 
+    // Session-grain type affinity: which event types co-occur in the
+    // SAME session (q276's user-grain affinity tightened to the
+    // 30-minute behavioral unit — "do people who error then view in
+    // one sitting"). Session sets via the exact-µs sessionizer; the
+    // pair space rides the distinct (session, type) self-join;
+    // Jaccard from the union identity.
+    "q320_session_type_affinity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val st = Tables.events(s, dir)
+        .withColumn("brk",
+          when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w)) <= 1800000000L, 0L)
+            .otherwise(1L))
+        .withColumn("sess_id", sum(col("brk")).over(w))
+        .select(concat(col("user_id"), lit("#"), col("sess_id"))
+          .as("sid"), col("event_type")).distinct()
+      val sizes = st.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ns"))
+      val inter = st.select(col("sid"), col("event_type").as("ta"))
+        .join(st.select(col("sid").as("sid_b"),
+          col("event_type").as("tb")),
+          col("sid") === col("sid_b") && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(sizes.select(col("event_type").as("ta"),
+          col("ns").as("na")), "ta")
+        .join(sizes.select(col("event_type").as("tb"),
+          col("ns").as("nb")), "tb")
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("n_both"),
+          r4(col("n_both").cast("double") /
+            (col("na") + col("nb") - col("n_both")).cast("double"))
+            .as("session_jaccard"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -12078,6 +12117,39 @@ object SparkEntry {
         |       floor((1.0 - (sd2 * 6)::DOUBLE / (n * n * n - n)::DOUBLE)
         |             * 10000 + 0.5) / 10000 AS spearman_rho
         |FROM a""".stripMargin,
+
+    // q320: identical sessionizer, session sets, union identity.
+    "q320_session_type_affinity" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                   <= 1800000000 THEN 0 ELSE 1 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (
+        |  SELECT DISTINCT
+        |         user_id || '#' || sum(brk) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |           AS sid,
+        |         event_type
+        |  FROM e),
+        |sz AS (
+        |  SELECT event_type, count(*)::BIGINT AS ns
+        |  FROM st GROUP BY 1),
+        |i AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*)::BIGINT AS n_both
+        |  FROM st a JOIN st b
+        |    ON a.sid = b.sid AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        |       floor(n_both::DOUBLE
+        |             / (sa.ns + sb.ns - n_both)::DOUBLE * 10000 + 0.5)
+        |         / 10000 AS session_jaccard
+        |FROM i
+        |JOIN sz sa ON sa.event_type = type_a
+        |JOIN sz sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
