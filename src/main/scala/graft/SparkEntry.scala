@@ -5733,6 +5733,83 @@ object SparkEntry {
         .orderBy("type_a", "type_b")
     }),
 
+    // Returns by discount depth: do discounted lines come back more?
+    // Return permille per exact discount point — the
+    // promotion-quality check (deep discounts that boomerang as
+    // returns are negative-margin twice). One scan.
+    "q321_returns_by_discount" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+          .as("discount_pct"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returns"))
+        .select(col("discount_pct"), col("n_lines"),
+          expr("n_returns * 1000L div n_lines").as("return_permille"))
+        .orderBy("discount_pct")
+    }),
+
+    // Quantity-integrality audit: l_quantity is documented integral;
+    // count the lines where floor(q) ≠ q per status — the
+    // type-conformance check (zeros are the healthy report, the
+    // q227 discipline on a value column).
+    "q322_quantity_integrality" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(expr("l_quantity != floor(l_quantity)"), 1L)
+            .otherwise(0L)).as("n_fractional"))
+        .orderBy("l_linestatus")
+    }),
+
+    // Growth decomposition 1996→1997 per region: the revenue delta
+    // split into a VOLUME effect (quantity change valued at 1996
+    // unit prices, Laspeyres) and the residual PRICE/MIX effect —
+    // the FP&A bridge, in exact integers (per-part 1996 unit value
+    // is an integer division, stated as the decomposition's
+    // definition). Parts absent in 1996 contribute wholly to
+    // price/mix, as the convention goes.
+    "q323_growth_decomposition" -> ((s, dir) => {
+      val base = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name"), col("l_partkey"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === 1996,
+            col("l_quantity").cast("long")).otherwise(0L)).as("q96"),
+          sum(when(year(col("o_orderdate")) === 1997,
+            col("l_quantity").cast("long")).otherwise(0L)).as("q97"),
+          sum(when(year(col("o_orderdate")) === 1996,
+            floor(col("l_extendedprice") * 100 + lit(0.5))
+              .cast("long")).otherwise(0L)).as("r96"),
+          sum(when(year(col("o_orderdate")) === 1997,
+            floor(col("l_extendedprice") * 100 + lit(0.5))
+              .cast("long")).otherwise(0L)).as("r97"))
+      base
+        .select(col("r_name"), col("r96"), col("r97"),
+          when(col("q96") > 0L,
+            (col("q97") - col("q96")) * expr("r96 div q96"))
+            .otherwise(0L).as("vol_effect_c"))
+        .groupBy(col("r_name"))
+        .agg((sum(col("r96")) / 100.0).as("rev_1996"),
+          (sum(col("r97")) / 100.0).as("rev_1997"),
+          (sum(col("vol_effect_c")) / 100.0).as("volume_effect"),
+          (sum(col("r97") - col("r96") - col("vol_effect_c")) / 100.0)
+            .as("price_mix_effect"))
+        .orderBy("r_name")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -12150,6 +12227,57 @@ object SparkEntry {
         |JOIN sz sa ON sa.event_type = type_a
         |JOIN sz sb ON sb.event_type = type_b
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // q321: identical discount points and return permille.
+    "q321_returns_by_discount" ->
+      """SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |         AS discount_pct,
+        |       count(*)::BIGINT AS n_lines,
+        |       (sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |        * 1000 // count(*))::BIGINT AS return_permille
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q322: identical integrality predicate.
+    "q322_quantity_integrality" ->
+      """SELECT l_linestatus, count(*)::BIGINT AS n_lines,
+        |       sum(CASE WHEN l_quantity <> floor(l_quantity)
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_fractional
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q323: identical Laspeyres split with the integer-div unit
+    // value convention.
+    "q323_growth_decomposition" ->
+      """WITH b AS (
+        |  SELECT r_name, l_partkey,
+        |         sum(CASE WHEN date_part('year', o_orderdate) = 1996
+        |             THEN l_quantity::BIGINT ELSE 0 END)::BIGINT AS q96,
+        |         sum(CASE WHEN date_part('year', o_orderdate) = 1997
+        |             THEN l_quantity::BIGINT ELSE 0 END)::BIGINT AS q97,
+        |         sum(CASE WHEN date_part('year', o_orderdate) = 1996
+        |             THEN CAST(floor(l_extendedprice * 100 + 0.5)
+        |                       AS BIGINT) ELSE 0 END)::BIGINT AS r96,
+        |         sum(CASE WHEN date_part('year', o_orderdate) = 1997
+        |             THEN CAST(floor(l_extendedprice * 100 + 0.5)
+        |                       AS BIGINT) ELSE 0 END)::BIGINT AS r97
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE date_part('year', o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |v AS (
+        |  SELECT r_name, r96, r97,
+        |         CASE WHEN q96 > 0
+        |              THEN (q97 - q96) * (r96 // q96) ELSE 0 END
+        |           AS vol_effect_c
+        |  FROM b)
+        |SELECT r_name, (sum(r96) / 100.0)::DOUBLE AS rev_1996,
+        |       (sum(r97) / 100.0)::DOUBLE AS rev_1997,
+        |       (sum(vol_effect_c) / 100.0)::DOUBLE AS volume_effect,
+        |       (sum(r97 - r96 - vol_effect_c) / 100.0)::DOUBLE
+        |         AS price_mix_effect
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
