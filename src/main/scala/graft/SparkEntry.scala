@@ -5810,6 +5810,61 @@ object SparkEntry {
         .orderBy("r_name")
     }),
 
+    // Event-value concentration ladder: the share of total event
+    // value produced by the top 1% / 10% of users — q232's
+    // whale-dependence readout on the behavioral axis. Exact ceil
+    // thresholds over the |users| aggregate, decimal ppm.
+    "q324_user_value_concentration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_c"))
+      per
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("v_c").desc, col("user_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("tot", sum(col("v_c")).over(Window.partitionBy()))
+        .select(col("rk"), col("n"), col("tot"), col("v_c"),
+          explode(array(lit(10), lit(100))).as("pct_permille"))
+        .filter(col("rk") <=
+          ((col("n") * col("pct_permille") + 999) / lit(1000))
+            .cast("long"))
+        .groupBy(col("pct_permille"))
+        .agg(count(lit(1)).as("n_users"),
+          expr(s"cast(sum(v_c) as $dec) * 1000000" +
+            s" div cast(max(tot) as $dec)").as("share_ppm"))
+        .orderBy("pct_permille")
+    }),
+
+    // Realized-vs-catalog price gap per brand: total transacted
+    // value against quantity-at-retail value, the signed ppm gap —
+    // persistent negative gaps mean the catalog price is fiction.
+    // Exact integer value totals; one joined scan.
+    "q325_realized_vs_catalog" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"),
+            floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")
+              .as("retail_c"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * 100 + lit(0.5))
+            .cast("long")).as("real_c"),
+          sum(col("l_quantity").cast("long") * col("retail_c"))
+            .as("catalog_c"))
+        .filter(col("catalog_c") > 0L)
+        .select(col("p_brand"), col("n_lines"),
+          (col("real_c") / 100.0).as("realized_value"),
+          (col("catalog_c") / 100.0).as("catalog_value"),
+          expr(s"cast(real_c - catalog_c as $dec) * 1000000" +
+            s" div cast(catalog_c as $dec)").as("gap_ppm"))
+        .orderBy("p_brand")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -12278,6 +12333,45 @@ object SparkEntry {
         |       (sum(r97 - r96 - vol_effect_c) / 100.0)::DOUBLE
         |         AS price_mix_effect
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q324: identical ceil thresholds and HUGEINT ppm shares.
+    "q324_user_value_concentration" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+        |           AS v_c
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT v_c,
+        |         row_number() OVER (ORDER BY v_c DESC, user_id) AS rk,
+        |         count(*) OVER () AS n, sum(v_c) OVER () AS tot
+        |  FROM pu),
+        |e AS (
+        |  SELECT r.*, p.pct_permille
+        |  FROM r CROSS JOIN (VALUES (10), (100)) AS p(pct_permille))
+        |SELECT pct_permille, count(*)::BIGINT AS n_users,
+        |       (sum(v_c)::HUGEINT * 1000000 // max(tot)::HUGEINT)
+        |         ::BIGINT AS share_ppm
+        |FROM e WHERE rk <= (n * pct_permille + 999) // 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q325: identical cent totals and signed gap.
+    "q325_realized_vs_catalog" ->
+      """WITH b AS (
+        |  SELECT p_brand, count(*)::BIGINT AS n_lines,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5)
+        |                  AS BIGINT))::BIGINT AS real_c,
+        |         sum(l_quantity::BIGINT
+        |             * CAST(floor(p_retailprice * 100 + 0.5)
+        |                    AS BIGINT))::BIGINT AS catalog_c
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, n_lines,
+        |       (real_c / 100.0)::DOUBLE AS realized_value,
+        |       (catalog_c / 100.0)::DOUBLE AS catalog_value,
+        |       ((real_c::HUGEINT - catalog_c::HUGEINT) * 1000000
+        |        // catalog_c::HUGEINT)::BIGINT AS gap_ppm
+        |FROM b WHERE catalog_c > 0 ORDER BY p_brand""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
