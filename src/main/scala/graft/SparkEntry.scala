@@ -5865,6 +5865,68 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // Hamilton (largest-remainder) sampling allocation: split a
+    // 10 000-row sampling budget across nations proportional to
+    // their order counts — floor quotas first, then the leftover
+    // seats go to the largest remainders (region tie-break). The
+    // survey-sampling / apportionment algorithm in exact integers;
+    // quotas provably sum to the budget.
+    "q326_hamilton_allocation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 10000L
+      val counts = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("tot", sum(col("n_orders")).over(
+          Window.partitionBy()))
+      val quotas = counts
+        .select(col("n_name"), col("n_orders"),
+          expr(s"n_orders * ${budget}L div tot").as("base"),
+          expr(s"n_orders * ${budget}L % tot").as("rem"),
+          col("tot"))
+        .withColumn("leftover",
+          lit(budget) - sum(col("base")).over(Window.partitionBy()))
+        .withColumn("rrk", row_number().over(Window.orderBy(
+          col("rem").desc, col("n_name"))))
+        .select(col("n_name"), col("n_orders"),
+          (col("base") +
+            when(col("rrk") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+      quotas.orderBy("n_name")
+    }),
+
+    // Value-threshold CDF ladder: the share of orders (and of
+    // revenue) under $100k / $200k / $300k — fixed-point CDF reads
+    // without a sort, the affordability-band readout. One scan,
+    // conditional integer sums.
+    "q327_value_cdf_ladder" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long").as("v_c"))
+        .select(col("v_c"),
+          explode(array(lit(10000000L), lit(20000000L),
+            lit(30000000L))).as("threshold_c"))
+        .groupBy(col("threshold_c"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("v_c") < col("threshold_c"), 1L).otherwise(0L))
+            .as("n_under"),
+          sum(col("v_c")).as("tot_c"),
+          sum(when(col("v_c") < col("threshold_c"), col("v_c"))
+            .otherwise(0L)).as("under_c"))
+        .select((col("threshold_c") / 100.0).as("threshold"),
+          expr("n_under * 1000L div n_total")
+            .as("order_share_permille"),
+          expr(s"cast(under_c as $dec) * 1000" +
+            s" div cast(tot_c as $dec)").as("revenue_share_permille"))
+        .orderBy("threshold")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -12372,6 +12434,54 @@ object SparkEntry {
         |       ((real_c::HUGEINT - catalog_c::HUGEINT) * 1000000
         |        // catalog_c::HUGEINT)::BIGINT AS gap_ppm
         |FROM b WHERE catalog_c > 0 ORDER BY p_brand""".stripMargin,
+
+    // q326: identical floor quotas, largest-remainder top-up.
+    "q326_hamilton_allocation" ->
+      """WITH c AS (
+        |  SELECT n_name, count(*)::BIGINT AS n_orders
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT c.*, sum(n_orders) OVER () AS tot FROM c),
+        |q AS (
+        |  SELECT n_name, n_orders,
+        |         (n_orders * 10000 // tot)::BIGINT AS base,
+        |         (n_orders * 10000 % tot)::BIGINT AS rem
+        |  FROM t),
+        |l AS (
+        |  SELECT q.*, 10000 - sum(base) OVER () AS leftover,
+        |         row_number() OVER (ORDER BY rem DESC, n_name) AS rrk
+        |  FROM q)
+        |SELECT n_name, n_orders,
+        |       (base + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END)
+        |         ::BIGINT AS quota
+        |FROM l ORDER BY n_name""".stripMargin,
+
+    // q327: identical fixed thresholds and conditional sums.
+    "q327_value_cdf_ladder" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v_c
+        |  FROM orders),
+        |e AS (
+        |  SELECT v_c, t.threshold_c
+        |  FROM v CROSS JOIN (VALUES (10000000), (20000000),
+        |                            (30000000)) AS t(threshold_c)),
+        |g AS (
+        |  SELECT threshold_c, count(*)::BIGINT AS n_total,
+        |         sum(CASE WHEN v_c < threshold_c THEN 1 ELSE 0 END)
+        |           ::BIGINT AS n_under,
+        |         sum(v_c)::BIGINT AS tot_c,
+        |         sum(CASE WHEN v_c < threshold_c THEN v_c ELSE 0 END)
+        |           ::BIGINT AS under_c
+        |  FROM e GROUP BY 1)
+        |SELECT (threshold_c / 100.0)::DOUBLE AS threshold,
+        |       (n_under * 1000 // n_total)::BIGINT
+        |         AS order_share_permille,
+        |       (under_c::HUGEINT * 1000 // tot_c::HUGEINT)::BIGINT
+        |         AS revenue_share_permille
+        |FROM g ORDER BY threshold""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
