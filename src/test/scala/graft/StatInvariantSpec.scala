@@ -164,6 +164,32 @@ class StatInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q326 Hamilton allocation conserves the budget exactly") {
+    val total = rows("q326_hamilton_allocation")
+      .map(_.getAs[Long]("quota")).sum
+    assert(total == 10000L, s"quotas sum to $total, not 10000")
+  }
+
+  test("q327 CDF ladder is monotone in the threshold") {
+    val rs = rows("q327_value_cdf_ladder")
+      .sortBy(_.getAs[Double]("threshold"))
+    rs.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.getAs[Long]("order_share_permille") <=
+          b.getAs[Long]("order_share_permille"))
+        assert(a.getAs[Long]("revenue_share_permille") <=
+          b.getAs[Long]("revenue_share_permille"))
+      case _ =>
+    }
+  }
+
+  test("q324 value concentration monotone in the percent cut") {
+    val byPct = rows("q324_user_value_concentration")
+      .map(r => r.getAs[Int]("pct_permille").toLong ->
+        r.getAs[Long]("share_ppm")).toMap
+    assert(byPct(10L) <= byPct(100L), s"not monotone: $byPct")
+  }
+
   test("q224 weighted median lies within the value range of its nation") {
     import org.apache.spark.sql.functions._
     val med = SparkEntry.queries("q224_weighted_median_value")(spark, sf001)
