@@ -5927,6 +5927,97 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    // Same-day fulfillment: the share of multi-line orders whose
+    // lines ALL ship on one day (consolidated) vs split shipments,
+    // per priority — the packaging-efficiency readout. One per-order
+    // distinct count.
+    "q328_sameday_fulfillment" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(to_date(col("l_shipdate"))).as("n_ship_days"))
+        .filter(col("n_lines") >= 2L)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_multiline_orders"),
+          sum(when(col("n_ship_days") === 1L, 1L).otherwise(0L))
+            .as("n_consolidated"))
+        .select(col("o_orderpriority"), col("n_multiline_orders"),
+          expr("n_consolidated * 1000L div n_multiline_orders")
+            .as("consolidated_permille"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Novelty effect: value per event in each user's FIRST week vs
+    // later — fresh users click differently; the readout that
+    // decides whether week-one telemetry can calibrate long-run
+    // models. Exact cents-per-event in two bands off one scan.
+    "q329_novelty_effect" -> ((s, dir) => {
+      val firstTs = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"))
+      Tables.events(s, dir)
+        .join(firstTs, "user_id")
+        .select(
+          when(unix_micros(col("ts")) - col("first_us") <
+            604800000000L, "a_first_week")
+            .otherwise("b_later").as("age_band"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v_c"))
+        .groupBy(col("age_band"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("sum(v_c) div count(1)").as("cents_per_event"))
+        .orderBy("age_band")
+    }),
+
+    // Data-quality scorecard: the conformance KPIs as (metric,
+    // value) rows — FK/PK violations, fractional quantities, status
+    // mismatches, out-of-band tax lines, ship inversions — each in
+    // its audited exact form; the third capstone next to q300
+    // (business) and q310 (ops). Zeros are the passing grade.
+    "q330_quality_scorecard" -> ((s, dir) => {
+      def row1(name: String, v: org.apache.spark.sql.DataFrame) =
+        v.select(lit(name).as("metric"),
+          col(v.columns.head).cast("long").as("value"))
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val fkOrphans = row1("fk_orphan_rows", li
+        .select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+          .as("v")))
+      val fracQty = row1("fractional_quantities", li
+        .agg(sum(when(expr("l_quantity != floor(l_quantity)"), 1L)
+          .otherwise(0L)).as("v")))
+      val statusMismatch = row1("status_mismatch_orders", {
+        val derived = li.groupBy(col("l_orderkey"))
+          .agg(min(col("l_linestatus")).as("mn"),
+            max(col("l_linestatus")).as("mx"))
+          .select(col("l_orderkey"),
+            when(col("mn") === "F" && col("mx") === "F", "F")
+              .when(col("mn") === "O" && col("mx") === "O", "O")
+              .otherwise("P").as("derived"))
+        o.select(col("o_orderkey"), col("o_orderstatus"))
+          .join(derived, col("o_orderkey") === col("l_orderkey"))
+          .agg(sum(when(col("o_orderstatus") =!= col("derived"), 1L)
+            .otherwise(0L)).as("v"))
+      })
+      val taxOut = row1("tax_out_of_band_lines", li
+        .agg(sum(when(
+          floor(col("l_tax") * 100 + lit(0.5)).cast("long") > 8L, 1L)
+          .otherwise(0L)).as("v")))
+      val dupLn = row1("dup_linenumber_orders", li
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_linenumber")).as("nd"))
+        .agg(sum(when(col("nd") =!= col("n"), 1L).otherwise(0L))
+          .as("v")))
+      fkOrphans.unionAll(fracQty).unionAll(statusMismatch)
+        .unionAll(taxOut).unionAll(dupLn)
+        .orderBy("metric")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -12482,6 +12573,75 @@ object SparkEntry {
         |       (under_c::HUGEINT * 1000 // tot_c::HUGEINT)::BIGINT
         |         AS revenue_share_permille
         |FROM g ORDER BY threshold""".stripMargin,
+
+    // q328: identical multi-line filter and consolidation share.
+    "q328_sameday_fulfillment" ->
+      """WITH po AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+        |         count(DISTINCT CAST(l_shipdate AS DATE))::BIGINT
+        |           AS n_ship_days
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o_orderpriority, n_ship_days
+        |  FROM po JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE n_lines >= 2)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_multiline_orders,
+        |       (sum(CASE WHEN n_ship_days = 1 THEN 1 ELSE 0 END)
+        |        * 1000 // count(*))::BIGINT AS consolidated_permille
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q329: identical first-week µs window and integer intensity.
+    "q329_novelty_effect" ->
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN epoch_us(e.ts) - f.first_us < 604800000000
+        |              THEN 'a_first_week' ELSE 'b_later' END
+        |           AS age_band,
+        |         CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS v_c
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT age_band, count(*)::BIGINT AS n_events,
+        |       (sum(v_c) // count(*))::BIGINT AS cents_per_event
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q330: identical audited forms composed to (metric, value).
+    "q330_quality_scorecard" ->
+      """SELECT * FROM (
+        |  SELECT 'fk_orphan_rows' AS metric,
+        |         (SELECT count(*) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_orderkey = l.l_orderkey))
+        |           ::BIGINT AS value
+        |  UNION ALL
+        |  SELECT 'fractional_quantities',
+        |         sum(CASE WHEN l_quantity <> floor(l_quantity)
+        |                  THEN 1 ELSE 0 END)::BIGINT
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'status_mismatch_orders',
+        |         sum(CASE WHEN o_orderstatus <> derived THEN 1 ELSE 0
+        |             END)::BIGINT
+        |  FROM orders JOIN (
+        |    SELECT l_orderkey,
+        |           CASE WHEN min(l_linestatus) = 'F'
+        |                     AND max(l_linestatus) = 'F' THEN 'F'
+        |                WHEN min(l_linestatus) = 'O'
+        |                     AND max(l_linestatus) = 'O' THEN 'O'
+        |                ELSE 'P' END AS derived
+        |    FROM lineitem GROUP BY 1) d ON o_orderkey = l_orderkey
+        |  UNION ALL
+        |  SELECT 'tax_out_of_band_lines',
+        |         sum(CASE WHEN CAST(floor(l_tax * 100 + 0.5) AS BIGINT)
+        |                       > 8 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'dup_linenumber_orders',
+        |         sum(CASE WHEN nd <> n THEN 1 ELSE 0 END)::BIGINT
+        |  FROM (SELECT count(*) AS n,
+        |               count(DISTINCT l_linenumber) AS nd
+        |        FROM lineitem GROUP BY l_orderkey)
+        |) ORDER BY metric""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
