@@ -6018,6 +6018,72 @@ object SparkEntry {
         .orderBy("metric")
     }),
 
+    // Stored-metadata accuracy: the documents table CLAIMS n_chars —
+    // recompute length(text) and count drift per source (exact match
+    // / off-by-small / badly wrong). Stored-column drift is how
+    // stale pipelines lie to downstream filters.
+    "q331_metadata_accuracy" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"),
+          (col("n_chars").cast("long") -
+            length(col("text")).cast("long")).as("delta"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("delta") === 0L, 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(when(abs(col("delta")) > 0L &&
+            abs(col("delta")) <= 5L, 1L).otherwise(0L))
+            .as("n_near"),
+          sum(when(abs(col("delta")) > 5L, 1L).otherwise(0L))
+            .as("n_wrong"),
+          max(abs(col("delta"))).as("max_abs_delta"))
+        .orderBy("source")
+    }),
+
+    // Event-stream duplicate audit: repeated event_ids (PK breach)
+    // and byte-identical (user, ts, type, value) rows under DIFFERENT
+    // ids (the producer-retry signature watermark dedup targets) —
+    // one report row each.
+    "q332_event_dedup_audit" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val dupIds = e.groupBy(col("event_id"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1L, col("c")).otherwise(0L)),
+          lit(0L)).as("v"))
+        .select(lit("duplicate_event_id_rows").as("metric"),
+          col("v").cast("long").as("value"))
+      val retries = e.groupBy(col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"),
+          countDistinct(col("event_id")).as("nid"))
+        .agg(coalesce(sum(when(col("c") > 1L && col("nid") > 1L,
+          col("c") - 1L).otherwise(0L)), lit(0L)).as("v"))
+        .select(lit("retry_duplicate_rows").as("metric"),
+          col("v").cast("long").as("value"))
+      dupIds.unionAll(retries).orderBy("metric")
+    }),
+
+    // Time-travel audit: line items shipped BEFORE their order date
+    // — the causality violation that breaks every latency metric
+    // downstream (q230/q306 assume it's zero; this query PROVES it,
+    // per priority, with the worst violation in days).
+    "q333_time_travel_audit" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("l_shipdate")), col("o_orderdate"))
+            .cast("long").as("gap_d"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("gap_d") < 0L, 1L).otherwise(0L))
+            .as("n_violations"),
+          min(col("gap_d")).as("worst_gap_d"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -12642,6 +12708,50 @@ object SparkEntry {
         |               count(DISTINCT l_linenumber) AS nd
         |        FROM lineitem GROUP BY l_orderkey)
         |) ORDER BY metric""".stripMargin,
+
+    // q331: identical recomputed-length drift bands.
+    "q331_metadata_accuracy" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         n_chars::BIGINT - length(text)::BIGINT AS delta
+        |  FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_exact,
+        |       sum(CASE WHEN abs(delta) > 0 AND abs(delta) <= 5
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_near,
+        |       sum(CASE WHEN abs(delta) > 5 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_wrong,
+        |       max(abs(delta))::BIGINT AS max_abs_delta
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q332: identical duplicate classes.
+    "q332_event_dedup_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'duplicate_event_id_rows' AS metric,
+        |         COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)
+        |           ::BIGINT AS value
+        |  FROM (SELECT count(*) AS c FROM events GROUP BY event_id)
+        |  UNION ALL
+        |  SELECT 'retry_duplicate_rows',
+        |         COALESCE(sum(CASE WHEN c > 1 AND nid > 1
+        |                      THEN c - 1 ELSE 0 END), 0)::BIGINT
+        |  FROM (SELECT count(*) AS c,
+        |               count(DISTINCT event_id) AS nid
+        |        FROM events GROUP BY user_id, ts, event_type, value)
+        |) ORDER BY metric""".stripMargin,
+
+    // q333: identical negative-gap counts.
+    "q333_time_travel_audit" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+        |       sum(CASE WHEN date_diff('day', o_orderdate,
+        |                                CAST(l_shipdate AS DATE)) < 0
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+        |       min(date_diff('day', o_orderdate,
+        |                     CAST(l_shipdate AS DATE)))::BIGINT
+        |         AS worst_gap_d
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
