@@ -6084,6 +6084,70 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Order size by customer tenure: mean order cents in tenure
+    // bands (days since the customer's FIRST order, at order time) —
+    // does loyalty grow baskets? The first-order date rides one
+    // customer-keyed min window; bands are integer day compares.
+    "q334_tenure_order_size" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, dir)
+        .withColumn("first_d", min(col("o_orderdate")).over(
+          Window.partitionBy(col("o_custkey"))))
+        .select(
+          when(datediff(col("o_orderdate"), col("first_d")) === 0,
+            "a_first")
+            .when(datediff(col("o_orderdate"), col("first_d")) <= 365,
+              "b_year1")
+            .when(datediff(col("o_orderdate"), col("first_d")) <= 1095,
+              "c_year2_3")
+            .otherwise("d_veteran").as("tenure_band"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("v_c"))
+        .groupBy(col("tenure_band"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("sum(v_c) div count(1)").as("mean_order_cents"))
+        .orderBy("tenure_band")
+    }),
+
+    // Part demand peak-month distribution: in which calendar month
+    // does each part's quantity peak (rank window, earliest-month
+    // tie-break), counted per month — uniform peaks mean no real
+    // seasonality; a clustered month means capacity planning.
+    "q335_peak_month_distribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pm = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey"),
+          month(col("o_orderdate")).cast("long").as("moy"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      pm.withColumn("rk", row_number().over(
+        Window.partitionBy(col("l_partkey"))
+          .orderBy(col("q").desc, col("moy").asc)))
+        .filter(col("rk") === 1)
+        .groupBy(col("moy").as("peak_month"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("share_permille",
+          expr("n_parts * 1000L div sum(n_parts) over ()"))
+        .orderBy("peak_month")
+    }),
+
+    // Segment × priority mix: does any customer segment
+    // systematically order urgent? Priority share within segment,
+    // exact permille — the service-level segmentation readout.
+    "q336_segment_priority_mix" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("share_permille", expr("n_orders * 1000L div " +
+          "sum(n_orders) over (partition by c_mktsegment)"))
+        .orderBy("c_mktsegment", "o_orderpriority")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -12752,6 +12816,61 @@ object SparkEntry {
         |         AS worst_gap_d
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q334: identical tenure bands and integer means.
+    "q334_tenure_order_size" ->
+      """WITH f AS (
+        |  SELECT o_custkey, o_orderdate, o_totalprice,
+        |         min(o_orderdate) OVER (PARTITION BY o_custkey)
+        |           AS first_d
+        |  FROM orders),
+        |b AS (
+        |  SELECT CASE WHEN date_diff('day', first_d, o_orderdate) = 0
+        |                THEN 'a_first'
+        |              WHEN date_diff('day', first_d, o_orderdate)
+        |                   <= 365 THEN 'b_year1'
+        |              WHEN date_diff('day', first_d, o_orderdate)
+        |                   <= 1095 THEN 'c_year2_3'
+        |              ELSE 'd_veteran' END AS tenure_band,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v_c
+        |  FROM f)
+        |SELECT tenure_band, count(*)::BIGINT AS n_orders,
+        |       (sum(v_c) // count(*))::BIGINT AS mean_order_cents
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q335: identical argmax month with earliest tie-break.
+    "q335_peak_month_distribution" ->
+      """WITH pm AS (
+        |  SELECT l_partkey,
+        |         date_part('month', o_orderdate)::BIGINT AS moy,
+        |         sum(l_quantity::BIGINT)::BIGINT AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_partkey, moy,
+        |         row_number() OVER (PARTITION BY l_partkey
+        |                            ORDER BY q DESC, moy) AS rk
+        |  FROM pm),
+        |g AS (
+        |  SELECT moy AS peak_month, count(*)::BIGINT AS n_parts
+        |  FROM r WHERE rk = 1 GROUP BY 1)
+        |SELECT peak_month, n_parts,
+        |       (n_parts * 1000 // sum(n_parts) OVER ())::BIGINT
+        |         AS share_permille
+        |FROM g ORDER BY peak_month""".stripMargin,
+
+    // q336: identical crosstab permilles.
+    "q336_segment_priority_mix" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, o_orderpriority,
+        |         count(*)::BIGINT AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, o_orderpriority, n_orders,
+        |       (n_orders * 1000 //
+        |        sum(n_orders) OVER (PARTITION BY c_mktsegment))::BIGINT
+        |         AS share_permille
+        |FROM g ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
