@@ -6148,6 +6148,98 @@ object SparkEntry {
         .orderBy("c_mktsegment", "o_orderpriority")
     }),
 
+    // Dormant-rich suppliers: above-average account balance but
+    // below-median shipped volume — q174's rich-inactive-customer
+    // shape on the supply side. The balance threshold is an exact
+    // integer cross-multiplication against the broadcast global
+    // moment; the volume median is nearest-rank over suppliers.
+    "q337_dormant_rich_suppliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val vol = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val su = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          floor(col("s_acctbal") * 100 + lit(0.5)).cast("long")
+            .as("bal_c"))
+        .join(vol, col("s_suppkey") === col("l_suppkey"), "left")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("bal_c"), coalesce(col("qty"), lit(0L)).as("qty"))
+      val mom = su.agg(sum(col("bal_c")).cast(dec).as("sb"),
+        count(lit(1)).as("n"))
+      val ranked = su.crossJoin(broadcast(mom))
+        .withColumn("qrk", row_number().over(
+          Window.orderBy(col("qty"), col("s_suppkey"))))
+        .withColumn("med_idx",
+          ((col("n") + 1) / lit(2)).cast("long"))
+        .withColumn("med_q", min(when(col("qrk") === col("med_idx"),
+          col("qty"))).over(Window.partitionBy()))
+      ranked
+        .filter(col("bal_c").cast(dec) * col("n") > col("sb") &&
+          col("qty") < col("med_q"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          (sum(col("bal_c")) / 100.0).as("idle_balance"))
+        .orderBy("n_name")
+    }),
+
+    // Same-weekday reorder habit: consecutive orders landing on the
+    // SAME ISO weekday, permille per segment against the ~1/7
+    // uniform baseline (143‰) — subscription-like behavior without
+    // needing q213's full CV. One customer-keyed lag.
+    "q338_weekday_habit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("dow", (weekday(col("o_orderdate")) + 1))
+        .withColumn("prev_dow", lag(col("dow"), 1).over(w))
+        .filter(col("prev_dow").isNotNull)
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dow") === col("prev_dow"), 1L).otherwise(0L))
+            .as("n_same_dow"))
+        .select(col("c_mktsegment"), col("n_pairs"),
+          expr("n_same_dow * 1000L div n_pairs")
+            .as("same_dow_permille"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Cross-tier baskets: orders containing BOTH a top-quartile and
+    // a bottom-quartile retail-price part — barbell shopping, the
+    // assortment-planning signal. Part tiers are exact ntile over
+    // the catalog; the order flags are two conditional maxima.
+    "q339_cross_tier_baskets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tiers = Tables.part(s, dir)
+        .select(col("p_partkey"),
+          ntile(4).over(Window.orderBy(
+            floor(col("p_retailprice") * 100 + lit(0.5)).cast("long"),
+            col("p_partkey"))).as("tier"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(tiers), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(max(when(col("tier") === 1, 1L).otherwise(0L))
+          .as("has_budget"),
+          max(when(col("tier") === 4, 1L).otherwise(0L))
+            .as("has_premium"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("n_lines") >= 2L)
+        .agg(count(lit(1)).as("n_multiline_orders"),
+          sum(when(col("has_budget") === 1L &&
+            col("has_premium") === 1L, 1L).otherwise(0L))
+            .as("n_cross_tier"))
+        .select(col("n_multiline_orders"), col("n_cross_tier"),
+          expr("n_cross_tier * 1000L div n_multiline_orders")
+            .as("cross_tier_permille"))
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -12871,6 +12963,73 @@ object SparkEntry {
         |        sum(n_orders) OVER (PARTITION BY c_mktsegment))::BIGINT
         |         AS share_permille
         |FROM g ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    // q337: identical cross-multiplied threshold and volume median.
+    "q337_dormant_rich_suppliers" ->
+      """WITH v AS (
+        |  SELECT l_suppkey, sum(l_quantity::BIGINT)::BIGINT AS qty
+        |  FROM lineitem GROUP BY 1),
+        |su AS (
+        |  SELECT s_suppkey, s_name, s_nationkey,
+        |         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+        |         COALESCE(qty, 0) AS qty
+        |  FROM supplier LEFT JOIN v ON s_suppkey = l_suppkey),
+        |m AS (
+        |  SELECT sum(bal_c)::HUGEINT AS sb, count(*)::BIGINT AS n
+        |  FROM su),
+        |r AS (
+        |  SELECT su.*, m.sb, m.n,
+        |         row_number() OVER (ORDER BY qty, s_suppkey) AS qrk
+        |  FROM su CROSS JOIN m),
+        |w AS (
+        |  SELECT r.*, min(CASE WHEN qrk = (n + 1) // 2 THEN qty END)
+        |           OVER () AS med_q
+        |  FROM r)
+        |SELECT n_name, count(*)::BIGINT AS n_suppliers,
+        |       (sum(bal_c) / 100.0)::DOUBLE AS idle_balance
+        |FROM w JOIN nation ON n_nationkey = s_nationkey
+        |WHERE bal_c::HUGEINT * n > sb AND qty < med_q
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q338: identical consecutive-weekday compare.
+    "q338_weekday_habit" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |         date_part('isodow', o_orderdate)::BIGINT AS dow,
+        |         lag(date_part('isodow', o_orderdate)::BIGINT)
+        |           OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_orderdate, o_orderkey) AS prev_dow
+        |  FROM orders)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_pairs,
+        |       (sum(CASE WHEN dow = prev_dow THEN 1 ELSE 0 END)
+        |        * 1000 // count(*))::BIGINT AS same_dow_permille
+        |FROM g JOIN customer ON o_custkey = c_custkey
+        |WHERE prev_dow IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q339: identical catalog quartiles and barbell flags.
+    "q339_cross_tier_baskets" ->
+      """WITH t AS (
+        |  SELECT p_partkey,
+        |         ntile(4) OVER (ORDER BY
+        |           CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT),
+        |           p_partkey) AS tier
+        |  FROM part),
+        |o AS (
+        |  SELECT l_orderkey,
+        |         max(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS has_budget,
+        |         max(CASE WHEN tier = 4 THEN 1 ELSE 0 END)
+        |           AS has_premium,
+        |         count(*)::BIGINT AS n_lines
+        |  FROM lineitem JOIN t ON p_partkey = l_partkey
+        |  GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_multiline_orders,
+        |       sum(CASE WHEN has_budget = 1 AND has_premium = 1
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_cross_tier,
+        |       (sum(CASE WHEN has_budget = 1 AND has_premium = 1
+        |                 THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
+        |         AS cross_tier_permille
+        |FROM o WHERE n_lines >= 2""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
