@@ -6240,6 +6240,42 @@ object SparkEntry {
             .as("cross_tier_permille"))
     }),
 
+    // Movers & shakers: the 15 parts with the largest absolute
+    // quantity swing between the corpus' LAST month and the one
+    // before — the demand-shift alert list. The two months derive
+    // from the data's own max (reproducible), deltas are exact
+    // integers, rank ties to the part key.
+    "q340_movers_shakers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pm = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val lastMon = pm.agg(max(col("mon")).as("m1"))
+        .select(col("m1"),
+          date_format(add_months(to_date(concat(col("m1"),
+            lit("-01"))), -1), "yyyy-MM").as("m0"))
+      pm.crossJoin(broadcast(lastMon))
+        .filter(col("mon") === col("m1") || col("mon") === col("m0"))
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum(when(col("mon") === col("m0"), col("q")).otherwise(0L))
+            .as("q_prior"),
+          sum(when(col("mon") === col("m1"), col("q")).otherwise(0L))
+            .as("q_last"))
+        .select(col("l_partkey"), col("q_prior"), col("q_last"),
+          (col("q_last") - col("q_prior")).as("delta"))
+        .withColumn("rk", row_number().over(Window.orderBy(
+          abs(col("delta")).desc, col("l_partkey"))))
+        .filter(col("rk") <= 15)
+        .select(col("rk").cast("long").as("rank"), col("l_partkey"),
+          col("q_prior"), col("q_last"), col("delta"))
+        .orderBy("rank")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -13030,6 +13066,37 @@ object SparkEntry {
         |                 THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
         |         AS cross_tier_permille
         |FROM o WHERE n_lines >= 2""".stripMargin,
+
+    // q340: identical data-derived last two months and swing rank.
+    "q340_movers_shakers" ->
+      """WITH pm AS (
+        |  SELECT l_partkey, strftime(o_orderdate, '%Y-%m') AS mon,
+        |         sum(l_quantity::BIGINT)::BIGINT AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |lm AS (
+        |  SELECT max(mon) AS m1,
+        |         strftime(CAST(max(mon) || '-01' AS DATE)
+        |                  - INTERVAL 1 MONTH, '%Y-%m') AS m0
+        |  FROM pm),
+        |d AS (
+        |  SELECT l_partkey,
+        |         sum(CASE WHEN mon = m0 THEN q ELSE 0 END)::BIGINT
+        |           AS q_prior,
+        |         sum(CASE WHEN mon = m1 THEN q ELSE 0 END)::BIGINT
+        |           AS q_last
+        |  FROM pm CROSS JOIN lm
+        |  WHERE mon = m1 OR mon = m0
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey, q_prior, q_last,
+        |         q_last - q_prior AS delta,
+        |         row_number() OVER (ORDER BY abs(q_last - q_prior)
+        |                            DESC, l_partkey) AS rk
+        |  FROM d)
+        |SELECT rk::BIGINT AS rank, l_partkey, q_prior, q_last,
+        |       delta::BIGINT AS delta
+        |FROM r WHERE rk <= 15 ORDER BY rank""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
