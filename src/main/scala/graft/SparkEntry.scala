@@ -6276,6 +6276,71 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Regional lead-time comparison by rank-sum: EUROPE vs ASIA ship
+    // delays through the q269 Mann-Whitney machinery — is one
+    // geography's fulfillment distribution genuinely shifted, not
+    // just noisier? Ranks over the combined set with a line-key
+    // tie-break; exact integer U; one sqrt.
+    "q341_region_delay_ranksum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val both = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("r_regionkey") === col("n_regionkey"))
+        .filter(col("r_name").isin("EUROPE", "ASIA"))
+        .select(col("r_name").as("grp"),
+          datediff(to_date(col("l_shipdate")), col("o_orderdate"))
+            .cast("long").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rk", row_number().over(Window.orderBy(
+          col("v"), col("l_orderkey"), col("l_linenumber")))
+          .cast("long"))
+      both.agg(
+        sum(when(col("grp") === "ASIA", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === "EUROPE", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("grp") === "ASIA", col("rk")).otherwise(0L))
+          .cast(dec).as("r1"))
+        .select(col("n1"), col("n2"),
+          expr(s"cast(r1 - cast(n1 as $dec) * (cast(n1 as $dec) + 1)" +
+            s" div 2 as $dec)").cast("long").as("u1"),
+          expr(s"cast(cast(n1 as $dec) * cast(n2 as $dec) div 2" +
+            s" as $dec)").cast("long").as("u_null_mean"),
+          r4((expr(s"cast(r1 - cast(n1 as $dec) * (cast(n1 as $dec)" +
+            s" + 1) div 2 as $dec)") -
+            expr(s"cast(cast(n1 as $dec) * cast(n2 as $dec) div 2" +
+              s" as $dec)")).cast("double") /
+            sqrt(col("n1").cast("double") * col("n2").cast("double") *
+              (col("n1") + col("n2") + 1).cast("double") / 12.0))
+            .as("z"))
+    }),
+
+    // Returns seasonality: return permille by calendar month — is
+    // the return rate a constant or a season? One joined scan,
+    // exact integer shares.
+    "q342_returns_by_month" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(month(col("o_orderdate")).cast("long").as("moy"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returns"))
+        .select(col("moy"), col("n_lines"),
+          expr("n_returns * 1000L div n_lines").as("return_permille"))
+        .orderBy("moy")
+    }),
+
     // Relative-standing deciles: each customer's balance percentile
     // WITHIN their nation — percent_rank is (rank−1)/(n−1), exact
     // integers + one division, then decile bands; the rollup reports
@@ -13097,6 +13162,53 @@ object SparkEntry {
         |SELECT rk::BIGINT AS rank, l_partkey, q_prior, q_last,
         |       delta::BIGINT AS delta
         |FROM r WHERE rk <= 15 ORDER BY rank""".stripMargin,
+
+    // q341: identical combined ranks and U statistic.
+    "q341_region_delay_ranksum" ->
+      """WITH b AS (
+        |  SELECT r_name AS grp,
+        |         date_diff('day', o_orderdate,
+        |                   CAST(l_shipdate AS DATE))::BIGINT AS v,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name IN ('EUROPE', 'ASIA')),
+        |r AS (
+        |  SELECT grp,
+        |         row_number() OVER (ORDER BY v, l_orderkey,
+        |                            l_linenumber)::BIGINT AS rk
+        |  FROM b),
+        |a AS (
+        |  SELECT sum(CASE WHEN grp = 'ASIA' THEN 1 ELSE 0 END)::BIGINT
+        |           AS n1,
+        |         sum(CASE WHEN grp = 'EUROPE' THEN 1 ELSE 0 END)
+        |           ::BIGINT AS n2,
+        |         sum(CASE WHEN grp = 'ASIA' THEN rk ELSE 0 END)
+        |           ::HUGEINT AS r1
+        |  FROM r)
+        |SELECT n1, n2,
+        |       (r1 - n1::HUGEINT * (n1::HUGEINT + 1) // 2)::BIGINT
+        |         AS u1,
+        |       (n1::HUGEINT * n2::HUGEINT // 2)::BIGINT
+        |         AS u_null_mean,
+        |       floor(((r1 - n1::HUGEINT * (n1::HUGEINT + 1) // 2)
+        |              - (n1::HUGEINT * n2::HUGEINT // 2))::DOUBLE
+        |             / sqrt(n1::DOUBLE * n2::DOUBLE
+        |                    * (n1 + n2 + 1)::DOUBLE / 12.0)
+        |             * 10000 + 0.5) / 10000 AS z
+        |FROM a""".stripMargin,
+
+    // q342: identical monthly return shares.
+    "q342_returns_by_month" ->
+      """SELECT date_part('month', o_orderdate)::BIGINT AS moy,
+        |       count(*)::BIGINT AS n_lines,
+        |       (sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |        * 1000 // count(*))::BIGINT AS return_permille
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q216_balance_deciles" ->
       """WITH rk AS (
