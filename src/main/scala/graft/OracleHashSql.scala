@@ -25,6 +25,16 @@ object OracleHashSql {
   private val M1 = "13787848793156543929" // 0xbf58476d1ce4e5b9
   private val M2 = "10723151780598845931" // 0x94d049bb133111eb
 
+  /** (j·GOLD) mod 2^64 for j in 0..63, precomputed — the minhash `mixed`
+    * CTE evaluates this per (shingle × j) row, so an array lookup beats
+    * a per-row 64-bit multiply emulation.
+    */
+  private val goldJ64 =
+    (0 until 64).map(j => java.math.BigInteger.valueOf(j.toLong)
+        .multiply(new java.math.BigInteger("11400714819323198485"))
+        .mod(java.math.BigInteger.TWO.pow(64)))
+      .mkString("[", ",", "]::HUGEINT[]")
+
   /** Unsigned HUGEINT in [0,2^64) -> the BIGINT with the same 64 bits. */
   private def toS(x: String): String =
     s"(CASE WHEN ($x) >= 9223372036854775808::HUGEINT " +
@@ -34,9 +44,14 @@ object OracleHashSql {
   private def toU(x: String): String =
     s"(CASE WHEN ($x) < 0 THEN ($x)::HUGEINT + $TWO64 ELSE ($x)::HUGEINT END)"
 
-  /** 64-bit xor of two unsigned HUGEINTs (via the signed view). */
+  /** 64-bit xor of two unsigned HUGEINTs. Both operands live in
+    * [0,2^64), so int128 xor never touches a sign bit and equals u64
+    * xor directly — no signed/unsigned CASE dance needed (that dance
+    * was ~3 CASE branches per xor and dominated the DuckDB check time
+    * on the million-row hash CTEs).
+    */
   private def xor64(a: String, b: String): String =
-    toU(s"xor(${toS(a)}, ${toS(b)})")
+    s"xor(($a), ($b))"
 
   /** (a*c) mod 2^64; a in [0,2^64), c any 64-bit constant. 32-bit limb
     * split keeps every intermediate below 2^97 (HUGEINT max is 2^127).
@@ -86,50 +101,50 @@ object OracleHashSql {
     */
   private def minhashCtes: String =
     s"""
-toks AS (
+toks AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split(lower(text),' '), x -> length(x) > 0) AS t
   FROM documents),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
                  i -> array_to_string(t[i:i+2], ' '))) AS s
   FROM toks WHERE len(t) >= 3),
-shb AS (
+shb AS MATERIALIZED (
   SELECT s, ${fnvFold(OFF, strBytes("s"))} AS b
   FROM (SELECT DISTINCT s FROM sh)),
-mixed AS (
+mixed AS MATERIALIZED (
   SELECT s, j, ${toS("hmix")} AS hv FROM (${mixSubq(
       "SELECT s, b, j FROM shb, (SELECT unnest(range(64)) AS j)",
-      xor64("b", mulMod("j::HUGEINT", GOLD)))})),
-sig AS (
+      xor64("b", s"($goldJ64)[j + 1]"))})),
+sig AS MATERIALIZED (
   SELECT doc_id, list(m ORDER BY j) AS sig FROM (
     SELECT sh.doc_id, mixed.j, min(mixed.hv) AS m
     FROM sh JOIN mixed ON sh.s = mixed.s
     GROUP BY 1, 2)
   GROUP BY doc_id),
-bandfold AS (
+bandfold AS MATERIALIZED (
   SELECT doc_id, band, ${fnvFold(
       xor64(OFF, mulMod("band::HUGEINT", GOLD)),
       s"list_transform(range(0,32), k -> (${toU("sig[band*4 + (k//8) + 1]")} // ($pow256)[(k%8)+1]) % 256::HUGEINT)")} AS fold
   FROM sig, (SELECT unnest(range(16)) AS band)),
-buckets AS (
+buckets AS MATERIALIZED (
   SELECT doc_id, band, ${toS("fold")} AS bucket FROM bandfold),
-bounded AS (
+bounded AS MATERIALIZED (
   SELECT doc_id, band, bucket FROM (
     SELECT doc_id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS n
     FROM buckets)
   WHERE n <= 1000),
-firstshared AS (
+firstshared AS MATERIALIZED (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, min(l.band) AS fb
   FROM buckets l JOIN buckets r
     ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
   GROUP BY 1, 2),
-cand AS (
+cand AS MATERIALIZED (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bounded l JOIN bounded r
     ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
   JOIN firstshared fs
     ON fs.doc_a = l.doc_id AND fs.doc_b = r.doc_id AND fs.fb = l.band),
-est AS (
+est AS MATERIALIZED (
   SELECT doc_a, doc_b,
          len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::DOUBLE / 64.0 AS e
   FROM cand
@@ -1616,7 +1631,7 @@ FROM g, t ORDER BY shard_id"""
 ords AS MATERIALIZED (
   SELECT o_orderkey, o_custkey FROM orders
   JOIN cohort ON o_custkey = c_custkey),
-lines AS (
+lines AS MATERIALIZED (
   SELECT l_orderkey, l_linenumber, o_custkey FROM lineitem
   JOIN ords ON l_orderkey = o_orderkey)
 SELECT * FROM (
@@ -1766,19 +1781,19 @@ FROM sel$k ORDER BY query_id, rank"""
     */
   def q156KCenter(k: Int = 8): String = {
     val rounds = (2 to k).map { r =>
-      s"""m$r AS (
+      s"""m$r AS MATERIALIZED (
   SELECT x.vec_id, max(list_cosine_similarity(x.e, s.e)) AS mc
   FROM x, s${r - 1} s
   WHERE x.vec_id NOT IN (SELECT vec_id FROM s${r - 1})
   GROUP BY x.vec_id),
-p$r AS (
+p$r AS MATERIALIZED (
   SELECT x.vec_id, x.e FROM m$r JOIN x USING (vec_id)
   ORDER BY m$r.mc ASC, vec_id ASC LIMIT 1),
-s$r AS (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM p$r)"""
+s$r AS MATERIALIZED (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM p$r)"""
     }.mkString(",\n")
     s"""WITH x AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-s1 AS (SELECT vec_id, e FROM x ORDER BY vec_id LIMIT 1),
+s1 AS MATERIALIZED (SELECT vec_id, e FROM x ORDER BY vec_id LIMIT 1),
 $rounds,
 a AS (
   SELECT x.vec_id, s.vec_id AS center_id,

@@ -4149,31 +4149,46 @@ object SparkEntry {
     "q269_rank_sum_test" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val dec = "decimal(38,0)"
-      val both = Tables.orders(s, dir)
+      // Mann–Whitney needs only value-ordered cumulative counts, never
+      // per-row ranks: aggregate the fact rows to (value → total count t,
+      // group-1 count c1), then rank the DISTINCT-VALUE frame (bounded by
+      // the cent-price domain, not the row count — the only unpartitioned
+      // window runs over that bounded frame). Midranks are exact from the
+      // cumulative count: midrank·2 = 2·cum − t + 1, all integer; the
+      // variance carries the standard tie correction Σ(t³−t)/(n(n−1)).
+      val vg = Tables.orders(s, dir)
         .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
         .select(col("o_orderpriority").as("grp"),
           floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
-            .as("v"), col("o_orderkey"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("v"), col("o_orderkey"))).cast("long"))
-      both.groupBy(lit(1).as("one"))
-        .agg(
+            .as("v"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("t"),
           sum(when(col("grp") === "1-URGENT", 1L).otherwise(0L))
-            .as("n1"),
-          sum(when(col("grp") === "5-LOW", 1L).otherwise(0L)).as("n2"),
-          sum(when(col("grp") === "1-URGENT", col("rk"))
-            .otherwise(0L)).cast(dec).as("r1"))
+            .as("c1"))
+        .withColumn("cum", sum(col("t")).over(
+          Window.orderBy(col("v"))))
+      vg.agg(
+        sum(col("c1")).as("n1"),
+        sum(col("t") - col("c1")).as("n2"),
+        sum(col("c1").cast(dec) *
+          (lit(2) * col("cum") - col("t") + 1).cast(dec))
+          .as("r1x2"),
+        sum((col("t").cast(dec) * col("t") * col("t") - col("t"))
+          .cast(dec)).as("tiesum"))
         .select(col("n1"), col("n2"),
-          expr(s"cast(r1 - cast(n1 as $dec) * (cast(n1 as $dec) + 1)" +
-            s" div 2 as $dec)").as("u1"),
-          expr(s"cast(cast(n1 as $dec) * cast(n2 as $dec) div 2" +
-            s" as $dec)").as("u_null_mean"))
-        .select(col("n1"), col("n2"),
-          col("u1").cast("long").as("u1"),
-          col("u_null_mean").cast("long").as("u_null_mean"),
-          r4((col("u1") - col("u_null_mean")).cast("double") /
-            sqrt((col("n1") * col("n2")).cast("double") *
-              (col("n1") + col("n2") + 1).cast("double") / 12.0))
+          ((col("r1x2") - col("n1").cast(dec) *
+            (col("n1").cast(dec) + 1)).cast("double") / 2.0).as("u1"),
+          ((col("n1").cast(dec) * col("n2").cast(dec)).cast("double")
+            / 2.0).as("u_null_mean"),
+          col("r1x2"), col("tiesum"))
+        .select(col("n1"), col("n2"), col("u1"), col("u_null_mean"),
+          r4((col("u1") - col("u_null_mean")) /
+            sqrt((col("n1").cast(dec) * col("n2").cast(dec))
+              .cast("double") / 12.0 *
+              ((col("n1") + col("n2") + 1).cast("double") -
+                col("tiesum").cast("double") /
+                  ((col("n1") + col("n2")).cast("double") *
+                    (col("n1") + col("n2") - 1).cast("double")))))
             .as("z"))
     }),
 
@@ -5116,14 +5131,21 @@ object SparkEntry {
         o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
           .agg(expr("sum(case when n > 1 then 1 else 0 end)" +
             " * 1000L div count(1)").as("v")))
-      val median = row1("median_order_value_usd",
-        o.select(floor(col("o_totalprice") * 100 + lit(0.5))
-          .cast("long").as("v_c"), col("o_orderkey"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("v_c"), col("o_orderkey"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-          .filter(col("rk") === ((col("n") + 1) / lit(2)).cast("long"))
-          .select((col("v_c") / 100.0).as("v")))
+      // Exact median by selection over value-grain counts: the only
+      // window (cumulative count) runs over the distinct cent-value
+      // frame — bounded by the price domain — never the order rows.
+      val median = row1("median_order_value_usd", {
+        val counts = o.select(floor(col("o_totalprice") * 100 +
+          lit(0.5)).cast("long").as("v_c"))
+          .groupBy(col("v_c")).agg(count(lit(1)).as("t"))
+        val total = counts.agg(sum(col("t")).as("n"))
+        counts
+          .withColumn("cum", sum(col("t")).over(
+            Window.orderBy(col("v_c"))))
+          .crossJoin(broadcast(total))
+          .filter(col("cum") >= ((col("n") + 1) / lit(2)).cast("long"))
+          .agg((min(col("v_c")) / 100.0).as("v"))
+      })
       val topNation = row1("top_nation_rev_permille",
         o.join(Tables.customer(s, dir)
           .select(col("c_custkey"), col("c_nationkey")),
@@ -5416,14 +5438,21 @@ object SparkEntry {
           datediff(col("last_ship"), col("o_orderdate")).cast("long")
             .as("gap_d"), col("n_lines"), col("last_ship"),
           col("o_orderdate"))
-      val p90 = row1("fulfillment_p90_days",
-        perOrder
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("gap_d"), col("l_orderkey"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-          .filter(col("rk") === ((col("n") * 9 + 9) / lit(10))
+      // Exact p90 by selection over value-grain counts: the gap_d
+      // domain is ~hundreds of distinct day values, so the cumulative
+      // window runs over that bounded frame, never the order-grain rows.
+      val p90 = row1("fulfillment_p90_days", {
+        val counts = perOrder.groupBy(col("gap_d"))
+          .agg(count(lit(1)).as("t"))
+        val total = counts.agg(sum(col("t")).as("n"))
+        counts
+          .withColumn("cum", sum(col("t")).over(
+            Window.orderBy(col("gap_d"))))
+          .crossJoin(broadcast(total))
+          .filter(col("cum") >= ((col("n") * 9 + 9) / lit(10))
             .cast("long"))
-          .select(col("gap_d").as("v")))
+          .agg(min(col("gap_d")).as("v"))
+      })
       val openAt = row1("open_orders_at_cutoff",
         perOrder.filter(col("o_orderdate") <= lit("1998-07-01") &&
           col("last_ship") > lit("1998-07-01"))
@@ -6258,6 +6287,10 @@ object SparkEntry {
         .select(col("m1"),
           date_format(add_months(to_date(concat(col("m1"),
             lit("-01"))), -1), "yyyy-MM").as("m0"))
+      // Top-15 via orderBy().limit(): TakeOrderedAndProject keeps a
+      // 15-row heap per partition + one driver merge — no global sort,
+      // no single-partition window over the part-grain delta frame.
+      // Ranks are assigned afterwards on the 15-row result.
       pm.crossJoin(broadcast(lastMon))
         .filter(col("mon") === col("m1") || col("mon") === col("m0"))
         .groupBy(col("l_partkey"))
@@ -6268,10 +6301,11 @@ object SparkEntry {
             .as("q_last"))
         .select(col("l_partkey"), col("q_prior"), col("q_last"),
           (col("q_last") - col("q_prior")).as("delta"))
-        .withColumn("rk", row_number().over(Window.orderBy(
-          abs(col("delta")).desc, col("l_partkey"))))
-        .filter(col("rk") <= 15)
-        .select(col("rk").cast("long").as("rank"), col("l_partkey"),
+        .orderBy(abs(col("delta")).desc, col("l_partkey"))
+        .limit(15)
+        .withColumn("rank", row_number().over(Window.orderBy(
+          abs(col("delta")).desc, col("l_partkey"))).cast("long"))
+        .select(col("rank"), col("l_partkey"),
           col("q_prior"), col("q_last"), col("delta"))
         .orderBy("rank")
     }),
@@ -6279,12 +6313,16 @@ object SparkEntry {
     // Regional lead-time comparison by rank-sum: EUROPE vs ASIA ship
     // delays through the q269 Mann-Whitney machinery — is one
     // geography's fulfillment distribution genuinely shifted, not
-    // just noisier? Ranks over the combined set with a line-key
-    // tie-break; exact integer U; one sqrt.
+    // just noisier? Day-granularity delays tie heavily, so ranks are
+    // MIDRANKS computed from value-grain cumulative counts (the only
+    // window runs over the ~120-value delay domain, never the
+    // lineitem-grain rows) and the variance carries the standard tie
+    // correction Σ(t³−t)/(n(n−1)) — without it the z here would be
+    // inflated by the massive tie groups.
     "q341_region_delay_ranksum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val dec = "decimal(38,0)"
-      val both = Tables.lineitem(s, dir)
+      val vg = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderdate"),
             col("o_custkey")),
@@ -6300,27 +6338,34 @@ object SparkEntry {
         .filter(col("r_name").isin("EUROPE", "ASIA"))
         .select(col("r_name").as("grp"),
           datediff(to_date(col("l_shipdate")), col("o_orderdate"))
-            .cast("long").as("v"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rk", row_number().over(Window.orderBy(
-          col("v"), col("l_orderkey"), col("l_linenumber")))
-          .cast("long"))
-      both.agg(
-        sum(when(col("grp") === "ASIA", 1L).otherwise(0L)).as("n1"),
-        sum(when(col("grp") === "EUROPE", 1L).otherwise(0L)).as("n2"),
-        sum(when(col("grp") === "ASIA", col("rk")).otherwise(0L))
-          .cast(dec).as("r1"))
+            .cast("long").as("v"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("grp") === "ASIA", 1L).otherwise(0L)).as("c1"))
+        .withColumn("cum", sum(col("t")).over(
+          Window.orderBy(col("v"))))
+      vg.agg(
+        sum(col("c1")).as("n1"),
+        sum(col("t") - col("c1")).as("n2"),
+        sum(col("c1").cast(dec) *
+          (lit(2) * col("cum") - col("t") + 1).cast(dec))
+          .as("r1x2"),
+        sum((col("t").cast(dec) * col("t") * col("t") - col("t"))
+          .cast(dec)).as("tiesum"))
         .select(col("n1"), col("n2"),
-          expr(s"cast(r1 - cast(n1 as $dec) * (cast(n1 as $dec) + 1)" +
-            s" div 2 as $dec)").cast("long").as("u1"),
-          expr(s"cast(cast(n1 as $dec) * cast(n2 as $dec) div 2" +
-            s" as $dec)").cast("long").as("u_null_mean"),
-          r4((expr(s"cast(r1 - cast(n1 as $dec) * (cast(n1 as $dec)" +
-            s" + 1) div 2 as $dec)") -
-            expr(s"cast(cast(n1 as $dec) * cast(n2 as $dec) div 2" +
-              s" as $dec)")).cast("double") /
-            sqrt(col("n1").cast("double") * col("n2").cast("double") *
-              (col("n1") + col("n2") + 1).cast("double") / 12.0))
+          ((col("r1x2") - col("n1").cast(dec) *
+            (col("n1").cast(dec) + 1)).cast("double") / 2.0).as("u1"),
+          ((col("n1").cast(dec) * col("n2").cast(dec)).cast("double")
+            / 2.0).as("u_null_mean"),
+          col("r1x2"), col("tiesum"))
+        .select(col("n1"), col("n2"), col("u1"), col("u_null_mean"),
+          r4((col("u1") - col("u_null_mean")) /
+            sqrt((col("n1").cast(dec) * col("n2").cast(dec))
+              .cast("double") / 12.0 *
+              ((col("n1") + col("n2") + 1).cast("double") -
+                col("tiesum").cast("double") /
+                  ((col("n1") + col("n2")).cast("double") *
+                    (col("n1") + col("n2") - 1).cast("double")))))
             .as("z"))
     }),
 
@@ -11465,32 +11510,35 @@ object SparkEntry {
     "q269_rank_sum_test" ->
       """WITH b AS (
         |  SELECT o_orderpriority AS grp,
-        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
-        |         o_orderkey
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
         |  FROM orders
         |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
-        |r AS (
-        |  SELECT grp,
-        |         row_number() OVER (ORDER BY v, o_orderkey)::BIGINT
-        |           AS rk
-        |  FROM b),
+        |vg AS (
+        |  SELECT v, count(*)::BIGINT AS t,
+        |         sum(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END)
+        |           ::BIGINT AS c1
+        |  FROM b GROUP BY 1),
+        |cw AS (
+        |  SELECT v, t, c1,
+        |         sum(t) OVER (ORDER BY v)::BIGINT AS cum
+        |  FROM vg),
         |a AS (
-        |  SELECT sum(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END)
-        |           ::BIGINT AS n1,
-        |         sum(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END)
-        |           ::BIGINT AS n2,
-        |         sum(CASE WHEN grp = '1-URGENT' THEN rk ELSE 0 END)
-        |           ::HUGEINT AS r1
-        |  FROM r)
-        |SELECT n1, n2,
-        |       (r1 - n1::HUGEINT * (n1::HUGEINT + 1) // 2)::BIGINT
-        |         AS u1,
-        |       (n1::HUGEINT * n2::HUGEINT // 2)::BIGINT
-        |         AS u_null_mean,
-        |       floor(((r1 - n1::HUGEINT * (n1::HUGEINT + 1) // 2)
-        |              - (n1::HUGEINT * n2::HUGEINT // 2))::DOUBLE
-        |             / sqrt((n1 * n2)::DOUBLE * (n1 + n2 + 1)::DOUBLE
-        |                    / 12.0)
+        |  SELECT sum(c1)::HUGEINT AS n1,
+        |         sum(t - c1)::HUGEINT AS n2,
+        |         sum(c1::HUGEINT * (2 * cum - t + 1)::HUGEINT)
+        |           ::HUGEINT AS r1x2,
+        |         sum(t::HUGEINT * t * t - t)::HUGEINT AS tiesum
+        |  FROM cw)
+        |SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+        |       (r1x2 - n1 * (n1 + 1))::DOUBLE / 2.0 AS u1,
+        |       (n1 * n2)::DOUBLE / 2.0 AS u_null_mean,
+        |       floor(((r1x2 - n1 * (n1 + 1))::DOUBLE / 2.0
+        |              - (n1 * n2)::DOUBLE / 2.0)
+        |             / sqrt((n1 * n2)::DOUBLE / 12.0
+        |                    * ((n1 + n2 + 1)::DOUBLE
+        |                       - tiesum::DOUBLE
+        |                         / ((n1 + n2)::DOUBLE
+        |                            * (n1 + n2 - 1)::DOUBLE)))
         |             * 10000 + 0.5) / 10000 AS z
         |FROM a""".stripMargin,
 
@@ -13163,41 +13211,44 @@ object SparkEntry {
         |       delta::BIGINT AS delta
         |FROM r WHERE rk <= 15 ORDER BY rank""".stripMargin,
 
-    // q341: identical combined ranks and U statistic.
+    // q341: identical value-grain midranks and tie-corrected variance.
     "q341_region_delay_ranksum" ->
       """WITH b AS (
         |  SELECT r_name AS grp,
         |         date_diff('day', o_orderdate,
-        |                   CAST(l_shipdate AS DATE))::BIGINT AS v,
-        |         l_orderkey, l_linenumber
+        |                   CAST(l_shipdate AS DATE))::BIGINT AS v
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON n_nationkey = c_nationkey
         |  JOIN region ON r_regionkey = n_regionkey
         |  WHERE r_name IN ('EUROPE', 'ASIA')),
-        |r AS (
-        |  SELECT grp,
-        |         row_number() OVER (ORDER BY v, l_orderkey,
-        |                            l_linenumber)::BIGINT AS rk
-        |  FROM b),
+        |vg AS (
+        |  SELECT v, count(*)::BIGINT AS t,
+        |         sum(CASE WHEN grp = 'ASIA' THEN 1 ELSE 0 END)
+        |           ::BIGINT AS c1
+        |  FROM b GROUP BY 1),
+        |cw AS (
+        |  SELECT v, t, c1,
+        |         sum(t) OVER (ORDER BY v)::BIGINT AS cum
+        |  FROM vg),
         |a AS (
-        |  SELECT sum(CASE WHEN grp = 'ASIA' THEN 1 ELSE 0 END)::BIGINT
-        |           AS n1,
-        |         sum(CASE WHEN grp = 'EUROPE' THEN 1 ELSE 0 END)
-        |           ::BIGINT AS n2,
-        |         sum(CASE WHEN grp = 'ASIA' THEN rk ELSE 0 END)
-        |           ::HUGEINT AS r1
-        |  FROM r)
-        |SELECT n1, n2,
-        |       (r1 - n1::HUGEINT * (n1::HUGEINT + 1) // 2)::BIGINT
-        |         AS u1,
-        |       (n1::HUGEINT * n2::HUGEINT // 2)::BIGINT
-        |         AS u_null_mean,
-        |       floor(((r1 - n1::HUGEINT * (n1::HUGEINT + 1) // 2)
-        |              - (n1::HUGEINT * n2::HUGEINT // 2))::DOUBLE
-        |             / sqrt(n1::DOUBLE * n2::DOUBLE
-        |                    * (n1 + n2 + 1)::DOUBLE / 12.0)
+        |  SELECT sum(c1)::HUGEINT AS n1,
+        |         sum(t - c1)::HUGEINT AS n2,
+        |         sum(c1::HUGEINT * (2 * cum - t + 1)::HUGEINT)
+        |           ::HUGEINT AS r1x2,
+        |         sum(t::HUGEINT * t * t - t)::HUGEINT AS tiesum
+        |  FROM cw)
+        |SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+        |       (r1x2 - n1 * (n1 + 1))::DOUBLE / 2.0 AS u1,
+        |       (n1 * n2)::DOUBLE / 2.0 AS u_null_mean,
+        |       floor(((r1x2 - n1 * (n1 + 1))::DOUBLE / 2.0
+        |              - (n1 * n2)::DOUBLE / 2.0)
+        |             / sqrt((n1 * n2)::DOUBLE / 12.0
+        |                    * ((n1 + n2 + 1)::DOUBLE
+        |                       - tiesum::DOUBLE
+        |                         / ((n1 + n2)::DOUBLE
+        |                            * (n1 + n2 - 1)::DOUBLE)))
         |             * 10000 + 0.5) / 10000 AS z
         |FROM a""".stripMargin,
 

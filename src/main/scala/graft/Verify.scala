@@ -1,36 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Budget-resilient by construction (the r8 artifact came back empty because
+  * the sequential dump outgrew the driver's time budget):
+  *   1. oracle_sql.json is written FIRST — a mid-dump kill leaves a
+  *      truncated-but-usable artifact instead of an empty one.
+  *   2. Queries run cheapest-first (cost map from BENCH.json via
+  *      [[QueryCosts]]), so a cut loses only the most expensive tail.
+  *   3. Queries run concurrently on a fixed thread pool over one
+  *      SparkSession (FAIR scheduler) — Spark schedules concurrent jobs
+  *      across the local[N] slots; wall-clock drops ~6× vs sequential.
+  *   4. repartition(1) instead of coalesce(1): the final single-file write
+  *      no longer collapses the upstream stages to one thread.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Dev loop: SPARK_GRAFT_ONLY=q121,q122 restricts the dump to queries
-    // whose name starts with any listed prefix. Unset for the driver run.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = only match {
-      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
-        ps.exists(n.startsWith) }
-      case None => SparkEntry.queries
-    }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -46,6 +49,43 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // Dev loop: SPARK_GRAFT_ONLY=q121,q122 restricts the dump to queries
+    // whose name starts with any listed prefix. Unset for the driver run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val ordered = selected.toSeq.sortBy { case (n, _) =>
+      (QueryCosts.sf01Seconds.getOrElse(n, 1.0), n) }
+
+    val workers = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
+    val pool = Executors.newFixedThreadPool(workers)
+    val done = new AtomicInteger(0)
+    val t0 = System.nanoTime()
+    ordered.foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val tq = System.nanoTime()
+          try {
+            fn(spark, sfDir).repartition(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            val n = done.incrementAndGet()
+            System.err.println(f"[verify] $n%3d/${ordered.size} $name " +
+              f"${(System.nanoTime() - tq) / 1e9}%.1fs " +
+              f"(elapsed ${(System.nanoTime() - t0) / 1e9}%.0fs)")
+          } catch { case e: Throwable =>
+            done.incrementAndGet()
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(24, TimeUnit.HOURS)
     spark.stop()
   }
 }

@@ -84,9 +84,11 @@ class StatInvariantSpec extends SparkSpec {
   test("q269 rank-sum U lies in [0, n1*n2]") {
     val r = rows("q269_rank_sum_test").head
     val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
-    val u1 = r.getAs[Long]("u1")
-    assert(u1 >= 0L && u1 <= n1 * n2, s"u1 $u1 outside [0, ${n1 * n2}]")
-    assert(r.getAs[Long]("u_null_mean") == n1 * n2 / 2)
+    // midrank formulation: U and its null mean are half-integer doubles
+    val u1 = r.getAs[Double]("u1")
+    assert(u1 >= 0.0 && u1 <= (n1 * n2).toDouble,
+      s"u1 $u1 outside [0, ${n1 * n2}]")
+    assert(r.getAs[Double]("u_null_mean") == n1 * n2 / 2.0)
   }
 
   test("q261 winsorization: cuts ordered, clipped mass bounded by tail count share") {
