@@ -74,13 +74,13 @@ class SketchesSpec extends SparkSpec {
 
   test("stratified sample keeps exactly min(quota, stratum size) rows") {
     val docs = Tables.documents(spark, sf001)
-    val quotas = SparkEntry.stratifiedQuotas.toDF("source", "quota")
+    val quotas = QueryHelpers.stratifiedQuotas.toDF("source", "quota")
     val kept = TextAnalysis.stratifiedSample(docs, quotas)
       .groupBy("source").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val sizes = docs.groupBy("source").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val quotaMap = SparkEntry.stratifiedQuotas.toMap
+    val quotaMap = QueryHelpers.stratifiedQuotas.toMap
     sizes.foreach { case (src, n) =>
       assert(kept(src) == math.min(quotaMap(src), n),
         s"stratum $src: kept ${kept(src)}, want min(${quotaMap(src)}, $n)")
@@ -158,7 +158,7 @@ class SketchesSpec extends SparkSpec {
 
   test("stratified sample is reshuffle-stable (content-addressed)") {
     val docs = Tables.documents(spark, sf001)
-    val quotas = SparkEntry.stratifiedQuotas.toDF("source", "quota")
+    val quotas = QueryHelpers.stratifiedQuotas.toDF("source", "quota")
     val a = TextAnalysis.stratifiedSample(docs, quotas)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val b = TextAnalysis.stratifiedSample(docs.repartition(13), quotas)
@@ -168,7 +168,7 @@ class SketchesSpec extends SparkSpec {
 
   test("weighted sample: rate tracks weight, reshuffle-stable") {
     val docs = Tables.documents(spark, sf001)
-    val weights = SparkEntry.sampleWeights.toDF("source", "w")
+    val weights = QueryHelpers.sampleWeights.toDF("source", "w")
     val n = 200
     val sample = TextAnalysis.weightedSample(docs, weights, n)
     val rates = sample.groupBy("w").agg(count(lit(1)).as("picked"))
