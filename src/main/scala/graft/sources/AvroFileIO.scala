@@ -47,12 +47,28 @@ object AvroFileIO {
     Schema.createRecord(name, null, "graft", false, fields.toList.asJava)
   }
 
-  /** Write one OCF file per partition under `path`. */
+  /** Write one OCF file per partition under `path` (local filesystem
+    * only — the sink uses java.io directly, so on a multi-node cluster
+    * each executor writes to its own local disk; route through a
+    * distributed FS sink there).
+    *
+    * Overwrite is scoped to the sink's own output: only `part-*.avro`
+    * files are removed, and the write REFUSES a non-empty directory
+    * containing anything else — a mistyped path must never silently
+    * destroy unrelated data.
+    */
   def writeOcf(df: DataFrame, path: String): Unit = {
     val schema = df.schema
     val schemaJson = avroSchema(schema, "GraftRecord").toString
     val dir = new File(path)
-    if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
+    if (dir.exists()) {
+      val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      val foreign = files.filterNot(_.getName.endsWith(".avro"))
+      require(foreign.isEmpty,
+        s"writeOcf: refusing to overwrite $path — contains non-Avro " +
+          s"entries: ${foreign.take(3).map(_.getName).mkString(", ")}")
+      files.foreach(_.delete())
+    } else dir.mkdirs()
     df.queryExecution.toRdd // force analysis before the closure
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val avSchema = new Schema.Parser().parse(schemaJson)

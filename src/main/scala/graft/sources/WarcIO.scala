@@ -42,12 +42,37 @@ object WarcIO {
     StructField("source", StringType),
     StructField("text", StringType)))
 
-  /** Write one container per partition under `path`. Input needs
+  /** A header value that could corrupt record framing fails the write
+    * loudly (mirrors the reader's magic-line/truncation philosophy):
+    * the payload is length-framed, but header values are line-framed,
+    * so a newline (or CR, or an empty value) inside lang/source would
+    * make readWarc mis-parse the container.
+    */
+  private def headerValue(field: String, v: String): String = {
+    require(v != null && v.nonEmpty, s"writeWarc: empty/null $field")
+    require(!v.exists(c => c == '\n' || c == '\r'),
+      s"writeWarc: $field contains a line break: ${v.take(40)}...")
+    v
+  }
+
+  /** Write one container per partition under `path` (local filesystem
+    * only — java.io sink; see AvroFileIO.writeOcf). Input needs
     * (doc_id, lang, source, text).
+    *
+    * Overwrite is scoped to the sink's own output: only `*.warc` files
+    * are removed, and the write REFUSES a directory containing anything
+    * else — a mistyped path must never silently destroy unrelated data.
     */
   def writeWarc(df: DataFrame, path: String): Unit = {
     val dir = new File(path)
-    if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
+    if (dir.exists()) {
+      val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      val foreign = files.filterNot(_.getName.endsWith(".warc"))
+      require(foreign.isEmpty,
+        s"writeWarc: refusing to overwrite $path — contains non-WARC " +
+          s"entries: ${foreign.take(3).map(_.getName).mkString(", ")}")
+      files.foreach(_.delete())
+    } else dir.mkdirs()
     val cols = Seq("doc_id", "lang", "source", "text")
     val projected = df.selectExpr(cols: _*)
     projected.queryExecution.toRdd // force analysis before the closure
@@ -61,8 +86,8 @@ object WarcIO {
         val header =
           s"""$Magic
              |doc-id: ${row.getLong(0)}
-             |lang: ${row.getString(1)}
-             |source: ${row.getString(2)}
+             |lang: ${headerValue("lang", row.getString(1))}
+             |source: ${headerValue("source", row.getString(2))}
              |content-length: ${payload.length}
              |""".stripMargin + "\n"
         out.write(header.getBytes(StandardCharsets.UTF_8))

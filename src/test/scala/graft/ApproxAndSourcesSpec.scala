@@ -158,4 +158,29 @@ class ApproxAndSourcesSpec extends SparkSpec {
     assert(back(1).isNullAt(1) && back(1).getDouble(2) == 2.5)
     assert(back(2).getString(1) == "gamma" && back(2).isNullAt(2))
   }
+
+  test("writeOcf overwrite refuses a directory holding foreign files") {
+    import graft.sources.AvroFileIO
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L)), 1), schema)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-avro-guard").toFile.getAbsolutePath
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "precious.txt"), "keep")
+    val e = intercept[IllegalArgumentException] {
+      AvroFileIO.writeOcf(df, path)
+    }
+    assert(e.getMessage.contains("refusing to overwrite"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "precious.txt")))
+    // a dir holding only its own previous output IS replaced
+    val ok = java.nio.file.Files
+      .createTempDirectory("graft-avro-ok").toFile.getAbsolutePath
+    AvroFileIO.writeOcf(df, ok)
+    AvroFileIO.writeOcf(df, ok)
+    assert(AvroFileIO.readOcf(spark, ok, schema).count() == 1)
+  }
 }

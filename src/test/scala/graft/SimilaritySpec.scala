@@ -51,6 +51,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall too low: $recall")
   }
 
+  test("matryoshka prefix-16 + full-dim rerank beats the bare prefix tier") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(spark, emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    def cut(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", slice(col("embedding"), 1, 16))
+    val bare = recall(Similarity.bruteForceTopK(spark, cut(emb), cut(queries), 10))
+    val reranked = recall(Similarity.prefixRerankTopK(spark, emb, queries, 10,
+      shortlist = 200))
+    assert(reranked > bare,
+      s"rerank $reranked should beat bare prefix $bare")
+    assert(reranked >= 0.4, s"reranked matryoshka recall too low: $reranked")
+    // shortlist-ceiling sanity: rerank can never exceed the recall of
+    // its own candidate stage at shortlist depth
+    val candCeiling = recall(Similarity.bruteForceTopK(
+      spark, cut(emb), cut(queries), 200))
+    assert(reranked <= candCeiling + 1e-9)
+  }
+
   test("IVF recall vs brute force >= 40% on fixture embeddings") {
     val emb = Tables.embeddings(spark, sf001)
     val queries = emb.filter(col("vec_id") < 10)

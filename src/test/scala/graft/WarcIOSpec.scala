@@ -32,6 +32,40 @@ class WarcIOSpec extends SparkSpec {
     assert(back == hostile.toSet)
   }
 
+  test("header values with line breaks fail the write loudly") {
+    val path = tmp()
+    val bad = Seq((1L, "en\nx", "s0", "payload"))
+      .toDF("doc_id", "lang", "source", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcIO.writeWarc(bad, path)
+    }
+    assert(e.getMessage.contains("line break") ||
+      Option(e.getCause).exists(_.getMessage.contains("line break")))
+    val empty = Seq((1L, "en", "", "payload"))
+      .toDF("doc_id", "lang", "source", "text")
+    intercept[org.apache.spark.SparkException] {
+      WarcIO.writeWarc(empty, tmp())
+    }
+  }
+
+  test("overwrite refuses a directory holding foreign files") {
+    val path = tmp()
+    Files.writeString(java.nio.file.Paths.get(path, "precious.txt"), "keep")
+    val df = Seq((1L, "en", "s0", "payload"))
+      .toDF("doc_id", "lang", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      WarcIO.writeWarc(df, path)
+    }
+    assert(e.getMessage.contains("refusing to overwrite"))
+    assert(Files.exists(java.nio.file.Paths.get(path, "precious.txt")),
+      "foreign file must survive the refused write")
+    // a directory holding only *.warc from a previous run IS replaced
+    val ok = tmp()
+    WarcIO.writeWarc(df, ok)
+    WarcIO.writeWarc(df, ok)
+    assert(WarcIO.readWarc(spark, ok).count() == 1)
+  }
+
   test("unknown headers are skipped; magic drift fails loudly") {
     val path = tmp()
     // hand-written container with an extra header the reader must skip
