@@ -151,6 +151,21 @@ object StreamBench {
         (StreamJoins.intervalJoin(l, r, "k", "ts",
           watermarkDelay = "5 seconds", within = "10 seconds"), "append")
       }),
+      "interval_join_wide" -> (() => {
+        // same key density as interval_join but a 3x wider join
+        // interval (30 s): triples the state-store buffer per key
+        // WITHOUT changing the emit rate per admitted row much. If
+        // input-side rows/s holds near interval_join's, the ~100 k
+        // rows/s ceiling is emission/commit-bound, not buffer-bound;
+        // if it drops toward 1/3, buffering dominates. (r8 ADVICE:
+        // separate the two costs with a wider-gap datapoint.)
+        val l = purchases(300000L).select(col("id"),
+          (col("id") % 200000L).as("k"), col("ts"))
+        val r = purchases(300000L).select(
+          (col("id") % 200000L).as("k"), col("ts"), col("quantity"))
+        (StreamJoins.intervalJoin(l, r, "k", "ts",
+          watermarkDelay = "5 seconds", within = "30 seconds"), "append")
+      }),
       "interval_join_dense" -> (() => {
         // the r5 config kept for continuity: 10 k keys → much denser
         // key collisions (measured ~6 output pairs per input row:
