@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.{Column, DataFrame, DataFrameWriter, Row}
 import org.apache.spark.sql.functions._
 
 /** Cluster-scale join patterns: co-located bucketed joins (pre-shuffled
@@ -114,6 +114,46 @@ object ScaleOps {
 
   def compact(df: DataFrame, targetFileBytes: Long): DataFrame =
     df.repartition(compactionPartitions(df, targetFileBytes))
+
+  /** Global dense row-numbering WITHOUT a single-partition window — the
+    * reusable primitive the statistics queries reach for instead of
+    * `row_number().over(Window.orderBy(...))` on fact-grain rows (which
+    * moves the whole frame to one task).
+    *
+    * Plan: range-shuffle on the order columns (each partition owns a
+    * contiguous key range), rank within partitions, then add the
+    * exclusive prefix-sum of partition counts as a broadcast offset.
+    * Per-partition ranks come from a window PARTITIONED by
+    * `spark_partition_id()` — that window's shuffle moves each range
+    * partition wholesale, never concentrating the frame; the offset
+    * frame is |partitions| rows. Catalyst's ReuseExchange dedupes the
+    * range exchange between the count pass and the rank pass.
+    *
+    * `orderCols` must be a TOTAL order (include a unique tie-break key,
+    * e.g. the row's primary key) — exact ties that straddle a range
+    * boundary would otherwise get nondeterministic ranks.
+    */
+  def distributedRank(df: DataFrame, orderCols: Seq[Column],
+                      rankCol: String = "rk",
+                      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // |partitions|-row frame: the only unpartitioned window in the plan
+    // runs over it, never over df's rows
+    val offsets = ranged.groupBy(col("__pid")).count()
+      .withColumn("__offset",
+        sum(col("count")).over(Window.orderBy(col("__pid"))) - col("count"))
+      .select(col("__pid"), col("__offset"))
+    ranged
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(orderCols: _*)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, (col("__offset") + col("__rn")).cast("long"))
+      .drop("__pid", "__rn", "__offset")
+  }
 
   /** Z-order layout: range-partition + sort the table by the Morton
     * interleave of two integer dimensions, so parquet row-group min/max

@@ -163,6 +163,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(s1 == s2, "salt assignment survives an arbitrary reshuffle")
   }
 
+  test("distributedRank equals the single-partition global row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.sources.Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val expected = o.withColumn("rk", row_number().over(
+      Window.orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+      .select(col("o_orderkey"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = ScaleOps.distributedRank(o,
+      Seq(col("o_totalprice"), col("o_orderkey")), partitions = 7)
+      .select(col("o_orderkey"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    // ranks are a dense 1..n permutation
+    assert(got.values.toSeq.sorted == (1L to got.size.toLong))
+  }
+
+  test("distributedRank plan keeps the frame out of a single partition") {
+    val o = graft.sources.Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ranked = ScaleOps.distributedRank(o,
+      Seq(col("o_totalprice"), col("o_orderkey")), partitions = 7)
+    val plan = ranked.queryExecution.executedPlan.toString
+    // the fact frame goes through a RANGE exchange (7 partitions), and
+    // the per-partition window is partitioned by __pid — the only
+    // unpartitioned window runs over the 7-row offsets frame
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+    assert(plan.contains("__pid"), s"expected pid-partitioned window")
+    // executes with correct min/max ends
+    val rows = ranked.orderBy(col("rk")).collect()
+    assert(rows.head.getAs[Long]("rk") == 1L)
+    assert(rows.last.getAs[Long]("rk") == rows.length.toLong)
+  }
+
   test("zorder64 interleaves bits exactly (reference bit loop)") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L
