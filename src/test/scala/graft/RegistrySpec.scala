@@ -56,4 +56,12 @@ class RegistrySpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
+
+  test("every query has a dump-ordering cost (cheapest-first contract)") {
+    // a missing entry silently falls back to mid-range cost — fine for
+    // one-off additions, but drift here means QueryCosts wasn't
+    // regenerated from BENCH.json after the surface changed
+    val missing = SparkEntry.queries.keySet -- QueryCosts.sf01Seconds.keySet
+    assert(missing.isEmpty, s"queries missing from QueryCosts: $missing")
+  }
 }
