@@ -263,7 +263,7 @@ object GraphOps {
           .join(pr.select(col("v"), col("pr").as("pr_prev")), Seq("v")))
         val delta = stepped
           .agg(max(abs(col("pr") - col("pr_prev"))).as("d"))
-          .head.getDouble(0)
+          .head().getDouble(0)
         converged = delta < tol
         prStore.unpersist()
         prStore = stepped

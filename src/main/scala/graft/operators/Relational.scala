@@ -954,7 +954,7 @@ object Relational {
     df.join(frontier,
         col(groupCol) <=> col("__g") && col(xCol) <=> col("__x") &&
           col(yCol) <=> col("__y_min"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Benford first-digit audit (q175) — financial-forensics data

@@ -687,14 +687,14 @@ object Similarity {
                  iters: Int = PcaPowerIters): DataFrame = {
     val model = pcaPowerModel(spark, embeddings, r, dim, iters)
     val comps = model.eigvecs.take(r).zipWithIndex.map { case (v, j) =>
-      val vLit = array(v.map(x => lit(x)): _*)
-      val mLit = array(model.mean.map(x => lit(x)): _*)
+      val vLit = array(v.toIndexedSeq.map(x => lit(x)): _*)
+      val mLit = array(model.mean.toIndexedSeq.map(x => lit(x)): _*)
       aggregate(
         zip_with(zip_with(col("embedding").cast("array<double>"), mLit,
             (x, m) => x - m), vLit, (xc, vv) => xc * vv),
         lit(0.0), (acc, x) => acc + x).as(f"c$j%02d")
     }
-    embeddings.select(col("vec_id") +: comps: _*)
+    embeddings.select((col("vec_id") +: comps).toIndexedSeq: _*)
   }
 
   /** Fitted PCA basis: corpus mean, eigenvalues (descending) and

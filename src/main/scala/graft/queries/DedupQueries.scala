@@ -145,7 +145,7 @@ object DedupQueries {
         .join(contaminated, Seq("doc_id"), "left_anti")
         .join(broadcast(weights), Seq("source"))
         .filter(u < (col("keep_frac") * 65536).cast("long"))
-        .select(docs.columns.map(col): _*)
+        .select(docs.columns.toIndexedSeq.map(col): _*)
       TextAnalysis.sequencePacking(kept)
         .orderBy("doc_id", "source", "n_tokens", "seq_id")
     }),

@@ -115,8 +115,9 @@ object SimilarityQueries {
     // Jacobi cross-check, captured variance) is spec-verified.
     "q125_pca_project" -> ((s, dir) => {
       val p = Similarity.pcaProject(s, Tables.embeddings(s, dir), r = 4)
-      p.select(col("vec_id") +:
-        p.columns.filter(_.startsWith("c")).map(c => r4(col(c)).as(c)): _*)
+      p.select((col("vec_id") +:
+        p.columns.filter(_.startsWith("c")).toIndexedSeq
+          .map(c => r4(col(c)).as(c))): _*)
         .orderBy("vec_id")
     }),
 
