@@ -2,10 +2,15 @@
 """Local stand-in for the driver's t2 gate: compare graft.Verify parquet
 dumps against DuckDB runs of SparkEntry.oracleSql on the same tables.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [workers]
+
+Queries are independent, so they run on a process pool (default: 8
+workers, each with its own DuckDB connection over the same parquet
+views). Output order is deterministic (sorted by query name).
 """
 import glob
 import json
+import multiprocessing as mp
 import os
 import sys
 
@@ -15,6 +20,11 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+_CON = None
+_SF_DIR = None
+_OUT_DIR = None
+_ORACLE = None
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -22,77 +32,87 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _init(sf_dir: str, out_dir: str, oracle: dict) -> None:
+    global _CON, _SF_DIR, _OUT_DIR, _ORACLE
+    _SF_DIR, _OUT_DIR, _ORACLE = sf_dir, out_dir, oracle
+    _CON = duckdb.connect()
+    for t in TABLES:
+        _CON.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+
+def check_one(name: str):
+    """Returns (name, status_line, passed)."""
+    files = glob.glob(os.path.join(_OUT_DIR, name, "*.parquet"))
+    if not files:
+        return name, f"NO-OUTPUT  {name}", False
+    sdf = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                    ignore_index=True)
+    if name not in _ORACLE:
+        ok = len(sdf) > 0
+        return (name,
+                f"ROWS-ONLY  {name}: rows={len(sdf)} cols={sorted(sdf.columns)}",
+                ok)
+    try:
+        odf = _CON.execute(_ORACLE[name]).df()
+    except Exception as e:
+        return name, f"ORACLE-ERR {name}: {e}", False
+    s, o = canon(sdf), canon(odf)
+    if list(s.columns) != list(o.columns):
+        return (name,
+                f"SCHEMA     {name}: spark={list(s.columns)} oracle={list(o.columns)}",
+                False)
+    if len(s) != len(o):
+        return name, f"ROWCOUNT   {name}: spark={len(s)} oracle={len(o)}", False
+    for c in s.columns:
+        a, b = s[c], o[c]
+        try:
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                import numpy as np
+                if not np.allclose(a.astype(float), b.astype(float),
+                                   rtol=0, atol=1e-9, equal_nan=True):
+                    raise AssertionError("values differ")
+            else:
+                if not (a.astype(str).values == b.astype(str).values).all():
+                    raise AssertionError("values differ")
+        except AssertionError:
+            msg = f"VALUES     {name}: column {c}"
+            try:
+                diff = s[c].astype(str).values != o[c].astype(str).values
+                idx = diff.argmax()
+                msg += (f"\n           first diff row {idx}: "
+                        f"spark={s[c].iloc[idx]!r} oracle={o[c].iloc[idx]!r}")
+            except Exception:
+                pass
+            return name, msg, False
+        except Exception as e:
+            return name, f"VALUES     {name}: column {c} ({e})", False
+    return name, f"PASS       {name}: rows={len(s)}", True
+
+
 def main() -> None:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    workers = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = 0
     spark_dirs = sorted(
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
-    for name in spark_dirs:
-        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
-        if not files:
-            print(f"NO-OUTPUT  {name}")
-            n_fail += 1
-            continue
-        sdf = pd.concat([pd.read_parquet(f) for f in sorted(files)],
-                        ignore_index=True)
-        if name not in oracle:
-            print(f"ROWS-ONLY  {name}: rows={len(sdf)} cols={sorted(sdf.columns)}")
-            n_pass += 1 if len(sdf) > 0 else 0
-            n_fail += 0 if len(sdf) > 0 else 1
-            continue
-        try:
-            odf = con.execute(oracle[name]).df()
-        except Exception as e:
-            print(f"ORACLE-ERR {name}: {e}")
-            n_fail += 1
-            continue
-        s, o = canon(sdf), canon(odf)
-        if list(s.columns) != list(o.columns):
-            print(f"SCHEMA     {name}: spark={list(s.columns)} oracle={list(o.columns)}")
-            n_fail += 1
-            continue
-        if len(s) != len(o):
-            print(f"ROWCOUNT   {name}: spark={len(s)} oracle={len(o)}")
-            n_fail += 1
-            continue
-        # value compare, tolerant on dtype (int64 vs Int64 etc.)
-        mismatch = None
-        for c in s.columns:
-            a, b = s[c], o[c]
-            try:
-                if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    import numpy as np
-                    if not np.allclose(a.astype(float), b.astype(float),
-                                       rtol=0, atol=1e-9, equal_nan=True):
-                        mismatch = c
-                        break
-                else:
-                    if not (a.astype(str).values == b.astype(str).values).all():
-                        mismatch = c
-                        break
-            except Exception as e:
-                mismatch = f"{c} ({e})"
-                break
-        if mismatch:
-            print(f"VALUES     {name}: column {mismatch}")
-            sel = s[mismatch.split(' ')[0]] if isinstance(mismatch, str) else None
-            try:
-                col = mismatch.split(' ')[0]
-                diff = s[col].astype(str).values != o[col].astype(str).values
-                idx = diff.argmax()
-                print(f"           first diff row {idx}: spark={s[col].iloc[idx]!r} oracle={o[col].iloc[idx]!r}")
-            except Exception:
-                pass
-            n_fail += 1
-        else:
-            print(f"PASS       {name}: rows={len(s)}")
-            n_pass += 1
+    # schedule expensive queries first (oracle SQL length tracks cost —
+    # the unrolled minhash/k-means chains are the long ones); a cheap
+    # tail packs around them and the makespan drops ~40%
+    spark_dirs.sort(key=lambda n: -len(oracle.get(n, "")))
+    if workers <= 1:
+        _init(sf_dir, out_dir, oracle)
+        results = [check_one(n) for n in spark_dirs]
+    else:
+        with mp.Pool(workers, initializer=_init,
+                     initargs=(sf_dir, out_dir, oracle)) as pool:
+            results = pool.map(check_one, spark_dirs, chunksize=1)
+    n_pass = n_fail = 0
+    for _, line, ok in sorted(results):
+        print(line)
+        n_pass += 1 if ok else 0
+        n_fail += 0 if ok else 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
