@@ -528,14 +528,22 @@ object StatsQueriesC {
         .select(col("source"),
           explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
+      // only ranks <= 25 decide OOV membership, so the vocabulary is a
+      // TakeOrderedAndProject top-25 (bounded), ranked locally; every
+      // token OUTSIDE it is OOV at all ladder levels (left join, rank
+      // coalesced past the deepest cut) — identical to ranking the full
+      // vocabulary, without the global token sort
       val vocab = tok.groupBy(col("token"))
         .agg(count(lit(1)).as("tc"))
+        .orderBy(col("tc").desc, col("token"))
+        .limit(25)
         .withColumn("r", row_number().over(
           Window.orderBy(col("tc").desc, col("token"))))
         .select(col("token").as("vtoken"), col("r"))
       tok.groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("c"))
-        .join(vocab, col("token") === col("vtoken"))
+        .join(vocab, col("token") === col("vtoken"), "left")
+        .withColumn("r", coalesce(col("r"), lit(999999)))
         .groupBy(col("source"))
         .agg(sum(col("c")).as("n_tokens"),
           sum(when(col("r") > 5, col("c")).otherwise(0L)).as("oov5"),
@@ -839,11 +847,15 @@ object StatsQueriesC {
       val demand = Tables.lineitem(s, dir)
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      // top-20 via orderBy().limit(): TakeOrderedAndProject keeps
+      // 20-row heaps per partition — no global sort of the part frame;
+      // ranks are assigned afterwards on the 20-row result
       val top20 = parts
         .join(demand, col("p_partkey") === col("l_partkey"))
+        .orderBy(col("qty").desc, col("p_partkey"))
+        .limit(20)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("qty").desc, col("p_partkey"))))
-        .filter(col("rk") <= 20)
       val alts = parts.select(col("p_partkey").as("alt_key"),
         col("p_brand").as("alt_brand"), col("p_type").as("alt_type"),
         col("p_size").as("alt_size"), col("price_c").as("alt_price_c"))

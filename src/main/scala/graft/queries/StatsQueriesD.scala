@@ -467,9 +467,10 @@ object StatsQueriesD {
           (col("last_u") / 10000.0).as("last_price"),
           expr(s"cast(last_u - first_u as $dec) * 1000000" +
             s" div cast(first_u as $dec)").as("drift_ppm"))
+        .orderBy(abs(col("drift_ppm")).desc, col("l_partkey"))
+        .limit(20)
         .withColumn("rk2", row_number().over(Window.orderBy(
           abs(col("drift_ppm")).desc, col("l_partkey"))))
-        .filter(col("rk2") <= 20)
         .select(col("rk2").cast("long").as("rank"), col("l_partkey"),
           col("n_sales"), col("first_price"), col("last_price"),
           col("drift_ppm"))
@@ -874,9 +875,10 @@ object StatsQueriesD {
           (col("hi_mean_u") / 10000.0).as("hi_mean_price"),
           expr(s"cast(hi_mean_u - lo_mean_u as $dec) * 1000000" +
             s" div cast(lo_mean_u as $dec)").as("spread_ppm"))
+        .orderBy(col("spread_ppm").desc, col("l_partkey"))
+        .limit(20)
         .withColumn("rk", row_number().over(Window.orderBy(
           col("spread_ppm").desc, col("l_partkey"))))
-        .filter(col("rk") <= 20)
         .select(col("rk").cast("long").as("rank"), col("l_partkey"),
           col("n_suppliers"), col("lo_mean_price"),
           col("hi_mean_price"), col("spread_ppm"))
