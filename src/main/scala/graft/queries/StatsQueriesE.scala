@@ -775,17 +775,20 @@ object StatsQueriesE {
     // whale-dependence readout on the behavioral axis. Exact ceil
     // thresholds over the |users| aggregate, decimal ppm.
     "q324_user_value_concentration" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val dec = "decimal(38,0)"
       val per = Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
           .as("v_c"))
-      per
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("v_c").desc, col("user_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("tot", sum(col("v_c")).over(Window.partitionBy()))
+      // users are the largest entity grain in the schema, so this is
+      // the exemplar wiring of ScaleOps.distributedRank: global spend
+      // ranks via range-shuffle + partition offsets (no single-
+      // partition window), and the n/tot scalars come from one
+      // broadcast 1-row aggregate instead of two unpartitioned windows
+      val totals = per.agg(count(lit(1)).as("n"), sum(col("v_c")).as("tot"))
+      graft.operators.ScaleOps.distributedRank(per,
+          Seq(col("v_c").desc, col("user_id")), "rk")
+        .crossJoin(broadcast(totals))
         .select(col("rk"), col("n"), col("tot"), col("v_c"),
           explode(array(lit(10), lit(100))).as("pct_permille"))
         .filter(col("rk") <=
