@@ -121,13 +121,15 @@ object ScaleOps {
     * moves the whole frame to one task).
     *
     * Plan: range-shuffle on the order columns (each partition owns a
-    * contiguous key range), rank within partitions, then add the
-    * exclusive prefix-sum of partition counts as a broadcast offset.
-    * Per-partition ranks come from a window PARTITIONED by
-    * `spark_partition_id()` — that window's shuffle moves each range
-    * partition wholesale, never concentrating the frame; the offset
-    * frame is |partitions| rows. Catalyst's ReuseExchange dedupes the
-    * range exchange between the count pass and the rank pass.
+    * contiguous key range), sort within partitions, then
+    * `RDD.zipWithIndex` — its count job and its map job run over the
+    * SAME shuffled RDD, so the scheduler skips the shuffle-map stage on
+    * the second job and the upstream plan computes exactly once. (The
+    * pure-SQL formulation — a second aggregate subtree for partition
+    * counts joined back as offsets — recomputes the whole upstream:
+    * column pruning slims the counts-side exchange so ReuseExchange
+    * never matches. This is the one genuinely per-partition-imperative
+    * step in the repo, i.e. the RDD escape hatch used as intended.)
     *
     * `orderCols` must be a TOTAL order (include a unique tie-break key,
     * e.g. the row's primary key) — exact ties that straddle a range
@@ -136,23 +138,18 @@ object ScaleOps {
   def distributedRank(df: DataFrame, orderCols: Seq[Column],
                       rankCol: String = "rk",
                       partitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains(rankCol),
+      s"distributedRank: column $rankCol already exists")
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(n, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    // |partitions|-row frame: the only unpartitioned window in the plan
-    // runs over it, never over df's rows
-    val offsets = ranged.groupBy(col("__pid")).count()
-      .withColumn("__offset",
-        sum(col("count")).over(Window.orderBy(col("__pid"))) - col("count"))
-      .select(col("__pid"), col("__offset"))
-    ranged
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(orderCols: _*)))
-      .join(broadcast(offsets), "__pid")
-      .withColumn(rankCol, (col("__offset") + col("__rn")).cast("long"))
-      .drop("__pid", "__rn", "__offset")
+      .sortWithinPartitions(orderCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+ org.apache.spark.sql.types.StructField(
+        rankCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = ranged.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Z-order layout: range-partition + sort the table by the Morton

@@ -785,9 +785,14 @@ object StatsQueriesE {
       // ranks via range-shuffle + partition offsets (no single-
       // partition window), and the n/tot scalars come from one
       // broadcast 1-row aggregate instead of two unpartitioned windows
-      val totals = per.agg(count(lit(1)).as("n"), sum(col("v_c")).as("tot"))
-      graft.operators.ScaleOps.distributedRank(per,
-          Seq(col("v_c").desc, col("user_id")), "rk")
+      val ranked = graft.operators.ScaleOps.distributedRank(per,
+        Seq(col("v_c").desc, col("user_id")), "rk")
+      // totals come from the RANKED frame: its RDD's shuffle files are
+      // already materialized, so this 1-row aggregate skips the whole
+      // upstream scan+aggregate via stage reuse
+      val totals = ranked
+        .agg(count(lit(1)).as("n"), sum(col("v_c")).as("tot"))
+      ranked
         .crossJoin(broadcast(totals))
         .select(col("rk"), col("n"), col("tot"), col("v_c"),
           explode(array(lit(10), lit(100))).as("pct_permille"))

@@ -185,13 +185,19 @@ class ScaleOpsSpec extends SparkSpec {
       .select(col("o_orderkey"), col("o_totalprice"))
     val ranked = ScaleOps.distributedRank(o,
       Seq(col("o_totalprice"), col("o_orderkey")), partitions = 7)
+    // no window operator anywhere: ranks come from zipWithIndex over
+    // the range-shuffled RDD, so there is nothing that could collapse
+    // the frame to one task
     val plan = ranked.queryExecution.executedPlan.toString
-    // the fact frame goes through a RANGE exchange (7 partitions), and
-    // the per-partition window is partitioned by __pid — the only
-    // unpartitioned window runs over the 7-row offsets frame
-    assert(plan.contains("rangepartitioning"),
-      s"expected a range exchange in:\n$plan")
-    assert(plan.contains("__pid"), s"expected pid-partitioned window")
+    assert(!plan.toLowerCase.contains("window"),
+      s"expected a window-free plan:\n$plan")
+    // the ranked RDD preserves the requested partition count and the
+    // rows stay spread across partitions (no single-partition collapse)
+    assert(ranked.rdd.getNumPartitions == 7)
+    val perPart = ranked.rdd.mapPartitions(
+      it => Iterator.single(it.size)).collect()
+    assert(perPart.count(_ > 0) > 1,
+      s"rows collapsed to one partition: ${perPart.toSeq}")
     // executes with correct min/max ends
     val rows = ranked.orderBy(col("rk")).collect()
     assert(rows.head.getAs[Long]("rk") == 1L)
