@@ -187,4 +187,42 @@ class PlanContractSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"pair space must ride the token equi-join:\n$plan")
   }
+
+  // ---- round-9 de-scale-kill contracts: the global-rank rewrites must
+  // not regress back to a row_number over fact/entity-grain rows ----
+
+  test("q269/q341 rank-sum: the sort feeds an aggregate, never fact rows") {
+    for (q <- Seq("q269_rank_sum_test", "q341_region_delay_ranksum")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sf001))
+      // value-grain cumulative window: the single-partition sort must
+      // sit ABOVE a hash aggregate (the value-grain groupBy), i.e. the
+      // frame entering the window was already aggregated
+      val win = plan.indexOf("Window")
+      assert(win >= 0, s"$q: expected the value-grain window:\n$plan")
+      val aggBelow = plan.indexOf("HashAggregate", win)
+      assert(aggBelow > win,
+        s"$q: the window must rank an aggregated value frame:\n$plan")
+    }
+  }
+
+  test("top-N leaderboards use TakeOrderedAndProject, not a global rank") {
+    for (q <- Seq("q340_movers_shakers", "q277_price_drift",
+      "q289_procurement_arbitrage", "q255_substitution_candidates",
+      "q245_oov_ladder")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sf001))
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: expected TakeOrderedAndProject:\n$plan")
+    }
+  }
+
+  test("q300/q310 exact selection: no row_number over the fact frame") {
+    for (q <- Seq("q300_health_card", "q310_ops_health_card")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sf001))
+      // the medians/percentiles ride cumulative sums over value-grain
+      // aggregates; a row_number in these plans would mean the rewrite
+      // regressed to per-row global ranking
+      assert(!plan.contains("row_number"),
+        s"$q: expected no per-row global rank:\n$plan")
+    }
+  }
 }
