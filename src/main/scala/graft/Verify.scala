@@ -62,7 +62,13 @@ object Verify {
     val ordered = selected.toSeq.sortBy { case (n, _) =>
       (QueryCosts.sf01Seconds.getOrElse(n, 1.0), n) }
 
-    val workers = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
+    // 8 concurrent queries fit comfortably in the 8 GiB dev heap; if
+    // the driver launches this JVM smaller, scale the pool down rather
+    // than risk trading the r8 empty-artifact failure for an OOM one
+    val heapGib = Runtime.getRuntime.maxMemory().toDouble / (1L << 30)
+    val defaultWorkers = if (heapGib >= 6.0) 8 else if (heapGib >= 3.0) 4 else 2
+    val workers = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS",
+      defaultWorkers.toString).toInt
     val pool = Executors.newFixedThreadPool(workers)
     val done = new AtomicInteger(0)
     val t0 = System.nanoTime()
