@@ -9,7 +9,8 @@ import java.nio.file.{Files, Paths}
 object VerifyOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,7 +20,9 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
+      // repartition(1), not coalesce(1) — same reasoning as Verify:
+      // keep upstream stages parallel, still one file per query
+      SparkEntry.queries(name)(spark, sfDir).repartition(1).write
         .mode("overwrite").parquet(s"$outDir/$name")
     }
     def q(s: String): String = "\"" + s.flatMap {

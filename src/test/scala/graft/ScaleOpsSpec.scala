@@ -180,6 +180,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.values.toSeq.sorted == (1L to got.size.toLong))
   }
 
+  test("distributedRank property: matches global row_number on random frames") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 50 + rng.nextInt(500)
+      val parts = 1 + rng.nextInt(12)
+      // duplicate-heavy value column to exercise ties across range
+      // boundaries (the id tie-break must keep ranks deterministic)
+      val data = (1 to n).map(i => (i.toLong, rng.nextInt(7).toLong))
+      val df = data.toDF("id", "v").repartition(5)
+      val ascending = rng.nextBoolean()
+      val ord = if (ascending) Seq(col("v").asc, col("id").asc)
+                else Seq(col("v").desc, col("id").asc)
+      val expected = df.withColumn("rk",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val got = ScaleOps.distributedRank(df, ord, partitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == expected,
+        s"trial $trial (n=$n parts=$parts asc=$ascending) diverged")
+    }
+  }
+
   test("distributedRank plan keeps the frame out of a single partition") {
     val o = graft.sources.Tables.orders(spark, sf001)
       .select(col("o_orderkey"), col("o_totalprice"))
