@@ -71,13 +71,23 @@ object Verify {
       defaultWorkers.toString).toInt
     val pool = Executors.newFixedThreadPool(workers)
     val done = new AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // Output schema of every dumped query (name → "col:CATALYST_TYPE"),
+    // written as schemas.json beside oracle_sql.json: type drift (e.g.
+    // r9's decimal-vs-double q239) is then catchable by diffing
+    // artifacts across rounds, not only by the driver's value hash.
+    val schemas =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
     val t0 = System.nanoTime()
     ordered.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit = {
           val tq = System.nanoTime()
           try {
-            fn(spark, sfDir).repartition(1).write.mode("overwrite")
+            val df = fn(spark, sfDir)
+            schemas.put(name,
+              df.schema.fields.toSeq.map(f => s"${f.name}:${f.dataType.sql}"))
+            df.repartition(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
             val n = done.incrementAndGet()
             System.err.println(f"[verify] $n%3d/${ordered.size} $name " +
@@ -85,6 +95,7 @@ object Verify {
               f"(elapsed ${(System.nanoTime() - t0) / 1e9}%.0fs)")
           } catch { case e: Throwable =>
             done.incrementAndGet()
+            failures.add(name)
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
         }
@@ -92,6 +103,27 @@ object Verify {
     }
     pool.shutdown()
     pool.awaitTermination(24, TimeUnit.HOURS)
+    val failed = {
+      import scala.jdk.CollectionConverters._
+      failures.asScala.toSeq.sorted
+    }
+    val schemaJson = {
+      import scala.jdk.CollectionConverters._
+      schemas.asScala.toSeq.sortBy(_._1).map { case (k, cols) =>
+        s"${q(k)}: ${cols.map(q).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+    }
+    Files.writeString(Paths.get(s"$outDir/schemas.json"), schemaJson)
+    // A truncated/partial dump must be detectable from THIS run, not
+    // only from check_oracle's NO-OUTPUT lines downstream: summary line
+    // + a marker file when anything failed (exit stays 0 — the parquet
+    // that did land is still a usable artifact for the driver).
+    Files.writeString(Paths.get(s"$outDir/_verify_summary.json"),
+      s"""{"total": ${ordered.size}, "ok": ${ordered.size - failed.size},""" +
+        s""" "failed": ${failed.map(q).mkString("[", ",", "]")}}""")
+    System.err.println(s"[verify] SUMMARY: ${ordered.size - failed.size}/" +
+      s"${ordered.size} ok" +
+      (if (failed.nonEmpty) s", FAILED: ${failed.mkString(", ")}" else ""))
     spark.stop()
   }
 }

@@ -134,6 +134,13 @@ object ScaleOps {
     * `orderCols` must be a TOTAL order (include a unique tie-break key,
     * e.g. the row's primary key) — exact ties that straddle a range
     * boundary would otherwise get nondeterministic ranks.
+    *
+    * Side effect: `zipWithIndex` launches its count job EAGERLY, at
+    * call time, not at the returned DataFrame's first action. Plan
+    * branches that reuse the result re-execute only the post-shuffle
+    * map (shuffle files are reused), so multi-branch consumers pay
+    * extra map work, not a recompute; if more multi-branch call sites
+    * appear, persist the zipped RDD before createDataFrame.
     */
   def distributedRank(df: DataFrame, orderCols: Seq[Column],
                       rankCol: String = "rk",

@@ -319,8 +319,12 @@ object StatsQueriesC {
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           (col("rev_c") / 100.0).as("revenue"),
           size(col("win")).cast("long").as("n_window"),
-          expr("element_at(array_sort(win)," +
-            " cast((size(win) + 1) div 2 as int)) / 100.0")
+          // divide in SCALA column arithmetic: a `/ 100.0` literal
+          // inside the expr string parses as DECIMAL, making the output
+          // decimal(27,6) while the oracle emits DOUBLE (r9's one red
+          // row — values agreed, the type hash didn't)
+          (expr("element_at(array_sort(win)," +
+            " cast((size(win) + 1) div 2 as int))") / lit(100.0))
             .as("median7_revenue"))
         .orderBy("day")
     }),
@@ -988,11 +992,17 @@ object StatsQueriesC {
           expr("span_d div (n_orders - 1)").as("mean_gap_d"),
           expr("since_d * (n_orders - 1) * 1000L div span_d")
             .as("overdue_x_permille"))
+      // Top-20 via orderBy().limit(): TakeOrderedAndProject keeps a
+      // 20-row heap per partition + one driver merge — no
+      // single-partition window over the customer-grain frame
+      // (~O(10^8-10^9) customers at 100 TB). Ranks are assigned
+      // afterwards on the 20-row result.
       per
-        .withColumn("rk", row_number().over(Window.orderBy(
-          col("overdue_x_permille").desc, col("o_custkey"))))
-        .filter(col("rk") <= 20)
-        .select(col("rk").cast("long").as("rank"), col("o_custkey"),
+        .orderBy(col("overdue_x_permille").desc, col("o_custkey"))
+        .limit(20)
+        .withColumn("rank", row_number().over(Window.orderBy(
+          col("overdue_x_permille").desc, col("o_custkey"))).cast("long"))
+        .select(col("rank"), col("o_custkey"),
           col("n_orders"), col("since_d"), col("mean_gap_d"),
           col("overdue_x_permille"))
         .orderBy("rank")

@@ -153,11 +153,12 @@ object StatsQueriesD {
 
     // Mann-Whitney rank-sum comparison of order values, URGENT vs
     // 5-LOW — the nonparametric "is one distribution shifted" test
-    // that ignores outliers a t-test would chase. Ranks are
-    // row_number over the combined set with an orderkey tie-break
-    // (deterministic; the handful of equal-cent ties makes this the
-    // tie-broken U variant, stated), U and its null mean are exact
-    // integers, the z-score one IEEE sqrt. One orders scan.
+    // that ignores outliers a t-test would chase. Ranks are MIDRANKS
+    // computed from value-grain cumulative counts (midrank·2 =
+    // 2·cum − t + 1, exact half-integers carried as doubles), so U and
+    // its null mean are half-integer doubles and the variance carries
+    // the standard tie correction Σ(t³−t)/(n(n−1)); the z-score is one
+    // IEEE sqrt. One orders scan.
     "q269_rank_sum_test" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val dec = "decimal(38,0)"
@@ -1264,7 +1265,8 @@ object StatsQueriesD {
         |FROM h ORDER BY feed""".stripMargin,
 
 
-    // q269: identical tie-broken ranks, integer U, one sqrt.
+    // q269: identical midranks from value-grain cumulative counts
+    // (half-integer U as double, tie-corrected variance), one sqrt.
     "q269_rank_sum_test" ->
       """WITH b AS (
         |  SELECT o_orderpriority AS grp,

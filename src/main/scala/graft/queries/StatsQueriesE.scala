@@ -110,10 +110,15 @@ object StatsQueriesE {
         .agg(count(lit(1)).as("c"))
       val totals = perSlice.groupBy(col("token"))
         .agg(sum(col("c")).as("c_all"))
+      // Full-corpus top-10 via orderBy().limit(): the token-vocabulary
+      // frame is unbounded at corpus scale (Zipf tail), so no
+      // single-partition window — TakeOrderedAndProject keeps a 10-row
+      // heap per partition. (The per-fold windows below stay: they are
+      // partitioned by drop_slice, bounded at 16 folds by the
+      // jackknife design — see SCALING.md.)
       val fullTop = totals
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("c_all").desc, col("token"))))
-        .filter(col("rk") <= 10)
+        .orderBy(col("c_all").desc, col("token"))
+        .limit(10)
         .select(col("token").as("full_token"))
       // per fold: counts minus the dropped slice, rank, keep top-10
       val folds = perSlice.select(col("slice")).distinct()

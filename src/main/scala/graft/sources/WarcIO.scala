@@ -45,11 +45,13 @@ object WarcIO {
   /** A header value that could corrupt record framing fails the write
     * loudly (mirrors the reader's magic-line/truncation philosophy):
     * the payload is length-framed, but header values are line-framed,
-    * so a newline (or CR, or an empty value) inside lang/source would
-    * make readWarc mis-parse the container.
+    * so a newline or CR inside lang/source would make readWarc
+    * mis-parse the container. Empty values are VALID — "lang: " parses
+    * back as "" (the reader splits on ": "), so only the actual framing
+    * hazard (line breaks) and null (unwritable) are rejected.
     */
   private def headerValue(field: String, v: String): String = {
-    require(v != null && v.nonEmpty, s"writeWarc: empty/null $field")
+    require(v != null, s"writeWarc: null $field")
     require(!v.exists(c => c == '\n' || c == '\r'),
       s"writeWarc: $field contains a line break: ${v.take(40)}...")
     v

@@ -206,13 +206,32 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("top-N leaderboards use TakeOrderedAndProject, not a global rank") {
+    // q259 (customer grain) and q302 (token-vocabulary grain) joined the
+    // list in round 10 — the last two rank-then-filter stragglers
     for (q <- Seq("q340_movers_shakers", "q277_price_drift",
       "q289_procurement_arbitrage", "q255_substitution_candidates",
-      "q245_oov_ladder")) {
+      "q245_oov_ladder", "q259_overdue_customers", "q302_topk_stability")) {
       val plan = physical(SparkEntry.queries(q)(spark, sf001))
       assert(plan.contains("TakeOrderedAndProject"),
         s"$q: expected TakeOrderedAndProject:\n$plan")
     }
+  }
+
+  test("q259/q302 carry no unpartitioned window over an unbounded frame") {
+    // q259: no window at all pre-limit (ranks are assigned on the 20-row
+    // result). q302: the only windows are partitioned by drop_slice (16
+    // jackknife folds — bounded by design, see SCALING.md).
+    val p259 = physical(SparkEntry.queries("q259_overdue_customers")(
+      spark, sf001))
+    val limIdx = p259.indexOf("TakeOrderedAndProject")
+    assert(limIdx >= 0 && !p259.substring(limIdx).contains("Window"),
+      s"q259: no window may run below the top-20 heap:\n$p259")
+    val p302 = physical(SparkEntry.queries("q302_topk_stability")(
+      spark, sf001))
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p302.toLowerCase).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("drop_slice")),
+      s"q302: every window must be partitioned by drop_slice:\n$p302")
   }
 
   test("q300/q310 exact selection: no row_number over the fact frame") {

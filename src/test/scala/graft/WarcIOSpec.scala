@@ -41,11 +41,15 @@ class WarcIOSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("line break") ||
       Option(e.getCause).exists(_.getMessage.contains("line break")))
+    // empty header values are legitimate data, not a framing hazard —
+    // "source: " round-trips back to ""
     val empty = Seq((1L, "en", "", "payload"))
       .toDF("doc_id", "lang", "source", "text")
-    intercept[org.apache.spark.SparkException] {
-      WarcIO.writeWarc(empty, tmp())
-    }
+    val p2 = tmp()
+    WarcIO.writeWarc(empty, p2)
+    val back = WarcIO.readWarc(spark, p2)
+      .as[(Long, String, String, String)].collect().toSet
+    assert(back == Set((1L, "en", "", "payload")))
   }
 
   test("overwrite refuses a directory holding foreign files") {

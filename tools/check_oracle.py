@@ -26,6 +26,16 @@ _OUT_DIR = None
 _ORACLE = None
 
 
+def _is_decimal_obj(series: pd.Series) -> bool:
+    """True when an object-dtype column holds decimal.Decimal values
+    (how pandas surfaces a parquet/DuckDB DECIMAL column)."""
+    if series.dtype.kind != "O":
+        return False
+    from decimal import Decimal
+    nn = series.dropna()
+    return len(nn) > 0 and isinstance(nn.iloc[0], Decimal)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
@@ -66,6 +76,23 @@ def check_one(name: str):
         return name, f"ROWCOUNT   {name}: spark={len(s)} oracle={len(o)}", False
     for c in s.columns:
         a, b = s[c], o[c]
+        # Driver-faithful dtype gate: the driver hashes TYPED values, so a
+        # Spark DECIMAL column vs an oracle DOUBLE/BIGINT fails its hash
+        # even when values agree to 1e-9 (r9's q239: a `100.0` literal
+        # inside an expr string made the output decimal(27,6)). The
+        # allclose branch below masks exactly that, so check dtypes first.
+        a_dec, b_dec = _is_decimal_obj(a), _is_decimal_obj(b)
+        if a_dec != b_dec:
+            return (name,
+                    f"DTYPE      {name}: column {c} "
+                    f"spark={'decimal' if a_dec else a.dtype} "
+                    f"oracle={'decimal' if b_dec else b.dtype}",
+                    False)
+        if not a_dec and {a.dtype.kind, b.dtype.kind} == {"f", "i"}:
+            return (name,
+                    f"DTYPE      {name}: column {c} "
+                    f"spark={a.dtype} oracle={b.dtype} (float vs int)",
+                    False)
         try:
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 import numpy as np
