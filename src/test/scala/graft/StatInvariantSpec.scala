@@ -81,6 +81,45 @@ class StatInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q259 overdue leaderboard: contiguous ranks, non-increasing overdue") {
+    val rs = rows("q259_overdue_customers")
+    assert(rs.map(_.getAs[Long]("rank")) == (1L to rs.size).toSeq,
+      "ranks must be the contiguous 1..N of the limited result")
+    assert(rs.size <= 20)
+    val overdue = rs.map(_.getAs[Long]("overdue_x_permille"))
+    assert(overdue.zip(overdue.drop(1)).forall { case (a, b) => a >= b },
+      s"overdue_x_permille not non-increasing along rank: $overdue")
+    rs.foreach { r =>
+      assert(r.getAs[Long]("n_orders") >= 5L, "cadence needs >=5 orders")
+      assert(r.getAs[Long]("mean_gap_d") >= 0L)
+    }
+  }
+
+  test("q302 jackknife: 16 folds, agreement in [0,10] with consistent pct") {
+    val rs = rows("q302_topk_stability")
+    assert(rs.size == 16, s"expected 16 md5-nibble folds, got ${rs.size}")
+    assert(rs.map(_.getAs[String]("drop_slice")).toSet ==
+      "0123456789abcdef".map(_.toString).toSet)
+    rs.foreach { r =>
+      val n = r.getAs[Long]("n_agree")
+      assert(n >= 0L && n <= 10L, s"n_agree $n outside [0,10]")
+      assert(r.getAs[Long]("agreement_pct") == n * 10L,
+        "agreement_pct must be n_agree out of 10, in percent")
+    }
+  }
+
+  test("q239 rolling median lies within its 7-day window's daily revenues") {
+    val rs = rows("q239_rolling_median_revenue").sortBy(_.getAs[String]("day"))
+    val revs = rs.map(_.getAs[Double]("revenue"))
+    rs.zipWithIndex.foreach { case (r, i) =>
+      val w = revs.slice(math.max(0, i - 6), i + 1)
+      assert(r.getAs[Long]("n_window") == w.size)
+      val m = r.getAs[Double]("median7_revenue")
+      assert(m >= w.min - 1e-9 && m <= w.max + 1e-9,
+        s"median $m outside window [${w.min}, ${w.max}] at ${r.getString(0)}")
+    }
+  }
+
   test("q269 rank-sum U lies in [0, n1*n2]") {
     val r = rows("q269_rank_sum_test").head
     val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
