@@ -78,8 +78,34 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Round-over-round diagnosis INSIDE the artifact: per-query ratios
+    // vs the checked-in QueryCosts snapshot (the prior round's sf0.1
+    // mins). The repo's SCALING.md rule — a uniform ratio distribution
+    // is host drift, a localized outlier is a plan regression — becomes
+    // readable from ONE run: median/p10/p90 ride the JSON, the top
+    // outliers print to stderr. (Only meaningful on the sf0.1 battery
+    // QueryCosts was cut from; other SFs still print, labeled.)
+    val ratios = results.collect {
+      case (n, v) if QueryCosts.sf01Seconds.getOrElse(n, 0.0) > 0.0 =>
+        (n, v / QueryCosts.sf01Seconds(n))
+    }.sortBy(_._2)
+    def pct(p: Double): Double = if (ratios.isEmpty) 0.0
+      else ratios(math.min(ratios.size - 1,
+        math.round(p * (ratios.size - 1)).toInt))._2
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val ratioJson = s"""{"n":${ratios.size},"median":${f3(pct(0.5))},""" +
+      s""""p10":${f3(pct(0.1))},"p90":${f3(pct(0.9))}}"""
+    if (ratios.nonEmpty) {
+      System.err.println(s"[bench] ratio vs QueryCosts (sf0.1 prior): " +
+        s"median ${f3(pct(0.5))} p10 ${f3(pct(0.1))} p90 ${f3(pct(0.9))} " +
+        s"over ${ratios.size} queries; slowest-growing:")
+      ratios.takeRight(8).reverse.foreach { case (n, r) =>
+        System.err.println(f"[bench]   $n ${f3(r)}x " +
+          f"(${QueryCosts.sf01Seconds(n)}%.2fs -> ${best(n)}%.2fs)")
+      }
+    }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$passes,"queries":$qs,"errors":$errJson,"ratio_vs_prior":$ratioJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try Files.write(Paths.get(outPath), (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // file write is best-effort; stdout is canonical
@@ -89,7 +115,6 @@ object Bench {
     // final stdout line is therefore a COMPACT summary — true total, the
     // top-slowest per-query timings (the fast tail is uniform ~0.1-0.4 s
     // noise), error count, and a pointer to the full map on disk.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val topN = 20
     val top = results.sortBy(-_._2).take(topN)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
@@ -97,7 +122,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v.take(60) + "\"" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"queries_note":"top $topN slowest; full map in queries_file","n_errors":${errors.size},"errors":$errHead,"sf":"$sfDir","queries_file":"$outPath"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$passes,"n_queries":${results.size},"queries":$top,"queries_note":"top $topN slowest; per-query MIN across $passes interleaved passes; full map in queries_file","n_errors":${errors.size},"errors":$errHead,"ratio_vs_prior":$ratioJson,"sf":"$sfDir","queries_file":"$outPath"}"""
     spark.stop()
     // Print last, after Spark shutdown, so no executor/log lines follow it.
     System.out.println(line)

@@ -85,10 +85,14 @@ object Verify {
           val tq = System.nanoTime()
           try {
             val df = fn(spark, sfDir)
-            schemas.put(name,
-              df.schema.fields.toSeq.map(f => s"${f.name}:${f.dataType.sql}"))
             df.repartition(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
+            // schema recorded only AFTER a successful dump: schemas.json
+            // must never carry an entry with no verified parquet behind
+            // it (regenerating the schemas-baseline from a partially
+            // failed run would otherwise bake unverified entries in)
+            schemas.put(name,
+              df.schema.fields.toSeq.map(f => s"${f.name}:${f.dataType.sql}"))
             val n = done.incrementAndGet()
             System.err.println(f"[verify] $n%3d/${ordered.size} $name " +
               f"${(System.nanoTime() - tq) / 1e9}%.1fs " +

@@ -159,6 +159,96 @@ object ScaleOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** SQL `ntile(k)` bucket recovered from a pre-computed global rank —
+    * the companion to [[distributedRank]] that lets quantile-scoring
+    * queries (RFM quintiles, quartile bands, price tiers) drop their
+    * unpartitioned `ntile(k).over(Window.orderBy(...))` window: rank
+    * via range shuffle, then this pure column expression maps
+    * (rank, total) → the IDENTICAL bucket ntile would assign.
+    *
+    * Semantics (SQL standard, Spark's `NTile` and DuckDB agree):
+    * `base = n div k`, `rem = n mod k`; the first `rem` buckets hold
+    * `base+1` rows, the rest `base`. The `when` guard also covers
+    * n < k (base = 0): every row then lands in its own bucket, and the
+    * `base`-divisor branch is never evaluated (CaseWhen is lazy; the
+    * `greatest(base,1)` keeps ANSI div-by-zero unreachable even if an
+    * optimizer rewrite were to constant-fold the branch).
+    *
+    * `rk` must be the 1-based dense global position from a TOTAL order
+    * (distributedRank with a tie-break key); `n` the frame's row count
+    * (a broadcast 1-row aggregate). Returns LongType. (The `/` on
+    * Columns is IEEE division; positive long operands round-trip the
+    * floor exactly below ~2×10¹⁵ rows — past any real frame.)
+    */
+  def ntileOfRank(rk: Column, n: Column, k: Int): Column = {
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val base = idiv(n.cast("long"), lit(k.toLong))
+    val rem = n.cast("long") - base * k
+    val cutoff = rem * (base + lit(1L))
+    when(rk <= cutoff, idiv(rk + base, base + lit(1L)))
+      .otherwise(rem + idiv(rk - cutoff + greatest(base, lit(1L)) - 1L,
+        greatest(base, lit(1L))))
+  }
+
+  /** Exact global running sum (prefix sum / cumulative sum) of
+    * `valueCol` (LongType) along the total order `orderCols`, with no
+    * single-partition window — the scale-safe form of
+    * `sum(v).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * currentRow))` for ABC/Pareto cumulative-share queries whose order
+    * key (e.g. per-part revenue) is near-unique, so the value-grain
+    * cumulative trick (q269/q300) would degenerate back to the full
+    * entity frame.
+    *
+    * Plan: range-shuffle on the order columns, sort within partitions,
+    * then TWO jobs over the SAME shuffled RDD (the scheduler reuses the
+    * shuffle files, as in [[distributedRank]]): (1) per-partition value
+    * totals — numPartitions longs to the driver, KB-scale at any data
+    * size — scanned into exclusive per-partition offsets; (2) a
+    * per-partition running sum seeded with the partition's offset.
+    * Both the rank (`rankCol`) and the inclusive running sum (`cumCol`)
+    * come back, since every cumulative-share consumer also wants the
+    * position. Eager like zipWithIndex: job (1) runs at call time.
+    *
+    * `orderCols` must be a TOTAL order (include a unique tie-break
+    * key); `valueCol` must be a non-null LongType column.
+    */
+  def distributedCumSum(df: DataFrame, orderCols: Seq[Column],
+                        valueCol: String, cumCol: String = "cum",
+                        rankCol: String = "rk",
+                        partitions: Int = 0): DataFrame = {
+    require(!df.columns.contains(cumCol) && !df.columns.contains(rankCol),
+      s"distributedCumSum: output column $cumCol/$rankCol already exists")
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+    val rdd0 = ranged.rdd
+    // per-partition (rowCount, valueTotal): one pair per partition —
+    // the only driver-side state, bounded by the partition count
+    val perPart = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var c = 0L; var s = 0L
+      it.foreach { r => c += 1L; s += r.getLong(vIdx) }
+      Iterator((i, (c, s)))
+    }.collect().sortBy(_._1).map(_._2)
+    val cntOff = perPart.map(_._1).scanLeft(0L)(_ + _)
+    val sumOff = perPart.map(_._2).scanLeft(0L)(_ + _)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(rankCol,
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(cumCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var rk = cntOff(i); var run = sumOff(i)
+      it.map { r =>
+        rk += 1L; run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ rk :+ run)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Z-order layout: range-partition + sort the table by the Morton
     * interleave of two integer dimensions, so parquet row-group min/max
     * statistics prune scans filtered on EITHER dimension (a linear sort

@@ -129,10 +129,10 @@ object SketchQueries {
         |         sum(cnt) OVER (PARTITION BY l_returnflag)::BIGINT AS n
         |  FROM bins)
         |SELECT l_returnflag, max(n) AS n,
-        |       min(CASE WHEN cum >= ceil(0.25 * n) THEN (bin + 1) * 1000.0 END) AS p25,
-        |       min(CASE WHEN cum >= ceil(0.5 * n)  THEN (bin + 1) * 1000.0 END) AS p50,
-        |       min(CASE WHEN cum >= ceil(0.75 * n) THEN (bin + 1) * 1000.0 END) AS p75,
-        |       min(CASE WHEN cum >= ceil(0.95 * n) THEN (bin + 1) * 1000.0 END) AS p95
+        |       min(CASE WHEN cum >= ceil(0.25 * n) THEN CAST(bin + 1 AS DOUBLE) * 1000 END) AS p25,
+        |       min(CASE WHEN cum >= ceil(0.5 * n)  THEN CAST(bin + 1 AS DOUBLE) * 1000 END) AS p50,
+        |       min(CASE WHEN cum >= ceil(0.75 * n) THEN CAST(bin + 1 AS DOUBLE) * 1000 END) AS p75,
+        |       min(CASE WHEN cum >= ceil(0.95 * n) THEN CAST(bin + 1 AS DOUBLE) * 1000 END) AS p95
         |FROM c GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 

@@ -1076,14 +1076,15 @@ object StatsQueriesB {
 
 
     // RFM segmentation (recency / frequency / monetary) — the
-    // marketing staple: exact quintile scores per dimension (ntile
-    // over the per-customer AGGREGATE with a custkey tie-break, so
-    // bucketing is engine-exact), then rule-based segments. The
-    // global ntile sorts |customers| aggregate rows — the exact-
-    // quintile price; the approximate path at extreme cardinality is
-    // q63's histogram boundaries.
+    // marketing staple: exact quintile scores per dimension (same
+    // custkey tie-break ntile semantics as the SQL oracle), then
+    // rule-based segments. The three quintiles ride THREE
+    // ScaleOps.distributedRank passes over the |customers| aggregate
+    // (range shuffle + partition offsets — never a single-partition
+    // ntile window) and ntileOfRank reconstructs the exact SQL
+    // bucket from (rank, n); n is one broadcast 1-row count.
     "q209_rfm_segmentation" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.ScaleOps.{distributedRank, ntileOfRank}
       val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
       val maxD = Tables.orders(s, dir)
         .agg(max(col("o_orderdate")).as("t_max"))
@@ -1095,13 +1096,18 @@ object StatsQueriesB {
         .select(col("o_custkey"),
           datediff(col("t_max"), col("last_order")).cast("long").as("r"),
           col("f"), col("m_c"))
-      val scored = rfm
-        .withColumn("score_r", lit(6) - ntile(5).over(
-          Window.orderBy(col("r").asc, col("o_custkey"))))
-        .withColumn("score_f", lit(6) - ntile(5).over(
-          Window.orderBy(col("f").desc, col("o_custkey"))))
-        .withColumn("score_m", lit(6) - ntile(5).over(
-          Window.orderBy(col("m_c").desc, col("o_custkey"))))
+      val ranked = distributedRank(distributedRank(distributedRank(rfm,
+        Seq(col("r").asc, col("o_custkey")), "rk_r"),
+        Seq(col("f").desc, col("o_custkey")), "rk_f"),
+        Seq(col("m_c").desc, col("o_custkey")), "rk_m")
+      val nRows = ranked.agg(count(lit(1)).as("n"))
+      val scored = ranked.crossJoin(broadcast(nRows))
+        .withColumn("score_r",
+          lit(6) - ntileOfRank(col("rk_r"), col("n"), 5))
+        .withColumn("score_f",
+          lit(6) - ntileOfRank(col("rk_f"), col("n"), 5))
+        .withColumn("score_m",
+          lit(6) - ntileOfRank(col("rk_m"), col("n"), 5))
       scored
         .withColumn("segment",
           when(col("score_r") >= 4 && col("score_f") >= 4, "champion")
@@ -1142,23 +1148,24 @@ object StatsQueriesB {
 
     // ABC / Pareto inventory classification: parts ranked by revenue,
     // class A = first 80% of cumulative revenue, B = to 95%, C = the
-    // tail. The one global sort runs over the per-part AGGREGATE
-    // (|parts| rows, not lineitems) — the documented acceptable form;
-    // cumulative shares are integer ppm so class boundaries are
-    // engine-exact.
+    // tail. The cumulative walk is ScaleOps.distributedCumSum (range
+    // shuffle + per-partition offsets — a distributed prefix sum), so
+    // no task ever holds the |parts| frame; per-part revenues are
+    // near-unique, which rules out the value-grain trick here.
+    // Cumulative shares are integer ppm so class boundaries are
+    // engine-exact; the 1-row total reads the cum frame's already-
+    // materialized shuffle.
     "q206_abc_classification" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val cents = floor(col("l_extendedprice") * (lit(1.0) -
         col("l_discount")) * 100 + lit(0.5)).cast("long")
       val perPart = Tables.lineitem(s, dir)
         .groupBy(col("l_partkey")).agg(sum(cents).as("rev_c"))
-        .localCheckpoint(true) // total + ranked output both read it
-      val total = perPart.agg(sum(col("rev_c")).cast("decimal(38,0)")
+      val cum = graft.operators.ScaleOps.distributedCumSum(perPart,
+        Seq(col("rev_c").desc, col("l_partkey")), "rev_c",
+        cumCol = "cum_c", rankCol = "rk_p")
+      val total = cum.agg(sum(col("rev_c")).cast("decimal(38,0)")
         .as("total_c"))
-      val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val classed = perPart.crossJoin(broadcast(total))
-        .withColumn("cum_c", sum(col("rev_c")).over(w))
+      val classed = cum.crossJoin(broadcast(total))
         .withColumn("cum_ppm",
           expr("CAST(cum_c AS DECIMAL(38,0)) * 1000000 div total_c")
             .cast("long"))

@@ -86,20 +86,24 @@ object StatsQueriesC {
 
     // Revenue-concentration ladder: the share of total revenue held
     // by the top 1% / 5% / 10% of customers (ppm integers) — the
-    // whale-dependence readout that complements q179's Gini. Ranks
-    // run over the |customers| aggregate; thresholds are exact
-    // ceil-index integers.
+    // whale-dependence readout that complements q179's Gini.
+    // Thresholds are exact ceil-index integers; ranks come from
+    // ScaleOps.distributedRank (range shuffle + partition offsets —
+    // q324's exemplar wiring), and the n/tot scalars from ONE
+    // broadcast 1-row aggregate, so no single-partition window ever
+    // holds the |customers| frame.
     "q232_revenue_concentration" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val perCust = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
           .cast("long")).as("rev_c"))
-      val ranked = perCust
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("rev_c").desc, col("o_custkey"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("tot", sum(col("rev_c")).over(Window.partitionBy()))
+      val rankedR = graft.operators.ScaleOps.distributedRank(perCust,
+        Seq(col("rev_c").desc, col("o_custkey")), "rk")
+      // totals read the ranked frame: its shuffle files are already
+      // materialized, so the 1-row aggregate rides stage reuse
+      val totals = rankedR
+        .agg(count(lit(1)).as("n"), sum(col("rev_c")).as("tot"))
+      val ranked = rankedR.crossJoin(broadcast(totals))
       ranked
         .select(col("rk"), col("n"), col("tot"), col("rev_c"),
           explode(array(lit(10), lit(50), lit(100))).as("pct_permille"))
@@ -567,10 +571,11 @@ object StatsQueriesC {
     // the part's ACTIVE months: X < 0.5, Y < 1.0, Z, sparse when
     // under 6 months). ONE fact scan feeds both axes: (part, month)
     // grain first, then the |parts| aggregate carries revenue and
-    // the exact quantity moments together; the cumulative rank runs
-    // over parts, never lines.
+    // the exact quantity moments together; the cumulative walk is
+    // ScaleOps.distributedCumSum (distributed prefix sum over the
+    // part grain — q206's wiring), and tot_c one broadcast 1-row
+    // aggregate, so no single-partition window anywhere.
     "q246_abc_xyz_matrix" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val dec = "decimal(38,0)"
       val perPart = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir)
@@ -585,10 +590,12 @@ object StatsQueriesC {
         .agg(count(lit(1)).as("n_m"), sum(col("q_m")).as("sq"),
           sum(col("q_m") * col("q_m")).as("sq2"),
           sum(col("rev_m")).as("rev_c"))
-      val wCum = Window.orderBy(col("rev_c").desc, col("l_partkey"))
-      val classed = perPart
-        .withColumn("cum_c", sum(col("rev_c")).over(wCum))
-        .withColumn("tot_c", sum(col("rev_c")).over(Window.partitionBy()))
+      val cum = graft.operators.ScaleOps.distributedCumSum(perPart,
+        Seq(col("rev_c").desc, col("l_partkey")), "rev_c",
+        cumCol = "cum_c", rankCol = "rk_p")
+      val tot = cum.agg(sum(col("rev_c")).as("tot_c"))
+      val classed = cum
+        .crossJoin(broadcast(tot))
         .withColumn("abc",
           when(expr(s"cast(cum_c as $dec) * 1000000" +
             s" div cast(tot_c as $dec)") <= 800000L, "A")

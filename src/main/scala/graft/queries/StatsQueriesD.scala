@@ -22,22 +22,30 @@ object StatsQueriesD {
     // left / moved, with the permille frequency both sides. The
     // vocabulary-drift readout between two snapshots; both rankings
     // run over |vocab| aggregates off one scan each half (FULL outer
-    // join keeps tokens that vanished).
+    // join keeps tokens that vanished). A top-15 token's OTHER-half
+    // rank can sit anywhere in that vocabulary, so the full rank
+    // vector is needed as VALUES — ScaleOps.distributedRank (range
+    // shuffle + partition offsets) supplies it without a
+    // single-partition window; each half's token total is one
+    // broadcast 1-row aggregate.
     "q265_token_rank_drift" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val mid = docs.agg(expr("(min(doc_id) + max(doc_id)) div 2")
         .as("mid"))
       def ranked(half: org.apache.spark.sql.DataFrame,
-                 pfx: String) = half
-        .select(explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) > 0)
-        .groupBy(col("token"))
-        .agg(count(lit(1)).as(s"${pfx}_n"))
-        .withColumn(s"${pfx}_rank", row_number().over(
-          Window.orderBy(col(s"${pfx}_n").desc, col("token"))))
-        .withColumn(s"${pfx}_tot",
-          sum(col(s"${pfx}_n")).over(Window.partitionBy()))
+                 pfx: String) = {
+        val counts = half
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as(s"${pfx}_n"))
+        val rk = graft.operators.ScaleOps.distributedRank(counts,
+          Seq(col(s"${pfx}_n").desc, col("token")), s"${pfx}_rank")
+        // total reads the ranked frame: shuffle files already
+        // materialized, so the 1-row aggregate rides stage reuse
+        rk.crossJoin(broadcast(
+          rk.agg(sum(col(s"${pfx}_n")).as(s"${pfx}_tot"))))
+      }
       val a = ranked(docs.crossJoin(broadcast(mid))
         .filter(col("doc_id") <= col("mid")), "h1")
       val b = ranked(docs.crossJoin(broadcast(mid))
@@ -629,10 +637,13 @@ object StatsQueriesD {
     // Customer equity quadrants per segment: median-split on balance
     // (asset) × total spend (activity) — HIGH/HIGH is the core book,
     // LOW/HIGH the credit risk, HIGH/LOW the upsell pool. Medians
-    // are exact nearest-rank over the |customers| aggregate; the
-    // quadrant is two integer compares.
+    // are exact nearest-rank picks off ScaleOps.distributedRank
+    // (range shuffle + partition offsets; spend sums are near-unique,
+    // so the value-grain cumulative trick would degenerate) — two
+    // 1-row broadcasts, no single-partition window. The quadrant is
+    // two integer compares.
     "q282_equity_quadrants" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.ScaleOps.distributedRank
       val per = Tables.customer(s, dir)
         .join(Tables.orders(s, dir)
           .groupBy(col("o_custkey"))
@@ -642,19 +653,18 @@ object StatsQueriesD {
         .select(col("c_custkey"), col("c_mktsegment"),
           floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
             .as("bal_c"), col("spend_c"))
-      val wB = Window.orderBy(col("bal_c"), col("c_custkey"))
-      val wS = Window.orderBy(col("spend_c"), col("c_custkey"))
-      val wAll = Window.partitionBy()
+      def medianOf(valCol: String): org.apache.spark.sql.DataFrame = {
+        val r = distributedRank(
+          per.select(col(valCol), col("c_custkey")),
+          Seq(col(valCol), col("c_custkey")), "mrk")
+        val n = r.agg(count(lit(1)).as("n"))
+        r.crossJoin(broadcast(n))
+          .filter(col("mrk") === ((col("n") + 1) / lit(2)).cast("long"))
+          .select(col(valCol).as("med_" + valCol.take(1)))
+      }
       val ranked = per
-        .withColumn("rb", row_number().over(wB))
-        .withColumn("rs", row_number().over(wS))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("med_b", min(when(col("rb") ===
-          ((col("n") + 1) / lit(2)).cast("long"), col("bal_c")))
-          .over(wAll))
-        .withColumn("med_s", min(when(col("rs") ===
-          ((col("n") + 1) / lit(2)).cast("long"), col("spend_c")))
-          .over(wAll))
+        .crossJoin(broadcast(medianOf("bal_c")))
+        .crossJoin(broadcast(medianOf("spend_c")))
       ranked
         .select(col("c_mktsegment"),
           concat(
@@ -984,12 +994,17 @@ object StatsQueriesD {
 
 
     // Does a big first order predict loyalty? Customers banded by
-    // FIRST-order value quartile (exact ntile over the aggregate),
-    // each band's median lifetime order count and repeat share —
-    // the acquisition-quality readout. First order picked by
-    // (date, orderkey); medians nearest-rank.
+    // FIRST-order value quartile, each band's median lifetime order
+    // count and repeat share — the acquisition-quality readout.
+    // First order picked by (date, orderkey). The quartile is
+    // ScaleOps.distributedRank + ntileOfRank (exact SQL ntile bucket
+    // from rank and count, no single-partition ntile window); the
+    // band medians come from VALUE-GRAIN cumulative counts (q300's
+    // technique, partitioned by band over the bounded order-count
+    // domain) — no per-row rank window over customers anywhere.
     "q294_first_order_predictor" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import graft.operators.ScaleOps.{distributedRank, ntileOfRank}
       val wC = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val per = Tables.orders(s, dir)
@@ -1000,18 +1015,26 @@ object StatsQueriesD {
         .select(col("o_custkey"),
           floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
             .as("first_c"), col("n_orders"))
-        .withColumn("band", ntile(4).over(
-          Window.orderBy(col("first_c"), col("o_custkey"))))
-      val wB = Window.partitionBy(col("band"))
-      per
-        .withColumn("mrk", row_number().over(
-          wB.orderBy(col("n_orders"), col("o_custkey"))))
-        .withColumn("m", count(lit(1)).over(wB))
+      val ranked = distributedRank(per,
+        Seq(col("first_c"), col("o_custkey")), "frk")
+      val nRows = ranked.agg(count(lit(1)).as("n"))
+      val banded = ranked.crossJoin(broadcast(nRows))
+        .select(ntileOfRank(col("frk"), col("n"), 4).as("band"),
+          col("n_orders"))
+      // value-grain: (band, n_orders) counts; the cumulative window
+      // is partitioned by band and bounded by the order-count domain
+      val vg = banded.groupBy(col("band"), col("n_orders"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("band")).orderBy(col("n_orders"))))
+        .withColumn("m", sum(col("cnt")).over(
+          Window.partitionBy(col("band"))))
+      vg
         .groupBy(col("band"))
-        .agg(count(lit(1)).as("n_customers"),
-          min(when(col("mrk") === floor((col("m") + lit(1L)) / 2)
+        .agg(max(col("m")).as("n_customers"),
+          min(when(col("cum") >= floor((col("m") + lit(1L)) / 2)
             .cast("long"), col("n_orders"))).as("median_orders"),
-          sum(when(col("n_orders") > 1L, 1L).otherwise(0L))
+          sum(when(col("n_orders") > 1L, col("cnt")).otherwise(0L))
             .as("n_repeat"))
         .select(col("band").cast("long").as("first_value_quartile"),
           col("n_customers"), col("median_orders"),

@@ -631,7 +631,6 @@ object StatsQueriesE {
     // (the null result is the point: a near-zero rho certifies the
     // fixture's name lengths are demand-independent).
     "q319_name_demand_spearman" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val dec = "decimal(38,0)"
       val per = Tables.lineitem(s, dir)
         .groupBy(col("l_partkey"))
@@ -640,11 +639,15 @@ object StatsQueriesE {
           .select(col("p_partkey"), length(col("p_name")).cast("long")
             .as("name_len")),
           col("l_partkey") === col("p_partkey"))
-      val ranked = per
-        .withColumn("r1", row_number().over(
-          Window.orderBy(col("name_len"), col("l_partkey"))))
-        .withColumn("r2", row_number().over(
-          Window.orderBy(col("qty"), col("l_partkey"))))
+      // Spearman needs both full rank VECTORS over the part grain —
+      // two ScaleOps.distributedRank passes (range shuffle + partition
+      // offsets) replace the two single-partition row_number windows;
+      // identical tie-broken ranks, no task ever holds the |parts|
+      // frame. The second call range-shuffles the first's output.
+      val ranked = graft.operators.ScaleOps.distributedRank(
+        graft.operators.ScaleOps.distributedRank(per,
+          Seq(col("name_len"), col("l_partkey")), "r1"),
+        Seq(col("qty"), col("l_partkey")), "r2")
       ranked.agg(count(lit(1)).cast(dec).as("n"),
         sum(((col("r1") - col("r2")) * (col("r1") - col("r2")))
           .cast(dec)).as("sd2"))
@@ -1138,9 +1141,10 @@ object StatsQueriesE {
     // below-median shipped volume — q174's rich-inactive-customer
     // shape on the supply side. The balance threshold is an exact
     // integer cross-multiplication against the broadcast global
-    // moment; the volume median is nearest-rank over suppliers.
+    // moment; the volume median is a nearest-rank pick off
+    // ScaleOps.distributedRank (1-row broadcast — no
+    // single-partition window over the supplier frame).
     "q337_dormant_rich_suppliers" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val dec = "decimal(38,0)"
       val vol = Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey"))
@@ -1154,14 +1158,15 @@ object StatsQueriesE {
           col("bal_c"), coalesce(col("qty"), lit(0L)).as("qty"))
       val mom = su.agg(sum(col("bal_c")).cast(dec).as("sb"),
         count(lit(1)).as("n"))
-      val ranked = su.crossJoin(broadcast(mom))
-        .withColumn("qrk", row_number().over(
-          Window.orderBy(col("qty"), col("s_suppkey"))))
-        .withColumn("med_idx",
-          ((col("n") + 1) / lit(2)).cast("long"))
-        .withColumn("med_q", min(when(col("qrk") === col("med_idx"),
-          col("qty"))).over(Window.partitionBy()))
-      ranked
+      val rankedQ = graft.operators.ScaleOps.distributedRank(
+        su.select(col("qty"), col("s_suppkey")),
+        Seq(col("qty"), col("s_suppkey")), "qrk")
+      val medQ = rankedQ
+        .crossJoin(broadcast(mom.select(col("n"))))
+        .filter(col("qrk") === ((col("n") + 1) / lit(2)).cast("long"))
+        .select(col("qty").as("med_q"))
+      su.crossJoin(broadcast(mom))
+        .crossJoin(broadcast(medQ))
         .filter(col("bal_c").cast(dec) * col("n") > col("sb") &&
           col("qty") < col("med_q"))
         .join(broadcast(Tables.nation(s, dir)),
@@ -1201,15 +1206,21 @@ object StatsQueriesE {
 
     // Cross-tier baskets: orders containing BOTH a top-quartile and
     // a bottom-quartile retail-price part — barbell shopping, the
-    // assortment-planning signal. Part tiers are exact ntile over
-    // the catalog; the order flags are two conditional maxima.
+    // assortment-planning signal. Part tiers are exact SQL-ntile
+    // quartiles reconstructed from ScaleOps.distributedRank +
+    // ntileOfRank (no single-partition ntile window over the
+    // catalog); the order flags are two conditional maxima.
     "q339_cross_tier_baskets" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val tiers = Tables.part(s, dir)
+      import graft.operators.ScaleOps.{distributedRank, ntileOfRank}
+      val rankedP = distributedRank(Tables.part(s, dir)
         .select(col("p_partkey"),
-          ntile(4).over(Window.orderBy(
-            floor(col("p_retailprice") * 100 + lit(0.5)).cast("long"),
-            col("p_partkey"))).as("tier"))
+          floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")
+            .as("rp_c")),
+        Seq(col("rp_c"), col("p_partkey")), "prk")
+      val nP = rankedP.agg(count(lit(1)).as("np"))
+      val tiers = rankedP.crossJoin(broadcast(nP))
+        .select(col("p_partkey"),
+          ntileOfRank(col("prk"), col("np"), 4).as("tier"))
       Tables.lineitem(s, dir)
         .join(broadcast(tiers), col("p_partkey") === col("l_partkey"))
         .groupBy(col("l_orderkey"))

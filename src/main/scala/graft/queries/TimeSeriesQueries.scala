@@ -232,7 +232,7 @@ object TimeSeriesQueries {
         |med AS (
         |  SELECT event_type,
         |         min(CASE WHEN cum >= ceil(0.5 * n)
-        |                  THEN (bin + 1) * 1.0 END) AS med
+        |                  THEN CAST(bin + 1 AS DOUBLE) END) AS med
         |  FROM mcum GROUP BY 1),
         |dev AS (
         |  SELECT ev.event_type, med, abs(value - med) AS adev
@@ -250,7 +250,7 @@ object TimeSeriesQueries {
         |mad AS (
         |  SELECT event_type,
         |         min(CASE WHEN cum >= ceil(0.5 * n)
-        |                  THEN (bin + 1) * 1.0 END) AS mad
+        |                  THEN CAST(bin + 1 AS DOUBLE) END) AS mad
         |  FROM acum GROUP BY 1)
         |SELECT d.event_type, count(*)::BIGINT AS n, max(d.med) AS med,
         |       max(m.mad) AS mad,

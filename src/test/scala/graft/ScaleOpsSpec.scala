@@ -227,6 +227,78 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("rk") == rows.length.toLong)
   }
 
+  test("ntileOfRank property: matches SQL ntile bucket-for-bucket") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      val n = 1 + rng.nextInt(300) // includes n < k (every row its own bucket)
+      val k = 1 + rng.nextInt(9)
+      val data = (1 to n).map(i => (i.toLong, rng.nextInt(9).toLong))
+      val df = data.toDF("id", "v").repartition(4)
+      val ord = Seq(col("v").asc, col("id").asc)
+      val expected = df.withColumn("b",
+        ntile(k).over(Window.orderBy(ord: _*)).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val ranked = ScaleOps.distributedRank(df, ord, partitions = 3)
+      val cnt = ranked.agg(count(lit(1)).as("n"))
+      val got = ranked.crossJoin(broadcast(cnt))
+        .select(col("id"),
+          ScaleOps.ntileOfRank(col("rk"), col("n"), k).as("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"trial $trial (n=$n k=$k) diverged")
+    }
+  }
+
+  test("distributedCumSum property: matches global running sum + row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + rng.nextInt(400)
+      val parts = 1 + rng.nextInt(11)
+      // tie-heavy order values: the id tie-break must make the walk
+      // deterministic across range boundaries
+      val data = (1 to n).map(i =>
+        (i.toLong, rng.nextInt(5).toLong, rng.nextInt(1000).toLong))
+      val df = data.toDF("id", "v", "x").repartition(5)
+      val ascending = rng.nextBoolean()
+      val ord = if (ascending) Seq(col("v").asc, col("id").asc)
+                else Seq(col("v").desc, col("id").asc)
+      val w = Window.orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = df
+        .withColumn("rk", row_number().over(Window.orderBy(ord: _*))
+          .cast("long"))
+        .withColumn("cum", sum(col("x")).over(w))
+        .collect().map(r => (r.getLong(0), (r.getLong(3), r.getLong(4))))
+        .toMap
+      val got = ScaleOps.distributedCumSum(df, ord, "x", partitions = parts)
+        .collect().map(r => (r.getLong(0), (r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got == expected,
+        s"trial $trial (n=$n parts=$parts asc=$ascending) diverged")
+    }
+  }
+
+  test("distributedCumSum plan: window-free, frame spread over partitions") {
+    val o = graft.sources.Tables.orders(spark, sf001)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c"))
+    val cum = ScaleOps.distributedCumSum(o,
+      Seq(col("c").desc, col("o_orderkey")), "c", partitions = 7)
+    val plan = cum.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("window"),
+      s"expected a window-free plan:\n$plan")
+    assert(cum.rdd.getNumPartitions == 7)
+    val perPart = cum.rdd.mapPartitions(
+      it => Iterator.single(it.size)).collect()
+    assert(perPart.count(_ > 0) > 1,
+      s"rows collapsed to one partition: ${perPart.toSeq}")
+    // the final inclusive cumsum equals the plain total
+    val total = o.agg(sum(col("c"))).collect()(0).getLong(0)
+    val rows = cum.orderBy(col("rk").desc).limit(1).collect()
+    assert(rows(0).getAs[Long]("cum") == total)
+  }
+
   test("zorder64 interleaves bits exactly (reference bit loop)") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L

@@ -108,15 +108,19 @@ class StatInvariantSpec extends SparkSpec {
     }
   }
 
-  test("q239 rolling median lies within its 7-day window's daily revenues") {
+  test("q239 rolling median EQUALS the nearest-rank median of its 7-day window") {
     val rs = rows("q239_rolling_median_revenue").sortBy(_.getAs[String]("day"))
     val revs = rs.map(_.getAs[Double]("revenue"))
     rs.zipWithIndex.foreach { case (r, i) =>
       val w = revs.slice(math.max(0, i - 6), i + 1)
       assert(r.getAs[Long]("n_window") == w.size)
       val m = r.getAs[Double]("median7_revenue")
-      assert(m >= w.min - 1e-9 && m <= w.max + 1e-9,
-        s"median $m outside window [${w.min}, ${w.max}] at ${r.getString(0)}")
+      // exact nearest-rank recompute (a containment check would accept
+      // ANY window value — it could not catch an off-by-one rank index)
+      val expected = w.sorted.apply((w.size + 1) / 2 - 1)
+      assert(math.abs(m - expected) <= 1e-9,
+        s"median $m != nearest-rank $expected (window ${w.sorted}) " +
+          s"at ${r.getString(0)}")
     }
   }
 
