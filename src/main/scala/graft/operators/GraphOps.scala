@@ -194,9 +194,9 @@ object GraphOps {
       .join(oriented.as("e3"),
         col("v") === col("e3.src") && col("w") === col("e3.dst"),
         "left_semi")
-    deg.agg(count(lit(1)).as("n_vertices")).crossJoin(
-        canon.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    deg.agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(broadcast(canon.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
   }
 
   /** PageRank with dangling-mass teleport. `iters` is the ROUND CAP;

@@ -335,8 +335,10 @@ object Sketches {
       .filter(col("rk") <= k).drop("rk")
 
     val srcs = sk.select("source").distinct()
+    // distinct-source frame: dimension-grain (a handful of corpus
+    // sources at any data size), so the pair enumeration broadcasts
     val prs = srcs.as("s1")
-      .join(srcs.as("s2"), col("s1.source") < col("s2.source"))
+      .join(broadcast(srcs.as("s2")), col("s1.source") < col("s2.source"))
       .select(col("s1.source").as("source_a"),
         col("s2.source").as("source_b"))
 

@@ -25,7 +25,7 @@ object StatsQueriesB {
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
       val n2 = Tables.nation(s, dir)
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-      val pairs = n1.crossJoin(n2).filter(
+      val pairs = n1.crossJoin(broadcast(n2)).filter(
         (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
           (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
       Tables.lineitem(s, dir)

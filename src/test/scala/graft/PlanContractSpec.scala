@@ -325,6 +325,60 @@ class PlanContractSpec extends SparkSpec {
         s"${stale.mkString(", ")}")
   }
 
+  // ---- round-11 GLOBAL invariant #2: every join that CANNOT extract
+  // equi-keys (a cross join, or a condition with no cross-side equality
+  // conjunct) plans as BroadcastNestedLoopJoin or CartesianProduct — at
+  // 100 TB the former is safe only when the broadcast side is bounded
+  // and the latter never is. The repo's audited pattern is
+  // `crossJoin(broadcast(<1-row or schema-bounded frame>))`: the
+  // explicit hint is the author's certification that the side is
+  // bounded. This test walks ALL 342 optimized plans and fails any
+  // non-equi join with NO broadcast hint on either side — mechanizing
+  // what was previously a per-round manual audit. (SF-independent by
+  // construction: it reads the logical plan, not auto-broadcast
+  // decisions made from local statistics.) ----
+
+  test("GLOBAL: every cross/non-equi join in all query plans carries a broadcast hint") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    // mirrors ExtractEquiJoinKeys: at least one top-level conjunct must
+    // be an equality whose two legs reference opposite join sides
+    def hasEquiKey(j: LJoin): Boolean = {
+      val l = j.left.outputSet
+      val r = j.right.outputSet
+      def crossSide(a: Expression, b: Expression): Boolean =
+        a.references.nonEmpty && b.references.nonEmpty &&
+          ((a.references.subsetOf(l) && b.references.subsetOf(r)) ||
+            (a.references.subsetOf(r) && b.references.subsetOf(l)))
+      j.condition.toSeq.flatMap(conjuncts).exists {
+        case EqualTo(a, b) => crossSide(a, b)
+        case EqualNullSafe(a, b) => crossSide(a, b)
+        case _ => false
+      }
+    }
+    def hinted(j: LJoin): Boolean =
+      j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+        j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
+
+    val hits = scala.collection.mutable.SortedSet[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val bad = fn(spark, sf001).queryExecution.optimizedPlan.collect {
+        case j: LJoin if !hasEquiKey(j) && !hinted(j) => j
+      }
+      if (bad.nonEmpty) hits += name
+    }
+    assert(hits.isEmpty,
+      s"non-equi join with no broadcast hint — either hint the bounded " +
+        s"side explicitly (crossJoin(broadcast(...)) / " +
+        s"join(broadcast(...), cond)) or restructure to an equi join: " +
+        s"${hits.mkString(", ")}")
+  }
+
   test("q300/q310 exact selection: no row_number over the fact frame") {
     for (q <- Seq("q300_health_card", "q310_ops_health_card")) {
       val plan = physical(SparkEntry.queries(q)(spark, sf001))
