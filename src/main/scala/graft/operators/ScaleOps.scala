@@ -141,6 +141,14 @@ object ScaleOps {
     * map (shuffle files are reused), so multi-branch consumers pay
     * extra map work, not a recompute; if more multi-branch call sites
     * appear, persist the zipped RDD before createDataFrame.
+    *
+    * Cost note: `repartitionByRange` runs RangePartitioner's SAMPLING
+    * pass over the input before the shuffle map stage, so the upstream
+    * plan executes ~twice per call (sample + map). For the entity-grain
+    * aggregates this primitive targets that is one extra cheap
+    * aggregation; a caller ranking an EXPENSIVE upstream should
+    * `localCheckpoint` the input first so both passes read the
+    * materialized frame.
     */
   def distributedRank(df: DataFrame, orderCols: Seq[Column],
                       rankCol: String = "rk",

@@ -230,9 +230,14 @@ class ScaleOpsSpec extends SparkSpec {
   test("ntileOfRank property: matches SQL ntile bucket-for-bucket") {
     import org.apache.spark.sql.expressions.Window
     val rng = new scala.util.Random(11)
-    for (trial <- 1 to 6) {
-      val n = 1 + rng.nextInt(300) // includes n < k (every row its own bucket)
-      val k = 1 + rng.nextInt(9)
+    // deterministic edge cases FIRST: n < k (base = 0 — every row its
+    // own bucket, the greatest() guard's branch), n = k, k = 1; the
+    // random draw below (n uniform in 1..300) almost never lands n < k
+    val edges = Seq((3, 7), (5, 5), (17, 1))
+    val trials = edges.map(Some(_)) ++ Seq.fill(6)(None)
+    for ((fixed, trial) <- trials.zipWithIndex) {
+      val n = fixed.map(_._1).getOrElse(1 + rng.nextInt(300))
+      val k = fixed.map(_._2).getOrElse(1 + rng.nextInt(9))
       val data = (1 to n).map(i => (i.toLong, rng.nextInt(9).toLong))
       val df = data.toDF("id", "v").repartition(4)
       val ord = Seq(col("v").asc, col("id").asc)
