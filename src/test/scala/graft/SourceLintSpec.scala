@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-level scale lint: the three RDD/driver escape hatches the
+  * plan contracts cannot see (`collect()` materializes to the driver,
+  * `mapPartitions*` leaves Catalyst/codegen, `udf(` blocks expression
+  * optimization) are each confined to an exact-count whitelist of
+  * (file → sites, reason). Every entry's reason states why the seam is
+  * legitimate at 100 TB — bounded driver payload, a codec no
+  * expression can wrap, or an artifact runner that is not a query
+  * plan. Exact counts make the check two-sided: adding a site OR
+  * removing one fails CI until the whitelist (and its justification)
+  * is consciously updated. This mechanizes what was previously a
+  * per-round manual audit of the anti-pattern greps.
+  */
+class SourceLintSpec extends AnyFunSuite {
+
+  private val root = Paths.get("src/main/scala/graft")
+
+  private def sources: Seq[(String, String)] = {
+    val stream = Files.walk(root)
+    try {
+      stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
+        .map(p => (p.toString.replace('\\', '/'),
+          new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+        .toSeq.sortBy(_._1)
+    } finally stream.close()
+  }
+
+  private def check(patternName: String, pattern: scala.util.matching.Regex,
+                    whitelist: Map[String, (Int, String)]): Unit = {
+    val counts = sources
+      .map { case (f, text) => (f, pattern.findAllIn(text).size) }
+      .filter(_._2 > 0).toMap
+    val unexpected = counts.filterNot { case (f, n) =>
+      whitelist.get(f).exists(_._1 == n)
+    }
+    val stale = whitelist.filterNot { case (f, (n, _)) =>
+      counts.get(f).contains(n)
+    }
+    assert(unexpected.isEmpty && stale.isEmpty,
+      s"$patternName sites drifted from the whitelist.\n" +
+        s"  found-but-not-whitelisted (file -> count): " +
+        s"${unexpected.toSeq.sortBy(_._1).mkString(", ")}\n" +
+        s"  whitelisted-but-count-changed (file -> expected): " +
+        s"${stale.toSeq.sortBy(_._1).map { case (f, (n, _)) => s"$f -> $n" }.mkString(", ")}\n" +
+        s"A NEW site needs a 100 TB justification in the whitelist; a " +
+        s"REMOVED site needs its entry deleted so the list stays tight.")
+  }
+
+  test("collect() is confined to bounded-payload driver sites and artifact runners") {
+    check("collect()", """\.collect\(\)""".r, Map(
+      "src/main/scala/graft/Recall.scala" ->
+        (1, "artifact runner: 100-query recall readout, not a query plan"),
+      "src/main/scala/graft/StreamEquiv.scala" ->
+        (20, "artifact runner: batch-vs-stream row comparisons on fixture data"),
+      "src/main/scala/graft/operators/ScaleOps.scala" ->
+        (1, "distributedCumSum per-partition offsets: numPartitions longs, KB at any scale"),
+      "src/main/scala/graft/operators/Similarity.scala" ->
+        (6, "k-means/PQ/coreset trainers: <= sampleN rows or 1 row per round, documented"),
+      "src/main/scala/graft/operators/Sketches.scala" ->
+        (1, "bloom filter words: mBits/64 longs, size fixed by the filter parameter")))
+  }
+
+  test("mapPartitions* is confined to codec seams and the cumsum offset pass") {
+    check("mapPartitions", """\.mapPartitions""".r, Map(
+      "src/main/scala/graft/operators/Multimodal.scala" ->
+        (6, "ImageIO/AudioSystem/video codecs: no Catalyst expression can wrap them"),
+      "src/main/scala/graft/operators/ScaleOps.scala" ->
+        (2, "distributedCumSum: per-partition totals + offset-seeded running sum over reused shuffle files"),
+      "src/main/scala/graft/sources/AvroFileIO.scala" ->
+        (1, "OCF container framing: one Avro container per partition"),
+      "src/main/scala/graft/sources/WarcIO.scala" ->
+        (1, "WARC container framing: record splitting is byte-stream stateful")))
+  }
+
+  test("udf( is confined to the streaming image dHash") {
+    check("udf(", """(?<![\w.])udf\(""".r, Map(
+      "src/main/scala/graft/streaming/StreamingDedup.scala" ->
+        (1, "dHash over ImageIO decode in a streaming map: same codec-seam justification")))
+  }
+}
