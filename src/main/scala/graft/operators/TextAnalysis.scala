@@ -18,11 +18,11 @@ object TextAnalysis {
   def qualityMetrics(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      length(col("text")).as("n_chars"),
-      TextFunctions.tokenCountWs(col("text")).as("n_tokens_ws"),
-      TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
-      TextFunctions.punctCount(col("text")).as("n_punct"),
-      TextFunctions.alphaCount(col("text")).as("n_alpha"),
+      length(col("text")).cast("long").as("n_chars"),
+      TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
+      TextFunctions.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"),
+      TextFunctions.punctCount(col("text")).cast("long").as("n_punct"),
+      TextFunctions.alphaCount(col("text")).cast("long").as("n_alpha"),
       TextFunctions.qualityScore(col("text")).as("quality"))
 
   /** Language-ID scores + prediction per document. */

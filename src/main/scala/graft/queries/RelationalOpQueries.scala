@@ -234,7 +234,7 @@ object RelationalOpQueries {
         .select(col("o_custkey"), col("status"),
           tsStr(col("valid_from_ts")).as("valid_from"),
           tsStr(col("valid_to_ts")).as("valid_to"),
-          col("version"), col("is_current"))
+          col("version").cast("long").as("version"), col("is_current"))
         .orderBy("o_custkey", "version")
     }),
 

@@ -815,8 +815,10 @@ object StatsQueriesB {
         .withColumn("dec", ntile(10).over(Window.partitionBy(col("yr"))
           .orderBy(col("sp"), col("o_custkey"))))
         .groupBy(col("o_custkey"))
-        .agg(max(when(col("yr") === 1996, col("dec"))).as("dec_1996"),
-          max(when(col("yr") === 1997, col("dec"))).as("dec_1997"))
+        .agg(max(when(col("yr") === 1996, col("dec"))).cast("long")
+            .as("dec_1996"),
+          max(when(col("yr") === 1997, col("dec"))).cast("long")
+            .as("dec_1997"))
         .filter(col("dec_1996").isNotNull && col("dec_1997").isNotNull)
         .groupBy(col("dec_1996"), col("dec_1997"))
         .agg(count(lit(1)).as("n_customers"))
@@ -2637,7 +2639,8 @@ object StatsQueriesB {
 
 
     "q196_generalization_ladder" ->
-      """SELECT band_width, n_groups, n_risky, (n_risky = 0) AS compliant
+      """SELECT band_width::BIGINT AS band_width, n_groups, n_risky,
+        |       (n_risky = 0) AS compliant
         |FROM (
         |  SELECT w.band_width, count(*)::BIGINT AS n_groups,
         |         sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_risky

@@ -133,7 +133,8 @@ object StatsQueriesC {
         .withColumn("prev_c", lag(col("rev_c"), 1).over(
           Window.partitionBy(col("mo")).orderBy(col("yr"))))
         .filter(col("prev_c").isNotNull && col("prev_c") > 0L)
-        .select(col("yr"), col("mo"),
+        .select(col("yr").cast("long").as("yr"),
+          col("mo").cast("long").as("mo"),
           (col("rev_c") / 100.0).as("revenue"),
           (col("prev_c") / 100.0).as("prev_revenue"),
           expr("cast(rev_c - prev_c as decimal(38,0)) * 1000000" +

@@ -625,7 +625,7 @@ object TextQueries {
         |         (('0x' || substr(md5(text), 1, 13))::BIGINT::DOUBLE + 0.5)
         |           / 4503599627370496.0 AS u
         |  FROM documents JOIN weights USING (source))
-        |SELECT doc_id, source, w,
+        |SELECT doc_id, source, w::BIGINT AS w,
         |       CASE CAST(log2(w) AS INT)
         |         WHEN 0 THEN u
         |         WHEN 1 THEN sqrt(u)
@@ -828,7 +828,7 @@ object TextQueries {
         |        i -> 1.0::DOUBLE / ln(i::DOUBLE + 1.0::DOUBLE))),
         |        0.0::DOUBLE) END AS idcg
         |  FROM a)
-        |SELECT query_id, n_cand, n_rel, rel_at_k, mrr,
+        |SELECT query_id::BIGINT AS query_id, n_cand, n_rel, rel_at_k, mrr,
         |       CASE WHEN idcg > 0.0 THEN dcg / idcg
         |            ELSE 0.0::DOUBLE END AS ndcg,
         |       rel_at_k::DOUBLE / 10.0::DOUBLE AS p_at_k,
