@@ -85,7 +85,6 @@ def check_one(name: str):
                 False)
     if len(s) != len(o):
         return name, f"ROWCOUNT   {name}: spark={len(s)} oracle={len(o)}", False
-    notes = []
     for c in s.columns:
         a, b = s[c], o[c]
         # Driver-faithful dtype gate, read from the ARROW schemas (the
@@ -94,9 +93,12 @@ def check_one(name: str):
         # hashes TYPED values, so a Spark DECIMAL column vs an oracle
         # DOUBLE/BIGINT fails its hash even when values agree to 1e-9
         # (r9's q239). decimal-vs-anything and float-vs-int are hard
-        # fails; an int WIDTH mismatch (int32 vs int64) is driver-
-        # tolerated in practice (q175/q228 pass 342/342) so it's
-        # surfaced as a note on the PASS line, not a failure.
+        # fails. An int WIDTH mismatch (int32 vs int64) is driver-
+        # tolerated in practice (q175/q228 passed 342/342 while
+        # mismatched), but r11 aligned every query to its oracle's
+        # exact width, so width drift is now ALSO a hard fail — the
+        # stricter-than-driver local gate, same precedent as the
+        # decimal ban.
         ka, kb = _kind(s_type[c]), _kind(o_type[c])
         if (ka == "decimal") != (kb == "decimal"):
             return (name,
@@ -109,7 +111,10 @@ def check_one(name: str):
                     f"spark={s_type[c]} oracle={o_type[c]} (float vs int)",
                     False)
         if ka == kb and s_type[c] != o_type[c] and ka in ("i", "f"):
-            notes.append(f"{c}:{s_type[c]}/{o_type[c]}")
+            return (name,
+                    f"DTYPE      {name}: column {c} "
+                    f"spark={s_type[c]} oracle={o_type[c]} (width)",
+                    False)
         try:
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 import numpy as np
@@ -131,8 +136,7 @@ def check_one(name: str):
             return name, msg, False
         except Exception as e:
             return name, f"VALUES     {name}: column {c} ({e})", False
-    note = f" [int-width: {', '.join(notes)}]" if notes else ""
-    return name, f"PASS       {name}: rows={len(s)}{note}", True
+    return name, f"PASS       {name}: rows={len(s)}", True
 
 
 def main() -> None:
