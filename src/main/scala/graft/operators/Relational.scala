@@ -183,10 +183,17 @@ object Relational {
     * whole output is integer-exact under the oracle.
     *
     * Scale: per-stage first-touch frames are user-keyed aggregates
-    * (users-sized, not events-sized); each transition's delta list is
-    * collected only at the final 1-row-per-transition reduction —
-    * bounded by converting users. The checkpoint per stage truncates
-    * the chain like [[funnel]].
+    * (users-sized, not events-sized). The percentiles ride
+    * [[graft.operators.ScaleOps.distributedRank]] + a rank-pick filter
+    * (the q282/q337 pattern): deltas are near-unique integer
+    * microseconds, so the value-grain cumulative trick would
+    * degenerate back to the converting-user frame, and collecting the
+    * sorted delta array into the 1-row reduction (the pre-r11 form)
+    * put O(converting users) in one task — the quantile twin of the
+    * retired entity-grain full-rank windows. Rank ties across range
+    * boundaries are broken by user_id; equal deltas carry equal
+    * values, so the picked VALUE is tie-order independent. The
+    * checkpoint per stage truncates the chain like [[funnel]].
     */
   def funnelLatency(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.length >= 2, "funnelLatency needs at least two stages")
@@ -194,17 +201,25 @@ object Relational {
     val transitions = (1 until stages.length).map { i =>
       val deltas = frames(i).select(col("user_id"), col("t_prev").as("t_cur"))
         .join(frames(i - 1), "user_id")
-        .select((unix_micros(col("t_cur")) - unix_micros(col("t_prev")))
-          .as("delta_us"))
-      def qd(q: Double) = element_at(col("ds"),
-        greatest(lit(0), ceil(lit(q) * size(col("ds"))).cast("int") - 1) + 1)
-      deltas
-        .agg(count(lit(1)).as("n_users"),
-          sort_array(collect_list(col("delta_us"))).as("ds"))
+        .select(col("user_id"),
+          (unix_micros(col("t_cur")) - unix_micros(col("t_prev")))
+            .as("delta_us"))
+      val ranked = ScaleOps.distributedRank(deltas,
+        Seq(col("delta_us").asc, col("user_id").asc), "rk")
+      val nRow = ranked.agg(count(lit(1)).as("n_users"))
+      // discrete quantile rule (DuckDB quantile_disc, the q128
+      // convention): 1-based rank max(1, ceil(q·n)) of the sorted
+      // deltas — identical to index max(0, ceil(q·n)−1) of the array
+      def rq(q: Double) =
+        greatest(lit(1L), ceil(lit(q) * col("n_users")).cast("long"))
+      val picks = ranked.crossJoin(broadcast(nRow))
+        .filter(col("rk") === rq(0.5) || col("rk") === rq(0.9))
+        .groupBy()
+        .agg(max(when(col("rk") === rq(0.5), col("delta_us"))).as("p50_us"),
+          max(when(col("rk") === rq(0.9), col("delta_us"))).as("p90_us"))
+      nRow.crossJoin(broadcast(picks))
         .select(lit(i.toLong + 1).as("stage_idx"), lit(stages(i)).as("stage"),
-          col("n_users"),
-          when(col("n_users") > 0, qd(0.5)).as("p50_us"),
-          when(col("n_users") > 0, qd(0.9)).as("p90_us"))
+          col("n_users"), col("p50_us"), col("p90_us"))
     }
     transitions.reduce(_ unionByName _)
   }

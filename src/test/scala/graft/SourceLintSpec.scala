@@ -81,6 +81,34 @@ class SourceLintSpec extends AnyFunSuite {
         (1, "WARC container framing: record splitting is byte-stream stateful")))
   }
 
+  test("collect_list/collect_set sites are all bounded by design") {
+    // an unbounded collect_list materializes a whole frame into ONE
+    // aggregation cell — the single-row cousin of the unpartitioned
+    // window. Every site below is bounded by construction: a fixed
+    // window frame, per-entity history (the fixture contract: keyspace
+    // grows with SF, per-key counts don't), a rank cap ahead of the
+    // collect, a calendar/dimension/value-grain domain, or vertex
+    // degree. q142's converting-user delta array — the one data-sized
+    // site — was rewritten onto distributedRank + rank-pick in r11.
+    check("collect_list/set", """\bcollect_(list|set)\(""".r, Map(
+      "src/main/scala/graft/StreamEquiv.scala" ->
+        (1, "artifact runner: per-window sorted values on fixture data"),
+      "src/main/scala/graft/operators/GraphOps.scala" ->
+        (1, "h-index core-number update: per-vertex neighbor estimates, degree-bounded"),
+      "src/main/scala/graft/operators/Relational.scala" ->
+        (2, "session event paths (session-bounded); Kaplan-Meier curve cells (distinct day-grain durations)"),
+      "src/main/scala/graft/operators/TextAnalysis.scala" ->
+        (3, "per-document segment rebuild x2 (doc-length-bounded); postings rank-capped BEFORE the collect"),
+      "src/main/scala/graft/operators/TimeSeries.scala" ->
+        (4, "ewma window rowsBetween(-31,0); cusum/holt per-key series bounded by the q140 fixture contract"),
+      "src/main/scala/graft/queries/StatsQueriesB.scala" ->
+        (2, "per-brand calendar-month points; flag x linestatus cells"),
+      "src/main/scala/graft/queries/StatsQueriesC.scala" ->
+        (2, "7-day rolling window; 24 hour-of-day cells per type"),
+      "src/main/scala/graft/queries/StatsQueriesD.scala" ->
+        (1, "missing languages per source: dimension-grain")))
+  }
+
   test("udf( is confined to the streaming image dHash") {
     check("udf(", """(?<![\w.])udf\(""".r, Map(
       "src/main/scala/graft/streaming/StreamingDedup.scala" ->
