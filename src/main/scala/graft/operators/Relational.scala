@@ -1030,10 +1030,13 @@ object Relational {
     * Zero-weight items count (a part nobody ordered IS inequality),
     * so the count left-joins from the item dimension. All moments
     * accumulate in DECIMAL(38,0): i·x reaches |items|·Σx, far past a
-    * long at warehouse scale. One division at the end; the per-group
-    * rank window is the exact-Gini O(n log n) lower bound, partitioned
-    * across groups (the approximate path at extreme cardinality is a
-    * histogram Lorenz curve — q63's sketch — not a bigger sort).
+    * long at warehouse scale. One division at the end. The per-group
+    * ranks ride [[graft.operators.ScaleOps.groupedRank]]'s range
+    * shuffle — exact-Gini's O(n log n) sort cost spread over the
+    * cluster rather than one task per group, since groups (types,
+    * sources) are schema-bounded while items are entity-sized (the
+    * approximate path at extreme cardinality is a histogram Lorenz
+    * curve — q63's sketch — not a bigger sort).
     */
   def giniConcentration(items: DataFrame, weights: DataFrame,
                         groupCol: String, itemKey: String,
@@ -1043,9 +1046,8 @@ object Relational {
       .join(weights, col(weightKey) === col(itemKey), "left")
       .groupBy(col(groupCol), col(itemKey))
       .agg(count(col(weightKey)).as("x"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("x").asc, col(itemKey).asc)
-    cnt.withColumn("i", row_number().over(w).cast("long"))
+    ScaleOps.groupedRank(cnt, Seq(groupCol),
+        Seq(col("x").asc, col(itemKey).asc), rankCol = "i")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_items"),
         sum(col("x")).as("total"),

@@ -167,6 +167,40 @@ object ScaleOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Rank WITHIN bounded groups without a per-group single-task sort —
+    * the grouped sibling of [[distributedRank]]. A window partitioned
+    * by a LOW-cardinality key (year, language, event type, key-column
+    * label) over entity/fact-grain rows is the same 100 TB hazard as
+    * an unpartitioned window, just split across k tasks for schema-
+    * bounded k: `row_number().over(Window.partitionBy(yr).orderBy(...))`
+    * with two years pushes half the frame through each of TWO tasks.
+    *
+    * Plan: ONE global [[distributedRank]] over (groupCols ++ orderCols)
+    * — group runs are contiguous under the range shuffle — then
+    * rank-in-group = global rank − the group's min rank + 1, with the
+    * per-group (offset, count) frame broadcast back (one row per
+    * group; `groupCols` must therefore be a BOUNDED key set:
+    * dimension/calendar-grain, never an entity key — for entity keys
+    * use a plain partitioned window, which is already scale-safe).
+    * The group count rides along as `countCol` since every quantile/
+    * ntile consumer needs it.
+    */
+  def groupedRank(df: DataFrame, groupCols: Seq[String],
+                  orderCols: Seq[Column], rankCol: String = "rk",
+                  countCol: String = "n_grp",
+                  partitions: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "groupedRank needs at least one group column")
+    require(!df.columns.contains(rankCol) && !df.columns.contains(countCol),
+      s"groupedRank: output column $rankCol/$countCol already exists")
+    val global = distributedRank(df,
+      groupCols.map(col(_).asc) ++ orderCols, "__grk", partitions)
+    val offs = global.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__grk")).as("__rk0"), count(lit(1)).as(countCol))
+    global.join(broadcast(offs), groupCols)
+      .withColumn(rankCol, col("__grk") - col("__rk0") + lit(1L))
+      .drop("__grk", "__rk0")
+  }
+
   /** SQL `ntile(k)` bucket recovered from a pre-computed global rank —
     * the companion to [[distributedRank]] that lets quantile-scoring
     * queries (RFM quintiles, quartile bands, price tiers) drop their

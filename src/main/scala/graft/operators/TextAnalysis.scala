@@ -104,12 +104,19 @@ object TextAnalysis {
     */
   def lengthPercentileFilter(documents: DataFrame,
                              dropBelow: Double = 0.2): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
-    documents
-      .select(col("doc_id"), col("source"),
-        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"))
-      .withColumn("pr", percent_rank().over(w))
+    // percent_rank reconstructed from ScaleOps.groupedRank: the order
+    // (n_tokens, doc_id) is TOTAL, so rank == row_number and
+    // pr = (rk−1)/(n−1) — exactly percent_rank, without the per-source
+    // single-task sort (SQL defines pr = 0 for a 1-row group)
+    ScaleOps.groupedRank(
+        documents.select(col("doc_id"), col("source"),
+          TextFunctions.tokenCountWs(col("text")).cast("long")
+            .as("n_tokens")),
+        Seq("source"), Seq(col("n_tokens").asc, col("doc_id").asc),
+        rankCol = "rk", countCol = "n")
+      .withColumn("pr", when(col("n") > 1L,
+        (col("rk") - 1L).cast("double") / (col("n") - 1L).cast("double"))
+        .otherwise(0.0))
       .filter(col("pr") >= dropBelow)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("pr"))
   }
@@ -176,21 +183,26 @@ object TextAnalysis {
     * stratum. Hash order makes the choice reshuffle-stable and
     * re-ingestion-stable (the sample follows content, not row order).
     *
-    * Scale: quotas are a KB-scale broadcast; one shuffle on `source`
-    * for the rank window. A mega-stratum serializes into one partition
-    * — the standard fix is a two-level rank (pre-rank on
-    * (source, hash % shards), keep quota-safe prefix, re-rank), same
-    * contract.
+    * Scale: quotas are a KB-scale broadcast; ranks ride
+    * [[graft.operators.ScaleOps.groupedRank]]'s range shuffle, so a
+    * mega-stratum spreads over the cluster instead of serializing into
+    * one window partition (the r11 retirement of that caveat).
     */
   def stratifiedSample(documents: DataFrame, quotas: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
-    documents
-      .select(col("doc_id"), col("source"),
-        // first 8 hex chars of md5 -> uniform 32-bit content hash
-        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("u"))
-      .join(broadcast(quotas), "source")
-      .withColumn("rk", row_number().over(w).cast("long"))
+    // per-stratum ranks via ScaleOps.groupedRank — the quota filter is
+    // a COLUMN bound, so Spark's WindowGroupLimit never fired on the
+    // old window form and a mega-stratum serialized into one task (the
+    // caveat the previous scaladoc carried); the range-shuffled rank
+    // retires it
+    ScaleOps.groupedRank(
+        documents
+          .select(col("doc_id"), col("source"),
+            // first 8 hex chars of md5 -> uniform 32-bit content hash
+            conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+              .as("u"))
+          .join(broadcast(quotas), "source"),
+        Seq("source"), Seq(col("u").asc, col("doc_id").asc),
+        rankCol = "rk")
       .filter(col("rk") <= col("quota"))
       .select(col("doc_id"), col("source"), col("rk"))
   }
@@ -1352,13 +1364,11 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum(col("w")).cast("long").as("score"))
       .withColumn("norm", floor(col("score") / col("n_tokens")).cast("long"))
-    import org.apache.spark.sql.expressions.Window
-    val bySrc = Window.partitionBy(col("source"))
-      .orderBy(col("norm").desc, col("doc_id").asc)
-    val nSrc = Window.partitionBy(col("source"))
-    scored
-      .withColumn("rank", row_number().over(bySrc).cast("long"))
-      .withColumn("n_src", count(lit(1)).over(nSrc).cast("long"))
+    // per-source keep ranks via ScaleOps.groupedRank — the source-
+    // partitioned window sorted each source's doc frame in one task
+    ScaleOps.groupedRank(scored, Seq("source"),
+        Seq(col("norm").desc, col("doc_id").asc),
+        rankCol = "rank", countCol = "n_src")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("score"),
         col("norm"),
         (col("rank") * keepDen <= col("n_src")).as("kept"))

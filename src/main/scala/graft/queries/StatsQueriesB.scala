@@ -805,15 +805,30 @@ object StatsQueriesB {
     // aggregate self-join. The exact-quintile global-sort caveat is
     // q209's (ranks entity aggregates, never fact rows).
     "q228_decile_mobility" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      Tables.orders(s, dir)
+      import graft.operators.ScaleOps.{distributedRank, ntileOfRank}
+      // Per-year deciles WITHOUT the year-partitioned ntile window: a
+      // 2-partition window over (custkey, yr) rows puts the whole
+      // customer frame through two tasks — the same single-task hazard
+      // as the retired unpartitioned class, hidden behind a bounded
+      // partition KEY over entity-grain ROWS. Rank-within-group
+      // instead: ONE global distributedRank over (yr, sp, custkey) —
+      // year runs are contiguous under the range shuffle — then
+      // rank_in_year = rk − min(rk per year) + 1 via a 2-row broadcast
+      // of per-year (offset, count), and ntileOfRank recovers the
+      // exact SQL bucket.
+      val perCY = Tables.orders(s, dir)
         .filter(year(col("o_orderdate")).isin(1996, 1997))
         .groupBy(col("o_custkey"),
           year(col("o_orderdate")).as("yr"))
         .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
           .cast("long")).as("sp"))
-        .withColumn("dec", ntile(10).over(Window.partitionBy(col("yr"))
-          .orderBy(col("sp"), col("o_custkey"))))
+      val ranked = distributedRank(perCY,
+        Seq(col("yr").asc, col("sp").asc, col("o_custkey").asc), "rk")
+      val offs = ranked.groupBy(col("yr"))
+        .agg(min(col("rk")).as("rk0"), count(lit(1)).as("n_yr"))
+      ranked.join(broadcast(offs), "yr")
+        .withColumn("dec",
+          ntileOfRank(col("rk") - col("rk0") + lit(1L), col("n_yr"), 10))
         .groupBy(col("o_custkey"))
         .agg(max(when(col("yr") === 1996, col("dec"))).cast("long")
             .as("dec_1996"),
@@ -851,17 +866,17 @@ object StatsQueriesB {
     // integers + one division, then decile bands; the rollup reports
     // band populations and value. The window sorts per nation.
     "q216_balance_deciles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("c_nationkey"))
-      val ranked = Tables.customer(s, dir)
-        .select(col("c_nationkey").cast("long").as("nation"),
-          col("c_custkey"),
-          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_c"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("nation"))
-            .orderBy(col("bal_c"), col("c_custkey"))).cast("long"))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("nation"))))
+      // per-nation ranks over RAW customers ride ScaleOps.groupedRank
+      // (25 nation partitions of entity-grain rows sorted one-per-task
+      // before r11; the 25-row offset frame broadcasts back)
+      val ranked = graft.operators.ScaleOps.groupedRank(
+          Tables.customer(s, dir)
+            .select(col("c_nationkey").cast("long").as("nation"),
+              col("c_custkey"),
+              floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+                .as("bal_c")),
+          Seq("nation"), Seq(col("bal_c").asc, col("c_custkey").asc),
+          rankCol = "rk", countCol = "n")
         // decile = floor(10·(rk−1)/n) capped at 9: integer arithmetic
         .withColumn("decile", least(expr("(rk - 1) * 10 div n"), lit(9L)))
       ranked.groupBy(col("nation"), col("decile"))
@@ -1302,27 +1317,31 @@ object StatsQueriesB {
     // the latency-profile shape (p50/p90/p99 of the gap between
     // consecutive events of a type). Gaps are integer seconds; the
     // nearest-rank index floor((n−1)·q)+1 is integer arithmetic, so
-    // the profile is engine-exact. Exact per-group quantiles cost a
-    // per-type sort (partitioned across types); the sketch path at
-    // extreme cardinality is q128's MRL / q63's histogram, documented
-    // there.
+    // the profile is engine-exact. The pre-r11 form paid a per-type
+    // single-task sort TWICE (lag sequencing + rank percentiles over
+    // fact-grain rows in ~5 schema-bounded partitions); now both ride
+    // ScaleOps.groupedRank — consecutive events pair by a rank-
+    // adjacency self-join (rk = rk−1 on the type key; both sides read
+    // the same ranked frame, so the join exchange is reused), and the
+    // percentile ranks come off a second groupedRank of the gaps.
+    // The sketch path at extreme group cardinality is q128's MRL /
+    // q63's histogram, documented there.
     "q203_gap_percentiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wSeq = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-      val gaps = Tables.events(s, dir)
-        .select(col("event_type"), col("ts"), col("event_id"))
-        .withColumn("gap_s",
-          ((unix_micros(col("ts")) -
-            unix_micros(lag(col("ts"), 1).over(wSeq))) / 1000000L)
-            .cast("long"))
-        .filter(col("gap_s").isNotNull)
-      val wRank = Window.partitionBy(col("event_type"))
-        .orderBy(col("gap_s"), col("event_id"))
-      gaps
-        .withColumn("rk", row_number().over(wRank).cast("long"))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("event_type"))))
+      import graft.operators.ScaleOps.groupedRank
+      val seqd = groupedRank(
+        Tables.events(s, dir)
+          .select(col("event_type"), col("ts"), col("event_id")),
+        Seq("event_type"), Seq(col("ts").asc, col("event_id").asc),
+        rankCol = "sq").drop("n_grp")
+      val prev = seqd.select(col("event_type"),
+        (col("sq") + 1L).as("sq"), col("ts").as("ts_prev"))
+      val gaps = seqd.join(prev, Seq("event_type", "sq"))
+        .select(col("event_type"), col("event_id"),
+          ((unix_micros(col("ts")) - unix_micros(col("ts_prev")))
+            / 1000000L).cast("long").as("gap_s"))
+      groupedRank(gaps, Seq("event_type"),
+          Seq(col("gap_s").asc, col("event_id").asc),
+          rankCol = "rk", countCol = "n")
         .groupBy(col("event_type"))
         .agg(max(col("n")).as("n_gaps"),
           max(when(col("rk") === expr("(n - 1) * 50 div 100 + 1"),
@@ -1340,14 +1359,13 @@ object StatsQueriesB {
     // FLAG. Trim bounds are integer rank comparisons; the mean is an
     // exact integer sum over the kept ranks, one division at the end.
     "q202_trimmed_mean" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("n_chars"), col("doc_id"))
-      Tables.documents(s, dir)
-        .select(col("source"), col("doc_id"), col("n_chars"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("source"))))
+      // trim ranks via ScaleOps.groupedRank — the source-partitioned
+      // rank window sorted each source's doc frame in one task
+      graft.operators.ScaleOps.groupedRank(
+          Tables.documents(s, dir)
+            .select(col("source"), col("doc_id"), col("n_chars")),
+          Seq("source"), Seq(col("n_chars").asc, col("doc_id").asc),
+          rankCol = "rk", countCol = "n")
         .filter(col("rk") > expr("n div 10") &&
           col("rk") <= col("n") - expr("n div 10"))
         .groupBy(col("source"))

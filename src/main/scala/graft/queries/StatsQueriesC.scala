@@ -179,20 +179,24 @@ object StatsQueriesC {
     // make both rankings permutation-free, so the classic
     // 1 − 6Σd²/(n(n²−1)) closed form is EXACT integers until the one
     // final division (Σd² and n³ ride decimal(38,0) — n³ wraps a
-    // long near n=2M). Two windows share the language exchange.
+    // long near n=2M). Both rankings ride ScaleOps.groupedRank (the
+    // q319 two-rank shape, grouped): the pre-r11 lang-partitioned
+    // windows sorted each language's WHOLE doc frame in one task —
+    // a handful of schema-bounded partitions over entity-grain rows.
     "q235_spearman_len_tokens" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.ScaleOps.groupedRank
       val dec = "decimal(38,0)"
       val base = Tables.documents(s, dir)
         .select(col("lang"), col("doc_id"),
           col("n_chars").cast("long").as("len"),
           expr("cast(size(filter(split(text, ' '), " +
             "t -> length(t) > 0)) as bigint)").as("ntok"))
-      val ranked = base
-        .withColumn("r1", row_number().over(Window.partitionBy(col("lang"))
-          .orderBy(col("len"), col("doc_id"))))
-        .withColumn("r2", row_number().over(Window.partitionBy(col("lang"))
-          .orderBy(col("ntok"), col("doc_id"))))
+      val ranked = groupedRank(
+        groupedRank(base, Seq("lang"),
+          Seq(col("len").asc, col("doc_id").asc), rankCol = "r1")
+          .drop("n_grp"),
+        Seq("lang"), Seq(col("ntok").asc, col("doc_id").asc),
+        rankCol = "r2").drop("n_grp")
       ranked.groupBy(col("lang"))
         .agg(count(lit(1)).cast(dec).as("n"),
           sum(((col("r1") - col("r2")) * (col("r1") - col("r2")))
@@ -479,15 +483,16 @@ object StatsQueriesC {
     // events user key), the hot-key share and the p99 key frequency
     // — the "will this join need salting / AQE skew handling" report
     // a 100 TB planner consults BEFORE shuffling. Ranks run over the
-    // |keys| aggregate; hot-key multiples ride decimal(38,0).
+    // |keys| aggregate — which is ENTITY-sized (customers, users), so
+    // the pre-r11 key_col-partitioned window (4 schema-bounded
+    // partitions) sorted each key population in one task;
+    // ScaleOps.groupedRank range-shuffles it instead. Hot-key
+    // multiples ride decimal(38,0).
     "q244_join_skew_audit" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       def profile(freq: org.apache.spark.sql.DataFrame) = {
-        val w = Window.partitionBy(col("key_col"))
-        freq
-          .withColumn("rk", row_number().over(
-            w.orderBy(col("f"), col("key"))))
-          .withColumn("nk", count(lit(1)).over(w))
+        graft.operators.ScaleOps.groupedRank(freq, Seq("key_col"),
+            Seq(col("f").asc, col("key").asc),
+            rankCol = "rk", countCol = "nk")
           .groupBy(col("key_col"))
           .agg(sum(col("f")).as("n_rows"),
             max(col("nk")).as("n_keys"),
@@ -1049,25 +1054,27 @@ object StatsQueriesC {
     // p01/p99 of the integer cent values, the row counts outside
     // them, and the ppm of VALUE MASS a p01/p99 clamp would move —
     // the preprocessing dial (clip vs drop) read off exact integers
-    // before anyone mutates the feed. One type-keyed rank window
-    // over the fact rows, one rollup sharing its exchange.
+    // before anyone mutates the feed. The pre-r11 type-partitioned
+    // rank window sorted each type's WHOLE fact frame in one task
+    // (schema-bounded partition count over fact-grain rows);
+    // ScaleOps.groupedRank range-shuffles instead, and the p01/p99
+    // cuts come back as a |types|-row broadcast.
     "q261_winsorization_preview" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val vals = Tables.events(s, dir)
         .select(col("event_type"),
           floor(col("value") * 100 + lit(0.5)).cast("long").as("v"),
           col("event_id"))
-      val w = Window.partitionBy(col("event_type"))
-      val ranked = vals
-        .withColumn("rk", row_number().over(
-          w.orderBy(col("v"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(w))
-      ranked
-        .withColumn("p01", min(when(col("rk") ===
-          ((col("n") + 99) / lit(100)).cast("long"), col("v"))).over(w))
-        .withColumn("p99", min(when(col("rk") ===
-          ((col("n") * 99 + 99) / lit(100)).cast("long"), col("v")))
-          .over(w))
+      val ranked = graft.operators.ScaleOps.groupedRank(vals,
+        Seq("event_type"), Seq(col("v").asc, col("event_id").asc),
+        rankCol = "rk", countCol = "n")
+      def rkP01 = ((col("n") + 99) / lit(100)).cast("long")
+      def rkP99 = ((col("n") * 99 + 99) / lit(100)).cast("long")
+      val cuts = ranked
+        .filter(col("rk") === rkP01 || col("rk") === rkP99)
+        .groupBy(col("event_type"))
+        .agg(min(when(col("rk") === rkP01, col("v"))).as("p01"),
+          min(when(col("rk") === rkP99, col("v"))).as("p99"))
+      ranked.join(broadcast(cuts), "event_type")
         .groupBy(col("event_type"))
         .agg(max(col("n")).as("n_events"),
           max(col("p01")).as("p01_cents"),

@@ -67,19 +67,20 @@ object StatsQueriesD {
     // Two-sample Q-Q table: 1996 vs 1997 order-total deciles side by
     // side with the ppm ratio — the distribution-shift readout a
     // mean hides (chi² says "different"; the Q-Q table says WHERE).
-    // Exact nearest-rank boundaries off one year-partitioned rank
-    // window, ONE orders scan, |deciles| output rows.
+    // Exact nearest-rank boundaries via ScaleOps.groupedRank — the
+    // pre-r11 year-partitioned rank window pushed each year's WHOLE
+    // order frame through one task (2 schema-bounded partitions over
+    // fact-grain rows, the hidden twin of the unpartitioned class);
+    // now one range-shuffled global rank + a 2-row offset broadcast.
     "q266_qq_deciles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("yr"))
-      val ranked = Tables.orders(s, dir)
-        .filter(year(col("o_orderdate")).isin(1996, 1997))
-        .select(year(col("o_orderdate")).as("yr"),
-          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
-            .as("v"), col("o_orderkey"))
-        .withColumn("rk", row_number().over(
-          w.orderBy(col("v"), col("o_orderkey"))))
-        .withColumn("n", count(lit(1)).over(w))
+      val ranked = graft.operators.ScaleOps.groupedRank(
+        Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")).isin(1996, 1997))
+          .select(year(col("o_orderdate")).as("yr"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("v"), col("o_orderkey")),
+        Seq("yr"), Seq(col("v").asc, col("o_orderkey").asc),
+        rankCol = "rk", countCol = "n")
       val cuts = ranked
         .select(col("yr"), col("rk"), col("n"), col("v"),
           explode(expr("sequence(1, 9)")).as("dec"))
@@ -720,11 +721,13 @@ object StatsQueriesD {
         .select(col("prev_type").as("from_type"),
           col("event_type").as("to_type"), col("gap_s"),
           col("event_id"))
-      val wP = Window.partitionBy(col("from_type"), col("to_type"))
-      trans
-        .withColumn("rk", row_number().over(
-          wP.orderBy(col("gap_s"), col("event_id"))))
-        .withColumn("m", count(lit(1)).over(wP))
+      // median ranks per (from → to) pair via ScaleOps.groupedRank:
+      // the pair-partitioned window (≤ |types|² schema-bounded
+      // partitions) sorted fact-grain transition rows one-per-task
+      graft.operators.ScaleOps.groupedRank(trans,
+          Seq("from_type", "to_type"),
+          Seq(col("gap_s").asc, col("event_id").asc),
+          rankCol = "rk", countCol = "m")
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n_transitions"),
           min(when(col("rk") === floor((col("m") + lit(1L)) / 2)

@@ -139,11 +139,17 @@ class PlanContractSpec extends SparkSpec {
       s"lineitem/orders/part must each scan once (no aggregate self-join):\n$plan")
   }
 
-  test("q228 decile mobility: ONE orders scan (year-partitioned ntile + pivot)") {
+  test("q228 decile mobility: window-free — deciles from distributedRank + 2-row offsets") {
+    // the pre-r11 shape ranked (custkey, yr) rows through a 2-partition
+    // year window; the frame now rides ONE global distributedRank (the
+    // scan happens in its eager jobs, so the final plan roots at the
+    // RDD seam) and the per-year offsets broadcast back
     val plan = physical(SparkEntry.queries("q228_decile_mobility")(
       spark, sf001))
-    assert(countOccurrences(plan, "Scan parquet") == 1,
-      s"both years must rank off a single scan:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("ntile"),
+      s"q228 must not rank through a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-year offsets must broadcast:\n$plan")
   }
 
   test("q227 integrity audit: lineitem scanned exactly once across both FK checks") {

@@ -227,6 +227,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("rk") == rows.length.toLong)
   }
 
+  test("groupedRank property: matches per-group row_number and count") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 50 + rng.nextInt(400)
+      val parts = 1 + rng.nextInt(9)
+      val nGroups = 1 + rng.nextInt(5)
+      val data = (1 to n).map(i =>
+        (i.toLong, rng.nextInt(nGroups).toString, rng.nextInt(7).toLong))
+      val df = data.toDF("id", "g", "v").repartition(4)
+      val ord = Seq(col("v").asc, col("id").asc)
+      val w = Window.partitionBy(col("g")).orderBy(ord: _*)
+      val expected = df
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n_grp", count(lit(1)).over(
+          Window.partitionBy(col("g"))))
+        .collect().map(r => (r.getLong(0), (r.getLong(3), r.getLong(4))))
+        .toMap
+      val got = ScaleOps.groupedRank(df, Seq("g"), ord, partitions = parts)
+        .select(col("id"), col("rk"), col("n_grp"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == expected,
+        s"trial $trial (n=$n groups=$nGroups parts=$parts) diverged")
+    }
+  }
+
   test("ntileOfRank property: matches SQL ntile bucket-for-bucket") {
     import org.apache.spark.sql.expressions.Window
     val rng = new scala.util.Random(11)
