@@ -385,6 +385,34 @@ class PlanContractSpec extends SparkSpec {
         s"${hits.mkString(", ")}")
   }
 
+  test("the r11 grouped-rank sweep stays window-rank-free") {
+    // the 14 queries migrated off bounded-partition rank windows (the
+    // grouped twin of the unpartitioned full-rank class) must never
+    // regain a RowNumber/NTile/PercentRank window — their ranks come
+    // from ScaleOps.distributedRank/groupedRank. Order-class windows
+    // (lag over a user key, e.g. q284's gap pairing) remain legitimate.
+    import org.apache.spark.sql.catalyst.expressions.{NTile, PercentRank, RowNumber}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val swept = Seq("q142_funnel_latency", "q228_decile_mobility",
+      "q266_qq_deciles", "q261_winsorization_preview",
+      "q244_join_skew_audit", "q235_spearman_len_tokens",
+      "q203_gap_percentiles", "q202_trimmed_mean", "q216_balance_deciles",
+      "q284_transition_latency", "q179_gini_concentration",
+      "q46_length_percentile", "q51_stratified_sample",
+      "q152_dsir_selection")
+    for (q <- swept) {
+      val rankWindows = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.windowExpressions.exists(_.exists {
+            case _: RowNumber | _: NTile | _: PercentRank => true
+            case _ => false
+          }) => w
+        }
+      assert(rankWindows.isEmpty,
+        s"$q: rank window regressed back in:\n${rankWindows.mkString("\n")}")
+    }
+  }
+
   test("q300/q310 exact selection: no row_number over the fact frame") {
     for (q <- Seq("q300_health_card", "q310_ops_health_card")) {
       val plan = physical(SparkEntry.queries(q)(spark, sf001))
