@@ -291,6 +291,86 @@ object ScaleOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Grouped exact running sum — the grouped sibling of
+    * [[distributedCumSum]] and the cumulative sibling of
+    * [[groupedRank]]: `sum(v).over(Window.partitionBy(g).orderBy(...)
+    * .rowsBetween(unboundedPreceding, currentRow))` sorts and prefix-
+    * sums each group in ONE task, which for a schema-bounded group key
+    * (sources, years, types) over entity/fact-grain rows is the same
+    * single-task hazard as the unpartitioned form (the "mega-source
+    * serializes its partition" caveat the token-budget fill used to
+    * carry).
+    *
+    * Plan: range shuffle on (groupCols ++ orderCols) — group runs are
+    * contiguous — then TWO jobs over the SAME shuffled RDD: (1)
+    * per-partition PER-GROUP (count, total), collected to the driver
+    * (numPartitions × groups-per-partition entries; groups are
+    * schema-bounded, so KB-scale) and scanned into exclusive offsets;
+    * (2) a per-partition running state seeded with each group's
+    * offset. Returns rank-in-group (`rankCol`) and the inclusive
+    * per-group running sum (`cumCol`), both LongType.
+    *
+    * `groupCols` must be a BOUNDED key set; `orderCols` must make
+    * (groupCols ++ orderCols) a total order; `valueCol` non-null
+    * LongType. Eager like zipWithIndex: job (1) runs at call time.
+    */
+  def groupedCumSum(df: DataFrame, groupCols: Seq[String],
+                    orderCols: Seq[Column], valueCol: String,
+                    cumCol: String = "cum", rankCol: String = "rk",
+                    partitions: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "groupedCumSum needs a group column")
+    require(!df.columns.contains(cumCol) && !df.columns.contains(rankCol),
+      s"groupedCumSum: output column $cumCol/$rankCol already exists")
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ordered = groupCols.map(col(_).asc) ++ orderCols
+    val ranged = df.repartitionByRange(n, ordered: _*)
+      .sortWithinPartitions(ordered: _*)
+    val gIdx = groupCols.map(ranged.schema.fieldIndex)
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+    val rdd0 = ranged.rdd
+    val perPart = rdd0.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], (Long, Long)]()
+      it.foreach { r =>
+        val k = gIdx.map(r.get)
+        val (c, s) = m.getOrElse(k, (0L, 0L))
+        m(k) = (c + 1L, s + r.getLong(vIdx))
+      }
+      Iterator((i, m.toVector))
+    }.collect().sortBy(_._1).map(_._2)
+    // exclusive per-(partition, group) offsets: what accumulated in
+    // earlier partitions for the same group
+    val running = scala.collection.mutable.HashMap[Seq[Any], (Long, Long)]()
+    val offsets: Array[Map[Seq[Any], (Long, Long)]] = perPart.map { m =>
+      val snapshot = m.map { case (k, _) =>
+        k -> running.getOrElse(k, (0L, 0L)) }.toMap
+      m.foreach { case (k, (c, s)) =>
+        val (pc, ps) = running.getOrElse(k, (0L, 0L))
+        running(k) = (pc + c, ps + s)
+      }
+      snapshot
+    }
+    val offB = df.sparkSession.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(rankCol,
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(cumCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      val st = scala.collection.mutable.HashMap[Seq[Any], (Long, Long)]()
+      offB.value(i).foreach { case (k, v) => st(k) = v }
+      it.map { r =>
+        val k = gIdx.map(r.get)
+        val (c, s) = st.getOrElse(k, (0L, 0L))
+        val nc = c + 1L; val ns = s + r.getLong(vIdx)
+        st(k) = (nc, ns)
+        Row.fromSeq(r.toSeq :+ nc :+ ns)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Z-order layout: range-partition + sort the table by the Morton
     * interleave of two integer dimensions, so parquet row-group min/max
     * statistics prune scans filtered on EITHER dimension (a linear sort

@@ -1199,22 +1199,21 @@ object TextAnalysis {
     * under recomputation); any scoring column — quality rank,
     * curriculum difficulty, recency — drops in the same slot.
     *
-    * Scale: one window cumsum per source partition; no joins, no
-    * global sort. A mega-source serializes its partition — pre-split
-    * by (source, md5-range) if one source exceeds a task.
+    * Scale: the per-source running sum rides
+    * [[graft.operators.ScaleOps.groupedCumSum]]'s range shuffle, so a
+    * mega-source spreads over the cluster instead of serializing into
+    * one window partition (the r11 retirement of that caveat; the
+    * pre-r11 advice was pre-splitting by (source, md5-range)).
     */
   def tokenBudgetFill(documents: DataFrame,
                       budget: Long = 800L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = TextFunctions.wsTokens(col("text"))
     val pr = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("priority"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
-      .select(col("doc_id"), col("source"),
-        size(toks).cast("long").as("n_tokens"), pr.as("priority"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    ScaleOps.groupedCumSum(
+        documents.select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tokens"), pr.as("priority")),
+        Seq("source"), Seq(col("priority").asc, col("doc_id").asc),
+        "n_tokens", cumCol = "cum_tokens")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("priority"), col("cum_tokens"),
         (col("cum_tokens") <= budget).as("kept"))

@@ -1469,13 +1469,13 @@ object StatsQueriesB {
         .filter(col("doc_id") === col("surv"))
       val priority = conv(substring(md5(col("text")), 1, 8), 16, 10)
         .cast("long")
-      val wFill = Window.partitionBy(col("source"))
-        .orderBy(col("priority"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      survivors
-        .select(col("doc_id"), col("source"), nTok.as("n_tokens"),
-          priority.as("priority"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(wFill))
+      // per-source budget fill via ScaleOps.groupedCumSum (q159's
+      // r11 form): no per-source single-task sort + prefix sum
+      graft.operators.ScaleOps.groupedCumSum(
+          survivors.select(col("doc_id"), col("source"),
+            nTok.as("n_tokens"), priority.as("priority")),
+          Seq("source"), Seq(col("priority").asc, col("doc_id").asc),
+          "n_tokens", cumCol = "cum_tokens")
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("cum_tokens"), (col("cum_tokens") <= 800L).as("kept"))
         .orderBy("doc_id")

@@ -411,6 +411,18 @@ class PlanContractSpec extends SparkSpec {
       assert(rankWindows.isEmpty,
         s"$q: rank window regressed back in:\n${rankWindows.mkString("\n")}")
     }
+    // the grouped-cumsum pair: q159's per-source budget fill (and
+    // q200's inlined twin) must carry NO ordered window at all — the
+    // running sum rides ScaleOps.groupedCumSum's RDD seam (q200 keeps
+    // its md5-keyed dedup window: entity-hash partitions, unordered)
+    for (q <- Seq("q159_token_budget_fill", "q200_clean_pipeline")) {
+      val ordered = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.orderSpec.nonEmpty => w
+        }
+      assert(ordered.isEmpty,
+        s"$q: ordered window regressed back in:\n${ordered.mkString("\n")}")
+    }
   }
 
   test("q300/q310 exact selection: no row_number over the fact frame") {

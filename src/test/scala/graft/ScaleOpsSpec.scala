@@ -281,6 +281,35 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("groupedCumSum property: matches per-group running sum + row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val n = 40 + rng.nextInt(300)
+      val parts = 1 + rng.nextInt(9)
+      val nGroups = 1 + rng.nextInt(4)
+      val data = (1 to n).map(i =>
+        (i.toLong, rng.nextInt(nGroups).toString, rng.nextInt(50).toLong))
+      val df = data.toDF("id", "g", "x").repartition(4)
+      val ord = Seq(col("x").asc, col("id").asc)
+      val wOrd = Window.partitionBy(col("g")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = df
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("g")).orderBy(ord: _*)).cast("long"))
+        .withColumn("cum", sum(col("x")).over(wOrd))
+        .collect().map(r => (r.getLong(0), (r.getLong(3), r.getLong(4))))
+        .toMap
+      val got = ScaleOps.groupedCumSum(df, Seq("g"), ord, "x",
+          partitions = parts)
+        .select(col("id"), col("rk"), col("cum"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == expected,
+        s"trial $trial (n=$n groups=$nGroups parts=$parts) diverged")
+    }
+  }
+
   test("distributedCumSum property: matches global running sum + row_number") {
     import org.apache.spark.sql.expressions.Window
     val rng = new scala.util.Random(7)
