@@ -371,6 +371,68 @@ object ScaleOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Grouped forward-fill — `last(v, ignoreNulls).over(Window
+    * .partitionBy(g).orderBy(...))` without the per-group single-task
+    * sort: carries the most recent non-null `fillCol` value along the
+    * total order within each bounded group (the as-of/carry idiom on
+    * any axis — time, size, rank). Same two-pass anatomy as
+    * [[groupedCumSum]]: range shuffle on (groupCols ++ orderCols),
+    * per-partition per-group LAST non-null collected to the driver
+    * (bounded groups ⇒ KB), the full running snapshot broadcast as
+    * each partition's seed (a group's last non-null may sit several
+    * partitions back), then an offset-seeded carry on the second pass
+    * over the same shuffle files. INCLUSIVE of the current row (the
+    * standard forward-fill frame unboundedPreceding..currentRow);
+    * rows whose own value is null receive the carry, so exclusive
+    * consumers that filter to null-valued rows see identical results.
+    * `outCol` has `fillCol`'s type, nullable (null until the group's
+    * first non-null).
+    */
+  def groupedFill(df: DataFrame, groupCols: Seq[String],
+                  orderCols: Seq[Column], fillCol: String,
+                  outCol: String, partitions: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "groupedFill needs a group column")
+    require(!df.columns.contains(outCol),
+      s"groupedFill: output column $outCol already exists")
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ordered = groupCols.map(col(_).asc) ++ orderCols
+    val ranged = df.repartitionByRange(n, ordered: _*)
+      .sortWithinPartitions(ordered: _*)
+    val gIdx = groupCols.map(ranged.schema.fieldIndex)
+    val fIdx = ranged.schema.fieldIndex(fillCol)
+    val rdd0 = ranged.rdd
+    val perPart = rdd0.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Any]()
+      it.foreach { r =>
+        val v = r.get(fIdx)
+        if (v != null) m(gIdx.map(r.get)) = v
+      }
+      Iterator((i, m.toVector))
+    }.collect().sortBy(_._1).map(_._2)
+    val running = scala.collection.mutable.HashMap[Seq[Any], Any]()
+    val offsets: Array[Map[Seq[Any], Any]] = perPart.map { m =>
+      val snapshot = running.toMap // ALL groups seen so far
+      m.foreach { case (k, v) => running(k) = v }
+      snapshot
+    }
+    val offB = df.sparkSession.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        ranged.schema(fIdx).copy(name = outCol, nullable = true))
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      val st = scala.collection.mutable.HashMap[Seq[Any], Any]()
+      offB.value(i).foreach { case (k, v) => st(k) = v }
+      it.map { r =>
+        val k = gIdx.map(r.get)
+        val v = r.get(fIdx)
+        if (v != null) st(k) = v
+        Row.fromSeq(r.toSeq :+ st.getOrElse(k, null))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Z-order layout: range-partition + sort the table by the Morton
     * interleave of two integer dimensions, so parquet row-group min/max
     * statistics prune scans filtered on EITHER dimension (a linear sort

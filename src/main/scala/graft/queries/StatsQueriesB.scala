@@ -1049,17 +1049,18 @@ object StatsQueriesB {
           col("l_partkey").isNotNull.as("is_ordered"))
       val mark = when(col("is_ordered"),
         struct(col("p_size").as("s"), col("p_partkey").as("k")))
-      val wUp = Window.partitionBy(col("p_brand"))
-        .orderBy(col("p_size").asc, col("p_partkey").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wDn = Window.partitionBy(col("p_brand"))
-        .orderBy(col("p_size").desc, col("p_partkey").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
+      // both carries ride ScaleOps.groupedFill (r11): the brand-keyed
+      // window sorted each brand's part frame in one task per
+      // direction; cold rows carry null marks, so the inclusive fill
+      // equals the old unboundedPreceding..-1 frame on the rows kept
+      import graft.operators.ScaleOps.groupedFill
       val gb = col("p_size") - col("below.s")
       val ga = col("above.s") - col("p_size")
-      parts
-        .withColumn("below", last(mark, ignoreNulls = true).over(wUp))
-        .withColumn("above", last(mark, ignoreNulls = true).over(wDn))
+      groupedFill(
+          groupedFill(parts.withColumn("mark", mark), Seq("p_brand"),
+            Seq(col("p_size").asc, col("p_partkey").asc), "mark", "below"),
+          Seq("p_brand"),
+          Seq(col("p_size").desc, col("p_partkey").desc), "mark", "above")
         .filter(!col("is_ordered"))
         .withColumn("pick",
           when(col("below").isNull, col("above"))

@@ -411,11 +411,13 @@ class PlanContractSpec extends SparkSpec {
       assert(rankWindows.isEmpty,
         s"$q: rank window regressed back in:\n${rankWindows.mkString("\n")}")
     }
-    // the grouped-cumsum pair: q159's per-source budget fill (and
-    // q200's inlined twin) must carry NO ordered window at all — the
-    // running sum rides ScaleOps.groupedCumSum's RDD seam (q200 keeps
+    // the grouped-cumsum/fill trio: q159's per-source budget fill,
+    // q200's inlined twin, and q211's brand-keyed as-of carries must
+    // carry NO ordered window at all — running sums ride
+    // ScaleOps.groupedCumSum and carries ride groupedFill (q200 keeps
     // its md5-keyed dedup window: entity-hash partitions, unordered)
-    for (q <- Seq("q159_token_budget_fill", "q200_clean_pipeline")) {
+    for (q <- Seq("q159_token_budget_fill", "q200_clean_pipeline",
+        "q211_cold_parts")) {
       val ordered = SparkEntry.queries(q)(spark, sf001)
         .queryExecution.optimizedPlan.collect {
           case w: LWindow if w.orderSpec.nonEmpty => w

@@ -310,6 +310,35 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("groupedFill property: matches per-group last(ignoreNulls) forward fill") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 5) {
+      val n = 40 + rng.nextInt(300)
+      val parts = 1 + rng.nextInt(9)
+      val nGroups = 1 + rng.nextInt(4)
+      val data = (1 to n).map { i =>
+        val v: java.lang.Long =
+          if (rng.nextInt(3) == 0) null else java.lang.Long.valueOf(rng.nextInt(99).toLong)
+        (i.toLong, rng.nextInt(nGroups).toString, v)
+      }
+      val df = data.toDF("id", "g", "v").repartition(4)
+      val ord = Seq(col("id").asc)
+      val w = Window.partitionBy(col("g")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = df
+        .withColumn("f", last(col("v"), ignoreNulls = true).over(w))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) null else r.getLong(3))).toMap
+      val got = ScaleOps.groupedFill(df, Seq("g"), ord, "v", "f",
+          partitions = parts)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) null else r.getLong(3))).toMap
+      assert(got == expected,
+        s"trial $trial (n=$n groups=$nGroups parts=$parts) diverged")
+    }
+  }
+
   test("distributedCumSum property: matches global running sum + row_number") {
     import org.apache.spark.sql.expressions.Window
     val rng = new scala.util.Random(7)

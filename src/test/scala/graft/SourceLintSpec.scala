@@ -62,7 +62,7 @@ class SourceLintSpec extends AnyFunSuite {
       "src/main/scala/graft/StreamEquiv.scala" ->
         (20, "artifact runner: batch-vs-stream row comparisons on fixture data"),
       "src/main/scala/graft/operators/ScaleOps.scala" ->
-        (2, "distributedCumSum / groupedCumSum per-partition (per-group) offsets: numPartitions x bounded-groups entries, KB at any scale"),
+        (3, "distributedCumSum / groupedCumSum / groupedFill per-partition (per-group) offsets: numPartitions x bounded-groups entries, KB at any scale"),
       "src/main/scala/graft/operators/Similarity.scala" ->
         (6, "k-means/PQ/coreset trainers: <= sampleN rows or 1 row per round, documented"),
       "src/main/scala/graft/operators/Sketches.scala" ->
@@ -74,7 +74,7 @@ class SourceLintSpec extends AnyFunSuite {
       "src/main/scala/graft/operators/Multimodal.scala" ->
         (6, "ImageIO/AudioSystem/video codecs: no Catalyst expression can wrap them"),
       "src/main/scala/graft/operators/ScaleOps.scala" ->
-        (4, "distributedCumSum + groupedCumSum: per-partition (per-group) totals + offset-seeded running sums over reused shuffle files"),
+        (6, "distributedCumSum + groupedCumSum + groupedFill: per-partition (per-group) state + offset-seeded second pass over reused shuffle files"),
       "src/main/scala/graft/sources/AvroFileIO.scala" ->
         (1, "OCF container framing: one Avro container per partition"),
       "src/main/scala/graft/sources/WarcIO.scala" ->
