@@ -194,6 +194,14 @@ object Relational {
     * boundaries are broken by user_id; equal deltas carry equal
     * values, so the picked VALUE is tie-order independent. The
     * checkpoint per stage truncates the chain like [[funnel]].
+    *
+    * Construction is EAGER: each stage's `localCheckpoint` and each
+    * transition's `distributedRank` (zipWithIndex + range sampling)
+    * launch jobs at DataFrame-BUILD time, so building an s-stage
+    * funnel runs s-1 shuffle+count job sets even if the returned
+    * frame is never acted on. Fine for the intended use (build one,
+    * act on it); a caller constructing many funnels speculatively
+    * should construct lazily on demand instead.
     */
   def funnelLatency(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.length >= 2, "funnelLatency needs at least two stages")

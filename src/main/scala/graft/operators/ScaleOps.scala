@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Cap on distinct group keys per partition in the grouped
+    * primitives' offset pass ([[groupedRank]]/[[groupedCumSum]]/
+    * [[groupedFill]]). Those passes collect per-partition PER-GROUP
+    * state to the driver — KB-scale when `groupCols` is schema-bounded
+    * (years, languages, sources, nations), a silent driver OOM when a
+    * caller passes an entity key. The guard turns the OOM into a fast,
+    * named failure in the offset job itself, before anything is
+    * collected. 100 k entries per partition is ~100× any legitimate
+    * bounded key set and far below driver danger (a few MB total).
+    */
+  val MaxGroupsPerPartition: Int = 100000
+
+  /** Executor-side guard for the offset passes: called whenever a
+    * per-partition group map grows, throws past the cap. The
+    * IllegalStateException surfaces as the SparkException's cause with
+    * this message intact.
+    */
+  private def requireBoundedGroups(op: String, size: Int): Unit =
+    if (size > MaxGroupsPerPartition)
+      throw new IllegalStateException(
+        s"$op: a single partition holds more than $MaxGroupsPerPartition " +
+          "distinct group keys — groupCols looks entity-grained, and the " +
+          "offset pass would materialize every group on the driver. The " +
+          "grouped ScaleOps primitives require a schema-bounded group key " +
+          "(years, languages, sources, nations); for entity-grained keys " +
+          "use a plain partitioned window, which is already scale-safe.")
+
   /** Prepare a bucketed+sorted writer: both fact tables written with the
     * same bucket count/column join WITHOUT any exchange or sort — the
     * shuffle is paid once at write time and amortized over every
@@ -175,15 +202,25 @@ object ScaleOps {
     * bounded k: `row_number().over(Window.partitionBy(yr).orderBy(...))`
     * with two years pushes half the frame through each of TWO tasks.
     *
-    * Plan: ONE global [[distributedRank]] over (groupCols ++ orderCols)
-    * — group runs are contiguous under the range shuffle — then
-    * rank-in-group = global rank − the group's min rank + 1, with the
-    * per-group (offset, count) frame broadcast back (one row per
-    * group; `groupCols` must therefore be a BOUNDED key set:
+    * Plan: range shuffle on (groupCols ++ orderCols) — group runs are
+    * contiguous — then the same two-job anatomy as [[groupedCumSum]]
+    * over the SAME shuffled RDD (shuffle files reused): (1)
+    * per-partition PER-GROUP row counts collected to the driver
+    * (numPartitions × bounded-groups entries, KB-scale; guarded by
+    * [[MaxGroupsPerPartition]] — past the cap the offset job fails
+    * fast instead of OOMing the driver) and scanned into exclusive
+    * per-group offsets plus group totals; (2) an offset-seeded
+    * per-partition counter. Rank-in-group comes back as `rankCol`,
+    * the group total as `countCol` (every quantile/ntile consumer
+    * needs it). `groupCols` must be a BOUNDED key set:
     * dimension/calendar-grain, never an entity key — for entity keys
-    * use a plain partitioned window, which is already scale-safe).
-    * The group count rides along as `countCol` since every quantile/
-    * ntile consumer needs it.
+    * use a plain partitioned window, which is already scale-safe.
+    * A NULL group key is an ordinary group (exactly like
+    * `row_number().over(Window.partitionBy(g))`, which puts all
+    * null-keyed rows in one partition). Eager like zipWithIndex:
+    * job (1) runs at call time. Determinism caveat: see
+    * [[distributedCumSum]] — for a NONDETERMINATE upstream,
+    * `localCheckpoint` the input first.
     */
   def groupedRank(df: DataFrame, groupCols: Seq[String],
                   orderCols: Seq[Column], rankCol: String = "rk",
@@ -192,13 +229,55 @@ object ScaleOps {
     require(groupCols.nonEmpty, "groupedRank needs at least one group column")
     require(!df.columns.contains(rankCol) && !df.columns.contains(countCol),
       s"groupedRank: output column $rankCol/$countCol already exists")
-    val global = distributedRank(df,
-      groupCols.map(col(_).asc) ++ orderCols, "__grk", partitions)
-    val offs = global.groupBy(groupCols.map(col): _*)
-      .agg(min(col("__grk")).as("__rk0"), count(lit(1)).as(countCol))
-    global.join(broadcast(offs), groupCols)
-      .withColumn(rankCol, col("__grk") - col("__rk0") + lit(1L))
-      .drop("__grk", "__rk0")
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ordered = groupCols.map(col(_).asc) ++ orderCols
+    val ranged = df.repartitionByRange(n, ordered: _*)
+      .sortWithinPartitions(ordered: _*)
+    val gIdx = groupCols.map(ranged.schema.fieldIndex)
+    val rdd0 = ranged.rdd
+    val perPart = rdd0.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+      it.foreach { r =>
+        val k = gIdx.map(r.get)
+        m(k) = m.getOrElse(k, 0L) + 1L
+        requireBoundedGroups("groupedRank", m.size)
+      }
+      Iterator((i, m.toVector))
+    }.collect().sortBy(_._1).map(_._2)
+    // group totals (the countCol payload) and exclusive per-(partition,
+    // group) rank offsets — the only driver-side state, bounded by
+    // numPartitions × bounded-groups entries
+    val totals = scala.collection.mutable.HashMap[Seq[Any], Long]()
+    perPart.foreach(_.foreach { case (k, c) =>
+      totals(k) = totals.getOrElse(k, 0L) + c })
+    val running = scala.collection.mutable.HashMap[Seq[Any], Long]()
+    val offsets: Array[Map[Seq[Any], Long]] = perPart.map { m =>
+      val snapshot = m.map { case (k, _) =>
+        k -> running.getOrElse(k, 0L) }.toMap
+      m.foreach { case (k, c) => running(k) = running.getOrElse(k, 0L) + c }
+      snapshot
+    }
+    val offB = df.sparkSession.sparkContext.broadcast(offsets)
+    val totB = df.sparkSession.sparkContext.broadcast(totals.toMap)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(rankCol,
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(countCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      val st = scala.collection.mutable.HashMap[Seq[Any], Long]()
+      offB.value(i).foreach { case (k, v) => st(k) = v }
+      val tot = totB.value
+      it.map { r =>
+        val k = gIdx.map(r.get)
+        val rk = st.getOrElse(k, 0L) + 1L
+        st(k) = rk
+        Row.fromSeq(r.toSeq :+ rk :+ tot(k))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** SQL `ntile(k)` bucket recovered from a pre-computed global rank —
@@ -253,6 +332,19 @@ object ScaleOps {
     *
     * `orderCols` must be a TOTAL order (include a unique tie-break
     * key); `valueCol` must be a non-null LongType column.
+    *
+    * Determinism caveat (applies to every two-pass primitive here,
+    * incl. [[groupedRank]]/[[groupedCumSum]]/[[groupedFill]] and
+    * [[distributedRank]]'s zipWithIndex): the offset job and the
+    * output job assume they read the SAME shuffled rows. Normally the
+    * shuffle files are reused, but if map partitions are RECOMPUTED
+    * (executor loss) over a nondeterminate upstream — sampling,
+    * [[saltedJoin]]'s `acceptIndeterminateSalt` mode, round-robin
+    * `repartition(n)` — the second pass can see different rows than
+    * the offsets were computed from, silently corrupting the seeded
+    * sums/carries. For a nondeterminate input, `localCheckpoint` it
+    * first so both passes read the materialized frame (the same rule
+    * saltedJoin documents for its indeterminate mode).
     */
   def distributedCumSum(df: DataFrame, orderCols: Seq[Column],
                         valueCol: String, cumCol: String = "cum",
@@ -305,7 +397,8 @@ object ScaleOps {
     * contiguous — then TWO jobs over the SAME shuffled RDD: (1)
     * per-partition PER-GROUP (count, total), collected to the driver
     * (numPartitions × groups-per-partition entries; groups are
-    * schema-bounded, so KB-scale) and scanned into exclusive offsets;
+    * schema-bounded, so KB-scale — enforced at runtime by
+    * [[MaxGroupsPerPartition]]) and scanned into exclusive offsets;
     * (2) a per-partition running state seeded with each group's
     * offset. Returns rank-in-group (`rankCol`) and the inclusive
     * per-group running sum (`cumCol`), both LongType.
@@ -335,6 +428,7 @@ object ScaleOps {
         val k = gIdx.map(r.get)
         val (c, s) = m.getOrElse(k, (0L, 0L))
         m(k) = (c + 1L, s + r.getLong(vIdx))
+        requireBoundedGroups("groupedCumSum", m.size)
       }
       Iterator((i, m.toVector))
     }.collect().sortBy(_._1).map(_._2)
@@ -378,7 +472,8 @@ object ScaleOps {
     * any axis — time, size, rank). Same two-pass anatomy as
     * [[groupedCumSum]]: range shuffle on (groupCols ++ orderCols),
     * per-partition per-group LAST non-null collected to the driver
-    * (bounded groups ⇒ KB), the full running snapshot broadcast as
+    * (bounded groups ⇒ KB, enforced at runtime by
+    * [[MaxGroupsPerPartition]]), the full running snapshot broadcast as
     * each partition's seed (a group's last non-null may sit several
     * partitions back), then an offset-seeded carry on the second pass
     * over the same shuffle files. INCLUSIVE of the current row (the
@@ -406,7 +501,10 @@ object ScaleOps {
       val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Any]()
       it.foreach { r =>
         val v = r.get(fIdx)
-        if (v != null) m(gIdx.map(r.get)) = v
+        if (v != null) {
+          m(gIdx.map(r.get)) = v
+          requireBoundedGroups("groupedFill", m.size)
+        }
       }
       Iterator((i, m.toVector))
     }.collect().sortBy(_._1).map(_._2)

@@ -1114,6 +1114,11 @@ object StatsQueriesB {
         .select(col("o_custkey"),
           datediff(col("t_max"), col("last_order")).cast("long").as("r"),
           col("f"), col("m_c"))
+        // the chain seam distributedRank's cost note prescribes: each
+        // rank pass reads its input ~twice (range sampling + map), and
+        // three chained passes would re-run the orders aggregate up to
+        // 8x — checkpoint the |customers| frame once instead
+        .localCheckpoint(true)
       val ranked = distributedRank(distributedRank(distributedRank(rfm,
         Seq(col("r").asc, col("o_custkey")), "rk_r"),
         Seq(col("f").desc, col("o_custkey")), "rk_f"),

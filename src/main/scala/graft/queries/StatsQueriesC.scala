@@ -191,6 +191,9 @@ object StatsQueriesC {
           col("n_chars").cast("long").as("len"),
           expr("cast(size(filter(split(text, ' '), " +
             "t -> length(t) > 0)) as bigint)").as("ntok"))
+        // chained-rank seam: the tokenizing documents scan would
+        // otherwise re-run under the first rank pass's range sampling
+        .localCheckpoint(true)
       val ranked = groupedRank(
         groupedRank(base, Seq("lang"),
           Seq(col("len").asc, col("doc_id").asc), rankCol = "r1")

@@ -308,6 +308,42 @@ class PlanContractSpec extends SparkSpec {
     "q289_procurement_arbitrage" -> "rank over top-N result",
     "q340_movers_shakers" -> "rank over top-15 result")
 
+  test("post-limit whitelist entries are verified by plan walk, not prose") {
+    // the whitelist's post-limit CLASS claims each query's
+    // UNPARTITIONED window runs over an already-limited <=N-row frame.
+    // Verify that structurally: in the optimized logical plan, every
+    // unpartitioned Window node must have a Limit somewhere in its OWN
+    // subtree — the bound then holds by plan shape, not by comment.
+    // (Partitioned windows below the limit — e.g. q277's per-partkey
+    // first/last passes — are scale-safe and not this class's claim.)
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
+    val postLimit = Seq("q165_market_basket", "q245_oov_ladder",
+      "q255_substitution_candidates", "q259_overdue_customers",
+      "q277_price_drift", "q289_procurement_arbitrage",
+      "q340_movers_shakers")
+    assert(postLimit.forall(boundedWindowWhitelist.contains),
+      "post-limit list drifted from the whitelist")
+    for (q <- postLimit) {
+      val opt = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.optimizedPlan
+      val unpart = opt.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.nonEmpty,
+        s"$q: whitelisted as post-limit rank but no unpartitioned " +
+          s"window in the plan (stale entry?):\n$opt")
+      unpart.foreach { w =>
+        val limited = w.child.collectFirst {
+          case g: GlobalLimit => g
+          case l: LocalLimit => l
+        }.isDefined
+        assert(limited,
+          s"$q: an unpartitioned window runs over an UNLIMITED frame — " +
+            s"the post-limit bound is violated:\n$opt")
+      }
+    }
+  }
+
   test("GLOBAL: every unpartitioned Window in all query plans is whitelisted as bounded") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val hits = scala.collection.mutable.SortedSet[String]()

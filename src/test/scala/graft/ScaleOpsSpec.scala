@@ -234,8 +234,14 @@ class ScaleOpsSpec extends SparkSpec {
       val n = 50 + rng.nextInt(400)
       val parts = 1 + rng.nextInt(9)
       val nGroups = 1 + rng.nextInt(5)
-      val data = (1 to n).map(i =>
-        (i.toLong, rng.nextInt(nGroups).toString, rng.nextInt(7).toLong))
+      // ~1/4 of rows carry a NULL group key: a window partitioned by g
+      // treats NULL as a normal partition, and the primitive must agree
+      // (the r11 join-based form silently dropped null-keyed rows)
+      val data = (1 to n).map { i =>
+        val g: String =
+          if (rng.nextInt(4) == 0) null else rng.nextInt(nGroups).toString
+        (i.toLong, g, rng.nextInt(7).toLong)
+      }
       val df = data.toDF("id", "g", "v").repartition(4)
       val ord = Seq(col("v").asc, col("id").asc)
       val w = Window.partitionBy(col("g")).orderBy(ord: _*)
@@ -288,8 +294,12 @@ class ScaleOpsSpec extends SparkSpec {
       val n = 40 + rng.nextInt(300)
       val parts = 1 + rng.nextInt(9)
       val nGroups = 1 + rng.nextInt(4)
-      val data = (1 to n).map(i =>
-        (i.toLong, rng.nextInt(nGroups).toString, rng.nextInt(50).toLong))
+      // null group keys must behave like a window's NULL partition
+      val data = (1 to n).map { i =>
+        val g: String =
+          if (rng.nextInt(4) == 0) null else rng.nextInt(nGroups).toString
+        (i.toLong, g, rng.nextInt(50).toLong)
+      }
       val df = data.toDF("id", "g", "x").repartition(4)
       val ord = Seq(col("x").asc, col("id").asc)
       val wOrd = Window.partitionBy(col("g")).orderBy(ord: _*)
@@ -320,7 +330,9 @@ class ScaleOpsSpec extends SparkSpec {
       val data = (1 to n).map { i =>
         val v: java.lang.Long =
           if (rng.nextInt(3) == 0) null else java.lang.Long.valueOf(rng.nextInt(99).toLong)
-        (i.toLong, rng.nextInt(nGroups).toString, v)
+        val g: String = // null group keys = a window's NULL partition
+          if (rng.nextInt(4) == 0) null else rng.nextInt(nGroups).toString
+        (i.toLong, g, v)
       }
       val df = data.toDF("id", "g", "v").repartition(4)
       val ord = Seq(col("id").asc)
@@ -336,6 +348,32 @@ class ScaleOpsSpec extends SparkSpec {
           if (r.isNullAt(3)) null else r.getLong(3))).toMap
       assert(got == expected,
         s"trial $trial (n=$n groups=$nGroups parts=$parts) diverged")
+    }
+  }
+
+  test("grouped primitives fail fast on an entity-grained group key") {
+    // MaxGroupsPerPartition+1 distinct keys forced into ONE partition:
+    // each primitive's offset pass must throw the named guard error
+    // instead of collecting an entity-sized map to the driver (the
+    // r11 contract was doc-comment-only). The primitives are eager —
+    // the offset job runs at call time, so calling alone triggers it.
+    val n = ScaleOps.MaxGroupsPerPartition + 1
+    val df = spark.range(0, n, 1, 1)
+      .select(col("id").as("g"), col("id").as("v"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    for ((label, run) <- Seq[(String, () => Unit)](
+        ("groupedRank", () => ScaleOps.groupedRank(
+          df, Seq("g"), Seq(col("v").asc), partitions = 1)),
+        ("groupedCumSum", () => ScaleOps.groupedCumSum(
+          df, Seq("g"), Seq(col("v").asc), "v", partitions = 1)),
+        ("groupedFill", () => ScaleOps.groupedFill(
+          df, Seq("g"), Seq(col("v").asc), "v", "f", partitions = 1)))) {
+      val e = intercept[Exception] { run() }
+      assert(chain(e).exists(m =>
+        m.contains("entity-grained") && m.contains(label)),
+        s"$label: expected the bounded-group guard to fire, got: $e")
     }
   }
 

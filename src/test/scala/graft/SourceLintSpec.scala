@@ -62,11 +62,28 @@ class SourceLintSpec extends AnyFunSuite {
       "src/main/scala/graft/StreamEquiv.scala" ->
         (20, "artifact runner: batch-vs-stream row comparisons on fixture data"),
       "src/main/scala/graft/operators/ScaleOps.scala" ->
-        (3, "distributedCumSum / groupedCumSum / groupedFill per-partition (per-group) offsets: numPartitions x bounded-groups entries, KB at any scale"),
+        (4, "distributedCumSum / groupedRank / groupedCumSum / groupedFill per-partition (per-group) offsets: numPartitions x bounded-groups entries, KB at any scale, guarded by MaxGroupsPerPartition"),
       "src/main/scala/graft/operators/Similarity.scala" ->
         (6, "k-means/PQ/coreset trainers: <= sampleN rows or 1 row per round, documented"),
       "src/main/scala/graft/operators/Sketches.scala" ->
         (1, "bloom filter words: mBits/64 longs, size fixed by the filter parameter")))
+  }
+
+  test("other driver-materialization APIs are confined to 1-row scalar pulls") {
+    // collect() is not the only door to the driver: collectAsList,
+    // toLocalIterator and argless head() pull rows too, and an audit
+    // matching only the literal `.collect()` is narrower than its
+    // stated intent. NOT covered here, deliberately: `.take(n)` /
+    // `.head(n)` — a textual lint cannot tell Dataset.take from the
+    // ubiquitous Scala-collection/string take (14 benign sites today),
+    // and a Dataset take/head is driver-bounded by its own argument
+    // anyway; the plan contracts cover unbounded pulls.
+    check("collectAsList/toLocalIterator/head()",
+      """\.collectAsList\(|\.toLocalIterator|\.head\(\)""".r, Map(
+        "src/main/scala/graft/operators/GraphOps.scala" ->
+          (1, "PageRank tolerance loop: 1-row max-delta scalar per round"),
+        "src/main/scala/graft/operators/Similarity.scala" ->
+          (1, "PCA gram-matrix trainer: one d*d aggregate row, d fixed")))
   }
 
   test("mapPartitions* is confined to codec seams and the cumsum offset pass") {
@@ -74,7 +91,7 @@ class SourceLintSpec extends AnyFunSuite {
       "src/main/scala/graft/operators/Multimodal.scala" ->
         (6, "ImageIO/AudioSystem/video codecs: no Catalyst expression can wrap them"),
       "src/main/scala/graft/operators/ScaleOps.scala" ->
-        (6, "distributedCumSum + groupedCumSum + groupedFill: per-partition (per-group) state + offset-seeded second pass over reused shuffle files"),
+        (8, "distributedCumSum + groupedRank + groupedCumSum + groupedFill: per-partition (per-group) state + offset-seeded second pass over reused shuffle files"),
       "src/main/scala/graft/sources/AvroFileIO.scala" ->
         (1, "OCF container framing: one Avro container per partition"),
       "src/main/scala/graft/sources/WarcIO.scala" ->
