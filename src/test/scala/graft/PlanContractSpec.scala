@@ -344,6 +344,36 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("whitelisted bounded windows all sit above a grain-reducing node") {
+    // the non-post-limit whitelist classes (value-/calendar-/dimension-
+    // grain) all claim the same structural fact: the unpartitioned
+    // window runs over a frame whose grain was REDUCED below it — an
+    // Aggregate (groupBy to the bounded domain; distinct optimizes to
+    // one) or a Limit. Verify by plan walk: every whitelisted query's
+    // every unpartitioned Window must have an Aggregate or Limit in its
+    // OWN subtree. A window directly over fact-grain rows would pass
+    // the prose whitelist but fail here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    for ((q, bound) <- boundedWindowWhitelist.toSeq.sortBy(_._1)) {
+      val opt = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.optimizedPlan
+      val unpart = opt.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      unpart.foreach { w =>
+        val reduced = w.child.collectFirst {
+          case a: Aggregate => a
+          case g: GlobalLimit => g
+          case l: LocalLimit => l
+        }.isDefined
+        assert(reduced,
+          s"$q (whitelisted: $bound): an unpartitioned window runs " +
+            s"over a frame with NO aggregate/limit beneath it — the " +
+            s"stated bound is not structural:\n$opt")
+      }
+    }
+  }
+
   test("GLOBAL: every unpartitioned Window in all query plans is whitelisted as bounded") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val hits = scala.collection.mutable.SortedSet[String]()
