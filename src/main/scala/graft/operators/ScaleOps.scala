@@ -20,8 +20,23 @@ object ScaleOps {
     * named failure in the offset job itself, before anything is
     * collected. 100 k entries per partition is ~100× any legitimate
     * bounded key set and far below driver danger (a few MB total).
+    * Two-level: this executor-side cap catches entity keys at small
+    * partition counts; [[MaxGroupsTotal]] catches them at large ones,
+    * where each partition's share of the keyspace slips under this cap.
     */
   val MaxGroupsPerPartition: Int = 100000
+
+  /** Driver-side cap on TOTAL offset entries across all partitions.
+    * The per-partition cap alone misses the many-partition regime: at
+    * p partitions an entity key puts only ~groups/p entries in each
+    * partition (under the per-partition cap once p is large), but
+    * p × that is still the whole entity keyspace arriving at the
+    * driver. Legitimate bounded-group usage collects at most
+    * groups + partitions − 1 entries (group runs are contiguous under
+    * the range shuffle, so a group adds an extra entry only where it
+    * straddles a partition boundary) — thousands, never near 1 M.
+    */
+  val MaxGroupsTotal: Long = 1000000L
 
   /** Executor-side guard for the offset passes: called whenever a
     * per-partition group map grows, throws past the cap. The
@@ -37,6 +52,37 @@ object ScaleOps {
           "grouped ScaleOps primitives require a schema-bounded group key " +
           "(years, languages, sources, nations); for entity-grained keys " +
           "use a plain partitioned window, which is already scale-safe.")
+
+  /** Collect the offset pass's per-partition vectors with an
+    * INCREMENTAL total-size guard: task results flow through a runJob
+    * result handler as they arrive, and the job aborts (the handler's
+    * exception surfaces as SparkDriverExecutionException) the moment
+    * the running total crosses [[MaxGroupsTotal]] — so the driver
+    * never buffers more than the cap plus the in-flight task results,
+    * closing the regime the executor-side per-partition cap cannot
+    * see. Shared by all three grouped primitives so the guard cannot
+    * drift between them.
+    */
+  private def collectOffsetsGuarded[T](op: String,
+      rdd: org.apache.spark.rdd.RDD[(Int, Vector[T])]): Array[Vector[T]] = {
+    val out = Array.fill[Vector[T]](rdd.getNumPartitions)(Vector.empty)
+    var total = 0L
+    rdd.sparkContext.runJob(rdd,
+      (it: Iterator[(Int, Vector[T])]) => it.toArray,
+      (_: Int, res: Array[(Int, Vector[T])]) => res.foreach { case (i, v) =>
+        total += v.size
+        if (total > MaxGroupsTotal)
+          throw new IllegalStateException(
+            s"$op: more than $MaxGroupsTotal group keys collected across " +
+              "all partitions — groupCols looks entity-grained (each " +
+              "partition under the per-partition cap, but the keyspace as " +
+              "a whole is data-sized). The grouped ScaleOps primitives " +
+              "require a schema-bounded group key; for entity-grained " +
+              "keys use a plain partitioned window.")
+        out(i) = v
+      })
+    out
+  }
 
   /** Prepare a bucketed+sorted writer: both fact tables written with the
     * same bucket count/column join WITHOUT any exchange or sort — the
@@ -207,8 +253,9 @@ object ScaleOps {
     * over the SAME shuffled RDD (shuffle files reused): (1)
     * per-partition PER-GROUP row counts collected to the driver
     * (numPartitions × bounded-groups entries, KB-scale; guarded by
-    * [[MaxGroupsPerPartition]] — past the cap the offset job fails
-    * fast instead of OOMing the driver) and scanned into exclusive
+    * [[MaxGroupsPerPartition]] executor-side and [[MaxGroupsTotal]]
+    * driver-side — past either cap the offset job fails fast instead
+    * of OOMing the driver) and scanned into exclusive
     * per-group offsets plus group totals; (2) an offset-seeded
     * per-partition counter. Rank-in-group comes back as `rankCol`,
     * the group total as `countCol` (every quantile/ntile consumer
@@ -236,15 +283,16 @@ object ScaleOps {
       .sortWithinPartitions(ordered: _*)
     val gIdx = groupCols.map(ranged.schema.fieldIndex)
     val rdd0 = ranged.rdd
-    val perPart = rdd0.mapPartitionsWithIndex { (i, it) =>
-      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
-      it.foreach { r =>
-        val k = gIdx.map(r.get)
-        m(k) = m.getOrElse(k, 0L) + 1L
-        requireBoundedGroups("groupedRank", m.size)
-      }
-      Iterator((i, m.toVector))
-    }.collect().sortBy(_._1).map(_._2)
+    val perPart = collectOffsetsGuarded("groupedRank",
+      rdd0.mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+        it.foreach { r =>
+          val k = gIdx.map(r.get)
+          m(k) = m.getOrElse(k, 0L) + 1L
+          requireBoundedGroups("groupedRank", m.size)
+        }
+        Iterator((i, m.toVector))
+      })
     // group totals (the countCol payload) and exclusive per-(partition,
     // group) rank offsets — the only driver-side state, bounded by
     // numPartitions × bounded-groups entries
@@ -398,7 +446,8 @@ object ScaleOps {
     * per-partition PER-GROUP (count, total), collected to the driver
     * (numPartitions × groups-per-partition entries; groups are
     * schema-bounded, so KB-scale — enforced at runtime by
-    * [[MaxGroupsPerPartition]]) and scanned into exclusive offsets;
+    * [[MaxGroupsPerPartition]] and [[MaxGroupsTotal]]) and scanned
+    * into exclusive offsets;
     * (2) a per-partition running state seeded with each group's
     * offset. Returns rank-in-group (`rankCol`) and the inclusive
     * per-group running sum (`cumCol`), both LongType.
@@ -422,16 +471,17 @@ object ScaleOps {
     val gIdx = groupCols.map(ranged.schema.fieldIndex)
     val vIdx = ranged.schema.fieldIndex(valueCol)
     val rdd0 = ranged.rdd
-    val perPart = rdd0.mapPartitionsWithIndex { (i, it) =>
-      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], (Long, Long)]()
-      it.foreach { r =>
-        val k = gIdx.map(r.get)
-        val (c, s) = m.getOrElse(k, (0L, 0L))
-        m(k) = (c + 1L, s + r.getLong(vIdx))
-        requireBoundedGroups("groupedCumSum", m.size)
-      }
-      Iterator((i, m.toVector))
-    }.collect().sortBy(_._1).map(_._2)
+    val perPart = collectOffsetsGuarded("groupedCumSum",
+      rdd0.mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Seq[Any], (Long, Long)]()
+        it.foreach { r =>
+          val k = gIdx.map(r.get)
+          val (c, s) = m.getOrElse(k, (0L, 0L))
+          m(k) = (c + 1L, s + r.getLong(vIdx))
+          requireBoundedGroups("groupedCumSum", m.size)
+        }
+        Iterator((i, m.toVector))
+      })
     // exclusive per-(partition, group) offsets: what accumulated in
     // earlier partitions for the same group
     val running = scala.collection.mutable.HashMap[Seq[Any], (Long, Long)]()
@@ -471,12 +521,15 @@ object ScaleOps {
     * total order within each bounded group (the as-of/carry idiom on
     * any axis — time, size, rank). Same two-pass anatomy as
     * [[groupedCumSum]]: range shuffle on (groupCols ++ orderCols),
-    * per-partition per-group LAST non-null collected to the driver
-    * (bounded groups ⇒ KB, enforced at runtime by
-    * [[MaxGroupsPerPartition]]), the full running snapshot broadcast as
-    * each partition's seed (a group's last non-null may sit several
-    * partitions back), then an offset-seeded carry on the second pass
-    * over the same shuffle files. INCLUSIVE of the current row (the
+    * per-partition per-group LAST non-null (plus the partition's
+    * present-group set) collected to the driver (bounded groups ⇒ KB,
+    * enforced at runtime by [[MaxGroupsPerPartition]] /
+    * [[MaxGroupsTotal]]), each partition seeded with the running carry
+    * of exactly the groups IT CONTAINS (a group's last non-null may
+    * sit several partitions back; seeding by presence keeps the
+    * broadcast O(groups + partitions), not O(partitions × groups)),
+    * then an offset-seeded carry on the second pass over the same
+    * shuffle files. INCLUSIVE of the current row (the
     * standard forward-fill frame unboundedPreceding..currentRow);
     * rows whose own value is null receive the carry, so exclusive
     * consumers that filter to null-valued rows see identical results.
@@ -497,21 +550,29 @@ object ScaleOps {
     val gIdx = groupCols.map(ranged.schema.fieldIndex)
     val fIdx = ranged.schema.fieldIndex(fillCol)
     val rdd0 = ranged.rdd
-    val perPart = rdd0.mapPartitionsWithIndex { (i, it) =>
-      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Any]()
-      it.foreach { r =>
-        val v = r.get(fIdx)
-        if (v != null) {
-          m(gIdx.map(r.get)) = v
-          requireBoundedGroups("groupedFill", m.size)
+    // per-partition (group -> last non-null, PLUS the set of all groups
+    // present — a group whose rows in this partition are all null still
+    // needs its carry seed, and seeding only the groups a partition
+    // actually contains keeps the broadcast O(groups + partitions), not
+    // O(partitions x groups)
+    val perPart = collectOffsetsGuarded("groupedFill",
+      rdd0.mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Any]()
+        val present = scala.collection.mutable.LinkedHashSet[Seq[Any]]()
+        it.foreach { r =>
+          val k = gIdx.map(r.get)
+          present += k
+          requireBoundedGroups("groupedFill", present.size)
+          val v = r.get(fIdx)
+          if (v != null) m(k) = v
         }
-      }
-      Iterator((i, m.toVector))
-    }.collect().sortBy(_._1).map(_._2)
+        Iterator((i, present.toVector.map(k => k -> m.getOrElse(k, null))))
+      })
     val running = scala.collection.mutable.HashMap[Seq[Any], Any]()
     val offsets: Array[Map[Seq[Any], Any]] = perPart.map { m =>
-      val snapshot = running.toMap // ALL groups seen so far
-      m.foreach { case (k, v) => running(k) = v }
+      val snapshot = m.flatMap { case (k, _) =>
+        running.get(k).map(k -> _) }.toMap
+      m.foreach { case (k, v) => if (v != null) running(k) = v }
       snapshot
     }
     val offB = df.sparkSession.sparkContext.broadcast(offsets)

@@ -1114,10 +1114,12 @@ object StatsQueriesB {
         .select(col("o_custkey"),
           datediff(col("t_max"), col("last_order")).cast("long").as("r"),
           col("f"), col("m_c"))
-        // the chain seam distributedRank's cost note prescribes: each
-        // rank pass reads its input ~twice (range sampling + map), and
-        // three chained passes would re-run the orders aggregate up to
-        // 8x — checkpoint the |customers| frame once instead
+        // the chain seam distributedRank's cost note prescribes: the
+        // first rank pass executes its input twice (range sampling +
+        // shuffle map; later passes re-read rank outputs via reused
+        // shuffle files, never this frame) — checkpoint once so both
+        // reads hit materialized blocks instead of re-running the
+        // orders scan + groupBy
         .localCheckpoint(true)
       val ranked = distributedRank(distributedRank(distributedRank(rfm,
         Seq(col("r").asc, col("o_custkey")), "rk_r"),

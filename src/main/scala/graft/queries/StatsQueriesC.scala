@@ -191,8 +191,9 @@ object StatsQueriesC {
           col("n_chars").cast("long").as("len"),
           expr("cast(size(filter(split(text, ' '), " +
             "t -> length(t) > 0)) as bigint)").as("ntok"))
-        // chained-rank seam: the tokenizing documents scan would
-        // otherwise re-run under the first rank pass's range sampling
+        // chained-rank seam: the first rank pass executes its input
+        // twice (range sampling + shuffle map) — checkpoint so the
+        // tokenizing documents scan runs once, not twice
         .localCheckpoint(true)
       val ranked = groupedRank(
         groupedRank(base, Seq("lang"),

@@ -639,8 +639,9 @@ object StatsQueriesE {
           .select(col("p_partkey"), length(col("p_name")).cast("long")
             .as("name_len")),
           col("l_partkey") === col("p_partkey"))
-        // chained-rank seam: checkpoint once so the lineitem aggregate
-        // + part join isn't re-run by the two rank passes' sampling
+        // chained-rank seam: the first rank pass executes its input
+        // twice (range sampling + shuffle map) — checkpoint so the
+        // lineitem aggregate + part join runs once, not twice
         .localCheckpoint(true)
       // Spearman needs both full rank VECTORS over the part grain —
       // two ScaleOps.distributedRank passes (range shuffle + partition

@@ -308,12 +308,43 @@ class PlanContractSpec extends SparkSpec {
     "q289_procurement_arbitrage" -> "rank over top-N result",
     "q340_movers_shakers" -> "rank over top-15 result")
 
+  /** Optimized logical plans are built once and shared across the
+    * contract tests below: building a query is NOT plan-only (eager
+    * primitives — distributedRank/groupedRank/localCheckpoint — run
+    * real shuffle+count jobs at DataFrame-BUILD time), so rebuilding
+    * the whitelisted queries per test would triple that cost.
+    */
+  private val optimizedPlanCache = scala.collection.mutable.HashMap[
+    String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+  private def optimized(
+      q: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    optimizedPlanCache.getOrElseUpdate(q,
+      SparkEntry.queries(q)(spark, sf001).queryExecution.optimizedPlan)
+
+  /** True iff EVERY leaf-ward path from `p` passes through a node
+    * `isReducer` accepts: unary operators are walked through, and a
+    * binary node (join, union) requires ALL children bounded — so a
+    * Limit/Aggregate on a join's OTHER branch cannot vouch for an
+    * unbounded fact branch (a `collectFirst` over the subtree would
+    * accept exactly that). Leaves are unbounded by definition.
+    */
+  private def boundedBelow(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      isReducer: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Boolean): Boolean =
+    p match {
+      case n if isReducer(n) => true
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode =>
+        boundedBelow(u.child, isReducer)
+      case b => b.children.nonEmpty &&
+        b.children.forall(boundedBelow(_, isReducer))
+    }
+
   test("post-limit whitelist entries are verified by plan walk, not prose") {
     // the whitelist's post-limit CLASS claims each query's
     // UNPARTITIONED window runs over an already-limited <=N-row frame.
     // Verify that structurally: in the optimized logical plan, every
-    // unpartitioned Window node must have a Limit somewhere in its OWN
-    // subtree — the bound then holds by plan shape, not by comment.
+    // leaf-ward path under every unpartitioned Window must pass through
+    // a Limit — the bound then holds by plan shape, not by comment.
     // (Partitioned windows below the limit — e.g. q277's per-partkey
     // first/last passes — are scale-safe and not this class's claim.)
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
@@ -324,8 +355,7 @@ class PlanContractSpec extends SparkSpec {
     assert(postLimit.forall(boundedWindowWhitelist.contains),
       "post-limit list drifted from the whitelist")
     for (q <- postLimit) {
-      val opt = SparkEntry.queries(q)(spark, sf001)
-        .queryExecution.optimizedPlan
+      val opt = optimized(q)
       val unpart = opt.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
       }
@@ -333,11 +363,10 @@ class PlanContractSpec extends SparkSpec {
         s"$q: whitelisted as post-limit rank but no unpartitioned " +
           s"window in the plan (stale entry?):\n$opt")
       unpart.foreach { w =>
-        val limited = w.child.collectFirst {
-          case g: GlobalLimit => g
-          case l: LocalLimit => l
-        }.isDefined
-        assert(limited,
+        assert(boundedBelow(w.child, {
+            case _: GlobalLimit | _: LocalLimit => true
+            case _ => false
+          }),
           s"$q: an unpartitioned window runs over an UNLIMITED frame — " +
             s"the post-limit bound is violated:\n$opt")
       }
@@ -349,26 +378,24 @@ class PlanContractSpec extends SparkSpec {
     // grain) all claim the same structural fact: the unpartitioned
     // window runs over a frame whose grain was REDUCED below it — an
     // Aggregate (groupBy to the bounded domain; distinct optimizes to
-    // one) or a Limit. Verify by plan walk: every whitelisted query's
-    // every unpartitioned Window must have an Aggregate or Limit in its
-    // OWN subtree. A window directly over fact-grain rows would pass
-    // the prose whitelist but fail here.
+    // one) or a Limit. Verify by plan walk: every leaf-ward path under
+    // every unpartitioned Window must pass through an Aggregate or
+    // Limit (all-children rule at joins/unions, see boundedBelow). A
+    // window directly over fact-grain rows — even one joined against a
+    // limited dim — would pass the prose whitelist but fail here.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
     for ((q, bound) <- boundedWindowWhitelist.toSeq.sortBy(_._1)) {
-      val opt = SparkEntry.queries(q)(spark, sf001)
-        .queryExecution.optimizedPlan
+      val opt = optimized(q)
       val unpart = opt.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
       }
       unpart.foreach { w =>
-        val reduced = w.child.collectFirst {
-          case a: Aggregate => a
-          case g: GlobalLimit => g
-          case l: LocalLimit => l
-        }.isDefined
-        assert(reduced,
-          s"$q (whitelisted: $bound): an unpartitioned window runs " +
-            s"over a frame with NO aggregate/limit beneath it — the " +
+        assert(boundedBelow(w.child, {
+            case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+            case _ => false
+          }),
+          s"$q (whitelisted: $bound): an unpartitioned window has a " +
+            s"leaf-ward path with NO aggregate/limit on it — the " +
             s"stated bound is not structural:\n$opt")
       }
     }
@@ -377,8 +404,8 @@ class PlanContractSpec extends SparkSpec {
   test("GLOBAL: every unpartitioned Window in all query plans is whitelisted as bounded") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val hits = scala.collection.mutable.SortedSet[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val unpart = fn(spark, sf001).queryExecution.optimizedPlan.collect {
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val unpart = optimized(name).collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
       }
       if (unpart.nonEmpty) hits += name
@@ -438,8 +465,8 @@ class PlanContractSpec extends SparkSpec {
         j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
 
     val hits = scala.collection.mutable.SortedSet[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val bad = fn(spark, sf001).queryExecution.optimizedPlan.collect {
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val bad = optimized(name).collect {
         case j: LJoin if !hasEquiKey(j) && !hinted(j) => j
       }
       if (bad.nonEmpty) hits += name
@@ -467,8 +494,7 @@ class PlanContractSpec extends SparkSpec {
       "q46_length_percentile", "q51_stratified_sample",
       "q152_dsir_selection")
     for (q <- swept) {
-      val rankWindows = SparkEntry.queries(q)(spark, sf001)
-        .queryExecution.optimizedPlan.collect {
+      val rankWindows = optimized(q).collect {
           case w: LWindow if w.windowExpressions.exists(_.exists {
             case _: RowNumber | _: NTile | _: PercentRank => true
             case _ => false
@@ -484,10 +510,9 @@ class PlanContractSpec extends SparkSpec {
     // its md5-keyed dedup window: entity-hash partitions, unordered)
     for (q <- Seq("q159_token_budget_fill", "q200_clean_pipeline",
         "q211_cold_parts")) {
-      val ordered = SparkEntry.queries(q)(spark, sf001)
-        .queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.orderSpec.nonEmpty => w
-        }
+      val ordered = optimized(q).collect {
+        case w: LWindow if w.orderSpec.nonEmpty => w
+      }
       assert(ordered.isEmpty,
         s"$q: ordered window regressed back in:\n${ordered.mkString("\n")}")
     }

@@ -377,6 +377,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("the driver-side total cap catches entity keys spread over many partitions") {
+    // MaxGroupsTotal+1 distinct keys over 32 partitions: each partition
+    // holds ~31k groups — UNDER the executor-side per-partition cap —
+    // but the driver's running total must abort the offset collect as
+    // task results arrive (the many-partition regime the per-partition
+    // cap cannot see). The guarded collector is shared by all three
+    // grouped primitives, so one primitive suffices here.
+    val n = ScaleOps.MaxGroupsTotal + 1
+    val df = spark.range(0L, n, 1L, 32)
+      .select(col("id").as("g"), col("id").as("v"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val e = intercept[Exception] {
+      ScaleOps.groupedRank(df, Seq("g"), Seq(col("v").asc), partitions = 32)
+    }
+    assert(chain(e).exists(m =>
+      m.contains("across all partitions") && m.contains("groupedRank")),
+      s"expected the total-cap guard to fire, got: $e")
+  }
+
   test("distributedCumSum property: matches global running sum + row_number") {
     import org.apache.spark.sql.expressions.Window
     val rng = new scala.util.Random(7)

@@ -62,7 +62,7 @@ class SourceLintSpec extends AnyFunSuite {
       "src/main/scala/graft/StreamEquiv.scala" ->
         (20, "artifact runner: batch-vs-stream row comparisons on fixture data"),
       "src/main/scala/graft/operators/ScaleOps.scala" ->
-        (4, "distributedCumSum / groupedRank / groupedCumSum / groupedFill per-partition (per-group) offsets: numPartitions x bounded-groups entries, KB at any scale, guarded by MaxGroupsPerPartition"),
+        (1, "distributedCumSum per-partition (count,total) offsets: numPartitions pairs. The grouped primitives collect through collectOffsetsGuarded (runJob with an incremental MaxGroupsTotal abort), not collect()"),
       "src/main/scala/graft/operators/Similarity.scala" ->
         (6, "k-means/PQ/coreset trainers: <= sampleN rows or 1 row per round, documented"),
       "src/main/scala/graft/operators/Sketches.scala" ->
