@@ -12,13 +12,53 @@ import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
   * Scale design (100 TB): every variant reduces the pairwise O(n²)
   * problem to a shuffle on a bounded key — full text (exact), md5
   * (fingerprint), LSH band bucket (minhash), 16-bit chunk (simhash) —
-  * followed by a within-bucket self-join. Bucket population is bounded
-  * (`maxBucketSize`) so a degenerate bucket (all-identical spam) cannot
-  * quadratically explode an executor; dropped buckets are the standard
-  * trade (those docs are trivially all-duplicates and are caught by the
-  * exact/fingerprint pass anyway).
+  * followed by a within-bucket self-join. The PROBABILISTIC variants
+  * (minhash/cosine-LSH blocks, k-means cells) bound bucket population
+  * (`maxBucketSize`) so a degenerate bucket (all-identical spam)
+  * cannot quadratically explode an executor; dropped buckets are the
+  * standard trade there (those docs are trivially all-duplicates and
+  * are caught by the exact/fingerprint pass anyway). [[simhashPairs]]
+  * is deliberately UNGUARDED: its 4-chunk pigeonhole is a hard
+  * completeness contract (every pair at hamming ≤ 3 shares a chunk),
+  * and dropping a degenerate chunk bucket would silently break it —
+  * identical-content floods form TRUE duplicate pairs, and the
+  * structural fix is the exact/fingerprint pass UPSTREAM, not a
+  * recall hole here (same reasoning as saltedJoin's unique-id salt).
   */
 object Dedup {
+
+  /** Skew guard shared by the probabilistic block/bucket/cell dedup
+    * variants: keep rows whose `keys` population is ≤ `max`, via a
+    * count WINDOW rather than a groupBy+anti-join — the downstream
+    * self-joins sort on the same keys, so the window rides the
+    * exchange they need anyway (ReusedExchange) and the upstream
+    * lineage (tokenize/minhash) computes exactly once; the anti-join
+    * form recomputes it for the counts branch and measured 2.5× slower
+    * at sf0.1. `keepCountAs` retains the population column (the
+    * semantic-dedup output wants the cell size).
+    */
+  private def boundedByCount(df: DataFrame, keys: Seq[String], max: Int,
+                             keepCountAs: Option[String] = None): DataFrame = {
+    val name = keepCountAs.getOrElse("__guard_n")
+    val out = df
+      .withColumn(name, count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
+      .filter(col(name) <= max)
+    if (keepCountAs.isDefined) out else out.drop(name)
+  }
+
+  /** Attach a per-doc value column to BOTH sides of a candidate pair
+    * frame — the LSH candidate-rerank scaffold shared by the
+    * containment / blocked-jaccard / edit-distance variants:
+    * (doc_a, doc_b) × perDoc(doc_id, v) → (doc_a, doc_b, v_a, v_b).
+    */
+  private def joinPairSides(cands: DataFrame, perDoc: DataFrame,
+                            valueCol: String): DataFrame =
+    cands
+      .join(perDoc.withColumnsRenamed(
+        Map("doc_id" -> "doc_a", valueCol -> s"${valueCol}_a")), "doc_a")
+      .join(perDoc.withColumnsRenamed(
+        Map("doc_id" -> "doc_b", valueCol -> s"${valueCol}_b")), "doc_b")
 
   /** Default block-size cap for the quadratic-within-block baselines —
     * shared with the DuckDB oracle SQL so engine and oracle agree on
@@ -64,23 +104,22 @@ object Dedup {
     // merge per pair (custom expression), not hash-set building
     val withSets = documents.select(col("doc_id"), col("source"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    // window guard (not groupBy+anti-join): the block self-join sorts on
-    // source anyway, ReusedExchange shares the one tokenization pass.
-    val bounded = withSets
-      .withColumn("block_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"))))
-      .filter(col("block_n") <= maxBlockSize)
-      .drop("block_n")
+    val bounded = boundedByCount(withSets, Seq("source"), maxBlockSize)
     val a = bounded.withColumn("n", size(col("toks"))).as("a")
     val b = bounded.withColumn("n", size(col("toks"))).as("b")
     // length prefilter: jaccard >= t forces |A|/|B| within [t, 1/t]
     // (|A∩B| <= min, |A∪B| >= max), so size-incompatible pairs are
-    // pruned BEFORE the linear merge — a necessary condition, results
-    // unchanged (oracle needs no mirror).
+    // pruned BEFORE the linear merge. The eps slack keeps it a pure
+    // NECESSARY condition under float overshoot (same slack as the
+    // prefix filter): greatest(n)*t in doubles can land epsilon above
+    // the exact integer bound (100*0.07 = 7.000000000000001 > 7) and
+    // would otherwise prune a boundary pair the final exact filter
+    // keeps — with the slack, results are unchanged and the oracle
+    // needs no mirror.
+    val eps = 1e-9
     a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")).cast("double") >=
-          greatest(col("a.n"), col("b.n")) * threshold)
+          greatest(col("a.n"), col("b.n")) * threshold - eps)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         HashFunctions.jaccardPresorted(col("a.toks"), col("b.toks")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -109,20 +148,9 @@ object Dedup {
         posexplode(HashFunctions.bandHashes(col("sig"), bands, rowsPerBand)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
 
-    // Bound degenerate buckets before the self-join (skew guard) with a
-    // count WINDOW, not a groupBy-count + anti-join: the self-join is a
-    // sort-merge join on (band, bucket), so the exchange AND the sort
-    // exist anyway and both self-join sides share them via
-    // ReusedExchange — the window rides along for free and the minhash
-    // signatures are computed exactly once. The anti-join variant
-    // recomputes the whole shingle→minhash lineage for its counts
-    // branch and measured 2.5× slower at sf0.1 (13 s vs 5 s).
-    val bounded = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    // Bound degenerate buckets before the self-join ([[boundedByCount]]
+    // — the 2.5×-slower anti-join alternative is measured in its doc).
+    val bounded = boundedByCount(buckets, Seq("band", "bucket"), maxBucketSize)
 
     val l = bounded.as("l")
     val r = bounded.as("r")
@@ -172,9 +200,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val toks = documents.select(col("doc_id"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    cands
-      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_a", "toks" -> "toks_a")), "doc_a")
-      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_b", "toks" -> "toks_b")), "doc_b")
+    joinPairSides(cands, toks, "toks")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("toks_a"), col("toks_b")))
           .cast("long").as("n_inter"),
@@ -191,9 +217,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val toks = documents.select(col("doc_id"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    cands
-      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_a", "toks" -> "toks_a")), "doc_a")
-      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_b", "toks" -> "toks_b")), "doc_b")
+    joinPairSides(cands, toks, "toks")
       .select(col("doc_a"), col("doc_b"),
         HashFunctions.jaccardPresorted(col("toks_a"), col("toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -294,9 +318,12 @@ object Dedup {
         col("bh.bucket").as("bucket"))
     val l = buckets.as("l")
     val r = buckets.as("r")
-    // Single-emission via first shared chunk (no skew guard here, so
-    // this is EXACTLY equivalent to the distinct() it replaces — minus
-    // the shuffle): chunk b matches iff bits [16b, 16b+16) of the xor
+    // Single-emission via first shared chunk. DELIBERATELY no skew
+    // guard (see the object doc): the 4-chunk pigeonhole is a hard
+    // completeness contract for hamming <= 3, so this is EXACTLY
+    // equivalent to the distinct() it replaces — minus the shuffle;
+    // identical-content floods are the exact/fingerprint pass's job.
+    // Chunk b matches iff bits [16b, 16b+16) of the xor
     // are zero; emit only from the smallest matching chunk.
     val x = col("l.sh").bitwiseXOR(col("r.sh"))
     def chunkEq(b: Int) =
@@ -334,12 +361,7 @@ object Dedup {
       .select(col("vec_id"), col("bks"), posexplode(col("bks")))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
     // window guard — same ReusedExchange rationale as minhashLshPairs
-    val bounded = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("tbl"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    val bounded = boundedByCount(buckets, Seq("tbl", "bucket"), maxBucketSize)
     val l = bounded.as("l")
     val r = bounded.as("r")
     // single-emission: each pair only from its first shared table (the
@@ -398,11 +420,13 @@ object Dedup {
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .drop("cdist", "crank")
-    val bounded = assigned
-      .withColumn("cell_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cell_id"))))
-      .filter(col("cell_n") <= maxCellSize)
+    // checkpoint once: bounded feeds the a-side, the b-side, AND the
+    // left_anti below — without it the centroid crossJoin + nearest-
+    // centroid window re-execute for the anti-join's left leg (the
+    // same multi-reference seam prefixFilterJaccardPairs checkpoints)
+    val bounded = boundedByCount(assigned, Seq("cell_id"), maxCellSize,
+        keepCountAs = Some("cell_n"))
+      .localCheckpoint(true)
     val a = bounded.as("a")
     val b = bounded.as("b")
     // no distinct(): left_anti absorbs duplicate drop votes for free
@@ -430,9 +454,7 @@ object Dedup {
     val cands = minhashLshPairs(spark, documents, estimateThreshold = candidateEst)
       .select(col("doc_a"), col("doc_b"))
     val txt = documents.select(col("doc_id"), col("text"))
-    cands
-      .join(txt.withColumnsRenamed(Map("doc_id" -> "doc_a", "text" -> "text_a")), "doc_a")
-      .join(txt.withColumnsRenamed(Map("doc_id" -> "doc_b", "text" -> "text_b")), "doc_b")
+    joinPairSides(cands, txt, "text")
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
         greatest(length(col("text_a")), length(col("text_b")))

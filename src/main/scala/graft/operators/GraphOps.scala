@@ -50,6 +50,19 @@ object GraphOps {
     org.apache.spark.sql.classic.GraftPlanBridge
       .dropCheckpointStats(df.localCheckpoint(true))
 
+  /** Frees a loopCheckpoint'd frame's materialized blocks.
+    * `Dataset.unpersist()` is a CacheManager call and a SILENT NO-OP
+    * for RDD-level checkpoints — without this, every round's
+    * MEMORY_AND_DISK generation lingers until the driver GCs the
+    * Dataset and the ContextCleaner reaps the RDD, so a long loop's
+    * storage grows with round count. Call only once every dependent
+    * plan is materialized: each loop below materializes round N+1
+    * eagerly (loopCheckpoint) before freeing round N, and never frees
+    * a frame the RETURNED plan still references.
+    */
+  private def loopUnpersist(df: DataFrame): Unit =
+    org.apache.spark.sql.classic.GraftPlanBridge.unpersistCheckpoint(df)
+
   /** Connected components of the undirected graph given by `pairs`
     * (columns `doc_a`, `doc_b`; each undirected edge once). Returns one
     * row per vertex that appears in an edge: (doc_id, cluster_id) with
@@ -100,17 +113,17 @@ object GraphOps {
           col("a.label") === col("b.lv"), "left")
         .select(col("a.v").as("v"),
           coalesce(col("b.ll"), col("a.label")).as("label")))
-      propagated.unpersist()
+      loopUnpersist(propagated)
       val changed = next.join(labels.withColumnsRenamed(
           Map("label" -> "old_label")), "v")
         .filter(col("label") < col("old_label"))
         .count()
-      labels.unpersist()
+      loopUnpersist(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    loopUnpersist(edges)
     (labels.select(col("v").as("doc_id"), col("label").as("cluster_id")), iter)
   }
 
@@ -163,11 +176,16 @@ object GraphOps {
     * id-ordering and still match exactly.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val canon = edges
+    // canon feeds deg, both orientation joins, and the n_edges scalar;
+    // oriented feeds three join legs (e1/e2/e3). Checkpoint each once —
+    // without it the tokenize/distinct/degree-join lineage re-executes
+    // for every reference (the same multi-reference discipline as the
+    // loops; this is the file's most expensive one-shot operator)
+    val canon = loopCheckpoint(edges
       .select(least(col("a"), col("b")).as("x"),
         greatest(col("a"), col("b")).as("y"))
       .filter(col("x") =!= col("y"))
-      .distinct()
+      .distinct())
     val deg = canon.select(col("x").as("v"))
       .union(canon.select(col("y").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -176,7 +194,7 @@ object GraphOps {
     val withDeg = canon
       .join(deg.withColumnRenamed("v", "x").withColumnRenamed("d", "dx"), "x")
       .join(deg.withColumnRenamed("v", "y").withColumnRenamed("d", "dy"), "y")
-    val oriented = withDeg.select(
+    val oriented = loopCheckpoint(withDeg.select(
       when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
         struct(col("x").as("src"), col("y").as("dst"),
           struct(col("dy").as("d"), col("y").as("v")).as("dstRank")))
@@ -185,7 +203,7 @@ object GraphOps {
             struct(col("dx").as("d"), col("x").as("v")).as("dstRank")))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.dstRank").as("dstRank"))
+        col("e.dstRank").as("dstRank")))
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
@@ -194,9 +212,13 @@ object GraphOps {
       .join(oriented.as("e3"),
         col("v") === col("e3.src") && col("w") === col("e3.dst"),
         "left_semi")
-    deg.agg(count(lit(1)).as("n_vertices"))
-      .crossJoin(broadcast(canon.agg(count(lit(1)).as("n_edges"))))
-      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+    // materialize the 1-row summary, then free both checkpoints
+    val out = loopCheckpoint(
+      deg.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(broadcast(canon.agg(count(lit(1)).as("n_edges"))))
+        .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles")))))
+    loopUnpersist(canon); loopUnpersist(oriented)
+    out
   }
 
   /** PageRank with dangling-mass teleport. `iters` is the ROUND CAP;
@@ -261,23 +283,26 @@ object GraphOps {
         // the big sides), then project it back off
         val stepped = loopCheckpoint(core
           .join(pr.select(col("v"), col("pr").as("pr_prev")), Seq("v")))
-        val delta = stepped
+        val deltaRow = stepped
           .agg(max(abs(col("pr") - col("pr_prev"))).as("d"))
-          .head().getDouble(0)
+          .head()
+        // empty graph: max over zero rows is NULL (getDouble would
+        // NPE) — trivially converged
+        val delta = if (deltaRow.isNullAt(0)) 0.0 else deltaRow.getDouble(0)
         converged = delta < tol
-        prStore.unpersist()
+        loopUnpersist(prStore)
         prStore = stepped
         pr = stepped.select(col("v"), col("pr"))
       } else {
         val next = loopCheckpoint(core)
-        prStore.unpersist()
+        loopUnpersist(prStore)
         prStore = next
         pr = next
       }
       i += 1
     }
-    outDeg.unpersist(); nodes.unpersist(); e.unpersist()
-    eOutd.unpersist(); dangV.unpersist()
+    loopUnpersist(outDeg); loopUnpersist(nodes); loopUnpersist(e)
+    loopUnpersist(eOutd); loopUnpersist(dangV)
     pr
   }
 
@@ -296,10 +321,21 @@ object GraphOps {
                            iters: Int = 10,
                            damping: Double = 0.85): DataFrame = {
     require(seeds.nonEmpty, "personalized PageRank needs >= 1 seed")
+    require(seeds.distinct.size == seeds.size,
+      "personalized PageRank: duplicate seed ids — each duplicate would " +
+        "silently scale the seed's share of the teleport mass")
     val e = loopCheckpoint(edges.select(col("src"), col("dst")).distinct())
     val nodes = loopCheckpoint(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
       .distinct())
+    // a seed absent from the vertex set would silently LEAK its 1/|S|
+    // share of the teleport mass every round (rank mass sums < 1 with
+    // no error, breaking pageRank's inherited sum-pr=1 contract) —
+    // fail loudly instead; one tiny count over the checkpointed frame
+    val present = nodes.filter(col("v").isin(seeds: _*)).count()
+    require(present == seeds.size,
+      s"personalized PageRank: ${seeds.size - present} seed id(s) not in " +
+        "the graph — off-graph seeds would silently leak teleport mass")
     val outDeg = loopCheckpoint(e.groupBy("src").agg(count(lit(1)).as("outd")))
     val eOutd = loopCheckpoint(e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("outd")))
@@ -323,11 +359,11 @@ object GraphOps {
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
               when(isSeed, col("dang") / nS).otherwise(lit(0.0)))).as("pr"))
       val mat = loopCheckpoint(next)
-      pr.unpersist()
+      loopUnpersist(pr)
       pr = mat
     }
-    eOutd.unpersist(); dangV.unpersist()
-    outDeg.unpersist(); nodes.unpersist(); e.unpersist()
+    loopUnpersist(eOutd); loopUnpersist(dangV)
+    loopUnpersist(outDeg); loopUnpersist(nodes); loopUnpersist(e)
     pr
   }
 
@@ -365,7 +401,7 @@ object GraphOps {
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b")))
-      cur.unpersist()
+      loopUnpersist(cur)
       cur = next
     }
     val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
@@ -400,14 +436,22 @@ object GraphOps {
     * the oracle (OracleHashSql.q137CoreNumbers) unrolls the identical
     * fixed rounds bit-exactly.
     *
-    * The per-vertex H-index is `array_max(least(rank, est))` over the
-    * desc-sorted neighbor-estimate list — a hash aggregate + small
-    * in-group array sort (avg degree elements), NOT a window: the
-    * per-round plan joins the vertex-sized estimate frame into the
-    * edge scan (the PLANNER picks broadcast at small |V| from the
-    * checkpoint's measured stats and a vertex-keyed shuffle join at
-    * billions of vertices — no forced hint) plus ONE exchange into
-    * the hash agg, no global per-partition sort. Order-invariant across ties, so
+    * The per-vertex H-index rides the identity h = max over DISTINCT
+    * estimate values e of min(e, |{nbr est ≥ e}|) (f(h) = |{est ≥ h}|
+    * is a step function constant on each (e_next, e], so the best
+    * feasible h within a step is min(e, f(e))): a (v, est) count
+    * aggregate, a per-vertex cumulative count over the desc-sorted
+    * DISTINCT values, and a max — every buffer O(1) per row. The
+    * pre-r12 form collected the full neighbor-estimate list into one
+    * aggregation buffer, which is degree-sized: a celebrity vertex
+    * with 10⁸ neighbors built a multi-GB array in one hash-agg cell.
+    * The window is partitioned by v (entity-keyed — scale-safe) over
+    * (v, distinct est) rows, bounded by distinct estimate VALUES per
+    * vertex, not occurrences. The per-round plan joins the
+    * vertex-sized estimate frame into the edge scan (the PLANNER
+    * picks broadcast at small |V| from the checkpoint's measured
+    * stats and a vertex-keyed shuffle join at billions of vertices —
+    * no forced hint). Order-invariant across ties, so
     * partitioning cannot change the result. With `requireConverged`
     * the LAST TWO rounds are compared (two vertex-frame joins, no
     * extra update): est unchanged over a round ⇔ fixed point, so
@@ -425,19 +469,21 @@ object GraphOps {
     val adj = loopCheckpoint(
       e.select(col("a").as("v"), col("b").as("nbr"))
         .union(e.select(col("b").as("v"), col("a").as("nbr"))))
-    def hIndexUpdate(est: DataFrame): DataFrame =
+    def hIndexUpdate(est: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("v")).orderBy(col("est").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       adj.join(est.select(col("v").as("nbr"), col("est")), Seq("nbr"))
+        .groupBy(col("v"), col("est")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
         .groupBy("v")
-        .agg(sort_array(collect_list(col("est")), asc = false).as("ests"))
-        .select(col("v"), array_max(zip_with(col("ests"),
-          sequence(lit(1L), size(col("ests")).cast("long")),
-          (e2, r) => least(e2, r))).as("est"))
+        .agg(max(least(col("est"), col("cum"))).as("est"))
+    }
     var prev: DataFrame = null
     var est = loopCheckpoint(
       adj.groupBy("v").agg(count(lit(1)).cast("long").as("est")))
     for (_ <- 0 until rounds) {
       val next = loopCheckpoint(hIndexUpdate(est))
-      if (prev != null) prev.unpersist()
+      if (prev != null) loopUnpersist(prev)
       prev = est
       est = next
     }
@@ -449,7 +495,7 @@ object GraphOps {
         s"coreNumbers did not converge in $rounds rounds: $changed vertex " +
           "estimates moved in the final round — raise `rounds`")
     }
-    prev.unpersist()
+    loopUnpersist(prev); loopUnpersist(adj)
     est.select(col("v").as("node_id"), col("est").cast("long").as("coreness"))
   }
 
@@ -492,9 +538,10 @@ object GraphOps {
           .groupBy(col("v"))
           .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("top"))
           .select(col("v"), (-col("top.nl")).as("label")))
-      labels.unpersist()
+      loopUnpersist(labels)
       labels = next
     }
+    loopUnpersist(adj)
     labels.select(col("v").as("node_id"), col("label").cast("long").as("community"))
   }
 
@@ -528,24 +575,30 @@ object GraphOps {
       val aNext = loopCheckpoint(
         e.join(hub.select(col("v").as("src"), col("h")), Seq("src"))
           .groupBy(col("dst").as("v")).agg(sum(col("h")).as("a")))
-      if (auth != null) auth.unpersist()
+      if (auth != null) loopUnpersist(auth)
       auth = aNext
       val hNext = loopCheckpoint(
         e.join(auth.select(col("v").as("dst"), col("a")), Seq("dst"))
           .groupBy(col("src").as("v")).agg(sum(col("a")).as("h")))
-      hub.unpersist()
+      loopUnpersist(hub)
       hub = hNext
     }
     val aNrm = auth.agg(sqrt(sum(col("a") * col("a"))).as("an"))
     val hNrm = hub.agg(sqrt(sum(col("h") * col("h"))).as("hn"))
-    val out = nodes
+    // materialize the result BEFORE freeing its inputs: the returned
+    // frame joins nodes/auth/hub, and loopUnpersist really drops their
+    // blocks (the pre-r12 Dataset.unpersist here was a no-op that
+    // masked this ordering bug — out was returned lazy over frames
+    // whose blocks were nominally already freed)
+    val out = loopCheckpoint(nodes
       .join(auth, Seq("v"), "left")
       .join(hub, Seq("v"), "left")
       .crossJoin(broadcast(aNrm)).crossJoin(broadcast(hNrm))
       .select(col("v").as("node_id"),
         (coalesce(col("h"), lit(0.0)) / col("hn")).as("hub"),
-        (coalesce(col("a"), lit(0.0)) / col("an")).as("authority"))
-    e.unpersist(); nodes.unpersist()
+        (coalesce(col("a"), lit(0.0)) / col("an")).as("authority")))
+    loopUnpersist(e); loopUnpersist(nodes)
+    loopUnpersist(auth); loopUnpersist(hub)
     out
   }
 }

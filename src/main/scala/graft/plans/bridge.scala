@@ -38,6 +38,26 @@ object GraftPlanBridge {
     * any estimate. Falls back to no stats if the blocks can't be
     * found (e.g. a non-eager checkpoint).
     */
+  /** Deterministically free the materialized blocks of a
+    * localCheckpoint'd frame. `Dataset.unpersist` only talks to the
+    * CacheManager (persist/cache registrations); a localCheckpoint
+    * materializes at the RDD level and never registers there, so a
+    * Dataset-level `unpersist()` on a checkpointed frame is a SILENT
+    * NO-OP — the blocks linger until the driver GCs the Dataset and
+    * the ContextCleaner reaps the RDD, i.e. storage grows with round
+    * count in an iterative loop. This drops the underlying
+    * checkpointed RDD's blocks directly. DANGER: the frame's lineage
+    * was truncated at checkpoint time, so any plan still referencing
+    * it fails with missing blocks — call only once every dependent
+    * plan is materialized (the GraphOps loops' discipline).
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def dropCheckpointStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.Statistics
     import org.apache.spark.sql.execution.LogicalRDD

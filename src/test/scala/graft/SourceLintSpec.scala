@@ -110,8 +110,6 @@ class SourceLintSpec extends AnyFunSuite {
     check("collect_list/set", """\bcollect_(list|set)\(""".r, Map(
       "src/main/scala/graft/StreamEquiv.scala" ->
         (1, "artifact runner: per-window sorted values on fixture data"),
-      "src/main/scala/graft/operators/GraphOps.scala" ->
-        (1, "h-index core-number update: per-vertex neighbor estimates, degree-bounded"),
       "src/main/scala/graft/operators/Relational.scala" ->
         (2, "session event paths (session-bounded); Kaplan-Meier curve cells (distinct day-grain durations)"),
       "src/main/scala/graft/operators/TextAnalysis.scala" ->
