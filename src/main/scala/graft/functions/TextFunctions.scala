@@ -25,6 +25,18 @@ object TextFunctions {
   def wsTokens(text: Column): Column =
     filter(split(lower(text), " "), t => length(t) > 0)
 
+  /** Case-SENSITIVE whitespace tokens, empties dropped — [[wsTokens]]
+    * minus the lower(). The casing split across the text metrics is
+    * DELIBERATE and oracle-pinned per query: the LM/drift/PMI/BPE
+    * family distinguishes 'The'/'the' (casing carries signal for
+    * perplexity, KL drift, and merge rules), while coverage/packing/
+    * TF-IDF fold case. This named helper replaces the four inline
+    * copies so the divergence is one documented definition, not five
+    * accidental ones.
+    */
+  def wsTokensCased(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(wsTokens(text))
 

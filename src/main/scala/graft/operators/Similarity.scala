@@ -425,6 +425,11 @@ object Similarity {
         ((n * element_at(col("m"), col("ixy")) - sx * sy) /
           (sqrt(n * element_at(col("m"), col("ixx")) - sx * sx) *
             sqrt(n * element_at(col("m"), col("iyy")) - sy * sy))).as("corr"))
+      // a zero-variance (dead/constant) dimension makes corr NaN for
+      // all its pairs, and Spark sorts NaN ABOVE every finite double —
+      // without this filter the diagnostic's top-k would be monopolized
+      // by exactly the dead dims it exists to help find
+      .filter(!isnan(col("corr")))
       .withColumn("rank", row_number().over(Window.orderBy(
         abs(col("corr")).desc, col("d1").asc, col("d2").asc)).cast("long"))
       .filter(col("rank") <= k)
@@ -482,18 +487,29 @@ object Similarity {
     GraftFunctions.register(spark)
     import spark.implicits._
     val x = embeddings.select(col("vec_id"), col("embedding"))
-    val seed = x.orderBy(col("vec_id").asc).limit(1).collect().head
+    val seedRows = x.orderBy(col("vec_id").asc).limit(1).collect()
+    require(seedRows.nonEmpty, "kCenterCoreset: empty embeddings frame")
+    val seed = seedRows.head
     var centers = Seq[(Long, Seq[Float])](
       seed.getLong(0) -> seed.getSeq[Float](1))
-    for (_ <- 2 to k) {
+    var remaining = true
+    for (_ <- 2 to k if remaining) {
       val selDf = centers.toDF("c_id", "c_emb")
-      val next = x.filter(!col("vec_id").isInCollection(centers.map(_._1)))
+      val nextRows = x.filter(!col("vec_id").isInCollection(centers.map(_._1)))
         .crossJoin(broadcast(selDf))
         .groupBy(col("vec_id"))
         .agg(max(cos(col("embedding"), col("c_emb"))).as("mc"))
         .orderBy(col("mc").asc, col("vec_id").asc)
-        .limit(1).join(x, "vec_id").collect().head
-      centers = centers :+ (next.getLong(0) -> next.getSeq[Float](2))
+        .limit(1).join(x, "vec_id").collect()
+      // fewer than k vectors in the corpus: every point is already a
+      // center — stop instead of NoSuchElementException on the empty
+      // selection (the coreset is then the whole corpus, which is the
+      // correct degenerate answer)
+      nextRows.headOption match {
+        case Some(next) =>
+          centers = centers :+ (next.getLong(0) -> next.getSeq[Float](2))
+        case None => remaining = false
+      }
     }
     val selDf = centers.toDF("c_id", "c_emb")
     val w = Window.partitionBy(col("vec_id"))

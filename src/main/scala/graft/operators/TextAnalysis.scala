@@ -107,7 +107,12 @@ object TextAnalysis {
     // percent_rank reconstructed from ScaleOps.groupedRank: the order
     // (n_tokens, doc_id) is TOTAL, so rank == row_number and
     // pr = (rk−1)/(n−1) — exactly percent_rank, without the per-source
-    // single-task sort (SQL defines pr = 0 for a 1-row group)
+    // single-task sort (SQL defines pr = 0 for a 1-row group).
+    // Boundary contract (inherited from percent_rank, oracle-pinned):
+    // each source's MINIMUM doc has pr = 0 and is dropped for any
+    // dropBelow > 0 — including a single-doc source, which therefore
+    // vanishes entirely. A caller that must keep at least one doc per
+    // source should pre-filter tiny sources or use rank-based cuts.
     ScaleOps.groupedRank(
         documents.select(col("doc_id"), col("source"),
           TextFunctions.tokenCountWs(col("text")).cast("long")
@@ -231,12 +236,22 @@ object TextAnalysis {
   def segmentDedupRebuild(documents: DataFrame, k: Int = 8): DataFrame = {
     val toks = TextFunctions.wsTokens(col("text"))
     val nSeg = ((size(toks) + lit(k - 1)) / lit(k)).cast("int")
+    // nSeg = 0 (empty/whitespace-only doc): sequence(0, -1) DESCENDS
+    // ([0, -1] — the same hazard bpeLoop/bigramLogProb/retrievalEval
+    // guard), which would emit two phantom ''-segments; such docs must
+    // emit no segments and vanish like any fully-duplicated doc
     val segs = documents.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), nSeg - lit(1)),
-        j => array_join(slice(toks, j * lit(k) + lit(1), lit(k)), " ")))
+      posexplode(when(nSeg > 0,
+        transform(sequence(lit(0), nSeg - lit(1)),
+          j => array_join(slice(toks, j * lit(k) + lit(1), lit(k)), " ")))
+        .otherwise(array()))
         .as(Seq("idx", "seg")))
+    // keyed feeds the firsts aggregate, the kept join, AND the totals
+    // aggregate — checkpoint so the tokenize+posexplode corpus scan
+    // runs once, not three times (the file's reused-frame convention)
     val keyed = segs.withColumn("occ",
       col("doc_id") * lit(4096L) + col("idx"))
+      .localCheckpoint(true)
     val firsts = keyed.groupBy(col("seg")).agg(min(col("occ")).as("first_occ"))
     val kept = keyed.join(firsts, Seq("seg"))
       .filter(col("occ") === col("first_occ"))
@@ -270,8 +285,8 @@ object TextAnalysis {
     */
   def unigramLogProb(documents: DataFrame): DataFrame = {
     val toks = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
+      .select(col("doc_id"),
+        explode(TextFunctions.wsTokensCased(col("text"))).as("token"))
     val vocab = toks.groupBy("token")
       .agg(count(lit(1)).cast("double").as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
@@ -315,8 +330,8 @@ object TextAnalysis {
   def bpeEncode(documents: DataFrame, k: Int = 5): DataFrame = {
     val encoded = bpeLoop(documents, k)._2 // (w, t, freq) — vocab-sized
     val bySource = documents
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
+      .select(col("source"),
+        explode(TextFunctions.wsTokensCased(col("text"))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("freq"))
     bySource.join(encoded.select(col("w"), size(col("t")).as("n_tok")), "w")
       .groupBy("source")
@@ -339,8 +354,8 @@ object TextAnalysis {
     */
   def sourceDriftKl(documents: DataFrame): DataFrame = {
     val toks = documents
-      .select(col("source"), explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
+      .select(col("source"),
+        explode(TextFunctions.wsTokensCased(col("text"))).as("token"))
     val corpus = toks.groupBy("token")
       .agg(count(lit(1)).cast("double").as("c_corpus"))
     val nCorpus = corpus.agg(sum(col("c_corpus")).as("n_corpus"))
@@ -375,8 +390,7 @@ object TextAnalysis {
                       k: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     val words = documents
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
+      .select(explode(TextFunctions.wsTokensCased(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       // split(w, "") keeps a trailing "" (limit -1 semantics) — drop it
       .select(col("w"),
@@ -404,7 +418,8 @@ object TextAnalysis {
     var seqs = words
     val rules = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 1
-    while (round <= k) {
+    var exhausted = false
+    while (round <= k && !exhausted) {
       // size<2 guard matters: Spark's sequence(1, 0) DESCENDS ([1,0])
       // rather than returning empty
       val pairs = seqs
@@ -420,10 +435,18 @@ object TextAnalysis {
         .localCheckpoint(true)
       rules += top.select(lit(round.toLong).as("round"),
         col("l"), col("r"), col("cnt"))
-      seqs = seqs.crossJoin(broadcast(top.select(col("l"), col("r"))))
-        .select(col("w"), expr(foldMerge).as("t"), col("freq"))
-        .localCheckpoint(true)
-      round += 1
+      if (top.isEmpty) {
+        // no mergeable pair left (every word is down to one symbol, or
+        // k exceeds the possible merges): the crossJoin below would
+        // annihilate seqs to zero rows and silently empty every BPE
+        // output — stop instead; rules ends with fewer than k rounds
+        exhausted = true
+      } else {
+        seqs = seqs.crossJoin(broadcast(top.select(col("l"), col("r"))))
+          .select(col("w"), expr(foldMerge).as("t"), col("freq"))
+          .localCheckpoint(true)
+        round += 1
+      }
     }
     (rules.reduce(_.unionByName(_)).orderBy("round"), seqs)
   }
@@ -448,11 +471,17 @@ object TextAnalysis {
                      n: Int): DataFrame = {
     val v = conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long")
     val u = (v.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
-    val j = log2(col("w")).cast("int") // w in {1,2,4,8}
-    val key = when(j === 0, u)
-      .when(j === 1, sqrt(u))
-      .when(j === 2, sqrt(sqrt(u)))
-      .otherwise(sqrt(sqrt(sqrt(u))))
+    // the sqrt-chain key is exact only for w in {1,2,4,8}; any other
+    // weight would silently mis-key the draw (biased inclusion
+    // probabilities), so the chain ends in raise_error instead of a
+    // catch-all branch — fail-loud like the file's other contracts
+    val key = when(col("w") === 1, u)
+      .when(col("w") === 2, sqrt(u))
+      .when(col("w") === 4, sqrt(sqrt(u)))
+      .when(col("w") === 8, sqrt(sqrt(sqrt(u))))
+      .otherwise(raise_error(concat(
+        lit("weightedSample: weight must be one of {1,2,4,8}, got "),
+        col("w"))).cast("double"))
     documents.join(broadcast(weights), "source")
       .select(col("doc_id"), col("source"), col("w"), key.as("key"))
       .orderBy(col("key").desc, col("doc_id").asc)
@@ -473,8 +502,8 @@ object TextAnalysis {
   def pmiCooccurrence(documents: DataFrame, v: Int = 50,
                       k: Int = 100): DataFrame = {
     val toks = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
+      .select(col("doc_id"),
+        explode(TextFunctions.wsTokensCased(col("text"))).as("token"))
       .distinct()
     val docFreq = toks.groupBy("token").agg(count(lit(1)).as("df"))
     val vocab = docFreq.orderBy(col("df").desc, col("token").asc).limit(v)
@@ -1155,6 +1184,18 @@ object TextAnalysis {
     * doc_id) so cross-engine 1e-15 score noise cannot flip a rank.
     * query_id doubles as the query's embedding vec_id (the fixture
     * aligns doc_id ↔ vec_id).
+    *
+    * Known asymmetry (oracle-pinned): the embedding side rides
+    * [[graft.operators.Similarity.bruteForceTopK]], which EXCLUDES the
+    * query's own vector (query_id ≠ neighbor_id — the ANN convention),
+    * while the BM25 side ranks every document including the query's
+    * own. A doc identical to its query therefore earns only the BM25
+    * term of the fused score. Both engines compute the same fusion
+    * (the oracle mirrors the exclusion), so results match; a caller
+    * fusing for retrieval-quality rather than dedup may want to drop
+    * the query doc from BOTH sides — a semantic change that would
+    * re-cut q147's certified output, so it is documented rather than
+    * silently altered.
     *
     * Scale: both rankings are WindowGroupLimit-capped top-`kTop`
     * per query before the fusion join; the full-outer fusion joins
