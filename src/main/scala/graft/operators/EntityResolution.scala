@@ -69,12 +69,19 @@ object EntityResolution {
       regexp_extract(col("c_name"), "([0-9]+)", 1).as("l_digits"),
       col("c_acctbal").as("l_bal"))
       .withColumn("l_tg", trigrams(col("l_digits")))
+      // a name with NO digits extracts "" whose trigram set is [""]:
+      // jaccard 1.0 against every other digitless record, plus one
+      // degenerate shared suffix block — records without digit
+      // evidence are excluded from this digit-keyed linker entirely
+      // (TPC-H names always carry digits, so this is a domain guard)
+      .filter(length(col("l_digits")) > 0)
     val right = supplier.select(
       col("s_suppkey"),
       col("s_nationkey").cast("long").as("r_nation"),
       regexp_extract(col("s_name"), "([0-9]+)", 1).as("r_digits"),
       col("s_acctbal").as("r_bal"))
       .withColumn("r_tg", trigrams(col("r_digits")))
+      .filter(length(col("r_digits")) > 0)
 
     // One blocking pass: equi-join left and right on blockCol, with a
     // per-side block-size cap (skew guard) applied BEFORE the join so a
@@ -156,20 +163,27 @@ object EntityResolution {
     * cluster-keyed aggregates. Nothing touches the record scale twice.
     */
   def goldenRecords(customer: DataFrame): DataFrame = {
+    // variant rec_ids are STRUCTURALLY disjoint from real ids:
+    // rec_id = custkey·4 + variant(0/1/2). The pre-r12 additive
+    // offsets (+1M/+2M) collided with real custkeys once the table
+    // passed 1M keys (TPC-H SF ≥ 7: custkey 1000007 vs variant-1 of
+    // custkey 7), silently fusing unrelated entities; multiplication
+    // cannot collide at any SF below long overflow (custkey < 2^61).
+    // The oracle mirrors the same scheme term for term.
     val base = customer.select(
-      col("c_custkey").cast("long").as("rec_id"),
+      (col("c_custkey") * lit(4L)).cast("long").as("rec_id"),
       col("c_name").as("name"),
       col("c_nationkey").cast("long").as("nation"),
       col("c_acctbal").as("bal"),
       col("c_mktsegment").as("seg"))
     val v1 = customer.filter(pmod(col("c_custkey"), lit(7)) === 0)
-      .select((col("c_custkey") + lit(1000000L)).cast("long").as("rec_id"),
+      .select((col("c_custkey") * lit(4L) + lit(1L)).cast("long").as("rec_id"),
         lower(col("c_name")).as("name"),
         col("c_nationkey").cast("long").as("nation"),
         (col("c_acctbal") + lit(0.17)).as("bal"),
         col("c_mktsegment").as("seg"))
     val v2 = customer.filter(pmod(col("c_custkey"), lit(11)) === 0)
-      .select((col("c_custkey") + lit(2000000L)).cast("long").as("rec_id"),
+      .select((col("c_custkey") * lit(4L) + lit(2L)).cast("long").as("rec_id"),
         concat(lit("CUST#"),
           regexp_extract(col("c_name"), "([0-9]+)", 1)).as("name"),
         col("c_nationkey").cast("long").as("nation"),

@@ -644,10 +644,17 @@ object Relational {
       sum(col("x_c").cast(dec) * col("x_c").cast(dec)).as("sxx"))
     // θ = (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²): one division over exact
     // integers; x̄ likewise. Both engines read the same decimals.
+    // zero pre-period variance (splitTs before all events, or constant
+    // covariate) makes the denominator 0 and theta 0/0 = NaN — which
+    // the r4 floor would silently coerce into a garbage adjusted mean.
+    // theta = 0 is the correct degenerate fallback: CUPED with a
+    // useless covariate reduces to the unadjusted mean.
+    val thetaDen =
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val withTheta = perUser.crossJoin(broadcast(mom))
-      .withColumn("theta",
+      .withColumn("theta", when(thetaDen =!= 0.0,
         (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          thetaDen).otherwise(0.0))
       .withColumn("xbar", col("sx").cast("double") / col("n").cast("double"))
     withTheta
       .groupBy(col("arm"))
@@ -788,9 +795,17 @@ object Relational {
     val bS = sess(col("b_start"), col("b_end"), col("b_n"), col("b_total"))
     val mergeCond = col("a_end").isNotNull && col("b_start").isNotNull &&
       (unix_micros(col("b_start")) - unix_micros(col("a_end")) <= gapUs)
+    // the stitched total must match SQL sum() over the merged session:
+    // null-sided sums add as zero, but BOTH-null stays NULL (sum over
+    // no non-null values) — plain a+b would null the whole total when
+    // one chunk's events are all null-valued
+    val mergedTotal = when(col("a_total").isNull && col("b_total").isNull,
+        lit(null))
+      .otherwise(coalesce(col("a_total"), lit(0L)) +
+        coalesce(col("b_total"), lit(0L)))
     val stitched = j.select(col("user_id"), explode(
         when(mergeCond, array(sess(col("a_start"), col("b_end"),
-          col("a_n") + col("b_n"), col("a_total") + col("b_total"))))
+          col("a_n") + col("b_n"), mergedTotal)))
           .when(col("a_end").isNull, array(bS))
           .when(col("b_start").isNull, array(aS))
           .otherwise(array(aS, bS))).as("s"))
@@ -1008,6 +1023,11 @@ object Relational {
     val counts = df.filter(col(valueCol) > 0)
       .select(col(groupCol),
         substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      // cents = 0 (0 < value < 0.005) has no first significant digit
+      // at cent precision: exclude BEFORE the totals, so n counts only
+      // digit-1..9 rows — otherwise such rows inflate n yet vanish at
+      // the expectation join, skewing every reported deviation
+      .filter(col("digit") >= 1)
       .groupBy(col(groupCol), col("digit"))
       .agg(count(lit(1)).as("obs"))
     val totals = counts.groupBy(col(groupCol))
@@ -1061,10 +1081,14 @@ object Relational {
         sum(col("x")).as("total"),
         sum((col("i") * col("x")).cast(dec)).as("six"))
       .select(col(groupCol), col("n_items"), col("total"),
-        (floor((lit(2).cast(dec) * col("six") -
-          (col("n_items") + 1L).cast(dec) * col("total").cast(dec))
-          .cast("double") /
-          (col("n_items").cast(dec) * col("total").cast(dec))
-            .cast("double") * 10000 + lit(0.5)) / 10000).as("gini"))
+        // total = 0 (every item zero-weighted) makes the statistic
+        // undefined — report NULL, not the floor(NaN)=0.0 that would
+        // read as "perfect equality" for exactly the degenerate group
+        when(col("total") =!= 0L,
+          floor((lit(2).cast(dec) * col("six") -
+            (col("n_items") + 1L).cast(dec) * col("total").cast(dec))
+            .cast("double") /
+            (col("n_items").cast(dec) * col("total").cast(dec))
+              .cast("double") * 10000 + lit(0.5)) / 10000).as("gini"))
   }
 }

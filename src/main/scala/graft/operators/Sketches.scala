@@ -87,7 +87,9 @@ object Sketches {
     * The raw estimate is reported WITHOUT the small-range linear-
     * counting correction (it needs ln(), which is not bit-stable across
     * libm implementations); callers in the n < 2.5m regime should apply
-    * it — the zero-register count `nz` needed for it is in the output.
+    * it. NOTE: the output's `nz` is the NON-zero (occupied) register
+    * count — linear counting is m·ln(m/V) with V = m − nz zero
+    * registers, so plug in (m − nz), not nz.
     *
     * The exact `count(DISTINCT key)` rides along per group as ground
     * truth, same reporting shape as [[cmsHeavyHitters]]; production at

@@ -40,10 +40,14 @@ object TimeSeries {
     * HUGEINT).
     *
     * Scale shape: a two-aggregate plan — per-group moments (one narrow
-    * shuffle, map-side combined) broadcast back into the event scan
-    * for the recount. Chosen over the window formulation because an
-    * unbounded-frame window forces a per-partition sort at 100 TB;
-    * the broadcast join keeps the second pass streaming.
+    * shuffle, map-side combined) joined back into the event scan for
+    * the recount. Chosen over the window formulation because an
+    * unbounded-frame window forces a per-partition sort at 100 TB.
+    * NO broadcast hint on the moments side: it is (user, type)-grain —
+    * entity-sized, not schema-bounded — so a forced broadcast would be
+    * the hazard class the repo retired elsewhere; locally the planner
+    * still broadcasts it from statistics, at scale it key-joins and
+    * the recount groupBy reuses the same exchange.
     */
   def outlierCounts(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -58,7 +62,7 @@ object TimeSeries {
     val lhs = (col("c") * col("n") - col("s")) *
       (col("c") * col("n") - col("s"))
     val rhs = (col("n") * col("ssq") - col("s") * col("s")) * lit(4).cast(d38)
-    ev.join(broadcast(stats), Seq("user_id", "event_type"))
+    ev.join(stats, Seq("user_id", "event_type"))
       .groupBy(col("user_id"), col("event_type"))
       .agg(max(col("n")).cast("long").as("n_events"),
         sum(when(lhs > rhs, 1L).otherwise(0L)).as("n_outliers"))
@@ -71,15 +75,15 @@ object TimeSeries {
     * Σx² near 4·10¹⁷ where double ULP is ~64 and engines disagree in
     * the cancellation nΣx² - (Σx)²; centered, the sums stay far
     * inside exact-double range. Same two-aggregate shape as
-    * [[outlierCounts]]: per-user min broadcast back into the scan, no
-    * window sort.
+    * [[outlierCounts]]: per-user min joined back into the scan (no
+    * broadcast hint — the mins frame is user-grain), no window sort.
     */
   def olsTrend(events: DataFrame): DataFrame = {
     val ev = events.filter(col("value").isNotNull)
       .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"),
         col("value"))
     val mins = ev.groupBy("user_id").agg(min(col("tsec")).as("t0"))
-    val centered = ev.join(broadcast(mins), "user_id")
+    val centered = ev.join(mins, "user_id")
       .select(col("user_id"),
         (col("tsec") - col("t0")).cast("double").as("x"),
         col("value").as("y"))
@@ -89,8 +93,11 @@ object TimeSeries {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("user_id"), col("n").cast("long").as("n_events"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+        // zero time-variance (single event, or all events in one epoch
+        // second): 0/0 would leak NaN — NULL like acf's identical guard
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
   }
 
   /** Min-gap debounce: drop an event when the PREVIOUS event of the
@@ -211,9 +218,13 @@ object TimeSeries {
   }
 
   def ewmaFeatures(events: DataFrame, w: Int = 32): DataFrame = {
-    val win = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // event_id tie-break makes the frame order TOTAL: with ts alone,
+    // equal timestamps would leave the collect_list order (and so the
+    // EWMA fold) partition-order nondeterministic — every sibling
+    // keyed-sequence operator here tie-breaks the same way
+    val win = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-(w - 1), Window.currentRow)
-    // frame order = ascending ts (unique in the fixture: a total order)
     val vals = collect_list(col("value")).over(win)
     val n = size(col("vals"))
     // ewma = Σ_{j=1..n} vals[j] · 2^{-(n-j+1)}: newest gets weight 1/2,

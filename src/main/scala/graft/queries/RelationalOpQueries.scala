@@ -1009,16 +1009,16 @@ object RelationalOpQueries {
     // survivorship with arg_min / max / mode-with-seg-desc-tie.
     "q146_golden_records" ->
       """WITH RECURSIVE dirty AS MATERIALIZED (
-        |  SELECT c_custkey::BIGINT AS rec_id, c_name AS name,
+        |  SELECT (c_custkey * 4)::BIGINT AS rec_id, c_name AS name,
         |         c_nationkey::BIGINT AS nation, c_acctbal AS bal,
         |         c_mktsegment AS seg
         |  FROM customer
         |  UNION ALL
-        |  SELECT (c_custkey + 1000000)::BIGINT, lower(c_name),
+        |  SELECT (c_custkey * 4 + 1)::BIGINT, lower(c_name),
         |         c_nationkey::BIGINT, c_acctbal + 0.17, c_mktsegment
         |  FROM customer WHERE c_custkey % 7 = 0
         |  UNION ALL
-        |  SELECT (c_custkey + 2000000)::BIGINT,
+        |  SELECT (c_custkey * 4 + 2)::BIGINT,
         |         'CUST#' || regexp_extract(c_name, '([0-9]+)', 1),
         |         c_nationkey::BIGINT, c_acctbal - 5.25, 'UNKNOWN'
         |  FROM customer WHERE c_custkey % 11 = 0),

@@ -93,8 +93,11 @@ class EntityResolutionSpec extends SparkSpec {
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     val out = EntityResolution.goldenRecords(cust).collect()
       .map(r => r.getLong(0) -> r).toMap
-    assert(out.keySet == Set(3L, 77L), s"golden ids: ${out.keySet}")
-    val g = out(77L)
+    // golden_id = min rec_id of the cluster; rec_id = custkey*4 +
+    // variant (the collision-free r12 scheme), so base records carry
+    // custkey*4
+    assert(out.keySet == Set(12L, 308L), s"golden ids: ${out.keySet}")
+    val g = out(308L)
     assert(g.getLong(4) == 3L, s"3 members expected: $g")
     // canonical name from the min rec_id (the base record)
     assert(g.getString(1) == "Customer#000000077")
@@ -102,7 +105,7 @@ class EntityResolutionSpec extends SparkSpec {
     assert(math.abs(g.getDouble(2) - 100.17) < 1e-9, s"max bal: $g")
     // segment mode: {BUILDING, BUILDING, UNKNOWN} → BUILDING
     assert(g.getString(3) == "BUILDING")
-    val s = out(3L)
+    val s = out(12L)
     assert(s.getLong(4) == 1L && s.getString(1) == "Customer#000000003" &&
       s.getString(3) == "MACHINERY")
   }
