@@ -35,7 +35,7 @@ object Aggregators {
     */
   case class WelfordBuf(n: Long, mean: Double, m2: Double)
 
-  object WelfordVariance extends Aggregator[Double, WelfordBuf, Double] {
+  object WelfordVariance extends Aggregator[Double, WelfordBuf, java.lang.Double] {
     override def zero: WelfordBuf = WelfordBuf(0L, 0.0, 0.0)
     override def reduce(b: WelfordBuf, x: Double): WelfordBuf = {
       val n = b.n + 1
@@ -53,10 +53,13 @@ object Aggregators {
           a.m2 + b.m2 + d * d * a.n * b.n / n)
       }
     }
-    override def finish(b: WelfordBuf): Double =
-      if (b.n < 2) Double.NaN else b.m2 / (b.n - 1)
+    // NULL (not NaN) for n < 2 — exactly var_samp's contract: NaN
+    // would survive IS NOT NULL filters and poison downstream
+    // avg/sum, where the built-in this mirrors returns NULL
+    override def finish(b: WelfordBuf): java.lang.Double =
+      if (b.n < 2) null else java.lang.Double.valueOf(b.m2 / (b.n - 1))
     override def bufferEncoder: Encoder[WelfordBuf] = Encoders.product[WelfordBuf]
-    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
   /** Element-wise vector sum — the mergeable state behind moment/Gram

@@ -10,21 +10,26 @@ import org.apache.spark.sql.functions._
 object HashFunctions {
 
   /** Word n-gram shingles from a token array; empty array when the doc
-    * has fewer than n tokens. Single-pass custom codegen expression
-    * (graft.functions.WordShingles) — byte-identical output to the
-    * transform/sequence/slice/concat_ws HOF tree (kept as
-    * [[wordShinglesHof]] for the equivalence spec), without the
-    * per-shingle lambda frames and slice allocations. Requires
-    * GraftFunctions.register on the session.
+    * has fewer than n tokens, NULL for a NULL token array (standard
+    * null-safe expression semantics). Single-pass custom codegen
+    * expression (graft.functions.WordShingles) — byte-identical output
+    * to the HOF tree (kept as [[wordShinglesHof]] for the equivalence
+    * spec), without the per-shingle lambda frames and slice
+    * allocations. Requires GraftFunctions.register on the session.
     */
   def wordShingles(tokens: Column, n: Int): Column =
     GraftFunctions.wordShingles(tokens, n)
 
-  /** HOF formulation of [[wordShingles]] (equivalence baseline). */
+  /** HOF formulation of [[wordShingles]] (equivalence baseline). The
+    * explicit NULL branch keeps the equivalence TOTAL: without it the
+    * `when` predicate on a NULL array falls to otherwise's array(),
+    * where the null-safe custom expression returns NULL.
+    */
   def wordShinglesHof(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+    when(tokens.isNull, lit(null))
+      .when(size(tokens) >= n,
+        transform(sequence(lit(0), size(tokens) - n),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
       .otherwise(array())
 
   /** Character n-gram shingles. */

@@ -64,7 +64,10 @@ object Multimodal {
         element_at(typedlit(Seq("image", "audio", "video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
         encode(col("text"), "UTF-8").as("payload"),
-        length(col("text")).cast("long").as("n_bytes"))
+        // BYTE count of the payload, not the character count — the
+        // two differ on non-ASCII text, and the q24 oracle (and the
+        // sibling generators) count octets
+        octet_length(col("text")).cast("long").as("n_bytes"))
       .as[MediaRecord]
   }
 
@@ -240,7 +243,11 @@ object Multimodal {
       var gx = 0
       while (gx < gw) {
         val x0 = gx * w / gw
-        val x1 = (gx + 1) * w / gw
+        val x1raw = (gx + 1) * w / gw
+        // same degenerate-cell guard as the y axis: an image narrower
+        // than the grid (width < gw, e.g. a 4x4 icon off the media
+        // stream) gives x1raw == x0 and the mean below divides by zero
+        val x1 = if (x1raw <= x0) x0 + 1 else x1raw
         var sum = 0L
         var y = y0
         while (y < y1) {
@@ -322,7 +329,15 @@ object Multimodal {
   def perceptualNearDupPairs(spark: SparkSession, documents: DataFrame,
                              maxHamming: Int = 3): DataFrame = {
     import graft.functions.HashFunctions
+    require(maxHamming <= 3,
+      "perceptualNearDupPairs: the 4x16-bit chunk bucketing is complete " +
+        "only for hamming <= 3 (pigeonhole) — a larger threshold would " +
+        "silently miss qualifying pairs; widen the band scheme instead")
+    // checkpoint: the PNG encode + ImageIO decode + two blockMeans
+    // passes are the dominant cost, and the self-join below would
+    // otherwise run the codec pipeline once per join side
     val hashed = perceptualHashes(spark, documents).toDF()
+      .localCheckpoint(true)
     val buckets = hashed.select(col("doc_id"), col("dhash"), col("ahash"),
         explode(HashFunctions.simhashBands(col("dhash"))).as("bh"))
       .select(col("doc_id"), col("dhash"), col("ahash"),
