@@ -39,9 +39,16 @@ object IdempotentSink {
     val dir = new Path(root, s"batch_id=$batchId")
     val fs = root.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+    val marker = new Path(dir, "_SUCCESS")
+    if (!fs.exists(marker)) {
       // overwrite: a torn previous attempt (no marker) is replaced
       batch.write.mode("overwrite").parquet(dir.toString)
+      // write the commit marker OURSELVES rather than relying on the
+      // Hadoop committer's implicit _SUCCESS: object-store deployments
+      // commonly disable mapreduce.fileoutputcommitter.marksuccessfuljobs,
+      // and without a marker every restart would rewrite every epoch
+      // while readCommitted() saw an empty table despite data existing
+      fs.create(marker, true).close()
     }
   }
 

@@ -66,6 +66,14 @@ object PriceAlertsStream {
   def latestPerKeyUpdate(changelog: DataFrame, keyCol: String, tsCol: String): DataFrame =
     changelog
       .groupBy(col(keyCol))
-      .agg(max_by(struct(col("*")), col(tsCol)).as("latest"))
+      // equal timestamps tie-break on the full row (lexicographic
+      // struct order): max_by on ts alone picks a partitioning- and
+      // merge-order-dependent row for same-ts changelog updates (a
+      // common same-millisecond CDC pattern), so the snapshot could
+      // differ between a live run and a checkpoint replay. A changelog
+      // carrying a monotone sequence/offset column should order by
+      // that column instead.
+      .agg(max_by(struct(col("*")),
+        struct(col(tsCol), struct(col("*")))).as("latest"))
       .select(col("latest.*"))
 }

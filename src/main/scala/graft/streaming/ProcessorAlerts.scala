@@ -69,29 +69,30 @@ object ProcessorAlerts {
             val w = p.ts.getTime - p.ts.getTime % WindowMillis
             acc.updated(w, acc.getOrElse(w, 0.0) + p.amount)
           }
-          val out = if (state.hasTimedOut) {
-            // the punctuator: close every window whose end is before the
-            // current wall clock (reference: nearestMinutesTs bound)
-            val nowFloor = {
-              val now = System.currentTimeMillis()
-              now - now % WindowMillis
-            }
-            val (closed, open) = updated.partition {
-              case (w, _) => w + WindowMillis <= nowFloor
-            }
-            if (open.isEmpty) state.remove() else state.update(WindowSums(open))
-            closed.toSeq.sortBy(_._1).collect {
-              case (w, sum) if sum > threshold =>
-                Alert(productId, new Timestamp(w), sum)
-            }
-          } else {
-            state.update(WindowSums(updated))
-            Seq.empty[Alert]
+          // the punctuator bound: close every window whose end is
+          // before the current wall clock (reference: nearestMinutesTs).
+          // Evaluated on BOTH paths, not just hasTimedOut: Spark's
+          // ProcessingTimeTimeout is an INACTIVITY timeout — re-armed
+          // by every data batch — so a continuously active key would
+          // otherwise never take the timeout branch, never emit, and
+          // grow its window map without bound. Closing on data arrival
+          // too emits the same alert set as the reference's periodic
+          // punctuator (any window ended before `now` goes out at the
+          // next opportunity) and keeps per-key state bounded to open
+          // windows; the timeout still covers keys that go idle.
+          val nowFloor = {
+            val now = System.currentTimeMillis()
+            now - now % WindowMillis
           }
-          if (state.exists || !state.hasTimedOut) {
-            state.setTimeoutDuration(punctuatePeriod)
+          val (closed, open) = updated.partition {
+            case (w, _) => w + WindowMillis <= nowFloor
           }
-          out.iterator
+          if (open.isEmpty) state.remove() else state.update(WindowSums(open))
+          if (state.exists) state.setTimeoutDuration(punctuatePeriod)
+          closed.toSeq.sortBy(_._1).collect {
+            case (w, sum) if sum > threshold =>
+              Alert(productId, new Timestamp(w), sum)
+          }.iterator
       }
   }
 

@@ -23,9 +23,16 @@ import org.apache.spark.sql.streaming.ValueState
   *     stream) so downstream can count drops per key.
   *
   * Out-of-order events within a batch are processed in event-time
-  * order per key (the iterator is sorted before folding) — combined
-  * with the watermark this gives a deterministic admission decision
-  * for any replay of the same watermarked stream.
+  * order per key (the iterator is sorted before folding), so a replay
+  * with the SAME micro-batch boundaries is bit-deterministic (the
+  * kill/resume spec's contract). Determinism is per-batching, not
+  * absolute: an out-of-order event that lands in a LATER batch is
+  * folded after the earlier batch already consumed tokens, so a
+  * replay that re-batches the same watermarked stream can admit a
+  * different row at the margin — inherent to any online rate limiter
+  * (admission depends on arrival, not just event time); a fully
+  * replay-stable limiter must sort the whole horizon, i.e. be a batch
+  * job.
   *
   * Scale: state is two numbers per key; the stream shuffles once on
   * the key (the same exchange any keyed operator needs). RocksDB

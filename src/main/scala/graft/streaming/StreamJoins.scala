@@ -56,6 +56,16 @@ object StreamJoins {
   private def joinWithType(left: DataFrame, right: DataFrame,
                            key: String, tsCol: String, watermarkDelay: String,
                            within: String, joinType: String): DataFrame = {
+    // the r_ prefix must not collide with an existing r_ column:
+    // withColumnRenamed would then leave duplicate names and the join
+    // condition an ambiguous reference — fail fast instead (e.g. when
+    // chaining a previous interval-join OUTPUT, which already carries
+    // r_-prefixed columns, back in as the right side)
+    require(!right.columns.exists(_.startsWith("r_")),
+      s"interval join: right side already has r_-prefixed columns " +
+        s"(${right.columns.filter(_.startsWith("r_")).mkString(", ")}) — " +
+        "rename them before joining (the join prefixes the right side " +
+        "with r_)")
     val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
     val rPrefixed = right.columns.foldLeft(right) { (df, c) =>
       df.withColumnRenamed(c, s"r_$c")

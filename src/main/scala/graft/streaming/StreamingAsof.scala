@@ -62,7 +62,17 @@ object StreamingAsof {
           case "purchase" =>
             ps = (ev.event_id, t) :: ps
             getHandle.registerTimer(t + tolMs + 1L)
-          case "error" => es = (ev.event_id, t) :: es
+          case "error" =>
+            es = (ev.event_id, t) :: es
+            // eviction runs ONLY in handleExpiredTimer — without a
+            // timer of its own, a key that sees errors but never a
+            // purchase would accumulate an unbounded error list. The
+            // handler's kept-condition already evicts correctly; this
+            // just guarantees it RUNS once the watermark passes the
+            // error (same bound as the purchase timers; an extra
+            // firing is harmless — ripe purchases leave the state, so
+            // re-evaluation cannot re-emit)
+            getHandle.registerTimer(t + tolMs + 1L)
           case _ => ()
         }
       }

@@ -66,13 +66,21 @@ object StreamingDedup {
     * hash is one long per row on the wire.
     */
   def byImageDHash(mediaStream: DataFrame, tsCol: String,
-                   delay: String): DataFrame = {
+                   delay: String, idCol: String = "doc_id"): DataFrame = {
     val dhashUdf = udf((payload: Array[Byte]) =>
       graft.operators.Multimodal.tryDecodeImage(payload)
         .map(graft.operators.Multimodal.dHash64))
-    val hashed = mediaStream.withColumn("dh", dhashUdf(col("payload")))
-    val images = exact(hashed.filter(col("dh").isNotNull), tsCol, delay, "dh")
-    images.unionByName(hashed.filter(col("dh").isNull))
+    // ONE decode per payload: the previous union-of-filters shape ran
+    // the ImageIO UDF once per union leg (streaming plans don't share
+    // subexpressions across legs), doubling the dominant codec cost.
+    // Non-decodable rows key on their unique id (`idCol`), so they
+    // never dedup against each other and cannot collide with a real
+    // hash (disjoint string prefixes).
+    val keyed = mediaStream.withColumn("dh", dhashUdf(col("payload")))
+      .withColumn("__ik",
+        when(col("dh").isNotNull, concat(lit("h:"), col("dh")))
+          .otherwise(concat(lit("u:"), col(idCol))))
+    exact(keyed, tsCol, delay, "__ik").drop("__ik")
   }
 
   /** One doc exploded to one of its four 16-bit simhash chunk buckets. */
