@@ -60,15 +60,7 @@ object AvroFileIO {
   def writeOcf(df: DataFrame, path: String): Unit = {
     val schema = df.schema
     val schemaJson = avroSchema(schema, "GraftRecord").toString
-    val dir = new File(path)
-    if (dir.exists()) {
-      val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      val foreign = files.filterNot(_.getName.endsWith(".avro"))
-      require(foreign.isEmpty,
-        s"writeOcf: refusing to overwrite $path — contains non-Avro " +
-          s"entries: ${foreign.take(3).map(_.getName).mkString(", ")}")
-      files.foreach(_.delete())
-    } else dir.mkdirs()
+    val dir = ContainerFiles.prepareSinkDir("writeOcf", path, ".avro")
     df.queryExecution.toRdd // force analysis before the closure
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val avSchema = new Schema.Parser().parse(schemaJson)
@@ -76,15 +68,16 @@ object AvroFileIO {
         new GenericDatumWriter[GenericRecord](avSchema))
       writer.create(avSchema, new File(dir, f"part-$pid%05d.avro"))
       var n = 0L
-      rows.foreach { row =>
-        val rec = new GenericData.Record(avSchema)
-        schema.fields.zipWithIndex.foreach { case (f, i) =>
-          rec.put(f.name, if (row.isNullAt(i)) null else row.get(i))
+      try {
+        rows.foreach { row =>
+          val rec = new GenericData.Record(avSchema)
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            rec.put(f.name, if (row.isNullAt(i)) null else row.get(i))
+          }
+          writer.append(rec)
+          n += 1
         }
-        writer.append(rec)
-        n += 1
-      }
-      writer.close()
+      } finally writer.close() // also on a mid-loop append failure
       Iterator.single(n)
     }.count()
     ()
@@ -96,25 +89,45 @@ object AvroFileIO {
     */
   def readOcf(spark: SparkSession, path: String,
               schema: StructType): DataFrame = {
-    val files = Option(new File(path).listFiles())
-      .getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).toSeq
+    val files = ContainerFiles.listParts(path, ".avro")
     val fieldNames = schema.fields.map(_.name)
+    val expectedJson = avroSchema(schema, "GraftRecord").toString
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.size))
       .flatMap { fp =>
+        // the expected schema is the READER schema, so Avro's schema
+        // resolution enforces the q141 drift gate the scaladoc
+        // promises: a renamed/missing/retyped writer field FAILS the
+        // decode. (GenericRecord.get(name) with no reader schema
+        // returns null for unknown names — drift would silently yield
+        // all-null columns instead of an error.)
+        val expected = new Schema.Parser().parse(expectedJson)
         val reader = new DataFileReader[GenericRecord](
-          new File(fp), new GenericDatumReader[GenericRecord]())
-        val out = reader.iterator().asScala.map { rec =>
+          new File(fp), new GenericDatumReader[GenericRecord](null, expected))
+        val recs = reader.iterator().asScala.map { rec =>
           Row.fromSeq(fieldNames.toIndexedSeq.map { n =>
             rec.get(n) match {
               case u: org.apache.avro.util.Utf8 => u.toString
               case v => v
             }
           })
-        }.toVector
-        reader.close()
-        out
+        }
+        // stream lazily; close on exhaustion AND on a decode failure
+        // (the pre-r12 .toVector bounded one task's memory by the
+        // whole container and leaked the handle on a thrown decode)
+        new Iterator[Row] {
+          private var closed = false
+          private def closeNow(): Unit =
+            if (!closed) { closed = true; reader.close() }
+          def hasNext: Boolean =
+            if (closed) false
+            else
+              try { val h = recs.hasNext; if (!h) closeNow(); h }
+              catch { case t: Throwable => closeNow(); throw t }
+          def next(): Row =
+            try recs.next()
+            catch { case t: Throwable => closeNow(); throw t }
+        }
       }
     spark.createDataFrame(rdd, schema)
   }

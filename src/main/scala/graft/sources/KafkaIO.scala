@@ -96,6 +96,13 @@ object KafkaIO {
       confluentFraming = true, permissive = m != "FAILFAST",
       writerSchemasById = writerSchemasById)
     val decoded = raw.withColumn("decoded", GraftPlanBridge.column(expr))
+    // Null VALUES (compacted-topic tombstones) bypass the decode in
+    // every mode, FAILFAST included — the expression is null-safe, so
+    // a null value yields decoded=null rather than a task failure.
+    // FAILFAST's contract is "any malformed FRAME fails"; a null value
+    // is not a frame. Snapshot consumers treat the null struct as a
+    // delete (productsSnapshot); stream consumers that must reject
+    // tombstones should filter value.isNull upstream.
     m match {
       case "FAILFAST"      => decoded
       case "DROPMALFORMED" => decoded.filter(col("decoded").isNotNull)
@@ -172,11 +179,20 @@ object KafkaIO {
       .select(col("key").cast("string").as("k"),
         GraftFunctions.fromAvro(col("value"), productAvroSchema,
           confluentFraming = true).as("v"),
-        col("timestamp").as("ts"))
+        col("offset").as("off"))
+    // latest-per-key BY OFFSET, not by record timestamp: a KTable/
+    // GlobalKTable is last-by-offset, and same key → same partition →
+    // the offset is a total order; CreateTime timestamps can be
+    // producer-skewed or tie at the same millisecond (nondeterministic
+    // pick). A null decoded value is a compacted-topic TOMBSTONE: if
+    // it is the latest record for a key, the key is DELETED from the
+    // snapshot (not surfaced as an all-null row).
     raw.groupBy(col("k"))
-      .agg(max_by(struct(col("v.*"), col("ts")), col("ts")).as("latest"))
-      .select(col("latest.id").as("id"), col("latest.name").as("name"),
-        col("latest.description").as("description"), col("latest.price").as("price"))
+      .agg(max_by(struct(col("v")), col("off")).as("latest"))
+      .filter(col("latest.v").isNotNull)
+      .select(col("latest.v.id").as("id"), col("latest.v.name").as("name"),
+        col("latest.v.description").as("description"),
+        col("latest.v.price").as("price"))
   }
 
   /** K1/K2 — the alerts sink: key = product id string (the reference's

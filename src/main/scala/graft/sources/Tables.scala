@@ -40,6 +40,15 @@ object Tables {
     * timestamp[us] (read as TIMESTAMP_NTZ — cast to TimestampType,
     * exact under the session's UTC zone). Both land on the same
     * microsecond TimestampType column.
+    *
+    * DELIBERATE session-wide side effect: `nanosAsLong` stays set for
+    * the session's lifetime (the scan is lazy — the conf must hold at
+    * ACTION time, so a set-restore scope would break every deferred
+    * plan). Consequence: any OTHER parquet with a TIMESTAMP(NANOS)
+    * column read after this loader yields LongType instead of the
+    * loud PARQUET_TYPE_ILLEGAL. Acceptable here because every fixture
+    * read goes through this object; a general-purpose deployment
+    * should scope event reads to their own session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

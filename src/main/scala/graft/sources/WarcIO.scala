@@ -66,15 +66,7 @@ object WarcIO {
     * else — a mistyped path must never silently destroy unrelated data.
     */
   def writeWarc(df: DataFrame, path: String): Unit = {
-    val dir = new File(path)
-    if (dir.exists()) {
-      val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      val foreign = files.filterNot(_.getName.endsWith(".warc"))
-      require(foreign.isEmpty,
-        s"writeWarc: refusing to overwrite $path — contains non-WARC " +
-          s"entries: ${foreign.take(3).map(_.getName).mkString(", ")}")
-      files.foreach(_.delete())
-    } else dir.mkdirs()
+    val dir = ContainerFiles.prepareSinkDir("writeWarc", path, ".warc")
     val cols = Seq("doc_id", "lang", "source", "text")
     val projected = df.selectExpr(cols: _*)
     projected.queryExecution.toRdd // force analysis before the closure
@@ -83,21 +75,27 @@ object WarcIO {
         new FileOutputStream(new File(dir, f"part-$pid%05d.warc")))
       val nl = "\n".getBytes(StandardCharsets.UTF_8)
       var n = 0L
-      rows.foreach { row =>
-        val payload = row.getString(3).getBytes(StandardCharsets.UTF_8)
-        val header =
-          s"""$Magic
-             |doc-id: ${row.getLong(0)}
-             |lang: ${headerValue("lang", row.getString(1))}
-             |source: ${headerValue("source", row.getString(2))}
-             |content-length: ${payload.length}
-             |""".stripMargin + "\n"
-        out.write(header.getBytes(StandardCharsets.UTF_8))
-        out.write(payload)
-        out.write(nl); out.write(nl)
-        n += 1
-      }
-      out.close()
+      try {
+        rows.foreach { row =>
+          // same loud diagnostics as headerValue: a bare getLong/
+          // getString on a null cell would die as an unlocated NPE
+          // deep in the partition loop
+          require(!row.isNullAt(0), "writeWarc: null doc_id")
+          require(!row.isNullAt(3), "writeWarc: null text")
+          val payload = row.getString(3).getBytes(StandardCharsets.UTF_8)
+          val header =
+            s"""$Magic
+               |doc-id: ${row.getLong(0)}
+               |lang: ${headerValue("lang", row.getString(1))}
+               |source: ${headerValue("source", row.getString(2))}
+               |content-length: ${payload.length}
+               |""".stripMargin + "\n"
+          out.write(header.getBytes(StandardCharsets.UTF_8))
+          out.write(payload)
+          out.write(nl); out.write(nl)
+          n += 1
+        }
+      } finally out.close() // also on a mid-loop require/IO failure
       Iterator.single(n)
     }.count()
     ()
@@ -108,9 +106,7 @@ object WarcIO {
     * silently truncate a corpus).
     */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
-    val files = Option(new File(path).listFiles())
-      .getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".warc")).map(_.getAbsolutePath).toSeq
+    val files = ContainerFiles.listParts(path, ".warc")
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.size))
       .flatMap { fp =>
@@ -155,9 +151,25 @@ object WarcIO {
             }
             Row(docId, lang, source,
               new String(payload, StandardCharsets.UTF_8))
-          }.toVector
-        in.close()
-        recs
+          }
+        // stream the records lazily, closing the handle on exhaustion
+        // AND on any parse failure: the pre-r12 `.toVector` held every
+        // record of the container on one task (memory bounded by the
+        // CONTAINER, contradicting the largest-RECORD contract above)
+        // and leaked the file handle whenever a malformed record threw
+        new Iterator[Row] {
+          private var closed = false
+          private def closeNow(): Unit =
+            if (!closed) { closed = true; in.close() }
+          def hasNext: Boolean =
+            if (closed) false
+            else
+              try { val h = recs.hasNext; if (!h) closeNow(); h }
+              catch { case t: Throwable => closeNow(); throw t }
+          def next(): Row =
+            try recs.next()
+            catch { case t: Throwable => closeNow(); throw t }
+        }
       }
     spark.createDataFrame(rdd, schema)
   }
