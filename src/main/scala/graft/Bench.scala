@@ -66,6 +66,22 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      // Free the storage blocks the query left behind (OUTSIDE the timed
+      // region). Query-level localCheckpoints (the q209/q319/q235 chain
+      // seams, funnelLatency, q170) are eager persists that nothing
+      // frees once the query's count() returns — only the GraphOps
+      // loops clean up after themselves — so across 3×343 executions
+      // the battery accumulated storage generations, and the resulting
+      // JVM memory pressure was the proven cause of the r12-close
+      // minhash/shingle drift cluster (q16 1.86×, q182 1.51×, q37
+      // 1.40×, q127 1.31× — each re-benches at its snapshot value in
+      // isolation; SCALING.md "r12-close drift"). `localCheckpoint`
+      // registers its RDD via persist(), so the public
+      // getPersistentRDDs enumeration reaches every stray block; the
+      // frames are per-query and fully materialized by now, so
+      // dropping them cannot invalidate anything later.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // Errored queries are excluded from the timing map entirely — a
     // duration of "one failed attempt" is not a measurement, and leaving

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{PriceAlertsStream, StreamJoins, StreamingDedup, TwsAlerts}
+import graft.streaming.{PriceAlertsStream, ProcessorAlerts, StreamJoins, StreamingDedup, TwsAlerts}
 
 /** Streaming throughput benchmark battery: drives every stateful
   * streaming SHAPE the library ships (update-mode windowed agg,
@@ -221,6 +221,23 @@ object StreamBench {
         (graft.streaming.StreamingCusum.detect(spark, s).toDF(), "append")
       }),
 
+      "fmgws_wallclock_hotkey" -> (() => {
+        // the r12 W7 liveness fix's regression surface: 8 continuously
+        // hot product keys, so ProcessingTimeTimeout (an INACTIVITY
+        // timeout, re-armed by every data batch) never fires and every
+        // window must close on the DATA path. Event time rides 2
+        // minutes behind the wall clock, so each batch's windows are
+        // already past the punctuator bound — out_rows_per_sec is the
+        // hot-key emission throughput, and it reads ZERO on any
+        // regression back to timeout-only closing.
+        val s = purchases(2000000L).select(
+          col("id"), col("quantity"),
+          (col("id") % 8L).as("productid"),
+          (col("ts") - expr("INTERVAL 2 minutes")).as("ts"))
+        (ProcessorAlerts.alertsWallClock(spark,
+          graft.operators.PriceAlerts.purchasesWithProducts(s, products),
+          threshold = 0.0, punctuatePeriod = "1 second").toDF(), "append")
+      }),
       "forward_asof" -> (() => {
         // q180's streaming twin: timer-resolved purchase→next-error
         // matching; ~1/8 purchases, ~1/8 errors, rest pass-through.

@@ -495,7 +495,8 @@ object GraphOps {
         s"coreNumbers did not converge in $rounds rounds: $changed vertex " +
           "estimates moved in the final round — raise `rounds`")
     }
-    loopUnpersist(prev); loopUnpersist(adj)
+    if (prev != null) loopUnpersist(prev) // rounds = 0 leaves prev null
+    loopUnpersist(adj)
     est.select(col("v").as("node_id"), col("est").cast("long").as("coreness"))
   }
 

@@ -38,6 +38,22 @@ object GraftPlanBridge {
     * any estimate. Falls back to no stats if the blocks can't be
     * found (e.g. a non-eager checkpoint).
     */
+  def dropCheckpointStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val sess = df.sparkSession.asInstanceOf[SparkSession]
+        val measured = sess.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => Statistics(sizeInBytes = BigInt(i.memSize + i.diskSize).max(1)))
+        Dataset.ofRows(sess,
+          LogicalRDD(l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(sess, measured, None))
+      case _ => df
+    }
+  }
+
   /** Deterministically free the materialized blocks of a
     * localCheckpoint'd frame. `Dataset.unpersist` only talks to the
     * CacheManager (persist/cache registrations); a localCheckpoint
@@ -57,20 +73,4 @@ object GraftPlanBridge {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
-
-  def dropCheckpointStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical.Statistics
-    import org.apache.spark.sql.execution.LogicalRDD
-    df.queryExecution.analyzed match {
-      case l: LogicalRDD =>
-        val sess = df.sparkSession.asInstanceOf[SparkSession]
-        val measured = sess.sparkContext.getRDDStorageInfo
-          .find(_.id == l.rdd.id)
-          .map(i => Statistics(sizeInBytes = BigInt(i.memSize + i.diskSize).max(1)))
-        Dataset.ofRows(sess,
-          LogicalRDD(l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
-            l.isStreaming, l.stream)(sess, measured, None))
-      case _ => df
-    }
-  }
 }

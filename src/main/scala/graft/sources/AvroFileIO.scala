@@ -115,10 +115,14 @@ object AvroFileIO {
         // stream lazily; close on exhaustion AND on a decode failure
         // (the pre-r12 .toVector bounded one task's memory by the
         // whole container and leaked the handle on a thrown decode)
+        var closed = false
+        def closeNow(): Unit =
+          if (!closed) { closed = true; reader.close() }
+        // task completion is the backstop for early-stopping consumers
+        // (limit/take, task kill) the exhaustion/failure paths miss
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeNow()))
         new Iterator[Row] {
-          private var closed = false
-          private def closeNow(): Unit =
-            if (!closed) { closed = true; reader.close() }
           def hasNext: Boolean =
             if (closed) false
             else

@@ -157,10 +157,15 @@ object WarcIO {
         // record of the container on one task (memory bounded by the
         // CONTAINER, contradicting the largest-RECORD contract above)
         // and leaked the file handle whenever a malformed record threw
+        var closed = false
+        def closeNow(): Unit =
+          if (!closed) { closed = true; in.close() }
+        // the exhaustion/failure paths below don't cover a consumer
+        // that stops early (limit/take, task kill) — task completion
+        // is the backstop that frees the handle in those cases
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeNow()))
         new Iterator[Row] {
-          private var closed = false
-          private def closeNow(): Unit =
-            if (!closed) { closed = true; in.close() }
           def hasNext: Boolean =
             if (closed) false
             else

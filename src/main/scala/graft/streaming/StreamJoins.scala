@@ -66,6 +66,14 @@ object StreamJoins {
         s"(${right.columns.filter(_.startsWith("r_")).mkString(", ")}) — " +
         "rename them before joining (the join prefixes the right side " +
         "with r_)")
+    // ...and symmetrically: a LEFT column already named r_<x> would
+    // collide with the renamed right column <x> after prefixing
+    val leftClashes = left.columns.toSet
+      .intersect(right.columns.map("r_" + _).toSet)
+    require(leftClashes.isEmpty,
+      s"interval join: left side has columns (${leftClashes.mkString(", ")}) " +
+        "that collide with the r_-prefixed right columns — rename them " +
+        "before joining")
     val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
     val rPrefixed = right.columns.foldLeft(right) { (df, c) =>
       df.withColumnRenamed(c, s"r_$c")

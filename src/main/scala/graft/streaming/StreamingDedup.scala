@@ -75,7 +75,13 @@ object StreamingDedup {
     // subexpressions across legs), doubling the dominant codec cost.
     // Non-decodable rows key on their unique id (`idCol`), so they
     // never dedup against each other and cannot collide with a real
-    // hash (disjoint string prefixes).
+    // hash (disjoint string prefixes). CONTRACT: non-decodable rows
+    // now share the decodable rows' watermark semantics — one arriving
+    // later than `delay` past the watermark is dropped like any other
+    // late row (the pre-r12 union leg passed late corrupt rows
+    // through, an inconsistency: a late DECODABLE row was dropped but
+    // a late corrupt one survived, so corpus lateness policy depended
+    // on payload integrity).
     val keyed = mediaStream.withColumn("dh", dhashUdf(col("payload")))
       .withColumn("__ik",
         when(col("dh").isNotNull, concat(lit("h:"), col("dh")))
