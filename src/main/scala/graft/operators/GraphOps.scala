@@ -452,11 +452,12 @@ object GraphOps {
     * picks broadcast at small |V| from the checkpoint's measured
     * stats and a vertex-keyed shuffle join at billions of vertices —
     * no forced hint). Order-invariant across ties, so
-    * partitioning cannot change the result. With `requireConverged`
-    * the LAST TWO rounds are compared (two vertex-frame joins, no
-    * extra update): est unchanged over a round ⇔ fixed point, so
-    * truncation fails loudly at no extra H-update cost — same
-    * contract as [[kCore]].
+    * partitioning cannot change the result. Each round ends with a
+    * vertex-scale change count against the previous round: est
+    * unchanged over a round ⇔ fixed point, so the loop EXITS EARLY
+    * once converged (skipping whole edge-scale updates — `rounds` is
+    * a ceiling, not a count) and, with `requireConverged`, truncation
+    * fails loudly — same contract as [[kCore]].
     */
   def coreNumbers(edges: DataFrame, rounds: Int = 8,
                   requireConverged: Boolean = true): DataFrame = {
@@ -466,9 +467,20 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // adj is v-partitioned ONCE, before the loop: with est broadcast
+    // into the join (the small-|V| regime), the join output keeps
+    // adj's partitioning, and HashPartitioning(v) satisfies every
+    // downstream requirement of the round — ClusteredDistribution
+    // (v, est) for the count (subset rule), the v-window, and the
+    // final per-v max — so a round runs with ZERO exchanges instead
+    // of two (the groupBy(v,est) and window shuffles the unpartitioned
+    // form paid every round). At billions of vertices the planner
+    // falls back to a shuffle join on nbr, and the rounds pay one
+    // v-exchange after it — still one fewer than before.
     val adj = loopCheckpoint(
       e.select(col("a").as("v"), col("b").as("nbr"))
-        .union(e.select(col("b").as("v"), col("a").as("nbr"))))
+        .union(e.select(col("b").as("v"), col("a").as("nbr")))
+        .repartition(col("v")))
     def hIndexUpdate(est: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("v")).orderBy(col("est").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -481,20 +493,33 @@ object GraphOps {
     var prev: DataFrame = null
     var est = loopCheckpoint(
       adj.groupBy("v").agg(count(lit(1)).cast("long").as("est")))
-    for (_ <- 0 until rounds) {
+    // Early exit on the fixed point: est unchanged over a round ⇔ the
+    // exact core numbers (the h-index iteration is monotone
+    // non-increasing). The per-round change count joins two
+    // CHECKPOINTED vertex frames — vertex-scale, both already
+    // materialized — while each round it skips is an edge-scale
+    // h-index update (adj join + two aggregations over 2|E| rows), so
+    // the check pays for itself whenever `rounds` is conservative; the
+    // fixture graph converges in 4–6 rounds against the default 8.
+    // Output is identical to running all `rounds` (post-fixed-point
+    // updates are the identity), so the unrolled fixed-round oracle
+    // still matches bit-exactly.
+    var converged = false
+    var used = 0
+    while (used < rounds && !converged) {
       val next = loopCheckpoint(hIndexUpdate(est))
+      val changed = next.select(col("v"), col("est").as("est2"))
+        .join(est, Seq("v"))
+        .filter(col("est2") =!= col("est")).count()
       if (prev != null) loopUnpersist(prev)
       prev = est
       est = next
+      converged = changed == 0L
+      used += 1
     }
-    if (requireConverged) {
-      val changed = est.select(col("v"), col("est").as("est2"))
-        .join(prev, Seq("v"))
-        .filter(col("est2") =!= col("est")).count()
-      require(changed == 0L,
-        s"coreNumbers did not converge in $rounds rounds: $changed vertex " +
-          "estimates moved in the final round — raise `rounds`")
-    }
+    require(!requireConverged || converged,
+      s"coreNumbers did not converge in $rounds rounds: estimates still " +
+        "moved in the final round — raise `rounds`")
     if (prev != null) loopUnpersist(prev) // rounds = 0 leaves prev null
     loopUnpersist(adj)
     est.select(col("v").as("node_id"), col("est").cast("long").as("coreness"))
