@@ -192,18 +192,24 @@ object StatsQueriesA {
     // added / removed / changed rows (v2 is a deterministic derivation:
     // drop doc_id%7, edit doc_id%11, add doc_id%13 under new ids).
     // At scale both sides shuffle once on doc_id; only fingerprints
-    // cross the wire, never text.
+    // cross the wire, never text. Snapshot ids are doc_id·2 for
+    // carried-over docs and doc_id·2+1 for v2's additions — the q146
+    // structural-disjointness scheme: the r13 review found the old
+    // additive +1M addition ids collided with REAL doc_ids once the
+    // corpus passed 1M docs, giving v2 duplicate keys and fanning out
+    // the full-outer join; parity-split ids cannot collide at any SF
+    // below long overflow.
     "q58_snapshot_diff" -> ((s, dir) => {
       import graft.functions.TextFunctions
       val docs = Tables.documents(s, dir)
-      val v1 = docs.select(col("doc_id"),
+      val v1 = docs.select((col("doc_id") * 2L).as("doc_id"),
         TextFunctions.fingerprintMd5(col("text")).as("fp_a"))
       val v2base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-        .select(col("doc_id"),
+        .select((col("doc_id") * 2L).as("doc_id"),
           when(pmod(col("doc_id"), lit(11)) === 0,
             concat(col("text"), lit(" edited"))).otherwise(col("text")).as("text"))
       val v2new = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") * 2L + 1L).as("doc_id"), col("text"))
       val v2 = v2base.union(v2new)
         .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp_b"))
       v1.join(v2, Seq("doc_id"), "full_outer")
@@ -375,17 +381,23 @@ object StatsQueriesA {
     // text) admitted against the BASE corpus by exact-fingerprint
     // anti-join. Per-doc verdict: duplicate_of_base / admitted. The
     // base side ships only 16-byte fingerprints — at 100 TB the
-    // admission check shuffles digests, never text.
+    // admission check shuffles digests, never text. Batch ids are
+    // doc_id·4 + leg(1/2/3) — the q146 structural-disjointness
+    // scheme: the r13 review found the old additive +2M/+3M/+4M leg
+    // offsets collided ACROSS legs once the corpus passed 1M docs
+    // (doc_id 1000007's leg-1 id = doc_id 7's leg-2 id), so new_id
+    // stopped identifying a batch record; multiplication cannot
+    // collide at any SF below long overflow.
     "q92_incremental_ingest" -> ((s, dir) => {
       import graft.functions.TextFunctions
       val base = Tables.documents(s, dir)
       val batch = base.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select((col("doc_id") + 2000000L).as("new_id"), col("text"))
+        .select((col("doc_id") * 4L + 1L).as("new_id"), col("text"))
         .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .select((col("doc_id") + 3000000L).as("new_id"),
+          .select((col("doc_id") * 4L + 2L).as("new_id"),
             concat(col("text"), lit(" update")).as("text")))
         .unionByName(base.filter(pmod(col("doc_id"), lit(11)) === 0)
-          .select((col("doc_id") + 4000000L).as("new_id"),
+          .select((col("doc_id") * 4L + 3L).as("new_id"),
             reverse(col("text")).as("text")))
       val baseFp = base
         .select(TextFunctions.fingerprintMd5(col("text")).as("fp"))
@@ -681,16 +693,17 @@ object StatsQueriesA {
 
     "q58_snapshot_diff" ->
       """WITH v1 AS (
-        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_a
+        |  SELECT doc_id * 2 AS doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_a
         |  FROM documents),
         |v2 AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id * 2 AS doc_id,
         |         md5(trim(regexp_replace(lower(
         |           CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END),
         |           '\s+', ' ', 'g'))) AS fp_b
         |  FROM documents WHERE doc_id % 7 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000,
+        |  SELECT doc_id * 2 + 1,
         |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |  FROM documents WHERE doc_id % 13 = 0),
         |j AS (
@@ -812,13 +825,13 @@ object StatsQueriesA {
     // q92: same derivation rules and normalized-md5 admission check.
     "q92_incremental_ingest" ->
       """WITH batch AS (
-        |  SELECT doc_id + 2000000 AS new_id, text
+        |  SELECT doc_id * 4 + 1 AS new_id, text
         |  FROM documents WHERE doc_id % 5 = 0
         |  UNION ALL
-        |  SELECT doc_id + 3000000, text || ' update'
+        |  SELECT doc_id * 4 + 2, text || ' update'
         |  FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 4000000, reverse(text)
+        |  SELECT doc_id * 4 + 3, reverse(text)
         |  FROM documents WHERE doc_id % 11 = 0),
         |basefp AS (
         |  SELECT DISTINCT

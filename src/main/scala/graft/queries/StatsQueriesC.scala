@@ -1164,7 +1164,13 @@ object StatsQueriesC {
     // plus churned (active yesterday, silent today) recovered from
     // the identity churned(d) = active(d−1) − retained(d). One
     // distinct (user, day) frame, one user-keyed lag, one |days|
-    // rollup; every class is an exact integer.
+    // rollup; every class is an exact integer. The lag that recovers
+    // active(d−1) is CALENDAR-validated (r13 review): over a feed
+    // with an all-silent day, the raw lag reads the last OBSERVED
+    // day's actives as "yesterday's", overstating churn — if the
+    // previous row isn't calendar-adjacent, active(d−1) is zero by
+    // construction. (A day with no actives at all emits no row; its
+    // own churn line is out of scope for this per-active-day report.)
     "q264_growth_accounting" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val act = Tables.events(s, dir)
@@ -1185,8 +1191,11 @@ object StatsQueriesC {
           sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
             .as("n_resurrected"))
         .withColumn("n_churned",
-          coalesce(lag(col("n_active"), 1).over(
-            Window.orderBy(col("d"))), lit(0L)) - col("n_retained"))
+          coalesce(
+            when(datediff(col("d"),
+              lag(col("d"), 1).over(Window.orderBy(col("d")))) === 1,
+              lag(col("n_active"), 1).over(Window.orderBy(col("d")))),
+            lit(0L)) - col("n_retained"))
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("n_active"), col("n_new"), col("n_retained"),
           col("n_resurrected"), col("n_churned"))
@@ -2070,7 +2079,8 @@ object StatsQueriesC {
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
-    // q264: identical quadrant classes and churn identity.
+    // q264: identical quadrant classes and calendar-validated churn
+    // identity.
     "q264_growth_accounting" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
@@ -2093,7 +2103,9 @@ object StatsQueriesC {
         |  FROM cl GROUP BY 1)
         |SELECT strftime(d, '%Y-%m-%d') AS day, n_active, n_new,
         |       n_retained, n_resurrected,
-        |       (COALESCE(lag(n_active) OVER (ORDER BY d), 0)
+        |       (COALESCE(CASE WHEN date_diff('day',
+        |                        lag(d) OVER (ORDER BY d), d) = 1
+        |                 THEN lag(n_active) OVER (ORDER BY d) END, 0)
         |        - n_retained)::BIGINT AS n_churned
         |FROM g ORDER BY day""".stripMargin,
   )
