@@ -851,9 +851,13 @@ object StatsQueriesD {
 
     // Procurement-arbitrage spread: for multi-supplier parts, the
     // gap between the cheapest and dearest supplier's mean unit
-    // price (exact integer unit prices; per-supplier means compared
-    // by cross-multiplication so no float enters the pick), top 20
-    // by spread ppm. The sourcing-optimization readout.
+    // price, top 20 by spread ppm. The cheapest/dearest pick orders
+    // by the IEEE double su/n with a suppkey tie-break — one
+    // deterministic division per (part, supplier), spelled
+    // identically in the oracle (both engines order the same
+    // doubles); the REPORTED means and the spread are integer
+    // arithmetic (su div n, ppm by decimal division). The
+    // sourcing-optimization readout.
     "q289_procurement_arbitrage" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val dec = "decimal(38,0)"
