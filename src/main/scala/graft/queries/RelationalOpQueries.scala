@@ -138,9 +138,15 @@ object RelationalOpQueries {
 
     // MERGE INTO / CDC apply: a deterministic changeset (updates =
     // uppercased text on doc_id%7=0, deletes on doc_id%11=3, inserts =
-    // reversed text under doc_id+1e6 on doc_id%13=0) applied to the
-    // documents snapshot via anti-join + union — the broadcastable
-    // merge shape (base never shuffles).
+    // reversed text under new high-bit ids on doc_id%13=0) applied to
+    // the documents snapshot via anti-join + union — the broadcastable
+    // merge shape (base never shuffles). Insert ids are doc_id + 2^61:
+    // the r13 review found the old +1M offset collided with REAL
+    // doc_ids once the corpus passed 1M docs, silently turning an
+    // INSERT into an update of an unrelated base row; the high bit is
+    // disjoint for any corpus with ids < 2^61 (the same bound the
+    // q146 multiplicative scheme assumes — base ids here must stay
+    // raw because updates/deletes key on them).
     "q66_merge_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val changes = docs.select(col("doc_id"),
@@ -150,7 +156,7 @@ object RelationalOpQueries {
           col("n_chars"))
         .filter(col("op").isNotNull)
         .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          .select((col("doc_id") + lit(1L << 61)).as("doc_id"),
             lit("U").as("op"), reverse(col("text")).as("text"),
             col("lang"), col("source"), col("n_chars")))
       Relational.mergeApply(docs, changes, "doc_id")
@@ -553,7 +559,7 @@ object RelationalOpQueries {
         |         upper(text) AS text, source
         |  FROM documents WHERE doc_id % 11 = 3 OR doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'U', reverse(text), source
+        |  SELECT doc_id + 2305843009213693952, 'U', reverse(text), source
         |  FROM documents WHERE doc_id % 13 = 0),
         |merged AS (
         |  SELECT b.doc_id, b.text, b.source FROM documents b
