@@ -242,18 +242,26 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int = 10,
                damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
     val e = loopCheckpoint(edges.select(col("src"), col("dst")).distinct())
+    // nodes/dangV are v-partitioned and eOutd dst-partitioned ONCE
+    // (the q137 anatomy): with pr broadcast into the contribution
+    // join, groupBy(dst) runs on eOutd's partitioning; the nodes ⋈
+    // contrib update and the dangling semi-join then co-locate on v —
+    // a round runs with zero exchanges instead of two
     val nodes = loopCheckpoint(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
-      .distinct())
+      .distinct()
+      .repartition(col("v")))
     val n = nodes.count().toDouble
     val outDeg = loopCheckpoint(e.groupBy("src").agg(count(lit(1)).as("outd")))
     // loop-invariant prework, hoisted: edges pre-joined with out-degree
     // (saves one join per iteration) and the dangling-vertex set (the
     // per-round anti-join becomes a semi-join against this snapshot)
     val eOutd = loopCheckpoint(e.join(outDeg, "src")
-      .select(col("src"), col("dst"), col("outd")))
+      .select(col("src"), col("dst"), col("outd"))
+      .repartition(col("dst")))
     val dangV = loopCheckpoint(nodes
-      .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti"))
+      .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti")
+      .repartition(col("v")))
 
     var pr = loopCheckpoint(nodes.select(col("v"), lit(1.0 / n).as("pr")))
     // the frame holding the round's materialized checkpoint (what we
@@ -325,9 +333,12 @@ object GraphOps {
       "personalized PageRank: duplicate seed ids — each duplicate would " +
         "silently scale the seed's share of the teleport mass")
     val e = loopCheckpoint(edges.select(col("src"), col("dst")).distinct())
+    // same one-time partitioning as [[pageRank]] — zero per-round
+    // exchanges in the broadcast-pr regime
     val nodes = loopCheckpoint(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
-      .distinct())
+      .distinct()
+      .repartition(col("v")))
     // a seed absent from the vertex set would silently LEAK its 1/|S|
     // share of the teleport mass every round (rank mass sums < 1 with
     // no error, breaking pageRank's inherited sum-pr=1 contract) —
@@ -338,9 +349,11 @@ object GraphOps {
         "the graph — off-graph seeds would silently leak teleport mass")
     val outDeg = loopCheckpoint(e.groupBy("src").agg(count(lit(1)).as("outd")))
     val eOutd = loopCheckpoint(e.join(outDeg, "src")
-      .select(col("src"), col("dst"), col("outd")))
+      .select(col("src"), col("dst"), col("outd"))
+      .repartition(col("dst")))
     val dangV = loopCheckpoint(nodes
-      .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti"))
+      .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti")
+      .repartition(col("v")))
     val isSeed = col("v").isin(seeds: _*)
     val nS = seeds.size.toDouble
     var pr = loopCheckpoint(nodes.select(col("v"),
@@ -551,9 +564,14 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // adj is v-partitioned ONCE (the q137 anatomy): with labels
+    // broadcast into the join, the round's groupBy(v, label) count and
+    // the per-v argmax both run on adj's partitioning — zero exchanges
+    // per round instead of two
     val adj = loopCheckpoint(
       e.select(col("a").as("v"), col("b").as("nbr"))
-        .union(e.select(col("b").as("v"), col("a").as("nbr"))))
+        .union(e.select(col("b").as("v"), col("a").as("nbr")))
+        .repartition(col("v")))
     var labels = loopCheckpoint(
       adj.select(col("v")).distinct().withColumn("label", col("v")))
     for (_ <- 0 until rounds) {
@@ -591,6 +609,14 @@ object GraphOps {
   def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
     require(iters >= 1, "hits needs at least one iteration")
     val e = loopCheckpoint(edges.select(col("src"), col("dst")).distinct())
+    // NOTE (r13, measured): the q137 one-time-partitioning trick does
+    // NOT pay here. The two half-steps aggregate on OPPOSITE keys, so
+    // it would take TWO extra pre-partitioned edge materializations —
+    // and the per-round exchanges they'd remove are cheap, because the
+    // sums PARTIAL-AGGREGATE map-side before shuffling (only ~|V| rows
+    // cross the wire per half-step, unlike coreNumbers/LPA whose
+    // (v, est)/(v, label) grain defeats map-side combine). A/B at
+    // sf0.1: two-copy variant 4.46 s vs 3.92 s for this form.
     val nodes = loopCheckpoint(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
       .distinct())
