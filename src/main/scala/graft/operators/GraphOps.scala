@@ -80,13 +80,29 @@ object GraphOps {
     // materialized once; every round re-reads the cached edge list
     // (loopCheckpoint: measured stats — the estimate here is already a
     // multi-join product and every round's plan consumes it)
+    // edges dst-partitioned and labels v-partitioned ONCE (the q137
+    // anatomy): with labels broadcast into the offer join, the
+    // groupBy(dst) min runs on edges' partitioning, and the offers
+    // come out v-partitioned — so the propagate join, the (broadcast)
+    // pointer jump, and the change count all co-locate on v, and the
+    // round's checkpointed output carries the v-partitioning into the
+    // next round. Zero per-round exchanges in the broadcast regime.
+    // (r13, measured: NEUTRAL at sf0.1 — the dedup fixtures' CC loops
+    // run over pair graphs far smaller than the minhash stage that
+    // feeds them, so the battery numbers don't move; kept because the
+    // one-time exchange costs nothing locally and each round it
+    // removes is edge-scale at 100 TB, where the label-offer grain
+    // (v, min label) partial-aggregates poorly on an unclustered
+    // edge frame.)
     val edges = loopCheckpoint(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst")))
 
     var labels = loopCheckpoint(
       edges.select(col("src").as("v")).distinct()
-        .withColumn("label", col("v")))
+        .withColumn("label", col("v"))
+        .repartition(col("v")))
 
     var iter = 0
     var converged = false
