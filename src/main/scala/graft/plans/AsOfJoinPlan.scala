@@ -25,10 +25,20 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * Semantics: for each left row, the single latest right row of the
   * same key with right.ts <= left.ts (inclusive, matching DuckDB's
   * ASOF JOIN); inner (unmatched left rows dropped).
+  *
+  * Ties (r13 review): among right rows sharing (key, ts), the merge
+  * keeps the LAST one in the within-partition sort order — without a
+  * tie column that order is partition-history-dependent, i.e. the
+  * pick is nondeterministic exactly when the right side has duplicate
+  * (key, ts) rows. `rightTie` (optional) extends the required child
+  * ordering so the kept row is the MAX-tie row, deterministically —
+  * the physical twin of the composition form's `rightTie` parameter.
+  * Callers with a unique (key, ts) right side may omit it.
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTs: Expression, rightTs: Expression)
+                        leftTs: Expression, rightTs: Expression,
+                        rightTie: Option[Expression] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
@@ -38,7 +48,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTs: Expression, rightTs: Expression)
+                        leftTs: Expression, rightTs: Expression,
+                        rightTie: Option[Expression] = None)
     extends BinaryExecNode {
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -47,12 +58,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
   // ...and sort within partitions by (key, ts): EnsureRequirements
-  // inserts the Exchange/Sort pair, so doExecute sees merge-ready input
+  // inserts the Exchange/Sort pair, so doExecute sees merge-ready
+  // input. The right side additionally sorts by the tie column when
+  // given: the merge keeps the last row consumed per (key, ts), so
+  // the tie sort alone makes the pick deterministic (max tie) with
+  // no change to the merge loop.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
       SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),
     Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending)))
+      SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending)) ++
+      rightTie.map(t => SortOrder(t,
+        org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
@@ -118,8 +135,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
     case _ => Nil
   }
 }
@@ -149,11 +166,15 @@ object AsOfJoinPhysical {
 
   /** Same contract as operators.AsOfJoin.asof (inner form): left.* plus
     * right payload columns as asof_<name>. The right side is re-aliased
-    * so self-joins get fresh attribute ids.
+    * so self-joins get fresh attribute ids. Pass `rightTie` (a unique
+    * right column) whenever the right side can carry duplicate
+    * (key, ts) rows — without it the kept duplicate is
+    * partition-order-dependent (see [[AsOfJoinNode]]).
     */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTs: String, rightTs: String): DataFrame = {
+           leftTs: String, rightTs: String,
+           rightTie: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val r = right.toDF(right.columns.map(c => s"asof_$c").toIndexedSeq: _*)
@@ -164,7 +185,8 @@ object AsOfJoinPhysical {
         throw new IllegalArgumentException(s"no column $name in ${plan.output.map(_.name)}"))
     val node = AsOfJoinNode(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, s"asof_$rightKey"),
-      attr(lPlan, leftTs), attr(rPlan, s"asof_$rightTs"))
+      attr(lPlan, leftTs), attr(rPlan, s"asof_$rightTs"),
+      rightTie.map(t => attr(rPlan, s"asof_$t")))
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, node)
       .drop(s"asof_$rightKey")
   }

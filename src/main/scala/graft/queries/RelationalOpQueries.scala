@@ -106,9 +106,13 @@ object RelationalOpQueries {
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      // rightTie = event_id (r13): raw purchase events can in general
+      // carry duplicate (user, ts) rows; the tie pins the kept row to
+      // the max event_id instead of partition order (tie-free on this
+      // fixture, so the oracle's tie-agnostic DuckDB ASOF still matches)
       graft.plans.AsOfJoinPhysical.asof(clicks, purchases,
           leftKey = "user_id", rightKey = "user_id",
-          leftTs = "ts", rightTs = "ts")
+          leftTs = "ts", rightTs = "ts", rightTie = Some("event_id"))
         .select(col("event_id"), col("user_id"),
           tsStr(col("ts")).as("click_ts"),
           tsStr(col("asof_ts")).as("purchase_ts"),

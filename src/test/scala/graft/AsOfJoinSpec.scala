@@ -68,6 +68,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(comp.toSeq == phys.toSeq)
   }
 
+  test("physical exec: rightTie pins duplicate-(key, ts) rows to the max tie") {
+    import org.apache.spark.sql.functions.col
+    // two right rows at the SAME (key, ts) — without a tie the kept
+    // one is partition-order-dependent; with rightTie the winner is
+    // the max event_id, matching the composition form's contract
+    // (rightTie asc + last()), whatever the partition history was
+    val dupQuotes = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 11L, 101.0),
+      (1L, ts("2024-01-01 00:01:00"), 13L, 113.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .repartition(5) // scramble the incoming order
+    val out = graft.plans.AsOfJoinPhysical.asof(
+        trades((1L, "2024-01-01 00:02:00")), dupQuotes,
+        "user_id", "user_id", "ts", "ts", rightTie = Some("event_id"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("asof_value") == 113.0)
+    assert(out.head.getAs[Long]("asof_event_id") == 13L)
+    val comp = AsOfJoin.asof(trades((1L, "2024-01-01 00:02:00")), dupQuotes,
+        "user_id", "user_id", "ts", "ts", "event_id").collect()
+    assert(comp.head.getAs[Double]("asof_value") == 113.0)
+  }
+
   test("physical exec plan shape: co-partitioned exchanges + in-partition sorts, no window") {
     import org.apache.spark.sql.functions.col
     val ev = graft.sources.Tables.events(spark, sf001)
