@@ -115,6 +115,58 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("custom expressions: codegen and FORCED-interpreted eval agree") {
+    // Every custom Expression delegates eval AND doGenCode to the same
+    // HashImpl static method (parity by construction); this pins that
+    // invariant against a future hand-inlined doGenCode by running the
+    // whole battery once per codegen factory mode. NO_CODEGEN forces
+    // InterpretedUnsafeProjection, i.e. the nullSafeEval path.
+    GraftFunctions.register(spark)
+    def battery(): Seq[org.apache.spark.sql.Row] = {
+      val df = Seq(
+        ("the quick brown fox jumps over the lazy dog", Seq("a", "bb", "ccc"),
+          Seq(0.5f, -1.0f, 0.25f, 0.0f), 7L, 12L),
+        ("", Seq.empty[String], Seq(0.0f, 0.0f, 0.0f, 0.0f), 0L, 0L))
+        .toDF("text", "toks", "vec", "x", "y")
+      df.select(
+        GraftFunctions.polyhash64(col("text")).as("ph"),
+        GraftFunctions.simhash64(col("toks")).as("sh"),
+        GraftFunctions.hash64Seeded(col("x"), col("text")).as("hs"),
+        GraftFunctions.zorder64(col("x"), col("y")).as("z"),
+        GraftFunctions.clz64(col("x")).as("clz"),
+        GraftFunctions.cdcChunks(col("text"), 4, 3).as("cdc"),
+        GraftFunctions.minhashSig(col("toks"), 8).as("sig"),
+        GraftFunctions.wordShingles(col("toks"), 2).as("wsh"),
+        GraftFunctions.cosineSim(col("vec"), col("vec")).as("cos"),
+        GraftFunctions.quantizeI8Stats(col("vec")).as("q"))
+        .selectExpr("ph", "sh", "hs", "z", "clz", "cdc", "sig", "wsh",
+          "cos", "q.scale", "q.q_sum", "q.q_min", "q.q_max",
+          "band_hash(sig, 2, 4) as bh",
+          "first_shared_index(sig, sig) as fsi",
+          "first_shared_band(sig, sig, 2, 4) as fsb",
+          "first_shared_probe(bh, bh, 2) as fsp",
+          "minhash_est(sig, sig) as me",
+          "jaccard_sorted(array('a','b'), array('b','c')) as js")
+        .collect().toSeq
+    }
+    val modeKey = "spark.sql.codegen.factoryMode"
+    val wsKey = "spark.sql.codegen.wholeStage"
+    val (m0, w0) = (spark.conf.getOption(modeKey), spark.conf.get(wsKey))
+    val codegen = battery()
+    try {
+      spark.conf.set(modeKey, "NO_CODEGEN")
+      spark.conf.set(wsKey, "false")
+      val interpreted = battery()
+      assert(codegen.map(_.toString) == interpreted.map(_.toString))
+    } finally {
+      m0 match {
+        case Some(v) => spark.conf.set(modeKey, v)
+        case None => spark.conf.unset(modeKey)
+      }
+      spark.conf.set(wsKey, w0)
+    }
+  }
+
   test("PII redaction: emails, phones, IPs counted and replaced") {
     val df = Seq(
       (1L, "write to alice.smith+test@example.co.uk for details"),
