@@ -190,6 +190,12 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
       5L -> 1L, 6L -> 1L, 7L -> 1L), s"wrong coreness: $core")
+    // rounds is a CEILING, not a count (r13 early exit): an absurdly
+    // generous ceiling must return the identical fixed point rather
+    // than paying (or failing on) the extra rounds
+    val core50 = graft.operators.GraphOps.coreNumbers(edges, rounds = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core50 == core, "early exit must not change the fixed point")
     // membership consistency: {coreness >= k} must equal kCore(k)'s
     // vertex set for every k
     for (k <- 2 to 3) {

@@ -216,6 +216,30 @@ class PriceAlertsStreamingSpec extends SparkSpec {
       "only the same-user purchase within 10 minutes must match")
   }
 
+  test("interval join: r_-prefix collisions fail fast on BOTH sides") {
+    import org.apache.spark.sql.functions.col
+    val clicks = MemoryStream[Doc]
+    val buys = MemoryStream[Doc]
+    // right side already carrying an r_ column (e.g. a previous
+    // interval-join output chained back in)
+    val exR = intercept[IllegalArgumentException] {
+      graft.streaming.StreamJoins.intervalJoin(
+        clicks.toDF(), buys.toDF().withColumnRenamed("text", "r_text"),
+        key = "doc_id", tsCol = "ts",
+        watermarkDelay = "1 minute", within = "10 MINUTES")
+    }
+    assert(exR.getMessage.contains("right side already has r_-prefixed"))
+    // left side carrying a column that collides with a renamed right
+    // column AFTER prefixing (the r13 symmetric guard)
+    val exL = intercept[IllegalArgumentException] {
+      graft.streaming.StreamJoins.intervalJoin(
+        clicks.toDF().withColumn("r_text", col("text")), buys.toDF(),
+        key = "doc_id", tsCol = "ts",
+        watermarkDelay = "1 minute", within = "10 MINUTES")
+    }
+    assert(exL.getMessage.contains("collide with the r_-prefixed"))
+  }
+
   test("streaming heavy hitters: per-window SpaceSaving top-k matches an exact recount") {
     import org.apache.spark.sql.functions.{col, explode, split}
     val in = MemoryStream[Doc]
