@@ -34,7 +34,17 @@ object VerifyOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+    // Emit SQL for every query dump PRESENT in outDir, not just this
+    // invocation's names: two VerifyOne runs into the same outDir
+    // otherwise leave the first run's parquet behind with no SQL entry,
+    // silently downgrading its check to rows-only. The dump dirs are
+    // the source of truth (each is a registry name by construction).
+    val dumped = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && SparkEntry.oracleSql.contains(f.getName))
+      .map(_.getName).toSet
+    val json = SparkEntry.oracleSql
+      .filter(kv => dumped.contains(kv._1) || names.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
