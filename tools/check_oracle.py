@@ -157,6 +157,20 @@ def main() -> None:
         with mp.Pool(workers, initializer=_init,
                      initargs=(sf_dir, out_dir, oracle)) as pool:
             results = pool.map(check_one, spark_dirs, chunksize=1)
+    # Retry failures ONCE, sequentially, on a fresh connection: a
+    # deterministic mismatch fails identically both times, but an
+    # environmental hiccup in a pool worker (observed once: a
+    # single-query failure at sf0.1 that re-ran clean on the identical
+    # dump) must not red-flag a green query. Retried passes are
+    # annotated so flakiness stays visible in the output.
+    failed = [n for n, _, ok in results if not ok]
+    if failed:
+        _init(sf_dir, out_dir, oracle)
+        retried = {n: check_one(n) for n in failed}
+        results = [
+            (n, retried[n][1] + "  [passed on retry]", True)
+            if (not ok and retried[n][2]) else (n, line, ok)
+            for n, line, ok in results]
     n_pass = n_fail = 0
     for _, line, ok in sorted(results):
         print(line)
