@@ -94,7 +94,15 @@ object StreamingDedup {
                       ts: Timestamp, text: String)
   /** Per-bucket verdict: did this doc near-collide in this bucket? */
   case class BucketVerdict(doc_id: Long, ts: Timestamp, text: String, dup: Boolean)
-  private case class SeenEntry(sh: Long, tsMs: Long)
+  /** ListState element for [[NearDupProcessor]]. NOT `private`: Janino
+    * compiles the state encoder's UnsafeProjection in a different
+    * package, so a private case class makes every accessor call fail
+    * compilation and Spark silently falls back to interpreted serde on
+    * every state row (8× `WARN UnsafeProjection: Expr codegen error` in
+    * a full suite run before this was public). CodegenFallbackSpec pins
+    * the class-visibility requirement.
+    */
+  case class SeenEntry(sh: Long, tsMs: Long)
 
   /** Per-(chunk, bucket) state: the simhashes seen within the watermark
     * horizon. A doc is flagged when any prior hash in the bucket is

@@ -1,0 +1,181 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Guard against SILENT codegen fallback (VERDICT r13 #2).
+  *
+  * Spark's `UnsafeProjection.create` wraps codegen in
+  * `CodeGeneratorWithInterpretedFallback`: when Janino cannot compile
+  * the generated projection (e.g. the target is a `private` case class
+  * whose accessors aren't visible from generated code), it logs one
+  * WARN and silently runs interpreted — correct results, degraded serde
+  * on every state row in production. The r13 parity spec only proved
+  * interpreted ≡ codegen by FORCING the interpreted path (NO_CODEGEN),
+  * so a codegen *failure* passed unnoticed; that is exactly how
+  * `StreamingDedup.SeenEntry` shipped with an interpreted state serde.
+  *
+  * This spec closes the gap from both ends:
+  *   1. every streaming state / aggregator-buffer case class round-trips
+  *      through its encoder under `factoryMode=CODEGEN_ONLY`, where a
+  *      codegen failure THROWS instead of falling back;
+  *   2. a negative control proves the guard detects the failure class —
+  *      a deliberately `private` case class must fail under
+  *      CODEGEN_ONLY (and must round-trip fine under default FALLBACK,
+  *      showing the silence it guards against is real);
+  *   3. the streaming near-dup dedup pipeline (the path that shipped
+  *      with the fallback) runs end-to-end with a log capture that
+  *      fails the test on any "falling back to interpreter mode" WARN —
+  *      catching fallbacks on task threads and on any projection path
+  *      this spec's encoder list misses.
+  */
+class CodegenFallbackSpec extends SparkSpec {
+  import CodegenFallbackSpec._
+
+  private val modeKey = "spark.sql.codegen.factoryMode"
+
+  private def withFactoryMode[A](mode: String)(body: => A): A = {
+    SparkSession.setActiveSession(spark)
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, mode)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+  }
+
+  /** Round-trip `value` through its ExpressionEncoder. UnsafeProjection
+    * (serializer) and SafeProjection (deserializer) are both created
+    * lazily on first apply, so the round-trip — not construction — is
+    * what exercises codegen.
+    */
+  private def roundTrip[T: TypeTag](value: T): T = {
+    val enc = ExpressionEncoder[T]().resolveAndBind()
+    val row = enc.createSerializer()(value)
+    enc.createDeserializer()(row.copy())
+  }
+
+  test("every streaming state and aggregator buffer codegens its serde (CODEGEN_ONLY)") {
+    withFactoryMode("CODEGEN_ONLY") {
+      // streaming state element types (getValueState/getListState)
+      assert(roundTrip(graft.streaming.StreamingDedup.SeenEntry(7L, 42L))
+        == graft.streaming.StreamingDedup.SeenEntry(7L, 42L))
+      assert(roundTrip(graft.streaming.StreamingDedup.ChunkDoc(
+          1, 2L, 3L, 4L, Timestamp.valueOf("2024-01-01 00:00:01"), "t"))
+        .doc_id == 3L)
+      assert(roundTrip(graft.streaming.StreamingDedup.BucketVerdict(
+          3L, Timestamp.valueOf("2024-01-01 00:00:01"), "t", dup = true)).dup)
+      assert(roundTrip(graft.streaming.StreamingAnomaly.Stats(3L, 1.5, 0.25)).n == 3L)
+      assert(roundTrip(graft.streaming.StreamingCusum.CState(0.5, -0.5)).sPos == 0.5)
+      assert(roundTrip(graft.streaming.RateLimiter.Bucket(2.0, 99L)).lastMs == 99L)
+      assert(roundTrip(graft.streaming.FunnelStream.StageState(2, 123L)).stage == 2)
+      assert(roundTrip(graft.streaming.StreamingAsof.Buf(
+        List((1L, 2L)), List((3L, 4L)))).purchases == List((1L, 2L)))
+      // typed Aggregator buffers (Welford, vec mean, gram, space
+      // saving, MRL quantiles) — same UnsafeProjection machinery
+      assert(roundTrip(graft.functions.Aggregators.WelfordBuf(2L, 1.0, 4.0)).n == 2L)
+      assert(roundTrip(graft.functions.Aggregators.GramBuf(Seq(1.0, 2.0))).v
+        == Seq(1.0, 2.0))
+      assert(roundTrip(graft.functions.Aggregators.VecBuf(Seq(1.0, 2.0))).v
+        == Seq(1.0, 2.0))
+      assert(roundTrip(graft.functions.Aggregators.SSBuf(
+        Seq(graft.functions.Aggregators.SSEntry("k", 3L, 1L)))).entries.head.cnt == 3L)
+      assert(roundTrip(graft.functions.Aggregators.QBuf(
+        Seq(Seq(1.0, 2.0)), Seq(4))).comps == Seq(4))
+    }
+  }
+
+  test("negative control: a private case class FAILS under CODEGEN_ONLY, passes under FALLBACK") {
+    // under default FALLBACK mode the same round-trip succeeds silently
+    // (interpreted) — the exact degradation this spec exists to catch
+    withFactoryMode("FALLBACK") { assert(privRoundTripOk()) }
+    withFactoryMode("CODEGEN_ONLY") {
+      val e = intercept[Throwable] { privRoundTripOk() }
+      def causes(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: causes(t.getCause)
+      assert(causes(e).exists(_.getClass.getName.contains("Compile")),
+        s"expected a Janino CompileException chain, got $e")
+    }
+  }
+
+  test("streaming near-dup dedup path emits NO codegen-fallback warnings") {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new AbstractAppender(
+        "graft-fallback-guard", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(event: LogEvent): Unit = {
+        val msg = event.getMessage.getFormattedMessage
+        if (msg.contains("falling back to interpreter mode"))
+          hits.add(s"${event.getLoggerName}: $msg")
+      }
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      graft.functions.GraftFunctions.register(spark)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        implicit val sq = spark.sqlContext
+        import spark.implicits._
+        val in = MemoryStream[Doc2]
+        val deduped = graft.streaming.StreamingDedup.bySimhashNearDup(
+          in.toDF(), "ts", "10 minutes")
+        val q = deduped.writeStream.format("memory")
+          .queryName("cg_guard_out").outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("cg_guard_ckpt").toString)
+          .start()
+        try {
+          in.addData(
+            Doc2(1L, "the quick brown fox jumps over the lazy dog",
+              Timestamp.valueOf("2024-01-01 00:00:01")),
+            Doc2(2L, "completely unrelated content about databases",
+              Timestamp.valueOf("2024-01-01 00:00:05")))
+          q.processAllAvailable()
+          in.addData(Doc2(3L, "watermark mover row",
+            Timestamp.valueOf("2024-01-01 00:30:00")))
+          q.processAllAvailable()
+        } finally q.stop()
+        assert(spark.table("cg_guard_out").count() >= 2)
+      } finally spark.conf.unset(providerKey)
+      assert(hits.isEmpty,
+        s"codegen silently fell back to interpreted mode:\n${hits.toArray.mkString("\n")}")
+    } finally {
+      rootCfg.removeAppender("graft-fallback-guard")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+  }
+}
+
+object CodegenFallbackSpec {
+  case class Doc2(doc_id: Long, text: String, ts: Timestamp)
+
+  /** Deliberately `private`: scalac emits a class generated projection
+    * code cannot access, reproducing the r13 SeenEntry defect on
+    * purpose. Round-tripped via a companion method so the spec class
+    * never names the type.
+    */
+  private case class PrivEntry(sh: Long, tsMs: Long)
+
+  def privRoundTripOk(): Boolean = {
+    val enc = ExpressionEncoder[PrivEntry]().resolveAndBind()
+    val row = enc.createSerializer()(PrivEntry(7L, 42L))
+    enc.createDeserializer()(row.copy()) == PrivEntry(7L, 42L)
+  }
+}

@@ -151,14 +151,26 @@ class TextFunctionsSpec extends SparkSpec {
     }
     val modeKey = "spark.sql.codegen.factoryMode"
     val wsKey = "spark.sql.codegen.wholeStage"
+    val wsFbKey = "spark.sql.codegen.fallback"
     val (m0, w0) = (spark.conf.getOption(modeKey), spark.conf.get(wsKey))
+    val fb0 = spark.conf.get(wsFbKey)
     val codegen = battery()
     try {
       spark.conf.set(modeKey, "NO_CODEGEN")
       spark.conf.set(wsKey, "false")
       val interpreted = battery()
       assert(codegen.map(_.toString) == interpreted.map(_.toString))
+      // CODEGEN_ONLY direction (r13 verdict): the FALLBACK default hides
+      // a codegen FAILURE by silently running interpreted; here any
+      // Janino error in the battery throws (projection layer via
+      // factoryMode, whole-stage via fallback=false) instead of passing.
+      spark.conf.set(modeKey, "CODEGEN_ONLY")
+      spark.conf.set(wsKey, "true")
+      spark.conf.set(wsFbKey, "false")
+      val codegenOnly = battery()
+      assert(codegen.map(_.toString) == codegenOnly.map(_.toString))
     } finally {
+      spark.conf.set(wsFbKey, fb0)
       m0 match {
         case Some(v) => spark.conf.set(modeKey, v)
         case None => spark.conf.unset(modeKey)
