@@ -55,6 +55,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to passes; (name, fn) <- queries if !errors.contains(name)) {
+      val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -79,9 +80,13 @@ object Bench {
       // registers its RDD via persist(), so the public
       // getPersistentRDDs enumeration reaches every stray block; the
       // frames are per-query and fully materialized by now, so
-      // dropping them cannot invalidate anything later.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // dropping them cannot invalidate anything later. Only ids the
+      // QUERY added are dropped (diff against the pre-query snapshot):
+      // a future cache meant to span queries must not be silently
+      // evicted 343 times per pass (r13 ADVICE).
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!blocksBefore.contains(id)) rdd.unpersist(blocking = false) }
     }
     // Errored queries are excluded from the timing map entirely — a
     // duration of "one failed attempt" is not a measurement, and leaving

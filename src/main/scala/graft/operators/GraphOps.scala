@@ -537,13 +537,20 @@ object GraphOps {
     var used = 0
     while (used < rounds && !converged) {
       val next = loopCheckpoint(hIndexUpdate(est))
-      val changed = next.select(col("v"), col("est").as("est2"))
-        .join(est, Seq("v"))
-        .filter(col("est2") =!= col("est")).count()
+      // The change count only feeds the early exit and the convergence
+      // assertion. On the FINAL round there is no later round to skip,
+      // so with requireConverged=false (a caller capping cost with a
+      // tight `rounds`) the count is pure overhead — skip it and keep
+      // the old fixed-budget cost profile (r13 ADVICE).
+      if (used < rounds - 1 || requireConverged) {
+        val changed = next.select(col("v"), col("est").as("est2"))
+          .join(est, Seq("v"))
+          .filter(col("est2") =!= col("est")).count()
+        converged = changed == 0L
+      }
       if (prev != null) loopUnpersist(prev)
       prev = est
       est = next
-      converged = changed == 0L
       used += 1
     }
     require(!requireConverged || converged,

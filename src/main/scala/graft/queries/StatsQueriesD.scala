@@ -867,7 +867,6 @@ object StatsQueriesD {
             " * 100) div cast(l_quantity as bigint)").as("u"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("n"), sum(col("u")).as("su"))
-      // mean compare by cross-multiplication: su_a·n_b vs su_b·n_a
       val w = Window.partitionBy(col("l_partkey"))
       val picked = perSupp
         .withColumn("lo_rk", row_number().over(w.orderBy(

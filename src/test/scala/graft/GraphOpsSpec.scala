@@ -209,6 +209,17 @@ class GraphOpsSpec extends SparkSpec {
       graft.operators.GraphOps.coreNumbers(edges, rounds = 1)
     }
     assert(ex.getMessage.contains("did not converge"))
+    // requireConverged=false (tight-budget caller): no loud failure, and
+    // the final round skips the change count (r14) — the fixture needs
+    // >= 3 rounds, so rounds=3 exercises the skip branch; a generous
+    // ceiling under the same flag still lands on the exact fixed point
+    assert(graft.operators.GraphOps
+      .coreNumbers(edges, rounds = 1, requireConverged = false)
+      .count() == 7L)
+    val coreNc = graft.operators.GraphOps
+      .coreNumbers(edges, rounds = 50, requireConverged = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(coreNc == core, "requireConverged=false must not change the fixed point")
   }
 
   test("label propagation: two cliques joined by a bridge split into two communities") {

@@ -60,7 +60,17 @@ def _init(sf_dir: str, out_dir: str, oracle: dict) -> None:
 
 
 def check_one(name: str):
-    """Returns (name, status_line, passed)."""
+    """Returns (name, status_line, passed). Never raises: an unexpected
+    exception (unsortable object column, parquet footer corruption, …)
+    must fail THAT query, not crash the whole pool run and zero the
+    gate's signal."""
+    try:
+        return _check_one(name)
+    except Exception as e:  # noqa: BLE001 - deliberate catch-all at the seam
+        return name, f"CHECK-ERR  {name}: {type(e).__name__}: {e}", False
+
+
+def _check_one(name: str):
     files = glob.glob(os.path.join(_OUT_DIR, name, "*.parquet"))
     if not files:
         return name, f"NO-OUTPUT  {name}", False
@@ -146,6 +156,12 @@ def main() -> None:
     spark_dirs = sorted(
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
+    # Check the UNION of dump dirs and declared oracle keys: a query
+    # whose Verify dump failed outright (no output dir at all) must
+    # surface as NO-OUTPUT here, not silently shrink the denominator —
+    # a dirs-only iteration read "341 pass, 0 fail" over a 342-query
+    # surface and looked green.
+    spark_dirs = sorted(set(spark_dirs) | set(oracle.keys()))
     # schedule expensive queries first (oracle SQL length tracks cost —
     # the unrolled minhash/k-means chains are the long ones); a cheap
     # tail packs around them and the makespan drops ~40%
@@ -164,9 +180,11 @@ def main() -> None:
     # dump) must not red-flag a green query. Retried passes are
     # annotated so flakiness stays visible in the output.
     failed = [n for n, _, ok in results if not ok]
+    n_retry_pass = 0
     if failed:
         _init(sf_dir, out_dir, oracle)
         retried = {n: check_one(n) for n in failed}
+        n_retry_pass = sum(1 for n in failed if retried[n][2])
         results = [
             (n, retried[n][1] + "  [passed on retry]", True)
             if (not ok and retried[n][2]) else (n, line, ok)
@@ -176,7 +194,10 @@ def main() -> None:
         print(line)
         n_pass += 1 if ok else 0
         n_fail += 0 if ok else 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    # retried passes count as passes, but the flake signal must be
+    # machine-visible in the summary, not only greppable per-line
+    retry_note = f" ({n_retry_pass} on retry)" if n_retry_pass else ""
+    print(f"== {n_pass} pass{retry_note}, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
 
