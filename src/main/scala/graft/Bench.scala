@@ -54,18 +54,42 @@ object Bench {
       .toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (_ <- 1 to passes; (name, fn) <- queries if !errors.contains(name)) {
+    // SPARK_GRAFT_BENCH_STORAGE=1: log residual storage before every
+    // query (r13 verdict #4 — settle whether the q137-class in-battery
+    // penalty is leftover storage the sweep misses, or shared-context
+    // noise). Reads only public APIs: getRDDStorageInfo sees RDD blocks
+    // (a nonzero count here means the post-query sweep is incomplete);
+    // getExecutorMemoryStatus's remaining-storage-memory additionally
+    // moves with BROADCAST blocks, which the RDD view cannot see.
+    val logStorage = sys.env.get("SPARK_GRAFT_BENCH_STORAGE").contains("1")
+    for (p <- 1 to passes; (name, fn) <- queries if !errors.contains(name)) {
+      if (logStorage) {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        val rddMb = infos.map(_.memSize).sum / 1e6
+        val remainMb = spark.sparkContext.getExecutorMemoryStatus
+          .values.map(_._2).sum / 1e6
+        val heapMb = (Runtime.getRuntime.totalMemory() -
+          Runtime.getRuntime.freeMemory()) / 1e6
+        System.err.println(f"[bench-storage] pass=$p $name pre: " +
+          f"rdd_blocks=${infos.length} rdd_mb=$rddMb%.1f " +
+          f"storage_remaining_mb=$remainMb%.1f heap_used_mb=$heapMb%.0f")
+      }
       val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
-          // escape backslashes BEFORE quotes so the errors map stays
-          // valid JSON for messages containing '\' (paths, regexes)
+          // sanitize, TRUNCATE, then escape backslashes LAST: truncating
+          // an already-escaped message can split a '\\' pair and leave an
+          // odd trailing backslash that escapes the closing quote —
+          // invalid JSON in the one artifact the driver parses
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replace("\\", "\\\\").replaceAll("[\"\\n\\r\\t]", " ")
+            .replaceAll("[\"\\n\\r\\t]", " ")
             .filter(c => c >= ' ').take(200)
+            .replace("\\", "\\\\")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      if (logStorage)
+        System.err.println(f"[bench-storage] pass=$p $name dt=$dt%.2fs")
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       // Free the storage blocks the query left behind (OUTSIDE the timed
       // region). Query-level localCheckpoints (the q209/q319/q235 chain
@@ -140,7 +164,10 @@ object Bench {
     val top = results.sortBy(-_._2).take(topN)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val errHead = errors.take(3)
-      .map { case (k, v) => "\"" + k + "\":\"" + v.take(60) + "\"" }
+      .map { case (k, v) =>
+        // head-truncating the ESCAPED value can split a '\\' pair; strip
+        // any trailing backslash run so the closing quote stays a quote
+        "\"" + k + "\":\"" + v.take(60).replaceAll("\\\\+$", "") + "\"" }
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$passes,"n_queries":${results.size},"queries":$top,"queries_note":"top $topN slowest; per-query MIN across $passes interleaved passes; full map in queries_file","n_errors":${errors.size},"errors":$errHead,"ratio_vs_prior":$ratioJson,"sf":"$sfDir","queries_file":"$outPath"}"""

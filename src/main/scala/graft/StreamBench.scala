@@ -135,6 +135,50 @@ object StreamBench {
           .withColumn("k", col("id") % 500000L)
         (StreamingDedup.exact(s, "ts", "5 seconds", "k"), "append")
       }),
+      "image_dhash_dedup" -> (() => {
+        // the one stateful streaming path with a REAL codec in the
+        // loop (ImageIO decode per row) feeding a codegen'd ListState
+        // serde — the regression surface for the r14 SeenEntry fix.
+        // 64 distinct synthetic PNGs cycled by the rate source; dHash
+        // dedup drops repeats inside the watermark, so out_rows/s
+        // collapses to ~0 after the first batch and rows_per_sec is
+        // the decode + state-store admission ceiling.
+        val payloads = graft.operators.Multimodal.syntheticImages(spark,
+          (0L until 64L).map(i => (i, s"stream image payload $i " * 8))
+            .toDF("doc_id", "text")).collect().map(_.payload).toSeq
+        val s = purchases(200000L).select(
+          col("id").as("doc_id"),
+          element_at(typedlit(payloads),
+            (col("id") % 64L).cast("int") + 1).as("payload"),
+          col("ts"))
+        (StreamingDedup.byImageDHash(s, "ts", "5 seconds"), "append")
+      }),
+      "simhash_neardup_dedup" -> (() => {
+        // bySimhashNearDup is the custom ListState processor whose
+        // SeenEntry serde silently ran interpreted until r14 — this
+        // shape is its throughput regression surface. Topology per
+        // input row: simhash + explode to 4 chunk buckets (4× state
+        // rows), NearDupProcessor scan/append, windowed reconcile.
+        // Traffic: 3/4 of rows cycle 1000 shared variants (all near-dup
+        // after warmup — the state-scan load), 1/4 carry fully unique
+        // token sets (the survivors: out_rows/s > 0 proves end-to-end
+        // emission, not just admission). Short watermark + reconcile
+        // window (2 s), and the offered rate sits only slightly above
+        // the measured ~95 k rows/s ceiling: deeply overloaded, event
+        // time advances at (admitted/offered) of wall speed, windows
+        // never close inside the run, and out_rows/s reads a
+        // misleading zero even though emission works.
+        val s = purchases(120000L).select(
+          col("id").as("doc_id"), col("ts"),
+          when(col("id") % 4L === 0L,
+            concat(lit("u"), col("id"), lit(" v"), col("id") * 31L,
+              lit(" w"), col("id") * 131L, lit(" x"), col("id") * 8191L))
+            .otherwise(concat(lit("document text variant number "),
+              (col("id") % 1000L), lit(" with shared boilerplate tail")))
+            .as("text"))
+        (StreamingDedup.bySimhashNearDup(s, "ts", "2 seconds",
+          reconcileWindow = "2 seconds"), "append")
+      }),
       "interval_join" -> (() => {
         // moderate correlation density: 200 k keys at an offered
         // 300 k rows/s over a 10 s interval. MEASURED (not offered)
@@ -256,17 +300,26 @@ object StreamBench {
           .toDF(), "append")
       }))
 
+    // Dev loop: SPARK_GRAFT_STREAM_ONLY=shape1,shape2 measures just those
+    // prefixes (same contract as Bench's SPARK_GRAFT_ONLY). Unset for the
+    // artifact run.
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    shapes.foreach { case (name, build) =>
+    shapes.filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .foreach { case (name, build) =>
       try {
         val (df, mode) = build()
         results(name) = measure(df, mode)
       } catch {
         case e: Throwable =>
+          // sanitize → truncate → escape LAST (see Bench: truncating an
+          // escaped message can split '\\' and break the JSON artifact)
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replace("\\", "\\\\").replaceAll("[\"\\n\\r\\t]", " ")
+            .replaceAll("[\"\\n\\r\\t]", " ")
             .filter(c => c >= ' ').take(200)
+            .replace("\\", "\\\\")
       }
     }
 

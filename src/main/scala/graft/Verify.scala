@@ -46,10 +46,6 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-
     // Dev loop: SPARK_GRAFT_ONLY=q121,q122 restricts the dump to queries
     // whose name starts with any listed prefix. Unset for the driver run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -59,6 +55,14 @@ object Verify {
         ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    // SQL scoped to the SELECTED queries (the full map when ONLY is
+    // unset, i.e. every driver run): check_oracle now checks the union
+    // of dumps and declared SQL, so emitting SQL for un-dumped queries
+    // would turn every ONLY-restricted dev run into a wall of NO-OUTPUT.
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val ordered = selected.toSeq.sortBy { case (n, _) =>
       (QueryCosts.sf01Seconds.getOrElse(n, 1.0), n) }
 

@@ -57,6 +57,14 @@ class RegistrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
+  test("bench-only twins never collide with the declared surface") {
+    // Bench times `queries ++ benchQueries`: a key collision would make
+    // Map ++ silently time the twin UNDER the certified query's name,
+    // corrupting both the per-query timing and the ratio-vs-prior signal
+    val clash = SparkEntry.benchQueries.keySet & SparkEntry.queries.keySet
+    assert(clash.isEmpty, s"benchQueries shadowing declared queries: $clash")
+  }
+
   test("every query has a dump-ordering cost (cheapest-first contract)") {
     // a missing entry silently falls back to mid-range cost — fine for
     // one-off additions, but drift here means QueryCosts wasn't
