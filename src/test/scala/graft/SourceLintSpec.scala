@@ -61,6 +61,8 @@ class SourceLintSpec extends AnyFunSuite {
         (1, "artifact runner: 100-query recall readout, not a query plan"),
       "src/main/scala/graft/StreamEquiv.scala" ->
         (20, "artifact runner: batch-vs-stream row comparisons on fixture data"),
+      "src/main/scala/graft/StreamBench.scala" ->
+        (1, "artifact runner: 64 synthetic PNG payloads for the image-dedup shape, driver-built fixture"),
       "src/main/scala/graft/operators/ScaleOps.scala" ->
         (1, "distributedCumSum per-partition (count,total) offsets: numPartitions pairs. The grouped primitives collect through collectOffsetsGuarded (runJob with an incremental MaxGroupsTotal abort), not collect()"),
       "src/main/scala/graft/operators/Similarity.scala" ->
