@@ -88,6 +88,33 @@ class CodegenFallbackSpec extends SparkSpec {
         Seq(graft.functions.Aggregators.SSEntry("k", 3L, 1L)))).entries.head.cnt == 3L)
       assert(roundTrip(graft.functions.Aggregators.QBuf(
         Seq(Seq(1.0, 2.0)), Seq(4))).comps == Seq(4))
+      // processor INPUT/OUTPUT row types — serialized per row at the
+      // groupByKey / emission seams, same UnsafeProjection machinery
+      val ts = Timestamp.valueOf("2024-01-01 00:00:01")
+      assert(roundTrip(graft.streaming.ProcessorAlerts.PurchaseAmount(
+        "p1", ts, 3.5)).amount == 3.5)
+      assert(roundTrip(graft.streaming.ProcessorAlerts.WindowSums(
+        Map(60L -> 1.5))).sums(60L) == 1.5)
+      assert(roundTrip(graft.streaming.StreamingAnomaly.Pt(
+        "k", ts, 1L, 2.0)).value == 2.0)
+      assert(roundTrip(graft.streaming.StreamingAnomaly.Verdict(
+        "k", ts, 1L, 2.0, 1.0, 0.5, is_anomaly = false)).mean == 1.0)
+      assert(roundTrip(graft.streaming.StreamingAsof.Ev(
+        1L, 2L, ts, "purchase")).event_type == "purchase")
+      assert(roundTrip(graft.streaming.StreamingAsof.FwdMatch(
+        1L, 2L, ts, 3L, 4L)).delta_s == 4L)
+      assert(roundTrip(graft.streaming.FunnelStream.FunnelEvent(
+        1L, "view", ts)).event_type == "view")
+      assert(roundTrip(graft.streaming.RateLimiter.Ev("k", ts, "p")).payload == "p")
+      assert(roundTrip(graft.streaming.RateLimiter.Decision(
+        "k", ts, "p", admitted = true)).admitted)
+      assert(roundTrip(graft.streaming.StreamingCusum.CPt(
+        "k", ts, 1L, 2.0, 1.5)).mean == 1.5)
+      // multimodal record types (binary payload columns at the codec seam)
+      assert(roundTrip(graft.operators.Multimodal.MediaRecord(
+        1L, "image", Array[Byte](1, 2, 3), 3L)).payload.toSeq == Seq[Byte](1, 2, 3))
+      assert(roundTrip(graft.operators.Multimodal.PerceptualHash(
+        1L, 2L, 3L)).dhash == 2L)
     }
   }
 
