@@ -122,6 +122,12 @@ class CodegenFallbackSpec extends SparkSpec {
     // under default FALLBACK mode the same round-trip succeeds silently
     // (interpreted) — the exact degradation this spec exists to catch
     withFactoryMode("FALLBACK") { assert(privRoundTripOk()) }
+    // ... and the suite-wide guard's detection channel must have seen
+    // it: drain the DELIBERATE warning (so afterAll doesn't flag this
+    // suite) and assert the capture worked end-to-end
+    val captured = CodegenFallbackGuard.drain()
+    assert(captured.exists(_.contains("falling back to interpreter mode")),
+      s"global fallback guard missed the deliberate fallback: $captured")
     withFactoryMode("CODEGEN_ONLY") {
       val e = intercept[Throwable] { privRoundTripOk() }
       def causes(t: Throwable): List[Throwable] =
@@ -132,61 +138,42 @@ class CodegenFallbackSpec extends SparkSpec {
   }
 
   test("streaming near-dup dedup path emits NO codegen-fallback warnings") {
-    import org.apache.logging.log4j.LogManager
-    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
-    import org.apache.logging.log4j.core.appender.AbstractAppender
-    import org.apache.logging.log4j.core.config.Property
-
-    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val appender = new AbstractAppender(
-        "graft-fallback-guard", null, null, false, Property.EMPTY_ARRAY) {
-      override def append(event: LogEvent): Unit = {
-        val msg = event.getMessage.getFormattedMessage
-        if (msg.contains("falling back to interpreter mode"))
-          hits.add(s"${event.getLoggerName}: $msg")
-      }
-    }
-    appender.start()
-    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
-    val rootCfg = ctx.getConfiguration.getRootLogger
-    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
-    ctx.updateLoggers()
+    // rides the suite-wide CodegenFallbackGuard (whose capture channel
+    // the negative control above just proved live): drain, run the
+    // exact pipeline that shipped with the r13 fallback, assert quiet
+    CodegenFallbackGuard.install()
+    CodegenFallbackGuard.drain()
+    graft.functions.GraftFunctions.register(spark)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      graft.functions.GraftFunctions.register(spark)
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      implicit val sq = spark.sqlContext
+      import spark.implicits._
+      val in = MemoryStream[Doc2]
+      val deduped = graft.streaming.StreamingDedup.bySimhashNearDup(
+        in.toDF(), "ts", "10 minutes")
+      val q = deduped.writeStream.format("memory")
+        .queryName("cg_guard_out").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cg_guard_ckpt").toString)
+        .start()
       try {
-        implicit val sq = spark.sqlContext
-        import spark.implicits._
-        val in = MemoryStream[Doc2]
-        val deduped = graft.streaming.StreamingDedup.bySimhashNearDup(
-          in.toDF(), "ts", "10 minutes")
-        val q = deduped.writeStream.format("memory")
-          .queryName("cg_guard_out").outputMode("append")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("cg_guard_ckpt").toString)
-          .start()
-        try {
-          in.addData(
-            Doc2(1L, "the quick brown fox jumps over the lazy dog",
-              Timestamp.valueOf("2024-01-01 00:00:01")),
-            Doc2(2L, "completely unrelated content about databases",
-              Timestamp.valueOf("2024-01-01 00:00:05")))
-          q.processAllAvailable()
-          in.addData(Doc2(3L, "watermark mover row",
-            Timestamp.valueOf("2024-01-01 00:30:00")))
-          q.processAllAvailable()
-        } finally q.stop()
-        assert(spark.table("cg_guard_out").count() >= 2)
-      } finally spark.conf.unset(providerKey)
-      assert(hits.isEmpty,
-        s"codegen silently fell back to interpreted mode:\n${hits.toArray.mkString("\n")}")
-    } finally {
-      rootCfg.removeAppender("graft-fallback-guard")
-      ctx.updateLoggers()
-      appender.stop()
-    }
+        in.addData(
+          Doc2(1L, "the quick brown fox jumps over the lazy dog",
+            Timestamp.valueOf("2024-01-01 00:00:01")),
+          Doc2(2L, "completely unrelated content about databases",
+            Timestamp.valueOf("2024-01-01 00:00:05")))
+        q.processAllAvailable()
+        in.addData(Doc2(3L, "watermark mover row",
+          Timestamp.valueOf("2024-01-01 00:30:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.table("cg_guard_out").count() >= 2)
+    } finally spark.conf.unset(providerKey)
+    val hits = CodegenFallbackGuard.drain()
+    assert(hits.isEmpty,
+      s"codegen silently fell back to interpreted mode:\n${hits.mkString("\n")}")
   }
 }
 
