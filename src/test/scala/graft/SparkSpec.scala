@@ -63,7 +63,12 @@ object CodegenFallbackGuard {
         AppenderName, null, null, false, Property.EMPTY_ARRAY) {
       override def append(event: LogEvent): Unit = {
         val msg = event.getMessage.getFormattedMessage
-        if (msg.contains("falling back to interpreter mode"))
+        // two silent-degradation classes: projection-level interpreted
+        // fallback (the r13 SeenEntry defect) and whole-stage codegen
+        // bailout (a stage whose generated method exceeds JVM limits
+        // runs un-fused — logged once, then silently slow forever)
+        if (msg.contains("falling back to interpreter mode") ||
+            msg.contains("Whole-stage codegen disabled for plan"))
           hits.add(s"${event.getLoggerName}: ${msg.linesIterator.next()}")
       }
     }
