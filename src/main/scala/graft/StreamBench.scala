@@ -91,6 +91,15 @@ object StreamBench {
           Thread.sleep(500L)
         }
       } finally q.stop()
+      // Quiesced, serialized store teardown (r15): the two r14 JVM
+      // SIGSEGVs (rocksdb LoggerJniCallback::Logv use-after-free) both
+      // fired when the 60 s maintenance tick closed earlier shapes'
+      // RocksDB providers CONCURRENTLY with the running shape's load.
+      // q.stop() has returned → no commits in flight → close every
+      // provider here on the driver thread while the RocksDB env pool
+      // is idle, so maintenance never tears stores down under churn.
+      org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+        .unloadAllStateStores()
       val progress = q.recentProgress.toSeq
       val steadyP = progress.drop(progress.length / 3)
       val steady = steadyP
@@ -139,17 +148,34 @@ object StreamBench {
         // the one stateful streaming path with a REAL codec in the
         // loop (ImageIO decode per row) feeding a codegen'd ListState
         // serde — the regression surface for the r14 SeenEntry fix.
-        // 64 distinct synthetic PNGs cycled by the rate source; dHash
-        // dedup drops repeats inside the watermark, so out_rows/s
-        // collapses to ~0 after the first batch and rows_per_sec is
-        // the decode + state-store admission ceiling.
+        // Traffic mix (r15, the simhash_neardup_dedup recipe): 3/4 of
+        // rows cycle 64 pre-rendered PNGs (all dups after the first
+        // batch — the state-scan load), 1/4 carry a PNG rendered
+        // in-stream from the row's sha2 digest (avalanche pixels → a
+        // novel dHash per row). Exact dedup emits survivors in the
+        // SAME batch, so steady-state out_rows/s > 0 is an emission
+        // witness — a permanent 0 could not distinguish "dedup
+        // correctly drops everything" from a dead sink. rows_per_sec
+        // stays the decode + state-store admission ceiling (uniques
+        // additionally pay one PNG ENCODE — still the same codec
+        // seam).
         val payloads = graft.operators.Multimodal.syntheticImages(spark,
           (0L until 64L).map(i => (i, s"stream image payload $i " * 8))
             .toDF("doc_id", "text")).collect().map(_.payload).toSeq
+        val mkPng = udf((s: String) =>
+          graft.operators.Multimodal.pngOf(s, 32))
         val s = purchases(200000L).select(
           col("id").as("doc_id"),
-          element_at(typedlit(payloads),
-            (col("id") % 64L).cast("int") + 1).as("payload"),
+          // two salted sha2-512 digests → 256 hex chars → an 8-pixel-row
+          // PNG: the 9×8 dHash grid needs ≥8 distinct pixel rows for 64
+          // independent gradient bits (a 2-row image carries ~16 bits →
+          // birthday collisions silently re-dup'd most uniques)
+          when(col("id") % 4L === 0L,
+            mkPng(concat(
+              sha2(concat(lit("u"), col("id").cast("string")), 512),
+              sha2(concat(lit("v"), col("id").cast("string")), 512))))
+            .otherwise(element_at(typedlit(payloads),
+              (col("id") % 64L).cast("int") + 1)).as("payload"),
           col("ts"))
         (StreamingDedup.byImageDHash(s, "ts", "5 seconds"), "append")
       }),

@@ -327,8 +327,24 @@ object GraphOps {
     }
     loopUnpersist(outDeg); loopUnpersist(nodes); loopUnpersist(e)
     loopUnpersist(eOutd); loopUnpersist(dangV)
+    if (tol > 0.0) {
+      // the stopping rule is the whole point of tol mode, and a
+      // one-round shift is invisible in wall time alone (r14's 1.31×
+      // q61_pagerank_tol reading could not distinguish "tol now fires
+      // a round later" from host noise) — make the round count a
+      // first-class observable of every tol run
+      lastTolRounds = i
+      System.err.println(
+        s"[graft] pageRank tol=$tol exited after $i rounds (converged=$converged)")
+    }
     pr
   }
+
+  /** Round count of the most recent `pageRank(tol > 0)` call in this
+    * JVM — bench/spec instrumentation for the stopping rule (see the
+    * tol-mode log line in [[pageRank]]).
+    */
+  @volatile var lastTolRounds: Int = -1
 
   /** Personalized PageRank (q134): PageRank where BOTH the teleport
     * mass (1−d) and the recycled dangling mass return only to the

@@ -88,22 +88,32 @@ object Multimodal {
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { case (id, text) =>
-          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val h = math.max(1, (bytes.length + width - 1) / width)
-          val img = new BufferedImage(width, h, BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var i = 0
-          while (i < width * h) {
-            raster.setSample(i % width, i / width, 0,
-              if (i < bytes.length) bytes(i) & 0xff else 0)
-            i += 1
-          }
-          val baos = new ByteArrayOutputStream()
-          ImageIO.write(img, "png", baos)
-          val payload = baos.toByteArray
+          val payload = pngOf(text, width)
           MediaRecord(id, "image", payload, payload.length.toLong)
         }
       }
+  }
+
+  /** Render `text`'s UTF-8 bytes as the pixels of a `width`-wide
+    * grayscale PNG — the deterministic codec seam shared by
+    * [[syntheticImages]] and StreamBench's in-stream unique-image
+    * traffic (a per-row novel payload whose dHash actually varies,
+    * which a pre-rendered pool cannot provide).
+    */
+  private[graft] def pngOf(text: String, width: Int): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = math.max(1, (bytes.length + width - 1) / width)
+    val img = new BufferedImage(width, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < width * h) {
+      raster.setSample(i % width, i / width, 0,
+        if (i < bytes.length) bytes(i) & 0xff else 0)
+      i += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 
   /** q114: the codec round-trip under the oracle gate. Every document

@@ -333,11 +333,60 @@ class PlanContractSpec extends SparkSpec {
       isReducer: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Boolean): Boolean =
     p match {
       case n if isReducer(n) => true
+      // grain-EXPANDING nodes undo any bound proven below them: an
+      // explode (Generate) between the window and its Aggregate turns
+      // a bounded-domain frame back into data-sized rows, and an
+      // object-seam flatMap can emit arbitrarily many rows per input.
+      // They must TERMINATE the walk as unbounded, not be walked
+      // through like a projection. (Expand — grouping sets — is left
+      // as a pass-through: it multiplies by the fixed projection
+      // count, so bounded×constant stays bounded.)
+      case _: org.apache.spark.sql.catalyst.plans.logical.Generate => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.CoGroup => false
       case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode =>
         boundedBelow(u.child, isReducer)
       case b => b.children.nonEmpty &&
         b.children.forall(boundedBelow(_, isReducer))
     }
+
+  test("boundedBelow rejects a grain-expanding node between window and reducer") {
+    // the r14-noted gap, closed: a window above explode(...) above an
+    // Aggregate must NOT count as bounded — the explode re-expands the
+    // aggregated frame to data grain. Build exactly that shape and
+    // assert the walk refuses it (and accepts it with the explode
+    // removed, so the test can't pass vacuously).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    import org.apache.spark.sql.functions._
+    val base = spark.range(100)
+      .groupBy((col("id") % 10L).as("k"))
+      .agg(collect_list("id").as("ids"))
+    def isReducer(
+        n: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      n match {
+        case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+        case _ => false
+      }
+    val exploded = base.select(col("k"), explode(col("ids")).as("id"))
+      .withColumn("r", row_number().over(WSpec.orderBy("id")))
+    val expWins = exploded.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(expWins.nonEmpty, "shape lost its unpartitioned window")
+    assert(expWins.forall(w => !boundedBelow(w.child, isReducer)),
+      "window above explode above Aggregate passed the walk — the " +
+        "grain-expansion gap is back")
+    val plain = base.select(col("k"))
+      .withColumn("r", row_number().over(WSpec.orderBy("k")))
+    val plainWins = plain.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(plainWins.nonEmpty && plainWins.forall(w =>
+        boundedBelow(w.child, isReducer)),
+      "control shape (no explode) should be accepted")
+  }
 
   test("post-limit whitelist entries are verified by plan walk, not prose") {
     // the whitelist's post-limit CLASS claims each query's

@@ -32,12 +32,29 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // would discard an appender attached before it
     spark
     CodegenFallbackGuard.install()
-    CodegenFallbackGuard.drain() // a prior suite's failure already reported
+    // A hit landing BETWEEN suites (a prior suite's still-draining
+    // streaming/task thread logging after its afterAll drain) belongs
+    // to no suite — surface it on stderr rather than silently dropping
+    // the signal (it cannot fail THIS suite: the fallback is not ours).
+    val stragglers = CodegenFallbackGuard.drain()
+    if (stragglers.nonEmpty)
+      Console.err.println(
+        s"[between-suites] codegen fallback logged after the previous " +
+          s"suite's drain, before ${getClass.getName}:\n" +
+          stragglers.mkString("\n"))
     super.beforeAll()
   }
 
   override protected def afterAll(): Unit = {
     try {
+      // Close any state-store providers THIS suite's (now stopped)
+      // streaming queries loaded — on this thread, quiesced — instead
+      // of leaving them for the maintenance thread to tear down under
+      // a later suite's load (the RocksDB JNI logger use-after-free
+      // window both r14 hs_err dumps landed in; see
+      // GraftStateStoreBridge).
+      org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+        .unloadAllStateStores()
       val hits = CodegenFallbackGuard.drain()
       assert(hits.isEmpty,
         s"SILENT codegen fallback during ${getClass.getName} — results stay " +

@@ -189,15 +189,22 @@ def main() -> None:
             (n, retried[n][1] + "  [passed on retry]", True)
             if (not ok and retried[n][2]) else (n, line, ok)
             for n, line, ok in results]
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_rows_only = 0
     for _, line, ok in sorted(results):
         print(line)
         n_pass += 1 if ok else 0
         n_fail += 0 if ok else 1
+        n_rows_only += 1 if line.startswith("ROWS-ONLY") else 0
     # retried passes count as passes, but the flake signal must be
     # machine-visible in the summary, not only greppable per-line
     retry_note = f" ({n_retry_pass} on retry)" if n_retry_pass else ""
-    print(f"== {n_pass} pass{retry_note}, {n_fail} fail ==")
+    # ROWS-ONLY dirs (a dump with no oracle entry — e.g. a stale dir
+    # from a prior full run under a REUSED outDir with a filtered
+    # oracle_sql.json) get only the rows>0 check, which is weaker than
+    # a full value compare. Surface the count so a dev-loop run over a
+    # stale outDir is visibly NOT a full-oracle pass.
+    rows_only_note = f" ({n_rows_only} rows-only)" if n_rows_only else ""
+    print(f"== {n_pass} pass{retry_note}{rows_only_note}, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
 
