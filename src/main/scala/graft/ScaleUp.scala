@@ -29,11 +29,17 @@ import org.apache.spark.sql.functions._
   * families (10 exact replicas of every document are not "10× the
   * corpus" — they are one giant cross-copy dup cluster that inflates
   * candidate-pair counts ~n× beyond linear BY CONSTRUCTION):
-  *   - `documents.text`: every whitespace token gets a copy suffix
-  *     (`tok` → `tok~c3`), so shingle/minhash/simhash neighborhoods
-  *     are disjoint ACROSS copies and identical WITHIN a copy;
-  *     `n_chars` is recomputed (the driver invariant
-  *     n_chars = length(text) holds at all SFs).
+  *   - `documents.text`: copy i > 0 applies a LENGTH-PRESERVING
+  *     letter-rotation cipher (a→(a+i) mod 26), so shingle/minhash/
+  *     simhash neighborhoods are disjoint ACROSS copies and identical
+  *     WITHIN a copy, while char/token/gram VOLUMES scale by exactly
+  *     n. (The first cut suffixed every token instead — that inflated
+  *     character volume ~1.63× on copies 1–9 and read as a phantom
+  *     16× "superlinearity" on the char-gram query q176; a scale
+  *     fixture must not change per-row work.) Requires n ≤ 26.
+  *     `n_chars` is length-invariant but recomputed anyway as a
+  *     belt-and-braces hold of the driver invariant
+  *     n_chars = length(text).
   *   - `embeddings.embedding`: a small deterministic per-copy,
   *     per-dimension perturbation (±0.01·sin) breaks exact-tie
   *     degeneracy in distance ranking while leaving the cluster
@@ -73,13 +79,18 @@ object ScaleUp {
     keyCols(table).foreach { c =>
       df = df.withColumn(c, col(c) + col("__copy") * SHIFT)
     }
-    if (table == "documents")
+    if (table == "documents") {
+      require(n <= 26, s"letter-rotation rewrite supports n <= 26, got $n")
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val rot = (1 until n).foldLeft(when(col("__copy") === 0L, col("text"))) {
+        (acc, i) =>
+          acc.when(col("__copy") === i.toLong,
+            translate(col("text"), alpha, alpha.drop(i) + alpha.take(i)))
+      }
       df = df
-        .withColumn("text",
-          when(col("__copy") === 0L, col("text"))
-            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("$1~c"), col("__copy")))))
+        .withColumn("text", rot.otherwise(col("text")))
         .withColumn("n_chars", length(col("text")))
+    }
     if (table == "embeddings")
       df = df.withColumn("embedding",
         when(col("__copy") === 0L, col("embedding"))

@@ -254,9 +254,24 @@ object GraphOps {
     * ranks within ~`tol·d/(1−d)` (≈ 5.7·tol at d = 0.85) of the
     * fixed-point — the property spec asserts this against a
     * run-to-the-cap reference.
+    *
+    * `relTol` is the SCALE-INVARIANT form of the same rule and the
+    * production knob: ranks sum to 1, so `max_v |Δpr|` shrinks ~1/n as
+    * the graph grows and any fixed absolute `tol` degenerates with
+    * scale — the r15 scaling curve measured the q61 twin's tol=3e-4
+    * exit at round 6 on the sf0.1 graph (~16 k nodes) and round 1 on
+    * the 10× graph; at 10^9 nodes it would never iterate at all.
+    * `relTol` thresholds the NORMALIZED rank `n·pr` (uniform ≡ 1.0):
+    * converged when `max_v |Δpr| < relTol / n`, which keeps the round
+    * count fixed across self-similar scale-ups (same curve: 6 rounds
+    * at both SFs with relTol = 4.8). The ε-bound above then holds in
+    * normalized units: n·pr within ~relTol·d/(1−d) of the fixed-point.
+    * If both are set the TIGHTER threshold wins (max-norm conjunction);
+    * `tol` keeps its absolute meaning for the property spec.
     */
   def pageRank(edges: DataFrame, iters: Int = 10,
-               damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
+               damping: Double = 0.85, tol: Double = 0.0,
+               relTol: Double = 0.0): DataFrame = {
     val e = loopCheckpoint(edges.select(col("src"), col("dst")).distinct())
     // nodes/dangV are v-partitioned and eOutd dst-partitioned ONCE
     // (the q137 anatomy): with pr broadcast into the contribution
@@ -268,6 +283,12 @@ object GraphOps {
       .distinct()
       .repartition(col("v")))
     val n = nodes.count().toDouble
+    // effective early-exit threshold: absolute and/or normalized (see
+    // scaladoc); both set -> the tighter (smaller) one governs
+    val thresh = Seq[Option[Double]](
+      if (tol > 0.0) Some(tol) else None,
+      if (relTol > 0.0) Some(relTol / n) else None)
+      .flatten.reduceOption((a, b) => math.min(a, b)).getOrElse(0.0)
     val outDeg = loopCheckpoint(e.groupBy("src").agg(count(lit(1)).as("outd")))
     // loop-invariant prework, hoisted: edges pre-joined with out-degree
     // (saves one join per iteration) and the dangling-vertex set (the
@@ -301,7 +322,7 @@ object GraphOps {
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dang") / n))
             .as("pr"))
-      if (tol > 0.0) {
+      if (thresh > 0.0) {
         // carry the previous rank through the step so the delta is an
         // aggregate over the checkpointed frame (no extra re-join of
         // the big sides), then project it back off
@@ -313,7 +334,7 @@ object GraphOps {
         // empty graph: max over zero rows is NULL (getDouble would
         // NPE) — trivially converged
         val delta = if (deltaRow.isNullAt(0)) 0.0 else deltaRow.getDouble(0)
-        converged = delta < tol
+        converged = delta < thresh
         loopUnpersist(prStore)
         prStore = stepped
         pr = stepped.select(col("v"), col("pr"))
@@ -327,7 +348,7 @@ object GraphOps {
     }
     loopUnpersist(outDeg); loopUnpersist(nodes); loopUnpersist(e)
     loopUnpersist(eOutd); loopUnpersist(dangV)
-    if (tol > 0.0) {
+    if (thresh > 0.0) {
       // the stopping rule is the whole point of tol mode, and a
       // one-round shift is invisible in wall time alone (r14's 1.31×
       // q61_pagerank_tol reading could not distinguish "tol now fires
@@ -335,7 +356,8 @@ object GraphOps {
       // first-class observable of every tol run
       lastTolRounds = i
       System.err.println(
-        s"[graft] pageRank tol=$tol exited after $i rounds (converged=$converged)")
+        s"[graft] pageRank tol=$tol relTol=$relTol thresh=$thresh " +
+          s"exited after $i rounds (converged=$converged)")
     }
     pr
   }

@@ -124,6 +124,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(ten == tenAgain)
   }
 
+  test("pagerank: relTol is scale-invariant where absolute tol degenerates") {
+    // the r15 scaling-curve finding, pinned as a property: ranks sum
+    // to 1, so max|Δpr| shrinks ~1/n on a k-fold disjoint scale-up
+    // and a fixed absolute tol exits EARLIER on the bigger graph,
+    // while relTol (thresholding n·pr) keeps the round count.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (4L, 2L), (5L, 4L))
+    def kCopies(k: Int) = edges((0 until k).flatMap(i =>
+      base.map { case (a, b) => (a + 100L * i, b + 100L * i) }): _*)
+    val n1 = 5.0 // vertices of one copy
+    val tolAbs = 2e-2
+    GraphOps.pageRank(kCopies(1), iters = 30, tol = tolAbs)
+    val roundsAbs1 = GraphOps.lastTolRounds
+    GraphOps.pageRank(kCopies(8), iters = 30, tol = tolAbs)
+    val roundsAbs8 = GraphOps.lastTolRounds
+    assert(roundsAbs8 < roundsAbs1,
+      s"absolute tol should fire earlier on the 8x graph " +
+        s"(got $roundsAbs1 -> $roundsAbs8)")
+    val rel = tolAbs * n1 // same threshold as tolAbs on the 1x graph
+    GraphOps.pageRank(kCopies(1), iters = 30, relTol = rel)
+    val roundsRel1 = GraphOps.lastTolRounds
+    GraphOps.pageRank(kCopies(8), iters = 30, relTol = rel)
+    val roundsRel8 = GraphOps.lastTolRounds
+    assert(roundsRel1 == roundsAbs1,
+      s"relTol = tol*n must reproduce the absolute round count at 1x " +
+        s"($roundsRel1 vs $roundsAbs1)")
+    assert(roundsRel8 == roundsRel1,
+      s"relTol round count must be invariant under the disjoint " +
+        s"scale-up (got $roundsRel1 -> $roundsRel8)")
+  }
+
   test("triangle count: hand graphs, orientation/duplicate tolerance") {
     import spark.implicits._
     def tc(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
