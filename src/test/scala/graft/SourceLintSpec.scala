@@ -129,6 +129,11 @@ class SourceLintSpec extends AnyFunSuite {
   test("udf( is confined to the streaming image dHash") {
     check("udf(", """(?<![\w.])udf\(""".r, Map(
       "src/main/scala/graft/streaming/StreamingDedup.scala" ->
-        (1, "dHash over ImageIO decode in a streaming map: same codec-seam justification")))
+        (1, "dHash over ImageIO decode in a streaming map: same codec-seam justification"),
+      "src/main/scala/graft/StreamBench.scala" ->
+        (1, "bench traffic GENERATOR, not engine code: renders the " +
+          "per-row-unique PNG for the image_dhash_dedup emission " +
+          "witness (ImageIO encode is a codec seam like the decode " +
+          "UDF it feeds; never on a 100 TB query path)")))
   }
 }
