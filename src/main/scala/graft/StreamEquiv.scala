@@ -80,7 +80,15 @@ object StreamEquiv {
         }
         in.addData(sent1); q.processAllAvailable()
         in.addData(sent2); q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // r15: close this shape's RocksDB providers here, quiesced, on
+        // this thread -- not on the maintenance tick under the next
+        // shape's load (the LoggerJniCallback teardown race; see
+        // GraftStateStoreBridge)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+          .unloadAllStateStores()
+      }
       val got = spark.read.parquet(outDir)
         .filter(col("event_type") =!= "zz_sentinel")
         .collect()
@@ -111,7 +119,15 @@ object StreamEquiv {
         rows.grouped(math.max(1, rows.length / 3)).foreach { c =>
           in.addData(c.toIndexedSeq); q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // r15: close this shape's RocksDB providers here, quiesced, on
+        // this thread -- not on the maintenance tick under the next
+        // shape's load (the LoggerJniCallback teardown race; see
+        // GraftStateStoreBridge)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+          .unloadAllStateStores()
+      }
       val got = spark.table("se_latest")
         .select(col("user_id"), col("event_id")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -143,7 +159,15 @@ object StreamEquiv {
         purchases.addData(pRows.toIndexedSeq)
         clicks.addData(cRows.toIndexedSeq)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // r15: close this shape's RocksDB providers here, quiesced, on
+        // this thread -- not on the maintenance tick under the next
+        // shape's load (the LoggerJniCallback teardown race; see
+        // GraftStateStoreBridge)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+          .unloadAllStateStores()
+      }
       val got = spark.read.parquet(outDir).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val p = events.filter(col("event_type") === "purchase")
@@ -173,7 +197,15 @@ object StreamEquiv {
         rows.grouped(math.max(1, rows.length / 3)).foreach { c =>
           in.addData(c.toIndexedSeq); q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // r15: close this shape's RocksDB providers here, quiesced, on
+        // this thread -- not on the maintenance tick under the next
+        // shape's load (the LoggerJniCallback teardown race; see
+        // GraftStateStoreBridge)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+          .unloadAllStateStores()
+      }
       val got = spark.read.parquet(outDir).collect()
         .groupBy(_.getAs[Int]("stage_idx"))
         .map { case (i, rs) =>
@@ -202,7 +234,15 @@ object StreamEquiv {
         }
         in.addData(sent1); q.processAllAvailable()
         in.addData(sent2); q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // r15: close this shape's RocksDB providers here, quiesced, on
+        // this thread -- not on the maintenance tick under the next
+        // shape's load (the LoggerJniCallback teardown race; see
+        // GraftStateStoreBridge)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+          .unloadAllStateStores()
+      }
       val got = spark.read.parquet(outDir)
         .filter(col("grp") =!= -1L)
         .collect()
@@ -247,7 +287,15 @@ object StreamEquiv {
         }
         in.addData(sent1); q.processAllAvailable()
         in.addData(sent2); q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // r15: close this shape's RocksDB providers here, quiesced, on
+        // this thread -- not on the maintenance tick under the next
+        // shape's load (the LoggerJniCallback teardown race; see
+        // GraftStateStoreBridge)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+          .unloadAllStateStores()
+      }
       val got = spark.read.parquet(outDir)
         .filter(col("user_id") =!= -1L)
         .collect()
@@ -287,7 +335,15 @@ object StreamEquiv {
         }
         in.addData(sent1); q.processAllAvailable()
         in.addData(sent2); q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // r15: close this shape's RocksDB providers here, quiesced, on
+        // this thread -- not on the maintenance tick under the next
+        // shape's load (the LoggerJniCallback teardown race; see
+        // GraftStateStoreBridge)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+          .unloadAllStateStores()
+      }
       val got = spark.read.parquet(outDir)
         .filter(col("grp") =!= -1L)
         .collect()
@@ -333,7 +389,15 @@ object StreamEquiv {
         pts.grouped(math.max(1, pts.length / 3)).foreach { c =>
           in.addData(c.toIndexedSeq); q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // r15: close this shape's RocksDB providers here, quiesced, on
+        // this thread -- not on the maintenance tick under the next
+        // shape's load (the LoggerJniCallback teardown race; see
+        // GraftStateStoreBridge)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+          .unloadAllStateStores()
+      }
       val got = spark.read.parquet(outDir)
         .filter(col("alarm")).groupBy(col("key"))
         .agg(count(lit(1)).as("n")).collect()
@@ -367,7 +431,15 @@ object StreamEquiv {
         // sentinels: fire every pending purchase timer
         in.addData(FEv(-1L, -1L, sent1.ts, "view")); q.processAllAvailable()
         in.addData(FEv(-1L, -2L, sent2.ts, "view")); q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // r15: close this shape's RocksDB providers here, quiesced, on
+        // this thread -- not on the maintenance tick under the next
+        // shape's load (the LoggerJniCallback teardown race; see
+        // GraftStateStoreBridge)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+          .unloadAllStateStores()
+      }
       val got = spark.read.parquet(outDir).collect()
         .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("next_error_id"),
           r.getAs[Long]("delta_s"))).toSet
