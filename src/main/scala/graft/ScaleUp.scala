@@ -43,7 +43,17 @@ import org.apache.spark.sql.functions._
   *   - `embeddings.embedding`: a small deterministic per-copy,
   *     per-dimension perturbation (±0.01·sin) breaks exact-tie
   *     degeneracy in distance ranking while leaving the cluster
-  *     geometry (labels, IVF cell structure) intact.
+  *     geometry (labels, IVF cell structure) intact. CAVEAT (r15
+  *     sweep): cross-copy cosines stay ≈ 1, so the corpus scales as
+  *     "every vector gains n−1 near-duplicates" — a dedup-STRESS
+  *     regime, not a fresh-corpus regime (the bucketed near-dup
+  *     family still measured bounded: q37 0.5×, q64 2.3× at 10×).
+  *     A per-copy deterministic SIGN-FLIP pattern (multiply dim j of
+  *     copy i by ±1 from hash(i,j)) would preserve within-copy
+  *     geometry EXACTLY while making copies mutually near-orthogonal
+  *     — the fresh-corpus regime — at the cost of invalidating
+  *     cross-SF comparison with this round's published curve;
+  *     deferred to keep r15's artifact coherent.
   *
   * Usage: tools/run.sh graft.ScaleUp <srcDir> <destDir> [n]
   */

@@ -90,16 +90,20 @@ object StreamBench {
                (q.recentProgress.length < 6 && secs < 3.0 * runSecs)) {
           Thread.sleep(500L)
         }
-      } finally q.stop()
-      // Quiesced, serialized store teardown (r15): the two r14 JVM
-      // SIGSEGVs (rocksdb LoggerJniCallback::Logv use-after-free) both
-      // fired when the 60 s maintenance tick closed earlier shapes'
-      // RocksDB providers CONCURRENTLY with the running shape's load.
-      // q.stop() has returned → no commits in flight → close every
-      // provider here on the driver thread while the RocksDB env pool
-      // is idle, so maintenance never tears stores down under churn.
-      org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
-        .unloadAllStateStores()
+      } finally {
+        q.stop()
+        // Quiesced, serialized store teardown (r15): the two r14 JVM
+        // SIGSEGVs (rocksdb LoggerJniCallback::Logv use-after-free)
+        // both fired when the 60 s maintenance tick closed earlier
+        // shapes' RocksDB providers CONCURRENTLY with the running
+        // shape's load. q.stop() has returned → no commits in flight →
+        // close every provider here on the driver thread while the
+        // RocksDB env pool is idle, so maintenance never tears stores
+        // down under churn. In the FINALLY so a failed shape cannot
+        // leak its providers into the next shape's run either.
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
+          .unloadAllStateStores()
+      }
       val progress = q.recentProgress.toSeq
       val steadyP = progress.drop(progress.length / 3)
       val steady = steadyP
