@@ -91,7 +91,6 @@ object StreamBench {
           Thread.sleep(500L)
         }
       } finally {
-        q.stop()
         // Quiesced, serialized store teardown (r15): the two r14 JVM
         // SIGSEGVs (rocksdb LoggerJniCallback::Logv use-after-free)
         // both fired when the 60 s maintenance tick closed earlier
@@ -100,9 +99,12 @@ object StreamBench {
         // close every provider here on the driver thread while the
         // RocksDB env pool is idle, so maintenance never tears stores
         // down under churn. In the FINALLY so a failed shape cannot
-        // leak its providers into the next shape's run either.
-        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
-          .unloadAllStateStores()
+        // leak its providers into the next shape's run either — and
+        // NESTED so a throwing stop() cannot skip the unload (r15
+        // ADVICE).
+        try q.stop()
+        finally org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreBridge.unloadAllStateStores()
       }
       val progress = q.recentProgress.toSeq
       val steadyP = progress.drop(progress.length / 3)

@@ -81,13 +81,14 @@ object StreamEquiv {
         in.addData(sent1); q.processAllAvailable()
         in.addData(sent2); q.processAllAvailable()
       } finally {
-        q.stop()
         // r15: close this shape's RocksDB providers here, quiesced, on
         // this thread -- not on the maintenance tick under the next
         // shape's load (the LoggerJniCallback teardown race; see
-        // GraftStateStoreBridge)
-        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
-          .unloadAllStateStores()
+        // GraftStateStoreBridge). stop() nested so a throwing stop
+        // cannot skip the unload (r15 ADVICE).
+        try q.stop()
+        finally org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreBridge.unloadAllStateStores()
       }
       val got = spark.read.parquet(outDir)
         .filter(col("event_type") =!= "zz_sentinel")
@@ -120,13 +121,14 @@ object StreamEquiv {
           in.addData(c.toIndexedSeq); q.processAllAvailable()
         }
       } finally {
-        q.stop()
         // r15: close this shape's RocksDB providers here, quiesced, on
         // this thread -- not on the maintenance tick under the next
         // shape's load (the LoggerJniCallback teardown race; see
-        // GraftStateStoreBridge)
-        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
-          .unloadAllStateStores()
+        // GraftStateStoreBridge). stop() nested so a throwing stop
+        // cannot skip the unload (r15 ADVICE).
+        try q.stop()
+        finally org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreBridge.unloadAllStateStores()
       }
       val got = spark.table("se_latest")
         .select(col("user_id"), col("event_id")).collect()
@@ -160,13 +162,14 @@ object StreamEquiv {
         clicks.addData(cRows.toIndexedSeq)
         q.processAllAvailable()
       } finally {
-        q.stop()
         // r15: close this shape's RocksDB providers here, quiesced, on
         // this thread -- not on the maintenance tick under the next
         // shape's load (the LoggerJniCallback teardown race; see
-        // GraftStateStoreBridge)
-        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
-          .unloadAllStateStores()
+        // GraftStateStoreBridge). stop() nested so a throwing stop
+        // cannot skip the unload (r15 ADVICE).
+        try q.stop()
+        finally org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreBridge.unloadAllStateStores()
       }
       val got = spark.read.parquet(outDir).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -198,13 +201,14 @@ object StreamEquiv {
           in.addData(c.toIndexedSeq); q.processAllAvailable()
         }
       } finally {
-        q.stop()
         // r15: close this shape's RocksDB providers here, quiesced, on
         // this thread -- not on the maintenance tick under the next
         // shape's load (the LoggerJniCallback teardown race; see
-        // GraftStateStoreBridge)
-        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
-          .unloadAllStateStores()
+        // GraftStateStoreBridge). stop() nested so a throwing stop
+        // cannot skip the unload (r15 ADVICE).
+        try q.stop()
+        finally org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreBridge.unloadAllStateStores()
       }
       val got = spark.read.parquet(outDir).collect()
         .groupBy(_.getAs[Int]("stage_idx"))
@@ -235,13 +239,14 @@ object StreamEquiv {
         in.addData(sent1); q.processAllAvailable()
         in.addData(sent2); q.processAllAvailable()
       } finally {
-        q.stop()
         // r15: close this shape's RocksDB providers here, quiesced, on
         // this thread -- not on the maintenance tick under the next
         // shape's load (the LoggerJniCallback teardown race; see
-        // GraftStateStoreBridge)
-        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
-          .unloadAllStateStores()
+        // GraftStateStoreBridge). stop() nested so a throwing stop
+        // cannot skip the unload (r15 ADVICE).
+        try q.stop()
+        finally org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreBridge.unloadAllStateStores()
       }
       val got = spark.read.parquet(outDir)
         .filter(col("grp") =!= -1L)
@@ -288,13 +293,14 @@ object StreamEquiv {
         in.addData(sent1); q.processAllAvailable()
         in.addData(sent2); q.processAllAvailable()
       } finally {
-        q.stop()
         // r15: close this shape's RocksDB providers here, quiesced, on
         // this thread -- not on the maintenance tick under the next
         // shape's load (the LoggerJniCallback teardown race; see
-        // GraftStateStoreBridge)
-        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
-          .unloadAllStateStores()
+        // GraftStateStoreBridge). stop() nested so a throwing stop
+        // cannot skip the unload (r15 ADVICE).
+        try q.stop()
+        finally org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreBridge.unloadAllStateStores()
       }
       val got = spark.read.parquet(outDir)
         .filter(col("user_id") =!= -1L)
@@ -336,13 +342,14 @@ object StreamEquiv {
         in.addData(sent1); q.processAllAvailable()
         in.addData(sent2); q.processAllAvailable()
       } finally {
-        q.stop()
         // r15: close this shape's RocksDB providers here, quiesced, on
         // this thread -- not on the maintenance tick under the next
         // shape's load (the LoggerJniCallback teardown race; see
-        // GraftStateStoreBridge)
-        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
-          .unloadAllStateStores()
+        // GraftStateStoreBridge). stop() nested so a throwing stop
+        // cannot skip the unload (r15 ADVICE).
+        try q.stop()
+        finally org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreBridge.unloadAllStateStores()
       }
       val got = spark.read.parquet(outDir)
         .filter(col("grp") =!= -1L)
@@ -390,13 +397,14 @@ object StreamEquiv {
           in.addData(c.toIndexedSeq); q.processAllAvailable()
         }
       } finally {
-        q.stop()
         // r15: close this shape's RocksDB providers here, quiesced, on
         // this thread -- not on the maintenance tick under the next
         // shape's load (the LoggerJniCallback teardown race; see
-        // GraftStateStoreBridge)
-        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
-          .unloadAllStateStores()
+        // GraftStateStoreBridge). stop() nested so a throwing stop
+        // cannot skip the unload (r15 ADVICE).
+        try q.stop()
+        finally org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreBridge.unloadAllStateStores()
       }
       val got = spark.read.parquet(outDir)
         .filter(col("alarm")).groupBy(col("key"))
@@ -432,13 +440,14 @@ object StreamEquiv {
         in.addData(FEv(-1L, -1L, sent1.ts, "view")); q.processAllAvailable()
         in.addData(FEv(-1L, -2L, sent2.ts, "view")); q.processAllAvailable()
       } finally {
-        q.stop()
         // r15: close this shape's RocksDB providers here, quiesced, on
         // this thread -- not on the maintenance tick under the next
         // shape's load (the LoggerJniCallback teardown race; see
-        // GraftStateStoreBridge)
-        org.apache.spark.sql.execution.streaming.state.GraftStateStoreBridge
-          .unloadAllStateStores()
+        // GraftStateStoreBridge). stop() nested so a throwing stop
+        // cannot skip the unload (r15 ADVICE).
+        try q.stop()
+        finally org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreBridge.unloadAllStateStores()
       }
       val got = spark.read.parquet(outDir).collect()
         .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("next_error_id"),

@@ -28,6 +28,68 @@ package org.apache.spark.sql.execution.streaming.state
   * where it fires.
   */
 object GraftStateStoreBridge {
-  /** Close every loaded state-store provider now, synchronously. */
+  /** Close every loaded state-store provider now, synchronously.
+    *
+    * HARNESS form — correct ONLY at fully quiesced boundaries (every
+    * streaming query of the session stopped: bench shape ends, suite
+    * `afterAll`, equivalence-harness teardown). In a long-lived app
+    * where several streaming queries stop and start independently this
+    * is the WRONG tool: it would evict LIVE queries' providers (each
+    * forced to reload its full state next micro-batch). The production
+    * form is [[unloadStateStoresForRun]] driven per terminated query
+    * by [[graft.streaming.StateStoreCleanupListener]].
+    */
   def unloadAllStateStores(): Unit = StateStore.unloadAll()
+
+  /** `loadedProviders` is object-private inside `StateStore`, with no
+    * public enumeration — only `unloadAll` (all-or-nothing) and
+    * per-id `removeFromLoadedProvidersAndClose` (`private[sql]`,
+    * reachable from this bridge package) are exposed. One reflective
+    * field read bridges the gap; the map object itself is the lock
+    * Spark's own paths synchronize on, so snapshotting under
+    * `m.synchronized` is race-free against load/unload.
+    */
+  private lazy val loadedProvidersField = {
+    val f = StateStore.getClass.getDeclaredField("loadedProviders")
+    f.setAccessible(true)
+    f
+  }
+
+  /** Snapshot of the provider ids currently loaded in THIS JVM
+    * (driver-side view; in `local[*]` that is every provider).
+    */
+  def loadedProviderIds: Seq[StateStoreProviderId] = {
+    val m = loadedProvidersField.get(StateStore).asInstanceOf[
+      scala.collection.mutable.HashMap[StateStoreProviderId, StateStoreProvider]]
+    m.synchronized { m.keysIterator.toSeq }
+  }
+
+  /** PRODUCTION form of the teardown mitigation: close only the
+    * providers belonging to one (terminated) query run, eagerly, on
+    * the caller's thread — live queries' providers stay loaded.
+    *
+    * `StateStoreProviderId.queryRunId` is the run id Spark stamps on
+    * every provider a query loads (and the same id
+    * `StreamingQueryListener.QueryTerminatedEvent.runId` reports), so
+    * the filter is exact: no shared-provider ambiguity exists across
+    * runs. Each id is closed via Spark's own
+    * `removeFromLoadedProvidersAndClose`, which removes it under the
+    * map lock and then `close()`s outside it — the same serialization
+    * `unloadAll` uses, minus the collateral eviction.
+    *
+    * Returns the number of providers closed (0 when the run had no
+    * loaded state in this JVM — stateless query or already unloaded).
+    */
+  def unloadStateStoresForRun(queryRunId: java.util.UUID): Int = {
+    val mine = loadedProviderIds.filter(_.queryRunId == queryRunId)
+    mine.foreach(id => StateStore.removeFromLoadedProvidersAndClose(id))
+    mine.size
+  }
+
+  /** Pause/resume the maintenance task (test hook — public Spark API,
+    * re-exported so specs outside the `state` package can hold the
+    * 60 s tick still while asserting WHO unloaded a provider).
+    */
+  def setMaintenancePaused(paused: Boolean): Unit =
+    StateStore.setMaintenancePaused(paused)
 }
