@@ -115,25 +115,29 @@ object GraphOps {
       // The eager checkpoint cuts lineage so round N+1 plans against a
       // flat scan — the truncation discipline iterative Spark needs.
       val offers = edges
-        .join(labels.withColumnRenamed("v", "src"), "src")
+        .join(labels.select(col("v").as("src"), col("label")), "src")
         .groupBy(col("dst").as("v"))
         .agg(min(col("label")).as("offer"))
+      // carry the round-start label through both checkpoints so the
+      // convergence test is a FILTER over the already-materialized
+      // frame instead of a vertex-scale join of two label generations
+      // (r16: one fewer per-round pass at every scale; labels only
+      // decrease, so `label < old_label` is exactly "changed")
       val propagated = loopCheckpoint(
         labels.join(offers, Seq("v"), "left")
           .select(col("v"),
-            least(col("label"), coalesce(col("offer"), col("label"))).as("label")))
+            least(col("label"), coalesce(col("offer"), col("label"))).as("label"),
+            col("label").as("old_label")))
       // pointer jump (path halving): l(v) <- l(l(v)). Labels are vertex
       // ids with l(w) <= w, so the self-join resolves and only lowers.
       val next = loopCheckpoint(propagated.as("a")
         .join(propagated.select(col("v").as("lv"), col("label").as("ll")).as("b"),
           col("a.label") === col("b.lv"), "left")
         .select(col("a.v").as("v"),
-          coalesce(col("b.ll"), col("a.label")).as("label")))
+          coalesce(col("b.ll"), col("a.label")).as("label"),
+          col("a.old_label").as("old_label")))
       loopUnpersist(propagated)
-      val changed = next.join(labels.withColumnsRenamed(
-          Map("label" -> "old_label")), "v")
-        .filter(col("label") < col("old_label"))
-        .count()
+      val changed = next.filter(col("label") < col("old_label")).count()
       loopUnpersist(labels)
       labels = next
       converged = changed == 0
@@ -202,9 +206,13 @@ object GraphOps {
         greatest(col("a"), col("b")).as("y"))
       .filter(col("x") =!= col("y"))
       .distinct())
-    val deg = canon.select(col("x").as("v"))
+    // deg feeds the dx join, the dy join, and the n_vertices scalar —
+    // checkpoint once (r16) so the union+groupBy degree pass runs a
+    // single time and the planner sees its measured (vertex-scale,
+    // small) size for the orientation joins
+    val deg = loopCheckpoint(canon.select(col("x").as("v"))
       .union(canon.select(col("y").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+      .groupBy("v").agg(count(lit(1)).as("d")))
     // orient each edge from (deg, id)-smaller to larger endpoint,
     // carrying the destination's rank for the wedge ordering below
     val withDeg = canon
@@ -233,7 +241,7 @@ object GraphOps {
       deg.agg(count(lit(1)).as("n_vertices"))
         .crossJoin(broadcast(canon.agg(count(lit(1)).as("n_edges"))))
         .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles")))))
-    loopUnpersist(canon); loopUnpersist(oriented)
+    loopUnpersist(canon); loopUnpersist(oriented); loopUnpersist(deg)
     out
   }
 
@@ -273,15 +281,25 @@ object GraphOps {
                damping: Double = 0.85, tol: Double = 0.0,
                relTol: Double = 0.0): DataFrame = {
     val e = loopCheckpoint(edges.select(col("src"), col("dst")).distinct())
-    // nodes/dangV are v-partitioned and eOutd dst-partitioned ONCE
-    // (the q137 anatomy): with pr broadcast into the contribution
-    // join, groupBy(dst) runs on eOutd's partitioning; the nodes ⋈
-    // contrib update and the dangling semi-join then co-locate on v —
-    // a round runs with zero exchanges instead of two
+    // nodes is v-partitioned and eOutd dst-partitioned ONCE (the q137
+    // anatomy): with pr broadcast into the contribution join,
+    // groupBy(dst) runs on eOutd's partitioning; the nodes ⋈ contrib
+    // update then co-locates on v — a round runs with zero exchanges
+    // instead of two. The dangling-vertex SET is folded into `nodes`
+    // as a boolean `isd` (r16): the per-round dangling-mass term
+    // becomes a filter+aggregate over the round's own checkpointed pr
+    // frame instead of a vertex-scale semi-join against a second
+    // materialized frame — one fewer pass per round at every scale,
+    // one fewer setup checkpoint, identical summands (same rows, same
+    // doubles) so the oracle mirror is untouched.
+    val outDeg = loopCheckpoint(e.groupBy("src").agg(count(lit(1)).as("outd")))
     val nodes = loopCheckpoint(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
       .distinct()
-      .repartition(col("v")))
+      .repartition(col("v"))
+      .join(outDeg.select(col("src").as("v"), lit(true).as("has_out")),
+        Seq("v"), "left")
+      .select(col("v"), col("has_out").isNull.as("isd")))
     val n = nodes.count().toDouble
     // effective early-exit threshold: absolute and/or normalized (see
     // scaladoc); both set -> the tighter (smaller) one governs
@@ -289,38 +307,38 @@ object GraphOps {
       if (tol > 0.0) Some(tol) else None,
       if (relTol > 0.0) Some(relTol / n) else None)
       .flatten.reduceOption((a, b) => math.min(a, b)).getOrElse(0.0)
-    val outDeg = loopCheckpoint(e.groupBy("src").agg(count(lit(1)).as("outd")))
     // loop-invariant prework, hoisted: edges pre-joined with out-degree
-    // (saves one join per iteration) and the dangling-vertex set (the
-    // per-round anti-join becomes a semi-join against this snapshot)
+    // (saves one join per iteration)
     val eOutd = loopCheckpoint(e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("outd"))
       .repartition(col("dst")))
-    val dangV = loopCheckpoint(nodes
-      .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti")
-      .repartition(col("v")))
 
-    var pr = loopCheckpoint(nodes.select(col("v"), lit(1.0 / n).as("pr")))
+    var pr = loopCheckpoint(nodes.select(col("v"), col("isd"),
+      lit(1.0 / n).as("pr")))
     // the frame holding the round's materialized checkpoint (what we
     // unpersist) — `pr` itself may be a projection over it in tol mode
     var prStore = pr
     var i = 0
     var converged = false
     while (i < iters && !converged) {
-      // mass sitting on dangling vertices this round — a 1-row frame
-      // broadcast into the update, keeping the whole step one plan
-      val dang = pr
-        .join(dangV, Seq("v"), "left_semi")
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
+      // mass sitting on dangling vertices this round — a 1-row
+      // aggregate over the round's checkpointed pr frame (filter on
+      // the carried flag, not a semi-join — see `nodes`), pulled as a
+      // SCALAR and folded into the update as a literal (r16): an O(1)
+      // driver value exactly like tol-mode's delta head(), replacing
+      // a per-round BroadcastExchange sub-job; the double is the same
+      // aggregate either way, so the oracle mirror is untouched
+      val dangRow = pr.filter(col("isd"))
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang")).head()
+      val dangVal = dangRow.getDouble(0)
       val contrib = eOutd
-        .join(pr.withColumnRenamed("v", "src"), "src")
+        .join(pr.select(col("v").as("src"), col("pr")), "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(col("pr") / col("outd")).as("contrib"))
       val core = nodes.join(contrib, Seq("v"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("v"),
+        .select(col("v"), col("isd"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dang") / n))
+            (coalesce(col("contrib"), lit(0.0)) + lit(dangVal) / n))
             .as("pr"))
       if (thresh > 0.0) {
         // carry the previous rank through the step so the delta is an
@@ -337,7 +355,7 @@ object GraphOps {
         converged = delta < thresh
         loopUnpersist(prStore)
         prStore = stepped
-        pr = stepped.select(col("v"), col("pr"))
+        pr = stepped.select(col("v"), col("isd"), col("pr"))
       } else {
         val next = loopCheckpoint(core)
         loopUnpersist(prStore)
@@ -347,7 +365,7 @@ object GraphOps {
       i += 1
     }
     loopUnpersist(outDeg); loopUnpersist(nodes); loopUnpersist(e)
-    loopUnpersist(eOutd); loopUnpersist(dangV)
+    loopUnpersist(eOutd)
     if (thresh > 0.0) {
       // the stopping rule is the whole point of tol mode, and a
       // one-round shift is invisible in wall time alone (r14's 1.31×
@@ -359,7 +377,7 @@ object GraphOps {
         s"[graft] pageRank tol=$tol relTol=$relTol thresh=$thresh " +
           s"exited after $i rounds (converged=$converged)")
     }
-    pr
+    pr.select(col("v"), col("pr"))
   }
 
   /** Round count of the most recent `pageRank(tol > 0)` call in this
@@ -389,10 +407,18 @@ object GraphOps {
     val e = loopCheckpoint(edges.select(col("src"), col("dst")).distinct())
     // same one-time partitioning as [[pageRank]] — zero per-round
     // exchanges in the broadcast-pr regime
+    val outDeg = loopCheckpoint(e.groupBy("src").agg(count(lit(1)).as("outd")))
+    // dangling flag folded into `nodes` exactly as in [[pageRank]]
+    // (r16): the per-round dangling-mass semi-join becomes a filter
+    // over the round's checkpointed pr frame — same summands, one
+    // fewer vertex-scale pass per round, one fewer setup checkpoint
     val nodes = loopCheckpoint(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
       .distinct()
-      .repartition(col("v")))
+      .repartition(col("v"))
+      .join(outDeg.select(col("src").as("v"), lit(true).as("has_out")),
+        Seq("v"), "left")
+      .select(col("v"), col("has_out").isNull.as("isd")))
     // a seed absent from the vertex set would silently LEAK its 1/|S|
     // share of the teleport mass every round (rank mass sums < 1 with
     // no error, breaking pageRank's inherited sum-pr=1 contract) —
@@ -401,37 +427,35 @@ object GraphOps {
     require(present == seeds.size,
       s"personalized PageRank: ${seeds.size - present} seed id(s) not in " +
         "the graph — off-graph seeds would silently leak teleport mass")
-    val outDeg = loopCheckpoint(e.groupBy("src").agg(count(lit(1)).as("outd")))
     val eOutd = loopCheckpoint(e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("outd"))
       .repartition(col("dst")))
-    val dangV = loopCheckpoint(nodes
-      .join(outDeg.select(col("src").as("v")), Seq("v"), "left_anti")
-      .repartition(col("v")))
     val isSeed = col("v").isin(seeds: _*)
     val nS = seeds.size.toDouble
-    var pr = loopCheckpoint(nodes.select(col("v"),
+    var pr = loopCheckpoint(nodes.select(col("v"), col("isd"),
       when(isSeed, lit(1.0 / nS)).otherwise(lit(0.0)).as("pr")))
     for (_ <- 0 until iters) {
-      val dang = pr.join(dangV, Seq("v"), "left_semi")
+      // dangling mass as a per-round driver SCALAR — same rationale
+      // and same doubles as [[pageRank]] (r16)
+      val dangVal = pr.filter(col("isd"))
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
+        .head().getDouble(0)
       val contrib = eOutd
-        .join(pr.withColumnRenamed("v", "src"), "src")
+        .join(pr.select(col("v").as("src"), col("pr")), "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(col("pr") / col("outd")).as("contrib"))
       val next = nodes.join(contrib, Seq("v"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("v"),
+        .select(col("v"), col("isd"),
           (when(isSeed, lit((1 - damping) / nS)).otherwise(lit(0.0)) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              when(isSeed, col("dang") / nS).otherwise(lit(0.0)))).as("pr"))
+              when(isSeed, lit(dangVal) / nS).otherwise(lit(0.0)))).as("pr"))
       val mat = loopCheckpoint(next)
       loopUnpersist(pr)
       pr = mat
     }
-    loopUnpersist(eOutd); loopUnpersist(dangV)
+    loopUnpersist(eOutd)
     loopUnpersist(outDeg); loopUnpersist(nodes); loopUnpersist(e)
-    pr
+    pr.select(col("v"), col("pr"))
   }
 
   /** k-core decomposition by iterative peeling (q130): repeatedly drop
@@ -557,9 +581,21 @@ object GraphOps {
         .groupBy("v")
         .agg(max(least(col("est"), col("cum"))).as("est"))
     }
+    // Σest as the convergence witness (r16): estimates are MONOTONE
+    // NON-INCREASING per vertex, so "no vertex changed this round" ⟺
+    // "Σ_v est is unchanged" — a 1-row aggregate over the round's own
+    // checkpointed frame replaces the former vertex-scale self-join +
+    // count. decimal(38,0) keeps the sum exact at any graph size
+    // (Σ deg ≤ |V|² overflows long at ~10⁹·10⁹).
+    def estSum(df: DataFrame): java.math.BigDecimal = {
+      // empty graph: sum over zero rows is NULL — treat as 0
+      val r = df.agg(sum(col("est").cast("decimal(38,0)")).as("s")).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
     var prev: DataFrame = null
     var est = loopCheckpoint(
       adj.groupBy("v").agg(count(lit(1)).cast("long").as("est")))
+    var prevSum = estSum(est)
     // Early exit on the fixed point: est unchanged over a round ⇔ the
     // exact core numbers (the h-index iteration is monotone
     // non-increasing). The per-round change count joins two
@@ -581,10 +617,9 @@ object GraphOps {
       // tight `rounds`) the count is pure overhead — skip it and keep
       // the old fixed-budget cost profile (r13 ADVICE).
       if (used < rounds - 1 || requireConverged) {
-        val changed = next.select(col("v"), col("est").as("est2"))
-          .join(est, Seq("v"))
-          .filter(col("est2") =!= col("est")).count()
-        converged = changed == 0L
+        val nextSum = estSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
       }
       if (prev != null) loopUnpersist(prev)
       prev = est

@@ -83,7 +83,10 @@ class SourceLintSpec extends AnyFunSuite {
     check("collectAsList/toLocalIterator/head()",
       """\.collectAsList\(|\.toLocalIterator|\.head\(\)""".r, Map(
         "src/main/scala/graft/operators/GraphOps.scala" ->
-          (1, "PageRank tolerance loop: 1-row max-delta scalar per round"),
+          (4, "1-row scalar pulls only: PageRank tol-loop max-delta; " +
+            "PageRank/PPR per-round dangling-mass sum (r16 — replaces a " +
+            "BroadcastExchange sub-job, same double); coreNumbers Σest " +
+            "convergence witness (r16 — replaces a vertex-scale join)"),
         "src/main/scala/graft/operators/Similarity.scala" ->
           (1, "PCA gram-matrix trainer: one d*d aggregate row, d fixed")))
   }
