@@ -133,13 +133,31 @@ object Dedup {
                       shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
                       estimateThreshold: Double = 0.5,
                       maxBucketSize: Int = 1000): DataFrame = {
+    GraftFunctions.register(spark) // before the eager select analysis
+    minhashLshPairsFromShingles(spark,
+      documents
+        .select(col("doc_id"),
+          HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), shingleSize)
+            .as("shingles"))
+        .filter(size(col("shingles")) > 0),
+      k, bands, estimateThreshold, maxBucketSize)
+  }
+
+  /** [[minhashLshPairs]] over a PRECOMPUTED (doc_id, shingles) frame —
+    * the sharing seam for callers that already hold the corpus's
+    * shingle sets (q182 computes them once for both its exact-truth
+    * and LSH-candidate sides). MinHash is pure SET semantics — the
+    * signature is a min over per-shingle hashes — so duplicate or
+    * re-ordered shingles (e.g. [[shingleSets]]' sorted-distinct form)
+    * yield bit-identical signatures to the raw shingle stream.
+    */
+  def minhashLshPairsFromShingles(spark: SparkSession, shingled: DataFrame,
+                                  k: Int = 64, bands: Int = 16,
+                                  estimateThreshold: Double = 0.5,
+                                  maxBucketSize: Int = 1000): DataFrame = {
     GraftFunctions.register(spark)
     val rowsPerBand = k / bands
-    val sigs = documents
-      .select(col("doc_id"),
-        HashFunctions.wordShingles(TextFunctions.wsTokens(col("text")), shingleSize)
-          .as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    val sigs = shingled
       .select(col("doc_id"),
         HashFunctions.minhashSignature(col("shingles"), k).as("sig"))
 
@@ -257,8 +275,37 @@ object Dedup {
     * match certifies that prefix filtering is result-preserving.
     */
   def prefixFilterJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
-                               shingleSize: Int = 3): DataFrame = {
+                               shingleSize: Int = 3): DataFrame =
+    // the shingle-set frame is referenced four times (df aggregation,
+    // prefix build, both rerank sides); checkpoint the one expensive
+    // pass (tokenize→shingle→sort→distinct) instead of recomputing it
+    prefixFilterJaccardPairsFromSets(
+      shingleSets(documents, shingleSize).localCheckpoint(true), threshold)
+
+  /** The shared sorted-distinct shingle-set frame — (doc_id, sh, n) —
+    * [[prefixFilterJaccardPairs]] builds; exposed so a caller running
+    * BOTH an exact and an LSH pass (q182's calibration) can pay the
+    * tokenize→shingle→sort→distinct scan once and feed the same
+    * materialized frame to [[prefixFilterJaccardPairsFromSets]] and
+    * [[minhashLshPairsFromShingles]].
+    */
+  def shingleSets(documents: DataFrame, shingleSize: Int = 3): DataFrame = {
     GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= shingleSize)
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          HashFunctions.wordShingles(col("t"), shingleSize))).as("sh"))
+      .withColumn("n", size(col("sh")))
+  }
+
+  /** [[prefixFilterJaccardPairs]] over a precomputed (ideally already
+    * materialized) [[shingleSets]] frame.
+    */
+  def prefixFilterJaccardPairsFromSets(sets: DataFrame,
+                                       threshold: Double): DataFrame = {
+    GraftFunctions.register(sets.sparkSession)
     import org.apache.spark.sql.expressions.Window
     // float-robustness epsilon for the two NECESSARY-condition bounds
     // below: ceil(t·n) in doubles can overshoot the mathematical
@@ -268,17 +315,6 @@ object Dedup {
     // exact rerank keeps the result identical (exactness verified by
     // the plain-all-pairs oracle).
     val eps = 1e-9
-    // the shingle-set frame is referenced four times (df aggregation,
-    // prefix build, both rerank sides); checkpoint the one expensive
-    // pass (tokenize→shingle→sort→distinct) instead of recomputing it
-    val sets = documents
-      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("t"))
-      .filter(size(col("t")) >= shingleSize)
-      .select(col("doc_id"),
-        array_sort(array_distinct(
-          HashFunctions.wordShingles(col("t"), shingleSize))).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .localCheckpoint(true)
     val df = sets.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
     // prefix length p = n − ceil(t·n) + 1 under (df asc, shingle asc)

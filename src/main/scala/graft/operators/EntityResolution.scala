@@ -75,6 +75,11 @@ object EntityResolution {
       // evidence are excluded from this digit-keyed linker entirely
       // (TPC-H names always carry digits, so this is a domain guard)
       .filter(length(col("l_digits")) > 0)
+      // each side feeds BOTH blocking passes and the scoring join —
+      // materialize the regexp+trigram derivation once per entity
+      // instead of three times (r16; the scaladoc's "once per entity"
+      // now holds in the physical plan, not just vs the pair join)
+      .localCheckpoint(true)
     val right = supplier.select(
       col("s_suppkey"),
       col("s_nationkey").cast("long").as("r_nation"),
@@ -82,6 +87,7 @@ object EntityResolution {
       col("s_acctbal").as("r_bal"))
       .withColumn("r_tg", trigrams(col("r_digits")))
       .filter(length(col("r_digits")) > 0)
+      .localCheckpoint(true)
 
     // One blocking pass: equi-join left and right on blockCol, with a
     // per-side block-size cap (skew guard) applied BEFORE the join so a
@@ -189,8 +195,11 @@ object EntityResolution {
         col("c_nationkey").cast("long").as("nation"),
         (col("c_acctbal") - lit(5.25)).as("bal"),
         lit("UNKNOWN").as("seg"))
+    // keyed feeds both pair-join sides and the member join —
+    // materialize the 3-way variant union + regexp once (r16)
     val keyed = base.unionByName(v1).unionByName(v2)
       .withColumn("digits", regexp_extract(col("name"), "([0-9]+)", 1))
+      .localCheckpoint(true)
     val l = keyed.select(col("digits"), col("nation"), col("rec_id").as("doc_a"))
     val r = keyed.select(col("digits"), col("nation"), col("rec_id").as("doc_b"))
     val pairs = l.join(r, Seq("digits", "nation"))
@@ -198,8 +207,11 @@ object EntityResolution {
       .select(col("doc_a"), col("doc_b"))
     val clusters = GraphOps.connectedComponents(pairs)
       .select(col("doc_id").as("rec_id"), col("cluster_id"))
+    // members feeds the survivorship aggregate AND the segment argmax —
+    // materialize the cluster join once (r16)
     val members = keyed.join(clusters, Seq("rec_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("rec_id")))
+      .localCheckpoint(true)
     val golden = members.groupBy(col("cluster_id"))
       .agg(min(col("rec_id")).as("golden_id"),
         min_by(col("name"), col("rec_id")).as("name"),

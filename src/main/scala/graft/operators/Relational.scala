@@ -526,8 +526,14 @@ object Relational {
     */
   def marketBasketPairs(lineitem: DataFrame, minSupport: Long = 3,
                         topK: Int = 50): DataFrame = {
+    // (oid, part) basket items feed FIVE consumers (pair self-join ×2,
+    // part frequency ×2 via aliased projections, order count); without
+    // materialization each re-derives the scan+distinct — the r16 plan
+    // read counted 10 lineitem scans in this one query. Checkpoint the
+    // one distinct pass instead (same multi-reference discipline as
+    // prefixFilterJaccardPairs).
     val items = lineitem.select(col("l_orderkey").as("oid"),
-      col("l_partkey").as("part")).distinct()
+      col("l_partkey").as("part")).distinct().localCheckpoint(true)
     val nOrders = items.select(col("oid")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val freq = items.groupBy(col("part")).agg(count(lit(1)).as("cnt"))

@@ -501,10 +501,14 @@ object TextAnalysis {
     */
   def pmiCooccurrence(documents: DataFrame, v: Int = 50,
                       k: Int = 100): DataFrame = {
+    // (doc, token) presence pairs feed the df count AND both sides of
+    // the co-occurrence self-join — materialize the explode+distinct
+    // once instead of three times (r16)
     val toks = documents
       .select(col("doc_id"),
         explode(TextFunctions.wsTokensCased(col("text"))).as("token"))
       .distinct()
+      .localCheckpoint(true)
     val docFreq = toks.groupBy("token").agg(count(lit(1)).as("df"))
     val vocab = docFreq.orderBy(col("df").desc, col("token").asc).limit(v)
     val vt = toks.join(broadcast(vocab), "token")
@@ -601,9 +605,14 @@ object TextAnalysis {
     import spark.implicits._
     val terms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
+    // the tokenized corpus feeds THREE consumers (global stats, df,
+    // candidate scoring) — materialize the one tokenize pass instead
+    // of re-running scan+split per consumer (r16; the same
+    // multi-reference discipline as prefixFilterJaccardPairs)
     val d = documents
       .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
     val stats = d.groupBy()
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // df per distinct term: the broadcast nested-loop multiplies rows

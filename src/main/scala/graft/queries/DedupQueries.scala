@@ -251,9 +251,17 @@ object DedupQueries {
     // the curve is one row here; the machinery is band-general.)
     "q182_lsh_calibration" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val truth = Dedup.prefixFilterJaccardPairs(docs, threshold = 0.3,
-        shingleSize = 3)
-      val cand = Dedup.minhashLshPairs(s, docs, estimateThreshold = 0.0)
+      // one tokenize→shingle→sort→distinct scan feeds BOTH sides
+      // (r16): exact truth via the prefix filter, candidates via
+      // MinHash — whose set semantics make sorted-distinct input
+      // bit-identical to the raw shingle stream
+      val sets = Dedup.shingleSets(docs, shingleSize = 3)
+        .localCheckpoint(true)
+      val truth = Dedup.prefixFilterJaccardPairsFromSets(sets,
+        threshold = 0.3)
+      val cand = Dedup.minhashLshPairsFromShingles(s,
+          sets.select(col("doc_id"), col("sh").as("shingles")),
+          estimateThreshold = 0.0)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("caught"))
       truth
         .withColumn("band",
