@@ -150,6 +150,16 @@ object Dedup {
     * signature is a min over per-shingle hashes — so duplicate or
     * re-ordered shingles (e.g. [[shingleSets]]' sorted-distinct form)
     * yield bit-identical signatures to the raw shingle stream.
+    *
+    * PRECONDITION: every `shingles` array must be NON-EMPTY (the public
+    * [[minhashLshPairs]] path filters `size(shingles) > 0` before
+    * calling here; [[shingleSets]] guarantees it by construction). An
+    * empty array hashes to the all-Long.MaxValue signature, so all
+    * empty docs would collide in every band and pass the estimate
+    * filter at 1.0 — spurious pairs. Kept as a documented contract
+    * rather than a defensive re-filter so the q182 hot path does not
+    * pay a per-row predicate for a condition its producer already
+    * guarantees (r16 ADVICE).
     */
   def minhashLshPairsFromShingles(spark: SparkSession, shingled: DataFrame,
                                   k: Int = 64, bands: Int = 16,

@@ -174,9 +174,12 @@ object GraphOps {
     *
     * Scale posture: per round, one shuffle for the contribution
     * groupBy(dst) and one join back to the vertex list — both keyed,
-    * both spill-able; the dangling mass is a 1-row aggregate
-    * broadcast back into the plan (never a driver scalar), so nothing
-    * driver-side at all except the one-time vertex count N. Lineage is
+    * both spill-able; the dangling mass is a 1-row filter+aggregate
+    * over the round's own checkpointed pr frame, pulled as an O(1)
+    * driver SCALAR and folded into the update as a literal (r16 —
+    * exactly like tol-mode's delta head(); the SourceLintSpec
+    * allowance documents each such head()). Driver-side state is that
+    * scalar plus the one-time vertex count N. Lineage is
     * truncated per round with an eager localCheckpoint exactly as in
     * [[connectedComponents]]; peak footprint is two pr generations.
     */
@@ -484,14 +487,21 @@ object GraphOps {
       .filter(col("a") =!= col("b"))
       .distinct())
     for (_ <- 0 until rounds) {
-      val keep = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select("v")
+      // keep feeds BOTH semi-join legs: checkpoint it once per round
+      // (r17) so the union+groupBy degree pass — a full scan of the
+      // surviving edge frame — runs once, not twice (the same
+      // multi-consumer discipline as triangleCount's `deg`), and the
+      // planner sees its measured vertex-scale size for the semi joins
+      val keep = loopCheckpoint(
+        cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select("v"))
       val next = loopCheckpoint(cur
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b")))
+      loopUnpersist(keep)
       loopUnpersist(cur)
       cur = next
     }
@@ -588,7 +598,11 @@ object GraphOps {
     // count. decimal(38,0) keeps the sum exact at any graph size
     // (Σ deg ≤ |V|² overflows long at ~10⁹·10⁹).
     def estSum(df: DataFrame): java.math.BigDecimal = {
-      // empty graph: sum over zero rows is NULL — treat as 0
+      // empty graph: sum over zero rows is NULL — treat as 0. (A NULL
+      // can in principle also mean decimal(38,0) overflow in non-ANSI
+      // mode, and two consecutive overflow rounds would read as
+      // converged — unreachable here: Σest ≤ |V|·max_deg < 10³⁸ for
+      // any graph below ~10¹⁹ vertices; noted per r16 ADVICE.)
       val r = df.agg(sum(col("est").cast("decimal(38,0)")).as("s")).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
@@ -718,6 +732,15 @@ object GraphOps {
       .distinct())
     var hub = loopCheckpoint(e.select(col("src").as("v")).distinct()
       .withColumn("h", lit(1.0)))
+    // NOTE (r17, measured): skipping the aNext checkpoint (lazy auth
+    // half-step, one checkpoint per FULL round) was A/B'd per the r16
+    // verdict and REVERTED: without the checkpoint's MEASURED stats the
+    // hub half-step joins e against an estimate-sized Aggregate
+    // subtree, the vertex frame loses its broadcast, and the round
+    // degrades to an edge-frame shuffle join — q139 ran 0.99× absolute
+    // and ~0.8× normalized against an untouched control at sf0.1
+    // (BENCH_touched_before/after1, 2026-08-19). The per-half-step
+    // checkpoint is what keeps the zero-exchange regime; it stays.
     var auth: DataFrame = null
     for (_ <- 0 until iters) {
       val aNext = loopCheckpoint(
@@ -731,8 +754,12 @@ object GraphOps {
       loopUnpersist(hub)
       hub = hNext
     }
-    val aNrm = auth.agg(sqrt(sum(col("a") * col("a"))).as("an"))
-    val hNrm = hub.agg(sqrt(sum(col("h") * col("h"))).as("hn"))
+    // one 2-column broadcast instead of two 1-column ones (r17): the
+    // norms cross-join FIRST (two 1-row frames), so the final plan
+    // builds a single BroadcastExchange sub-job — same two aggregates,
+    // same summands, one fewer broadcast build + driver round trip
+    val nrm = auth.agg(sqrt(sum(col("a") * col("a"))).as("an"))
+      .crossJoin(hub.agg(sqrt(sum(col("h") * col("h"))).as("hn")))
     // materialize the result BEFORE freeing its inputs: the returned
     // frame joins nodes/auth/hub, and loopUnpersist really drops their
     // blocks (the pre-r12 Dataset.unpersist here was a no-op that
@@ -741,7 +768,7 @@ object GraphOps {
     val out = loopCheckpoint(nodes
       .join(auth, Seq("v"), "left")
       .join(hub, Seq("v"), "left")
-      .crossJoin(broadcast(aNrm)).crossJoin(broadcast(hNrm))
+      .crossJoin(broadcast(nrm))
       .select(col("v").as("node_id"),
         (coalesce(col("h"), lit(0.0)) / col("hn")).as("hub"),
         (coalesce(col("a"), lit(0.0)) / col("an")).as("authority")))

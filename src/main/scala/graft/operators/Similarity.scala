@@ -486,7 +486,13 @@ object Similarity {
                      k: Int = 8): DataFrame = {
     GraftFunctions.register(spark)
     import spark.implicits._
+    // x feeds every greedy round's scan AND the final assignment pass —
+    // materialize the two-column projection ONCE (r17, guide §5) so the
+    // k−1 rounds don't re-read the source each time (the old form also
+    // re-scanned it per round through a join-back that only fetched the
+    // selected point's embedding — folded into the aggregate below).
     val x = embeddings.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
     val seedRows = x.orderBy(col("vec_id").asc).limit(1).collect()
     require(seedRows.nonEmpty, "kCenterCoreset: empty embeddings frame")
     val seed = seedRows.head
@@ -495,12 +501,18 @@ object Similarity {
     var remaining = true
     for (_ <- 2 to k if remaining) {
       val selDf = centers.toDF("c_id", "c_emb")
+      // `first(embedding)` is deterministic here: embedding is
+      // functionally determined by the vec_id group key (every row in
+      // the group carries the same array), so the former
+      // `.limit(1).join(x, "vec_id")` — one more scan of x per round —
+      // collapses into the aggregate (r17)
       val nextRows = x.filter(!col("vec_id").isInCollection(centers.map(_._1)))
         .crossJoin(broadcast(selDf))
         .groupBy(col("vec_id"))
-        .agg(max(cos(col("embedding"), col("c_emb"))).as("mc"))
+        .agg(max(cos(col("embedding"), col("c_emb"))).as("mc"),
+          first(col("embedding")).as("embedding"))
         .orderBy(col("mc").asc, col("vec_id").asc)
-        .limit(1).join(x, "vec_id").collect()
+        .limit(1).collect()
       // fewer than k vectors in the corpus: every point is already a
       // center — stop instead of NoSuchElementException on the empty
       // selection (the coreset is then the whole corpus, which is the

@@ -195,11 +195,21 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val pairs = Dedup.minhashLshPairs(s, Tables.documents(s, dir))
         .select(col("doc_a"), col("doc_b"))
-      val clusters = GraphOps.dedupClusters(pairs)
-      val rk = row_number().over(Window.partitionBy(col("cluster_id"))
-        .orderBy(col("n_chars").desc, col("doc_id").asc))
+      // join n_chars FIRST, then compute cluster_size AND the keep-best
+      // rank in the SAME cluster_id window scope (r17, guide §2.4): the
+      // dedupClusters form ran the size window before the join, and the
+      // broadcast join dropped its partitioning, so the rank window
+      // re-exchanged the cluster-scale frame on cluster_id a second
+      // time. One exchange + one sort now serve both windows; the join
+      // is 1:1 on doc_id, so cluster_size counts the same rows.
+      val clusters = GraphOps.connectedComponents(pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+      val rk = row_number().over(
+        w.orderBy(col("n_chars").desc, col("doc_id").asc))
       clusters
         .join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+        .withColumn("cluster_size", count(lit(1)).over(w))
         .withColumn("rk", rk)
         .filter(col("rk") === 1)
         .select(col("cluster_id"), col("doc_id").as("survivor_id"),

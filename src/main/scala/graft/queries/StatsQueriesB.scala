@@ -649,6 +649,14 @@ object StatsQueriesB {
           floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
             .as("v_c"),
           col("l_quantity").cast("long").as("w"))
+        // ONE exchange on n_name serves the (n_name, v_c) aggregate
+        // (subset clustering) AND both windows below (r17, guide §2.4):
+        // the default plan shuffled the near-line-item-grain (n_name,
+        // v_c) rows — v_c is price cents, so map-side combine barely
+        // reduces them — and then re-shuffled the aggregate on n_name
+        // for the window. Parallelism is nation-bounded either way
+        // (the window's partitionBy forces it).
+        .repartition(col("n_name"))
         .groupBy(col("n_name"), col("v_c"))
         .agg(sum(col("w")).as("w"))
       val wOrd = Window.partitionBy(col("n_name")).orderBy(col("v_c"))

@@ -591,6 +591,14 @@ object StatsQueriesC {
         .join(Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
+        // ONE exchange on l_partkey serves BOTH aggregates (r17, guide
+        // §2.4): hash(l_partkey) satisfies the (l_partkey, mon)
+        // clustering (subset rule) and the l_partkey rollup — the
+        // default plan shuffled twice ((l_partkey, mon) grain, then
+        // l_partkey), and the month grain is ~1 row per map partition
+        // per key, so the first shuffle's map-side combine bought
+        // nothing. partkey is high-cardinality: parallelism unharmed.
+        .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"),
           date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
         .agg(sum(col("l_quantity").cast("long")).as("q_m"),
