@@ -75,11 +75,16 @@ object EntityResolution {
       // evidence are excluded from this digit-keyed linker entirely
       // (TPC-H names always carry digits, so this is a domain guard)
       .filter(length(col("l_digits")) > 0)
-      // each side feeds BOTH blocking passes and the scoring join —
-      // materialize the regexp+trigram derivation once per entity
-      // instead of three times (r16; the scaladoc's "once per entity"
-      // now holds in the physical plan, not just vs the pair join)
-      .localCheckpoint(true)
+    // NOTE (r17, measured): r16 eagerly localCheckpoint'ed both sides
+    // (each feeds two blocking passes + the scoring join). A/B per the
+    // r16 verdict says the materialization never pays: REVERTED.
+    //   sf0.1: no-checkpoint 1.86 s vs checkpointed 2.12 s (1.14×);
+    //   10× (localdata/sf1): 58.2 s vs 59.1 s (flat) —
+    // the recomputed regexp+trigram projection is cheaper than
+    // serializing the entity frames to block storage at both scales,
+    // and the checkpointed 10× run additionally showed GC
+    // allocation-retry pressure. (/tmp/r17/q121_{ck,nock}_{sf01,sf1},
+    // 2026-08-19.)
     val right = supplier.select(
       col("s_suppkey"),
       col("s_nationkey").cast("long").as("r_nation"),
@@ -87,7 +92,6 @@ object EntityResolution {
       col("s_acctbal").as("r_bal"))
       .withColumn("r_tg", trigrams(col("r_digits")))
       .filter(length(col("r_digits")) > 0)
-      .localCheckpoint(true)
 
     // One blocking pass: equi-join left and right on blockCol, with a
     // per-side block-size cap (skew guard) applied BEFORE the join so a

@@ -63,6 +63,30 @@ object GraphOps {
   private def loopUnpersist(df: DataFrame): Unit =
     org.apache.spark.sql.classic.GraftPlanBridge.unpersistCheckpoint(df)
 
+  /** [[loopCheckpoint]] with per-round scalar aggregates folded into
+    * the checkpoint's own materialization pass via `observe()` (r17,
+    * guide §1.2/§2: remove whole passes). Every GraphOps loop needs
+    * one or two O(1) scalars per round — a convergence witness
+    * (changed-count / Σest / max-delta) and/or PageRank's dangling
+    * mass — and computing them as separate `count()`/`head()` actions
+    * over the just-checkpointed frame costs one extra vertex-scale
+    * pass AND one extra driver round trip per round. `observe()`
+    * evaluates the same aggregates DURING the eager localCheckpoint's
+    * materialization (CollectMetrics is a partitioning-preserving
+    * pass-through node), so the scalar arrives for free; `obs.get`
+    * returns instantly because the checkpoint action has already
+    * completed. Exactness: counts, maxes and decimal sums are
+    * order-insensitive, so those witnesses are bit-identical to the
+    * replaced actions; the dangling DOUBLE sum has the same summands
+    * with a possibly different merge grouping (same caveat any
+    * repartitioned float aggregate carries) — oracle-verified at r4.
+    */
+  private def loopCheckpointObs(df: DataFrame,
+      obs: org.apache.spark.sql.Observation,
+      metric: org.apache.spark.sql.Column,
+      metrics: org.apache.spark.sql.Column*): DataFrame =
+    loopCheckpoint(df.observe(obs, metric, metrics: _*))
+
   /** Connected components of the undirected graph given by `pairs`
     * (columns `doc_a`, `doc_b`; each undirected edge once). Returns one
     * row per vertex that appears in an edge: (doc_id, cluster_id) with
@@ -130,14 +154,20 @@ object GraphOps {
             col("label").as("old_label")))
       // pointer jump (path halving): l(v) <- l(l(v)). Labels are vertex
       // ids with l(w) <= w, so the self-join resolves and only lowers.
-      val next = loopCheckpoint(propagated.as("a")
+      // The changed-count convergence witness rides the checkpoint's
+      // own materialization (observe — r17): previously a separate
+      // filter+count action re-scanned the just-materialized frame
+      // every round. count(when(...)) is exact — same integer.
+      val obs = org.apache.spark.sql.Observation()
+      val next = loopCheckpointObs(propagated.as("a")
         .join(propagated.select(col("v").as("lv"), col("label").as("ll")).as("b"),
           col("a.label") === col("b.lv"), "left")
         .select(col("a.v").as("v"),
           coalesce(col("b.ll"), col("a.label")).as("label"),
-          col("a.old_label").as("old_label")))
+          col("a.old_label").as("old_label")),
+        obs, count(when(col("label") < col("old_label"), 1)).as("changed"))
       loopUnpersist(propagated)
-      val changed = next.filter(col("label") < col("old_label")).count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       loopUnpersist(labels)
       labels = next
       converged = changed == 0
@@ -174,11 +204,11 @@ object GraphOps {
     *
     * Scale posture: per round, one shuffle for the contribution
     * groupBy(dst) and one join back to the vertex list — both keyed,
-    * both spill-able; the dangling mass is a 1-row filter+aggregate
-    * over the round's own checkpointed pr frame, pulled as an O(1)
-    * driver SCALAR and folded into the update as a literal (r16 —
-    * exactly like tol-mode's delta head(); the SourceLintSpec
-    * allowance documents each such head()). Driver-side state is that
+    * both spill-able; the dangling mass is a 1-row aggregate OBSERVED
+    * during the previous round's checkpoint materialization (r17 —
+    * `observe()` folds it into the pass the checkpoint already makes;
+    * r16 pulled it as a separate per-round filter+sum action) and
+    * folded into the update as a literal. Driver-side state is that
     * scalar plus the one-time vertex count N. Lineage is
     * truncated per round with an eager localCheckpoint exactly as in
     * [[connectedComponents]]; peak footprint is two pr generations.
@@ -316,24 +346,28 @@ object GraphOps {
       .select(col("src"), col("dst"), col("outd"))
       .repartition(col("dst")))
 
-    var pr = loopCheckpoint(nodes.select(col("v"), col("isd"),
-      lit(1.0 / n).as("pr")))
+    // mass sitting on dangling vertices — a 1-row aggregate folded
+    // into every pr checkpoint's OWN materialization pass (observe,
+    // r17): the r16 form pulled it as a separate per-round
+    // filter+sum+head() action, i.e. one extra vertex-scale pass over
+    // the frame the checkpoint had just written. sum(when(isd, pr))
+    // has the same summands as the old filter(isd).agg(sum(pr));
+    // tol-mode's max-delta witness rides the same pass (max is
+    // order-exact). NULL (no dangling vertices / empty graph) reads
+    // as 0.0 / converged.
+    val dangMetric = sum(when(col("isd"), col("pr"))).as("dang")
+    def dangOf(o: org.apache.spark.sql.Observation): Double =
+      Option(o.get("dang")).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    var prObs = org.apache.spark.sql.Observation()
+    var pr = loopCheckpointObs(nodes.select(col("v"), col("isd"),
+      lit(1.0 / n).as("pr")), prObs, dangMetric)
     // the frame holding the round's materialized checkpoint (what we
     // unpersist) — `pr` itself may be a projection over it in tol mode
     var prStore = pr
     var i = 0
     var converged = false
     while (i < iters && !converged) {
-      // mass sitting on dangling vertices this round — a 1-row
-      // aggregate over the round's checkpointed pr frame (filter on
-      // the carried flag, not a semi-join — see `nodes`), pulled as a
-      // SCALAR and folded into the update as a literal (r16): an O(1)
-      // driver value exactly like tol-mode's delta head(), replacing
-      // a per-round BroadcastExchange sub-job; the double is the same
-      // aggregate either way, so the oracle mirror is untouched
-      val dangRow = pr.filter(col("isd"))
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang")).head()
-      val dangVal = dangRow.getDouble(0)
+      val dangVal = dangOf(prObs)
       val contrib = eOutd
         .join(pr.select(col("v").as("src"), col("pr")), "src")
         .groupBy(col("dst").as("v"))
@@ -343,28 +377,29 @@ object GraphOps {
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + lit(dangVal) / n))
             .as("pr"))
+      val nextObs = org.apache.spark.sql.Observation()
       if (thresh > 0.0) {
         // carry the previous rank through the step so the delta is an
         // aggregate over the checkpointed frame (no extra re-join of
         // the big sides), then project it back off
-        val stepped = loopCheckpoint(core
-          .join(pr.select(col("v"), col("pr").as("pr_prev")), Seq("v")))
-        val deltaRow = stepped
-          .agg(max(abs(col("pr") - col("pr_prev"))).as("d"))
-          .head()
-        // empty graph: max over zero rows is NULL (getDouble would
-        // NPE) — trivially converged
-        val delta = if (deltaRow.isNullAt(0)) 0.0 else deltaRow.getDouble(0)
+        val stepped = loopCheckpointObs(core
+          .join(pr.select(col("v"), col("pr").as("pr_prev")), Seq("v")),
+          nextObs, dangMetric,
+          max(abs(col("pr") - col("pr_prev"))).as("delta"))
+        // empty graph: max over zero rows is NULL — trivially converged
+        val delta = Option(nextObs.get("delta"))
+          .map(_.asInstanceOf[Double]).getOrElse(0.0)
         converged = delta < thresh
         loopUnpersist(prStore)
         prStore = stepped
         pr = stepped.select(col("v"), col("isd"), col("pr"))
       } else {
-        val next = loopCheckpoint(core)
+        val next = loopCheckpointObs(core, nextObs, dangMetric)
         loopUnpersist(prStore)
         prStore = next
         pr = next
       }
+      prObs = nextObs
       i += 1
     }
     loopUnpersist(outDeg); loopUnpersist(nodes); loopUnpersist(e)
@@ -435,14 +470,17 @@ object GraphOps {
       .repartition(col("dst")))
     val isSeed = col("v").isin(seeds: _*)
     val nS = seeds.size.toDouble
-    var pr = loopCheckpoint(nodes.select(col("v"), col("isd"),
-      when(isSeed, lit(1.0 / nS)).otherwise(lit(0.0)).as("pr")))
+    // dangling mass observed during each checkpoint's own
+    // materialization — same rationale, summands and NULL handling as
+    // [[pageRank]] (r17; r16 pulled it as a separate per-round action)
+    val dangMetric = sum(when(col("isd"), col("pr"))).as("dang")
+    var prObs = org.apache.spark.sql.Observation()
+    var pr = loopCheckpointObs(nodes.select(col("v"), col("isd"),
+      when(isSeed, lit(1.0 / nS)).otherwise(lit(0.0)).as("pr")),
+      prObs, dangMetric)
     for (_ <- 0 until iters) {
-      // dangling mass as a per-round driver SCALAR — same rationale
-      // and same doubles as [[pageRank]] (r16)
-      val dangVal = pr.filter(col("isd"))
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
-        .head().getDouble(0)
+      val dangVal = Option(prObs.get("dang"))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
       val contrib = eOutd
         .join(pr.select(col("v").as("src"), col("pr")), "src")
         .groupBy(col("dst").as("v"))
@@ -452,9 +490,11 @@ object GraphOps {
           (when(isSeed, lit((1 - damping) / nS)).otherwise(lit(0.0)) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
               when(isSeed, lit(dangVal) / nS).otherwise(lit(0.0)))).as("pr"))
-      val mat = loopCheckpoint(next)
+      val nextObs = org.apache.spark.sql.Observation()
+      val mat = loopCheckpointObs(next, nextObs, dangMetric)
       loopUnpersist(pr)
       pr = mat
+      prObs = nextObs
     }
     loopUnpersist(eOutd)
     loopUnpersist(outDeg); loopUnpersist(nodes); loopUnpersist(e)
@@ -593,23 +633,27 @@ object GraphOps {
     }
     // Σest as the convergence witness (r16): estimates are MONOTONE
     // NON-INCREASING per vertex, so "no vertex changed this round" ⟺
-    // "Σ_v est is unchanged" — a 1-row aggregate over the round's own
-    // checkpointed frame replaces the former vertex-scale self-join +
-    // count. decimal(38,0) keeps the sum exact at any graph size
-    // (Σ deg ≤ |V|² overflows long at ~10⁹·10⁹).
-    def estSum(df: DataFrame): java.math.BigDecimal = {
+    // "Σ_v est is unchanged". decimal(38,0) keeps the sum exact at any
+    // graph size (Σ deg ≤ |V|² overflows long at ~10⁹·10⁹), and a
+    // decimal sum is order-insensitive, so it is also safe to OBSERVE
+    // during the checkpoint's own materialization (r17) — the r16 form
+    // re-scanned the just-checkpointed frame with a separate 1-row
+    // aggregate action every round.
+    val estMetric = sum(col("est").cast("decimal(38,0)")).as("est_sum")
+    def estSumOf(o: org.apache.spark.sql.Observation): java.math.BigDecimal =
       // empty graph: sum over zero rows is NULL — treat as 0. (A NULL
       // can in principle also mean decimal(38,0) overflow in non-ANSI
       // mode, and two consecutive overflow rounds would read as
       // converged — unreachable here: Σest ≤ |V|·max_deg < 10³⁸ for
       // any graph below ~10¹⁹ vertices; noted per r16 ADVICE.)
-      val r = df.agg(sum(col("est").cast("decimal(38,0)")).as("s")).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
+      Option(o.get("est_sum")).map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prev: DataFrame = null
-    var est = loopCheckpoint(
-      adj.groupBy("v").agg(count(lit(1)).cast("long").as("est")))
-    var prevSum = estSum(est)
+    val initObs = org.apache.spark.sql.Observation()
+    var est = loopCheckpointObs(
+      adj.groupBy("v").agg(count(lit(1)).cast("long").as("est")),
+      initObs, estMetric)
+    var prevSum = estSumOf(initObs)
     // Early exit on the fixed point: est unchanged over a round ⇔ the
     // exact core numbers (the h-index iteration is monotone
     // non-increasing). The per-round change count joins two
@@ -624,14 +668,15 @@ object GraphOps {
     var converged = false
     var used = 0
     while (used < rounds && !converged) {
-      val next = loopCheckpoint(hIndexUpdate(est))
-      // The change count only feeds the early exit and the convergence
-      // assertion. On the FINAL round there is no later round to skip,
-      // so with requireConverged=false (a caller capping cost with a
-      // tight `rounds`) the count is pure overhead — skip it and keep
-      // the old fixed-budget cost profile (r13 ADVICE).
+      val obs = org.apache.spark.sql.Observation()
+      val next = loopCheckpointObs(hIndexUpdate(est), obs, estMetric)
+      // The witness only feeds the early exit and the convergence
+      // assertion; observing it costs one expression per row inside
+      // the checkpoint pass, reading it costs nothing (the action has
+      // completed). The r13 final-round skip is kept for the READ so
+      // requireConverged=false keeps its fixed-budget semantics.
       if (used < rounds - 1 || requireConverged) {
-        val nextSum = estSum(next)
+        val nextSum = estSumOf(obs)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
       }

@@ -1502,7 +1502,17 @@ object TextAnalysis {
     require(w >= 2, s"winnow window must be >= 2, got $w")
     val spark = documents.sparkSession
     GraftFunctions.register(spark)
+    // repartition on doc_id BEFORE the gram explode (r17, guide §2.3/§8):
+    // the per-doc window below needs HashPartitioning(doc_id) anyway, and
+    // establishing it on the DOC-grain rows means the exchange moves
+    // ~n_chars bytes of text per doc instead of ~n_chars gram rows of
+    // (doc_id, pos, h) — an order of magnitude fewer shuffle bytes — and
+    // the explode+hash work parallelizes across the cluster regardless
+    // of the input file split layout (one fat parquet split otherwise
+    // serializes the whole gram stage into its scan task).
     val grams = documents
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         posexplode(HashFunctions.charShingles(col("text"), k))
           .as(Seq("pos", "gram")))

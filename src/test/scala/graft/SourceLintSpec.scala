@@ -80,13 +80,12 @@ class SourceLintSpec extends AnyFunSuite {
     // ubiquitous Scala-collection/string take (14 benign sites today),
     // and a Dataset take/head is driver-bounded by its own argument
     // anyway; the plan contracts cover unbounded pulls.
+    // GraphOps' four r16 head() scalar pulls (tol delta, PageRank/PPR
+    // dangling mass, coreNumbers Σest) are gone in r17: the same
+    // aggregates now ride each round's checkpoint materialization via
+    // observe(), so no separate driver action re-scans the frame.
     check("collectAsList/toLocalIterator/head()",
       """\.collectAsList\(|\.toLocalIterator|\.head\(\)""".r, Map(
-        "src/main/scala/graft/operators/GraphOps.scala" ->
-          (4, "1-row scalar pulls only: PageRank tol-loop max-delta; " +
-            "PageRank/PPR per-round dangling-mass sum (r16 — replaces a " +
-            "BroadcastExchange sub-job, same double); coreNumbers Σest " +
-            "convergence witness (r16 — replaces a vertex-scale join)"),
         "src/main/scala/graft/operators/Similarity.scala" ->
           (1, "PCA gram-matrix trainer: one d*d aggregate row, d fixed")))
   }
