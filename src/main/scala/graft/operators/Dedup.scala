@@ -167,9 +167,17 @@ object Dedup {
                                   maxBucketSize: Int = 1000): DataFrame = {
     GraftFunctions.register(spark)
     val rowsPerBand = k / bands
+    // sigs feeds BOTH bucket self-join sides: materialize the
+    // shingle→minhash computation once (r17, guide §5). The signature
+    // is the family's hot loop — O(|shingles|·k) per doc — and the
+    // self-join's two subtrees each recomputed it from the raw
+    // shingles; the checkpoint is doc-grain (doc_id + k longs), far
+    // smaller than the exploded bucket frame, so the band explode is
+    // recomputed per side from materialized sigs instead.
     val sigs = shingled
       .select(col("doc_id"),
         HashFunctions.minhashSignature(col("shingles"), k).as("sig"))
+      .localCheckpoint(true)
 
     val buckets = sigs
       .select(col("doc_id"), col("sig"),
@@ -401,9 +409,15 @@ object Dedup {
                             maxBucketSize: Int = 1000): DataFrame = {
     GraftFunctions.register(spark)
     val planeSets = Similarity.defaultPlaneSets(planes, tables, 64, seed)
-    val buckets = embeddings
+    // the fused bucket computation (tables × planes dot products per
+    // vector) feeds BOTH self-join sides: materialize it once (r17,
+    // guide §5 — the same seam as minhashLshPairsFromShingles' sigs);
+    // vec-grain (vec_id + tables longs), cheap to store
+    val withBks = embeddings
       .select(col("vec_id"),
         Similarity.lshBucketsFused(col("embedding"), planeSets).as("bks"))
+      .localCheckpoint(true)
+    val buckets = withBks
       .select(col("vec_id"), col("bks"), posexplode(col("bks")))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
     // window guard — same ReusedExchange rationale as minhashLshPairs

@@ -722,7 +722,15 @@ object GraphOps {
     // adj is v-partitioned ONCE (the q137 anatomy): with labels
     // broadcast into the join, the round's groupBy(v, label) count and
     // the per-v argmax both run on adj's partitioning — zero exchanges
-    // per round instead of two
+    // per round instead of two.
+    // NOTE (r17, measured): a salted two-level pre-agg on (v, label,
+    // pmod(nbr, 16)) — the r16-verdict suggestion for the grain that
+    // defeats map-side combine in the SHUFFLE-join regime — was A/B'd
+    // and REVERTED: in this pre-partitioned/broadcast regime the
+    // (v, label) count already runs with no exchange at all, so the
+    // extra aggregate level is pure overhead (q138 4.94 s salted vs
+    // 3.09 s plain at sf0.1, control q139 5.03 vs 4.68). Revisit only
+    // if the at-scale shuffle-join regime shows a hot-vertex straggler.
     val adj = loopCheckpoint(
       e.select(col("a").as("v"), col("b").as("nbr"))
         .union(e.select(col("b").as("v"), col("a").as("nbr")))

@@ -1112,23 +1112,29 @@ object StatsQueriesB {
     "q209_rfm_segmentation" -> ((s, dir) => {
       import graft.operators.ScaleOps.{distributedRank, ntileOfRank}
       val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
-      val maxD = Tables.orders(s, dir)
-        .agg(max(col("o_orderdate")).as("t_max"))
-      val rfm = Tables.orders(s, dir)
+      // t_max = max(o_orderdate) — OBSERVED during the per-customer
+      // aggregate's checkpoint materialization (r17): max over the
+      // per-custkey last_order values equals the global max, so the
+      // former separate maxD branch — a second full orders scan — is
+      // gone. The checkpoint is the chain seam distributedRank's cost
+      // note prescribes anyway (its first rank pass executes the input
+      // twice: range sampling + shuffle map).
+      val obs = org.apache.spark.sql.Observation()
+      val perCust = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_order"),
           count(lit(1)).as("f"), sum(cents).as("m_c"))
-        .crossJoin(broadcast(maxD))
-        .select(col("o_custkey"),
-          datediff(col("t_max"), col("last_order")).cast("long").as("r"),
-          col("f"), col("m_c"))
-        // the chain seam distributedRank's cost note prescribes: the
-        // first rank pass executes its input twice (range sampling +
-        // shuffle map; later passes re-read rank outputs via reused
-        // shuffle files, never this frame) — checkpoint once so both
-        // reads hit materialized blocks instead of re-running the
-        // orders scan + groupBy
+        // observed as an ISO yyyy-MM-dd STRING (same total order as the
+        // date) so the driver-side type is stable regardless of the
+        // java8 datetime-API session setting
+        .observe(obs, max(col("last_order").cast("string")).as("t_max"))
         .localCheckpoint(true)
+      val tMax = obs.get("t_max").asInstanceOf[String]
+      val rfm = perCust
+        .select(col("o_custkey"),
+          datediff(to_date(lit(tMax)), col("last_order")).cast("long")
+            .as("r"),
+          col("f"), col("m_c"))
       val ranked = distributedRank(distributedRank(distributedRank(rfm,
         Seq(col("r").asc, col("o_custkey")), "rk_r"),
         Seq(col("f").desc, col("o_custkey")), "rk_f"),

@@ -1251,6 +1251,13 @@ object StatsQueriesE {
     // integers, rank ties to the part key.
     "q340_movers_shakers" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // NOTE (r17, measured): pm feeds both the lastMon 1-row aggregate
+      // and the delta branch (the plan scans lineitem+orders twice), but
+      // a localCheckpoint(true) here measured SLOWER at BOTH probes —
+      // sf0.1 2.33 s vs 2.21 s, 10× 10.70 s vs 9.27 s — because the
+      // lastMon copy is a broadcast subtree that overlaps with the main
+      // branch inside one job, while the checkpoint serializes the
+      // pipeline into materialize-then-consume. Left unmaterialized.
       val pm = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderdate")),
